@@ -1,0 +1,27 @@
+"""Test harness configuration.
+
+Tests run hermetically on CPU with a virtual 8-device mesh — the moral
+equivalent of the reference exercising its "distributed" S3/SQS path against
+LocalStack on a laptop (SURVEY.md §4). Environment must be set before the
+first jax import, hence module level.
+"""
+
+import os
+
+# The image pre-sets JAX_PLATFORMS=axon (the real TPU); tests must be
+# hermetic and run on the virtual CPU mesh unless explicitly opted out.
+if os.environ.get("TVIDZ_TEST_TPU", "") not in ("1", "true"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

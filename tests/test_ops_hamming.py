@@ -1,0 +1,62 @@
+"""Hamming paths: XLA popcount, MXU ±1 matmul, and the Pallas corpus scan
+(interpreted on CPU) must all agree with the golden model."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.ops.hamming import (
+    corpus_min_distance,
+    hamming_matrix,
+    hamming_matrix_pm1,
+    unpack_bits_pm1,
+)
+
+
+def _random_fps(rng, n):
+    return rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
+
+
+def test_hamming_matrix_matches_golden(rng):
+    q = _random_fps(rng, 8)
+    c = _random_fps(rng, 16)
+    got = np.asarray(hamming_matrix(jnp.asarray(q), jnp.asarray(c)))
+    np.testing.assert_array_equal(got, golden.hamming_matrix(q, c))
+
+
+def test_hamming_identity_is_zero(rng):
+    q = _random_fps(rng, 4)
+    got = np.asarray(hamming_matrix(jnp.asarray(q), jnp.asarray(q)))
+    assert np.diag(got).max() == 0
+
+
+def test_pm1_matmul_path_is_exact(rng):
+    q = _random_fps(rng, 8)
+    c = _random_fps(rng, 32)
+    qb = unpack_bits_pm1(jnp.asarray(q))
+    cb = unpack_bits_pm1(jnp.asarray(c))
+    got = np.asarray(hamming_matrix_pm1(qb, cb))
+    np.testing.assert_array_equal(got, golden.hamming_matrix(q, c))
+
+
+def test_corpus_min_distance_matches_golden(rng):
+    m, n, bn = 8, 512, 128
+    q = _random_fps(rng, m)
+    c = _random_fps(rng, n)
+    frame_min, q_min, q_arg = corpus_min_distance(
+        jnp.asarray(q), jnp.asarray(c), block_n=bn
+    )
+    h = golden.hamming_matrix(q, c)
+    np.testing.assert_array_equal(np.asarray(frame_min), h.min(axis=0))
+    np.testing.assert_array_equal(np.asarray(q_min), h.min(axis=1))
+    np.testing.assert_array_equal(np.asarray(q_arg), h.argmin(axis=1))
+
+
+def test_corpus_min_distance_finds_planted_duplicate(rng):
+    m, n, bn = 8, 1024, 256
+    q = _random_fps(rng, m)
+    c = _random_fps(rng, n)
+    c[777] = q[3]  # plant an exact duplicate
+    _, q_min, q_arg = corpus_min_distance(jnp.asarray(q), jnp.asarray(c), block_n=bn)
+    assert int(q_min[3]) == 0
+    assert int(q_arg[3]) == 777

@@ -1,0 +1,119 @@
+"""Timestamp matching (find_duplicates parity) and sequence alignment."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.ops.align import align_scores, batch_best_alignment, best_alignment
+from tvidz_tpu.ops.timestamps import timestamp_match_counts
+
+
+def _padded_corpus(rows, max_cuts=16):
+    n = len(rows)
+    ts = np.full((n, max_cuts), np.nan, dtype=np.float32)
+    lens = np.zeros(n, dtype=np.int32)
+    for i, row in enumerate(rows):
+        ts[i, : len(row)] = row
+        lens[i] = len(row)
+    return ts, lens
+
+
+def test_timestamp_match_counts_reference_semantics():
+    """Mirrors the reference's own algorithm test (test_app.py:66-83)."""
+    corpus, lens = _padded_corpus(
+        [[1.0, 2.0, 3.0, 4.0, 5.0], [10.0, 20.0, 30.0, 40.0, 50.0]]
+    )
+    counts = np.asarray(
+        timestamp_match_counts(
+            jnp.asarray([10.0, 20.0, 30.0, 40.0, 50.0], jnp.float32),
+            jnp.asarray(corpus),
+            jnp.asarray(lens),
+        )
+    )
+    assert counts.tolist() == [0, 5]
+
+
+def test_timestamp_match_counts_matches_golden(rng):
+    corpus = rng.uniform(0, 100, size=(32, 16)).astype(np.float32).round(1)
+    lens = rng.integers(1, 17, size=32).astype(np.int32)
+    query = np.concatenate(
+        [corpus[5, :4], rng.uniform(0, 100, size=4).astype(np.float32).round(1)]
+    )
+    want = golden.timestamp_match_counts(query, corpus, lens)
+    got = np.asarray(
+        timestamp_match_counts(jnp.asarray(query), jnp.asarray(corpus), jnp.asarray(lens))
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_timestamp_match_blocked_path(rng):
+    """Corpus larger than block_n exercises the lax.map path."""
+    corpus = rng.uniform(0, 100, size=(100, 8)).astype(np.float32).round(1)
+    lens = np.full(100, 8, dtype=np.int32)
+    query = corpus[42, :5].copy()
+    want = golden.timestamp_match_counts(query, corpus, lens)
+    got = np.asarray(
+        timestamp_match_counts(
+            jnp.asarray(query), jnp.asarray(corpus), jnp.asarray(lens), block_n=32
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+    assert got[42] >= 5
+
+
+def test_nan_query_padding_never_matches():
+    corpus, lens = _padded_corpus([[1.0, 2.0, float("nan")]])
+    counts = np.asarray(
+        timestamp_match_counts(
+            jnp.asarray([np.nan, np.nan], jnp.float32),
+            jnp.asarray(corpus),
+            jnp.asarray(lens),
+        )
+    )
+    assert counts.tolist() == [0]
+
+
+def test_tolerance_matching():
+    corpus, lens = _padded_corpus([[1.0, 5.0, 9.0]])
+    q = jnp.asarray([1.04, 5.2], jnp.float32)
+    exact = np.asarray(timestamp_match_counts(q, jnp.asarray(corpus), jnp.asarray(lens)))
+    tol = np.asarray(
+        timestamp_match_counts(q, jnp.asarray(corpus), jnp.asarray(lens), tolerance=0.1)
+    )
+    assert exact.tolist() == [0]
+    assert tol.tolist() == [1]
+
+
+def _random_fps(rng, n):
+    return rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
+
+
+def test_align_scores_matches_golden(rng):
+    q = _random_fps(rng, 12)
+    c = _random_fps(rng, 20)
+    got = np.asarray(align_scores(jnp.asarray(q), jnp.asarray(c)))
+    np.testing.assert_array_equal(got, golden.align_scores(q, c))
+
+
+def test_best_alignment_finds_planted_fragment(rng):
+    c = _random_fps(rng, 64)
+    offset = 17
+    q = c[offset : offset + 12].copy()
+    off, score = best_alignment(jnp.asarray(q), jnp.asarray(c))
+    want_off, want_score = golden.best_alignment(q, c)
+    assert int(off) == want_off == offset
+    assert int(score) == want_score == 12
+
+
+def test_batch_best_alignment(rng):
+    v, tc, tq = 5, 48, 8
+    corpus = np.stack([_random_fps(rng, tc) for _ in range(v)])
+    lens = np.full(v, tc, dtype=np.int32)
+    lens[4] = 10
+    q = corpus[2, 30:38].copy()
+    offs, scores = batch_best_alignment(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(lens)
+    )
+    assert int(offs[2]) == 30
+    assert int(scores[2]) == tq
+    assert int(scores[2]) > int(scores[0])

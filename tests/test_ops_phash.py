@@ -1,0 +1,78 @@
+"""Kernel-vs-golden parity: DCT, resize, pHash."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops import dct, golden, phash, resize
+
+
+def test_dct_matrix_orthonormal():
+    d = golden.dct_matrix(32).astype(np.float64)
+    np.testing.assert_allclose(d @ d.T, np.eye(32), atol=1e-5)
+
+
+def test_dct2_matches_scipy_style_definition(rng):
+    x = rng.normal(size=(32, 32)).astype(np.float32)
+    got = golden.dct2(x)
+    # Orthonormal DCT-II must be energy preserving.
+    np.testing.assert_allclose((got**2).sum(), (x**2).sum(), rtol=1e-4)
+
+
+def test_dct2_batched_matches_golden(rng):
+    x = rng.normal(size=(5, 32, 32)).astype(np.float32)
+    got = np.asarray(dct.dct2_batched(jnp.asarray(x)))
+    want = np.stack([golden.dct2(f) for f in x])
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_area_resize_matrix_rows_sum_to_one():
+    for src, dst in [(90, 32), (1080, 32), (33, 32), (32, 32), (7, 3)]:
+        m = golden.area_resize_matrix(src, dst)
+        np.testing.assert_allclose(m.sum(axis=1), np.ones(dst), atol=1e-6)
+
+
+def test_area_resize_integer_ratio_is_mean_pooling(rng):
+    x = rng.integers(0, 256, size=(64, 128)).astype(np.float32)
+    got = golden.area_resize(x, 32, 32)
+    want = x.reshape(32, 2, 32, 4).mean(axis=(1, 3))
+    np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_area_resize_batched_matches_golden(rng):
+    x = rng.integers(0, 256, size=(4, 90, 160)).astype(np.float32)
+    got = np.asarray(resize.area_resize_batched(jnp.asarray(x), 32, 32))
+    want = np.stack([golden.area_resize(f, 32, 32) for f in x])
+    np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_pack_bits_msb_first():
+    bits = np.zeros(64, dtype=np.uint8)
+    bits[0] = 1          # MSB of word 0
+    bits[33] = 1         # bit 30 of word 1
+    packed = golden.pack_bits(bits)
+    assert packed[0] == 0x80000000
+    assert packed[1] == 0x40000000
+
+
+def test_phash_batched_matches_golden(rng):
+    x = rng.integers(0, 256, size=(6, 90, 160)).astype(np.uint8)
+    got = np.asarray(phash.phash_batched(jnp.asarray(x)))
+    want = np.stack([golden.phash(f) for f in x])
+    # Bit-exactness can waver for coefficients within float noise of the
+    # median; require near-identical hashes (<= 2 differing bits per frame).
+    ham = golden.hamming_matrix(got.astype(np.uint32), want.astype(np.uint32))
+    assert np.diag(ham).max() <= 2, np.diag(ham)
+
+
+def test_phash_is_robust_to_small_noise(rng):
+    base = rng.integers(0, 200, size=(90, 160)).astype(np.float32)
+    noisy = base + rng.normal(0, 2, size=base.shape).astype(np.float32)
+    h1 = golden.phash(base)
+    h2 = golden.phash(noisy)
+    d = golden.hamming_matrix(h1[None], h2[None])[0, 0]
+    assert d <= 10
+
+    other = rng.integers(0, 200, size=(90, 160)).astype(np.float32)
+    h3 = golden.phash(other)
+    d_other = golden.hamming_matrix(h1[None], h3[None])[0, 0]
+    assert d_other > d

@@ -1,0 +1,54 @@
+"""Scene-score kernel parity and streaming-block invariance."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.ops.scene import initial_scene_carry, scene_scores_block
+
+
+def _synthetic_video(rng, t=64, h=24, w=32, cuts=(20, 45)):
+    """Piecewise-constant-ish video with hard cuts at given frame indices."""
+    video = np.zeros((t, h, w), dtype=np.float32)
+    base = rng.integers(0, 256, size=(h, w)).astype(np.float32)
+    for i in range(t):
+        if i in cuts:
+            base = rng.integers(0, 256, size=(h, w)).astype(np.float32)
+        video[i] = np.clip(base + rng.normal(0, 1, size=(h, w)), 0, 255)
+    return video
+
+
+def test_scene_scores_block_matches_golden(rng):
+    video = _synthetic_video(rng)
+    want = golden.scene_scores(video)
+    carry = initial_scene_carry(24, 32)
+    got, _ = scene_scores_block(jnp.asarray(video), carry)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_scene_scores_streaming_blocks_match_whole_video(rng):
+    video = _synthetic_video(rng, t=64)
+    want = golden.scene_scores(video)
+    carry = initial_scene_carry(24, 32)
+    chunks = []
+    for start in range(0, 64, 16):
+        s, carry = scene_scores_block(jnp.asarray(video[start : start + 16]), carry)
+        chunks.append(np.asarray(s))
+    got = np.concatenate(chunks)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_scene_cuts_detected_at_hard_cuts(rng):
+    video = _synthetic_video(rng, cuts=(20, 45))
+    pts = np.arange(64) / 25.0
+    cuts = golden.scene_cuts(video, pts, threshold=0.3)
+    assert cuts == [pts[20], pts[45]]
+
+
+def test_first_frame_scores_zero(rng):
+    video = _synthetic_video(rng, t=8, cuts=())
+    scores = golden.scene_scores(video)
+    assert scores[0] == 0.0
+    carry = initial_scene_carry(24, 32)
+    got, _ = scene_scores_block(jnp.asarray(video), carry)
+    assert float(got[0]) == 0.0

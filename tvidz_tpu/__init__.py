@@ -1,0 +1,22 @@
+"""tvidz_tpu — a TPU-native video fingerprinting & duplicate-detection framework.
+
+A ground-up rebuild of the capabilities of infraheads/tvidz (reference:
+``inspector/app.py``, ``inspector/db.py``) designed for JAX/XLA/Pallas on TPU:
+
+- ``ops``      — compute kernels (scene-cut scoring, DCT perceptual hashing,
+                 packed Hamming search, sequence alignment) with NumPy golden models.
+- ``models``   — composed fingerprinting models (the flagship ``FingerprintModel``).
+- ``parallel`` — device-mesh sharding: corpus sharding, cross-shard top-k,
+                 batched multi-clip data parallelism.
+- ``decode``   — host-side frame decode (native C++/libav, Y4M, synthetic).
+- ``corpus``   — durable store (videos / video_timestamps / fingerprints) and
+                 the on-device packed fingerprint corpus.
+- ``pipeline`` — the streaming per-video analyzer (replaces the reference's
+                 FFmpeg-subprocess hot loop, app.py:117-322).
+- ``service``  — HTTP API + SSE + S3/SQS ingestion preserving the reference's
+                 wire contracts so its frontend works unchanged.
+"""
+
+from tvidz_tpu.version import __version__
+
+__all__ = ["__version__"]

@@ -1,0 +1,175 @@
+"""Central configuration for tvidz_tpu.
+
+The reference scatters magic numbers through code (scene threshold 0.3 at
+app.py:206, min_match=2 at app.py:235, SSE poll 0.2s at app.py:110, update
+throttle 0.3s at app.py:269, download retries 5x1s at app.py:167-194, SQS
+long-poll 10s at app.py:459) and reads env vars inline (POSTGRES_URL db.py:7,
+endpoint app.py:163). Here every knob is a typed dataclass field, overridable
+via environment (``TVIDZ_``-prefixed) or constructor.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+def _env(name: str, default, cast=None):
+    raw = os.environ.get(f"TVIDZ_{name}")
+    if raw is None:
+        return default
+    if cast is None:
+        cast = type(default) if default is not None else str
+    if cast is bool:
+        return raw.lower() in ("1", "true", "yes", "on")
+    return cast(raw)
+
+
+@dataclasses.dataclass
+class SceneConfig:
+    """Scene-cut detection (reference: FFmpeg ``select=gt(scene,0.3)``, app.py:206)."""
+
+    # score = clip(min(mafd, |mafd - prev_mafd|) / 100, 0, 1), mafd = mean abs
+    # frame diff of luma in 8-bit units — FFmpeg f_select.c get_scene_score().
+    threshold: float = 0.3
+    # Suppress consecutive duplicate cut timestamps (app.py:231).
+    dedupe_consecutive: bool = True
+
+    @classmethod
+    def from_env(cls) -> "SceneConfig":
+        return cls(threshold=_env("SCENE_THRESHOLD", 0.3, float))
+
+
+@dataclasses.dataclass
+class HashConfig:
+    """Perceptual hash: area-resize to dct_size², orthonormal 2D DCT-II,
+    low-frequency hash_size² block, median threshold, row-major MSB-first
+    packing into ``2*ceil(bits/64)`` uint32 words (64-bit default)."""
+
+    dct_size: int = 32
+    hash_size: int = 8
+
+    @property
+    def bits(self) -> int:
+        return self.hash_size * self.hash_size
+
+    @property
+    def words(self) -> int:
+        """Number of uint32 words per fingerprint."""
+        return (self.bits + 31) // 32
+
+
+@dataclasses.dataclass
+class MatchConfig:
+    """Duplicate matching (reference: db.py:76-94 exact timestamp membership,
+    caller min_match=2 at app.py:235)."""
+
+    min_match: int = 2
+    # Timestamp comparison tolerance in seconds. The reference uses exact float
+    # equality (db.py:80 "no tolerance"); 0.0 reproduces that. Timestamps are
+    # quantized to this grid before exact comparison when > 0.
+    timestamp_tolerance: float = 0.0
+    # Hamming distance (out of 64) at or below which two fingerprints match.
+    hamming_threshold: int = 10
+    # Max timestamps kept per video in the padded device index.
+    max_cuts: int = 128
+    # Top-k candidates returned from corpus search.
+    top_k: int = 16
+
+    @classmethod
+    def from_env(cls) -> "MatchConfig":
+        return cls(
+            min_match=_env("MIN_MATCH", 2, int),
+            timestamp_tolerance=_env("TS_TOLERANCE", 0.0, float),
+            hamming_threshold=_env("HAMMING_THRESHOLD", 10, int),
+        )
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    """Streaming analyzer knobs (reference analyze_file, app.py:117-322)."""
+
+    # Frames per device block; static shape for the jitted fused op.
+    block_frames: int = 128
+    # Luma resolution fed to the scene kernel (downscaled by the decoder).
+    scene_height: int = 90
+    scene_width: int = 160
+    # Progress/state write throttle (reference 0.3s, app.py:269).
+    update_throttle_s: float = 0.3
+    # Early exit on first duplicate verdict (app.py:238-255).
+    early_exit: bool = True
+    # Download retry policy (app.py:166-196).
+    download_retries: int = 5
+    download_retry_wait_s: float = 1.0
+    download_chunk_bytes: int = 8192
+    # Working directory for downloaded files (app.py:135).
+    tmp_dir: str = "/tmp"
+
+
+@dataclasses.dataclass
+class ServiceConfig:
+    """HTTP / SSE / ingestion (reference app.py routes + poll_sqs)."""
+
+    host: str = "0.0.0.0"
+    port: int = 5000
+    sse_poll_s: float = 0.2          # app.py:110
+    s3_endpoint: str = "http://localstack:4566"   # app.py:163,422
+    s3_bucket: str = "videos"
+    sqs_queue: str = "video-events"
+    sqs_wait_s: int = 10             # app.py:459
+    sqs_idle_sleep_s: float = 1.0    # app.py:480
+    sqs_create_retries: int = 10     # app.py:428
+    aws_region: str = "us-east-1"
+    aws_access_key: str = "test"
+    aws_secret_key: str = "test"
+
+    @classmethod
+    def from_env(cls) -> "ServiceConfig":
+        return cls(
+            host=_env("HOST", "0.0.0.0"),
+            port=_env("PORT", 5000, int),
+            s3_endpoint=_env("S3_ENDPOINT", "http://localstack:4566"),
+            s3_bucket=_env("S3_BUCKET", "videos"),
+            sqs_queue=_env("SQS_QUEUE", "video-events"),
+        )
+
+
+@dataclasses.dataclass
+class StoreConfig:
+    """Persistence. The reference uses Postgres via POSTGRES_URL (db.py:7);
+    we support ``postgresql://`` (if psycopg2 present) and ``sqlite://``."""
+
+    url: str = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "POSTGRES_URL", os.environ.get("TVIDZ_DB_URL", "sqlite:///tvidz.db")
+        )
+    )
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Device-mesh layout for scale-out (SURVEY.md §2 parallelism mandate)."""
+
+    # Axis names: "data" shards batches of clips/queries; "corpus" shards the
+    # fingerprint/timestamp corpus for all-pairs search.
+    data_axis: str = "data"
+    corpus_axis: str = "corpus"
+    # None = infer from jax.device_count().
+    data_size: Optional[int] = None
+    corpus_size: Optional[int] = None
+
+
+@dataclasses.dataclass
+class Config:
+    scene: SceneConfig = dataclasses.field(default_factory=SceneConfig.from_env)
+    hash: HashConfig = dataclasses.field(default_factory=HashConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig.from_env)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    service: ServiceConfig = dataclasses.field(default_factory=ServiceConfig.from_env)
+    store: StoreConfig = dataclasses.field(default_factory=StoreConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+def default_config() -> Config:
+    return Config()

@@ -1,0 +1,33 @@
+from tvidz_tpu.ops.dct import dct_matrix, dct2_batched
+from tvidz_tpu.ops.resize import area_resize_batched, resize_matrices
+from tvidz_tpu.ops.phash import phash_batched
+from tvidz_tpu.ops.scene import SceneCarry, scene_scores_block, initial_scene_carry
+from tvidz_tpu.ops.hamming import (
+    hamming_matrix,
+    hamming_matrix_pm1,
+    corpus_min_distance,
+    corpus_nearest,
+)
+from tvidz_tpu.ops.timestamps import timestamp_match_counts
+from tvidz_tpu.ops.align import align_scores, best_alignment
+from tvidz_tpu.ops.fused import fingerprint_block, FingerprintCarry
+
+__all__ = [
+    "dct_matrix",
+    "dct2_batched",
+    "area_resize_batched",
+    "resize_matrices",
+    "phash_batched",
+    "SceneCarry",
+    "scene_scores_block",
+    "initial_scene_carry",
+    "hamming_matrix",
+    "hamming_matrix_pm1",
+    "corpus_min_distance",
+    "corpus_nearest",
+    "timestamp_match_counts",
+    "align_scores",
+    "best_alignment",
+    "fingerprint_block",
+    "FingerprintCarry",
+]

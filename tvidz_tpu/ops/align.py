@@ -1,0 +1,90 @@
+"""Fingerprint sequence alignment for partial-reuse localization.
+
+Given a query fingerprint sequence (e.g. a 30 s fragment) and a candidate
+video's sequence, find the temporal offset at which they best line up — the
+structural replacement for "ring attention over the video timeline" in this
+domain (SURVEY.md §5 long-context note; BASELINE config #3).
+
+Method: one (Tq, Tc) Hamming matrix (MXU ±1-matmul or packed popcount),
+thresholded to a 0/1 match matrix, then anti-diagonal sums computed with a
+static gather — score[o] counts frames t with q[t] matching c[t+o]. All
+shapes static; batched over candidates with ``jax.vmap``.
+
+Spec: golden.align_scores / golden.best_alignment.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tvidz_tpu.ops.hamming import hamming_matrix
+
+
+def align_scores(
+    q_fp: jnp.ndarray, c_fp: jnp.ndarray, hamming_threshold: int = 10
+) -> jnp.ndarray:
+    """(Tq, W) x (Tc, W) packed -> (Tq + Tc - 1,) int32 offset scores.
+
+    Entry (o + Tq - 1) = #{t : hamming(q[t], c[t+o]) <= threshold} for
+    o in [-(Tq-1), Tc-1].
+    """
+    tq = q_fp.shape[0]
+    tc = c_fp.shape[0]
+    h = hamming_matrix(q_fp, c_fp)                       # (Tq, Tc)
+    match = (h <= hamming_threshold).astype(jnp.int32)
+    n_off = tq + tc - 1
+    # j(i, oi) = oi - (Tq - 1) + i ; gather along axis 1 with validity mask.
+    rows = jnp.arange(tq, dtype=jnp.int32)[:, None]       # (Tq, 1)
+    offs = jnp.arange(n_off, dtype=jnp.int32)[None, :]    # (1, O)
+    j = offs - (tq - 1) + rows                            # (Tq, O)
+    valid = (j >= 0) & (j < tc)
+    gathered = jnp.take_along_axis(match, jnp.clip(j, 0, tc - 1), axis=1)
+    return jnp.sum(jnp.where(valid, gathered, 0), axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("hamming_threshold",))
+def best_alignment(
+    q_fp: jnp.ndarray, c_fp: jnp.ndarray, hamming_threshold: int = 10
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(best_offset_frames, match_count) — argmax of align_scores."""
+    s = align_scores(q_fp, c_fp, hamming_threshold)
+    o = jnp.argmax(s)
+    return o - (q_fp.shape[0] - 1), s[o]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hamming_threshold",)
+)
+def batch_best_alignment(
+    q_fp: jnp.ndarray,          # (Tq, W) query sequence
+    corpus_fp: jnp.ndarray,     # (V, Tc, W) padded candidate sequences
+    corpus_fp_len: jnp.ndarray, # (V,) valid lengths
+    hamming_threshold: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (offset, score) of the query inside each of V candidates.
+
+    Padding rows in candidates must be sentinel fingerprints (0xFFFFFFFF);
+    positions >= corpus_fp_len are additionally masked here.
+    """
+    tq = q_fp.shape[0]
+    v, tc, _ = corpus_fp.shape
+
+    def one(c_fp, c_len):
+        h = hamming_matrix(q_fp, c_fp)
+        col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
+        match = ((h <= hamming_threshold) & col_valid).astype(jnp.int32)
+        n_off = tq + tc - 1
+        rows = jnp.arange(tq, dtype=jnp.int32)[:, None]
+        offs = jnp.arange(n_off, dtype=jnp.int32)[None, :]
+        j = offs - (tq - 1) + rows
+        valid = (j >= 0) & (j < tc)
+        gathered = jnp.take_along_axis(match, jnp.clip(j, 0, tc - 1), axis=1)
+        s = jnp.sum(jnp.where(valid, gathered, 0), axis=0)
+        o = jnp.argmax(s)
+        return o - (tq - 1), s[o]
+
+    return jax.vmap(one)(corpus_fp, corpus_fp_len)

@@ -1,0 +1,43 @@
+"""Orthonormal DCT-II as MXU matmuls.
+
+The DCT is expressed as ``D @ X @ D^T`` — two dense matmuls that XLA tiles
+straight onto the MXU, batched over frames with a single einsum. No FFT-style
+butterflies: at 32x32 the matmul form is both simpler and faster on TPU.
+
+Spec: golden.dct_matrix / golden.dct2 (tvidz_tpu/ops/golden.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops import golden
+
+
+@functools.lru_cache(maxsize=8)
+def _dct_matrix_np(n: int) -> np.ndarray:
+    return golden.dct_matrix(n)
+
+
+def dct_matrix(n: int) -> jnp.ndarray:
+    """(n, n) orthonormal DCT-II basis (device constant, cached host-side)."""
+    return jnp.asarray(_dct_matrix_np(n))
+
+
+def dct2_batched(x: jnp.ndarray) -> jnp.ndarray:
+    """2D DCT-II over the last two dims of (..., N, N) in float32."""
+    n = x.shape[-1]
+    d = dct_matrix(n)
+    x = x.astype(jnp.float32)
+    # (..., N, N) -> D @ X @ D^T, batched; einsum keeps it as two MXU matmuls.
+    # HIGHEST precision: hash bits are thresholded at the coefficient median,
+    # so default bf16 MXU passes would flip bits frame-to-frame.
+    return jnp.einsum(
+        "kn,...nm,lm->...kl", d, x, d,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )

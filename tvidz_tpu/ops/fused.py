@@ -1,0 +1,46 @@
+"""The fused per-block fingerprint op — the framework's hot compute path.
+
+One jitted program per fixed-size block of T luma frames computes both
+outputs the pipeline needs:
+
+- scene-cut scores (FFmpeg `select` parity — replaces the subprocess at
+  app.py:202-209), and
+- packed 64-bit DCT perceptual hashes per frame.
+
+XLA fuses the elementwise scene diff into the same HBM pass as the resize
+matmuls feeding the DCT, so each frame is read from HBM once. Streaming a
+long video is a host loop over blocks threading ``FingerprintCarry``
+(block boundaries provably invisible — see ops/scene.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tvidz_tpu.ops.phash import phash_batched
+from tvidz_tpu.ops.scene import SceneCarry, initial_scene_carry, scene_scores_block
+
+
+class FingerprintCarry(NamedTuple):
+    scene: SceneCarry
+
+
+def initial_fingerprint_carry(height: int, width: int) -> FingerprintCarry:
+    return FingerprintCarry(scene=initial_scene_carry(height, width))
+
+
+@functools.partial(jax.jit, static_argnames=("dct_size", "hash_size"))
+def fingerprint_block(
+    luma: jnp.ndarray,                # (T, H, W) uint8/float luma
+    carry: FingerprintCarry,
+    dct_size: int = 32,
+    hash_size: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray, FingerprintCarry]:
+    """Returns (scores (T,) f32, fingerprints (T, words) uint32, new carry)."""
+    scores, scene_carry = scene_scores_block(luma, carry.scene)
+    fps = phash_batched(luma, dct_size=dct_size, hash_size=hash_size)
+    return scores, fps, FingerprintCarry(scene=scene_carry)

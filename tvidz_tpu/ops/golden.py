@@ -1,0 +1,239 @@
+"""NumPy golden models — the executable specification of every kernel.
+
+These are the single source of truth for kernel semantics. The JAX/Pallas
+implementations in this package are tested bit-for-bit (or within float
+tolerance) against these. This mirrors the role the reference's
+``test_duplicate_detection`` plays for ``find_duplicates`` (test_app.py:66-83),
+extended to the whole compute path per SURVEY.md §4.
+
+Algorithm provenance:
+- Scene score: FFmpeg f_select.c ``get_scene_score`` — the semantics behind the
+  reference's ``select=gt(scene,0.3)`` filter (app.py:206). mafd = mean absolute
+  frame difference of the luma plane in 8-bit units; score =
+  clip(min(mafd, |mafd - prev_mafd|) / 100, 0, 1).
+- pHash: classic DCT perceptual hash (area resize -> 2D orthonormal DCT-II ->
+  low-frequency block -> median threshold), packed MSB-first into uint32 words.
+- Hamming / alignment / timestamp matching: the on-device replacements for the
+  reference's Python timestamp scan (db.py:76-94).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Resize (exact area average, arbitrary -> square) as a matmul
+# ---------------------------------------------------------------------------
+
+
+def area_resize_matrix(src: int, dst: int) -> np.ndarray:
+    """(dst, src) float32 matrix averaging src samples into dst equal bins.
+
+    Row d covers the real interval [d*src/dst, (d+1)*src/dst); each source
+    sample contributes its overlap with that interval, normalized to sum 1.
+    Exact for integer ratios (plain mean pooling) and well-defined otherwise.
+    """
+    m = np.zeros((dst, src), dtype=np.float64)
+    scale = src / dst
+    for d in range(dst):
+        lo, hi = d * scale, (d + 1) * scale
+        s0, s1 = int(np.floor(lo)), int(np.ceil(hi))
+        for s in range(s0, min(s1, src)):
+            overlap = min(hi, s + 1) - max(lo, s)
+            if overlap > 0:
+                m[d, s] = overlap
+    m /= m.sum(axis=1, keepdims=True)
+    return m.astype(np.float32)
+
+
+def area_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-average resize of a (H, W) image via two matmuls."""
+    h, w = img.shape[-2:]
+    ph = area_resize_matrix(h, out_h)
+    pw = area_resize_matrix(w, out_w)
+    return ph @ img.astype(np.float32) @ pw.T
+
+
+# ---------------------------------------------------------------------------
+# DCT-II (orthonormal)
+# ---------------------------------------------------------------------------
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """(n, n) orthonormal DCT-II basis: D[k, i] = s_k cos(pi (2i+1) k / 2n)."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    d = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    d[0, :] *= np.sqrt(1.0 / n)
+    d[1:, :] *= np.sqrt(2.0 / n)
+    return d.astype(np.float32)
+
+
+def dct2(img: np.ndarray) -> np.ndarray:
+    """2D orthonormal DCT-II of a (N, N) block: D @ X @ D^T."""
+    d = dct_matrix(img.shape[-1]).astype(np.float64)
+    return (d @ img.astype(np.float64) @ d.T).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash
+# ---------------------------------------------------------------------------
+
+
+def phash_bits(luma: np.ndarray, dct_size: int = 32, hash_size: int = 8) -> np.ndarray:
+    """(hash_size², ) uint8 bit vector of the DCT perceptual hash of (H, W) luma.
+
+    Spec: area-resize luma (float, any range) to (dct_size, dct_size), 2D
+    orthonormal DCT-II, take the top-left (hash_size, hash_size) block
+    (including DC), threshold each coefficient at the median of the block
+    (strictly greater -> 1), row-major order.
+    """
+    small = area_resize(np.asarray(luma, dtype=np.float32), dct_size, dct_size)
+    coeffs = dct2(small)[:hash_size, :hash_size]
+    med = np.median(coeffs)
+    return (coeffs > med).astype(np.uint8).reshape(-1)
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Pack a (..., 64) bit vector into (..., 2) uint32, MSB-first per word.
+
+    bit j of the hash lands in word j // 32, at bit position (31 - j % 32).
+    """
+    bits = np.asarray(bits, dtype=np.uint64)
+    *lead, n = bits.shape
+    assert n % 32 == 0
+    words = bits.reshape(*lead, n // 32, 32)
+    weights = (1 << (31 - np.arange(32, dtype=np.uint64)))
+    return (words * weights).sum(axis=-1).astype(np.uint32)
+
+
+def phash(luma: np.ndarray, dct_size: int = 32, hash_size: int = 8) -> np.ndarray:
+    """(words,) uint32 packed perceptual hash of one (H, W) luma frame."""
+    return pack_bits(phash_bits(luma, dct_size, hash_size))
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut score (FFmpeg select-filter parity)
+# ---------------------------------------------------------------------------
+
+
+def scene_scores(luma: np.ndarray) -> np.ndarray:
+    """Per-frame scene score for (T, H, W) uint8/float luma, FFmpeg semantics.
+
+    score[t] = clip(min(mafd[t], |mafd[t] - mafd[t-1]|) / 100, 0, 1) where
+    mafd[t] = mean |frame[t] - frame[t-1]| in 8-bit pixel units. Frame 0 has no
+    previous frame -> score 0 (FFmpeg emits 0 for the first frame).
+    """
+    x = np.asarray(luma, dtype=np.float64)
+    t = x.shape[0]
+    scores = np.zeros(t, dtype=np.float32)
+    prev_mafd = 0.0
+    for i in range(1, t):
+        mafd = np.abs(x[i] - x[i - 1]).mean()
+        diff = abs(mafd - prev_mafd)
+        scores[i] = np.clip(min(mafd, diff) / 100.0, 0.0, 1.0)
+        prev_mafd = mafd
+    return scores
+
+
+def scene_cuts(luma: np.ndarray, pts: np.ndarray, threshold: float = 0.3) -> list:
+    """Cut timestamps: pts of frames whose score strictly exceeds threshold,
+    with consecutive duplicates suppressed (app.py:231)."""
+    scores = scene_scores(luma)
+    cuts: list = []
+    for t in range(luma.shape[0]):
+        if scores[t] > threshold:
+            ts = float(pts[t])
+            if not cuts or ts != cuts[-1]:
+                cuts.append(ts)
+    return cuts
+
+
+# ---------------------------------------------------------------------------
+# Hamming distance over packed fingerprints
+# ---------------------------------------------------------------------------
+
+
+def hamming_matrix(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(M, N) int32 Hamming distances between packed uint32 fingerprints.
+
+    q: (M, W) uint32, c: (N, W) uint32.
+    """
+    x = q[:, None, :] ^ c[None, :, :]
+    # vectorized popcount on uint32
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    pc = (x * 0x01010101) >> 24
+    return pc.sum(axis=-1).astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# Timestamp duplicate matching (find_duplicates parity, db.py:76-94)
+# ---------------------------------------------------------------------------
+
+
+def timestamp_match_counts(
+    query_ts: np.ndarray, corpus_ts: np.ndarray, corpus_len: np.ndarray,
+    tolerance: float = 0.0,
+) -> np.ndarray:
+    """(N,) int32: for each corpus row, how many query timestamps appear in it.
+
+    query_ts: (K,) float; corpus_ts: (N, MAX_CUTS) float padded; corpus_len:
+    (N,) valid lengths. A query timestamp matches if within `tolerance` of any
+    valid corpus entry (0.0 = exact equality, the reference's rule db.py:80).
+    Each query timestamp counts at most once per corpus row — ``new_ts in
+    cand.timestamps`` semantics (db.py:88-89).
+    """
+    q = np.asarray(query_ts, dtype=np.float64)[None, :, None]      # (1, K, 1)
+    c = np.asarray(corpus_ts, dtype=np.float64)[:, None, :]        # (N, 1, MAX)
+    valid = np.arange(corpus_ts.shape[1])[None, None, :] < np.asarray(corpus_len)[:, None, None]
+    if tolerance <= 0.0:
+        hit = (q == c) & valid
+    else:
+        hit = (np.abs(q - c) <= tolerance) & valid
+    return hit.any(axis=-1).sum(axis=-1).astype(np.int32)
+
+
+def find_duplicates(
+    query_ts, corpus_ts, corpus_len, video_ids, min_match: int = 2,
+    tolerance: float = 0.0,
+):
+    """[(video_id, match_count)] with count >= min_match — db.py:76-94 parity."""
+    counts = timestamp_match_counts(query_ts, corpus_ts, corpus_len, tolerance)
+    return [
+        (int(video_ids[i]), int(counts[i]))
+        for i in range(len(counts))
+        if counts[i] >= min_match
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint sequence alignment (partial-reuse localization)
+# ---------------------------------------------------------------------------
+
+
+def align_scores(
+    q_fp: np.ndarray, c_fp: np.ndarray, hamming_threshold: int = 10
+) -> np.ndarray:
+    """Offset-correlation scores between two packed fingerprint sequences.
+
+    q_fp: (Tq, W) uint32 query sequence; c_fp: (Tc, W) uint32 candidate.
+    Returns (Tq + Tc - 1,) int32 where entry (o + Tq - 1) counts frames t with
+    hamming(q[t], c[t + o]) <= hamming_threshold, o in [-(Tq-1), Tc-1].
+    """
+    tq, tc = q_fp.shape[0], c_fp.shape[0]
+    h = hamming_matrix(q_fp, c_fp)
+    match = h <= hamming_threshold
+    out = np.zeros(tq + tc - 1, dtype=np.int32)
+    for i in range(tq):
+        for j in range(tc):
+            out[j - i + tq - 1] += int(match[i, j])
+    return out
+
+
+def best_alignment(q_fp, c_fp, hamming_threshold: int = 10):
+    """(best_offset_frames, match_count) of the query inside the candidate."""
+    s = align_scores(q_fp, c_fp, hamming_threshold)
+    o = int(np.argmax(s))
+    return o - (q_fp.shape[0] - 1), int(s[o])

@@ -1,0 +1,177 @@
+"""Packed-fingerprint Hamming distance on TPU.
+
+Replaces the reference's O(corpus x cuts) per-cut Python scan (db.py:76-94)
+with on-device all-pairs search over packed 64-bit fingerprints stored as
+(N, W=2) uint32.
+
+Three paths:
+
+1. ``hamming_matrix``      — XLA broadcast XOR + ``lax.population_count``.
+   Right for modest M x N (the full matrix is materialized).
+2. ``hamming_matrix_pm1``  — MXU path: with bits unpacked to ±1 bf16,
+   hamming = (bits - q @ c^T) / 2 as one matmul. Sums of ≤64 ±1 terms are
+   exact integers, so bf16 inputs with f32 accumulation are bit-exact.
+3. ``corpus_min_distance`` — Pallas kernel that streams the corpus through
+   VMEM in blocks and never materializes the (M, N) matrix: per corpus frame
+   the min distance over queries (for per-video match evidence), and per
+   query the global min + argmin over the corpus. HBM traffic = one read of
+   the corpus (8 bytes/fingerprint) — the bandwidth-optimal verdict path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    """Pallas kernels run interpreted off-TPU (CPU test meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Popcount helpers
+# ---------------------------------------------------------------------------
+
+
+def _popcount_u32(x: jnp.ndarray) -> jnp.ndarray:
+    """Branch-free popcount of uint32 via SWAR bit tricks (lowers on any
+    backend including Mosaic, unlike lax.population_count)."""
+    x = x.astype(jnp.uint32)
+    x = x - ((x >> jnp.uint32(1)) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> jnp.uint32(2)) & jnp.uint32(0x33333333))
+    x = (x + (x >> jnp.uint32(4))) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> jnp.uint32(24)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# XLA paths
+# ---------------------------------------------------------------------------
+
+
+def hamming_matrix(q: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    """(M, W) x (N, W) packed uint32 -> (M, N) int32 Hamming distances."""
+    x = q[:, None, :] ^ c[None, :, :]
+    return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+
+
+def unpack_bits_pm1(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(N, W) uint32 -> (N, 32*W) ±1 values, MSB-first (golden.pack_bits order)."""
+    n, w = packed.shape
+    shifts = (31 - jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    bits = (packed[:, :, None] >> shifts) & jnp.uint32(1)
+    return (bits.reshape(n, 32 * w).astype(jnp.float32) * 2.0 - 1.0).astype(dtype)
+
+
+def hamming_matrix_pm1(q_pm1: jnp.ndarray, c_pm1: jnp.ndarray) -> jnp.ndarray:
+    """(M, B) x (N, B) ±1 -> (M, N) int32 Hamming via one MXU matmul."""
+    b = q_pm1.shape[-1]
+    dots = jnp.dot(q_pm1, c_pm1.T, preferred_element_type=jnp.float32)
+    return ((b - dots) * 0.5).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Pallas corpus scan
+# ---------------------------------------------------------------------------
+
+
+def _corpus_scan_kernel(
+    q_ref,          # (M, W) uint32 in VMEM — all queries
+    c_ref,          # (BN, W) uint32 in VMEM — current corpus block
+    frame_min_ref,  # (1, BN) int32 out — min over queries, this block
+    q_min_ref,      # (1, M) int32 out — global per-query min (final block)
+    q_arg_ref,      # (1, M) int32 out — global per-query argmin (final block)
+    acc_min_ref,    # (1, M) int32 scratch
+    acc_arg_ref,    # (1, M) int32 scratch
+    *,
+    block_n: int,
+):
+    pid = pl.program_id(0)
+    m = q_ref.shape[0]
+    w = q_ref.shape[1]
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_min_ref[:] = jnp.full((1, m), 1 << 30, jnp.int32)
+        acc_arg_ref[:] = jnp.zeros((1, m), jnp.int32)
+
+    dist = jnp.zeros((m, block_n), jnp.int32)
+    for wi in range(w):
+        x = q_ref[:, wi][:, None] ^ c_ref[:, wi][None, :]
+        dist = dist + _popcount_u32(x)
+
+    frame_min_ref[:] = jnp.min(dist, axis=0)[None, :]
+
+    # Per-query block min + first-attaining index (branch-free argmin).
+    blk_min = jnp.min(dist, axis=1)                               # (M,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, block_n), 1)
+    cand = jnp.where(dist == blk_min[:, None], cols, jnp.int32(block_n))
+    blk_arg = jnp.min(cand, axis=1) + pid * block_n               # (M,)
+
+    better = blk_min < acc_min_ref[0, :]
+    acc_min_ref[0, :] = jnp.where(better, blk_min, acc_min_ref[0, :])
+    acc_arg_ref[0, :] = jnp.where(better, blk_arg, acc_arg_ref[0, :])
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _final():
+        q_min_ref[:] = acc_min_ref[:]
+        q_arg_ref[:] = acc_arg_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def corpus_min_distance(
+    q: jnp.ndarray, corpus: jnp.ndarray, block_n: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stream a packed corpus against a query set without materializing M x N.
+
+    q: (M, W) uint32 packed query fingerprints (M should be a multiple of 8;
+       pad with sentinel rows if needed).
+    corpus: (N, W) uint32 packed corpus, N a multiple of block_n (pad rows
+       with 0xFFFFFFFF sentinels — distance 64 to everything real).
+
+    Returns (frame_min (N,) int32, query_min (M,) int32, query_argmin (M,) int32):
+    per-corpus-frame min distance over queries, and per-query min/argmin over
+    the corpus.
+    """
+    m, w = q.shape
+    n = corpus.shape[0]
+    assert n % block_n == 0, (n, block_n)
+    grid = (n // block_n,)
+    kernel = functools.partial(_corpus_scan_kernel, block_n=block_n)
+    frame_min, q_min, q_arg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m), jnp.int32),
+            pltpu.VMEM((1, m), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(q, corpus)
+    return frame_min[0], q_min[0], q_arg[0]
+
+
+def corpus_nearest(
+    q: jnp.ndarray, corpus: jnp.ndarray, block_n: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Convenience: (query_min, query_argmin) from corpus_min_distance."""
+    _, q_min, q_arg = corpus_min_distance(q, corpus, block_n)
+    return q_min, q_arg

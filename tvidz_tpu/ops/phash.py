@@ -1,0 +1,66 @@
+"""Batched DCT perceptual hash on TPU.
+
+Pipeline per frame (spec: golden.phash): area-resize luma to (S, S), 2D
+orthonormal DCT-II, keep the low-frequency (h, h) block, threshold at the
+median of those h² coefficients (strictly greater -> 1), pack bits MSB-first
+into uint32 words.
+
+TPU mapping: resize + DCT are einsum matmuls (MXU); the median of h²=64
+values is one `jnp.sort` along the last axis (VPU); packing is a shift-add.
+The whole thing is fused by XLA into the surrounding fingerprint program —
+replaces the reference's out-of-process FFmpeg/Python hashing path entirely
+(reference has no pHash; this is the BASELINE.json north-star extension).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tvidz_tpu.ops.dct import dct_matrix
+from tvidz_tpu.ops.resize import resize_matrices
+
+
+def _pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., n_bits) {0,1} -> (..., n_bits/32) uint32, MSB-first per word."""
+    *lead, n = bits.shape
+    assert n % 32 == 0, n
+    words = bits.reshape(*lead, n // 32, 32).astype(jnp.uint32)
+    shifts = (31 - jnp.arange(32, dtype=jnp.uint32))[None, :]
+    return jnp.sum(words << shifts, axis=-1, dtype=jnp.uint32)
+
+
+def phash_bits_batched(
+    luma: jnp.ndarray, dct_size: int = 32, hash_size: int = 8
+) -> jnp.ndarray:
+    """(T, H, W) luma (uint8 or float) -> (T, hash_size²) {0,1} int32 bits."""
+    t, h, w = luma.shape
+    ph, pw = resize_matrices(h, w, dct_size, dct_size)
+    d = dct_matrix(dct_size)
+    x = luma.astype(jnp.float32)
+    # Fold resize and DCT into single per-side operators: (D @ P_h), (D @ P_w).
+    # coeffs = D (P_h X P_w^T) D^T = (D P_h) X (D P_w)^T — two matmuls total.
+    left = d @ ph       # (S, H)
+    right = d @ pw      # (S, W)
+    # HIGHEST precision: coefficients are thresholded at their median, so
+    # bf16 MXU noise would flip hash bits nondeterministically.
+    coeffs = jnp.einsum(
+        "sH,tHW,rW->tsr", left, x, right,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    low = coeffs[:, :hash_size, :hash_size].reshape(t, hash_size * hash_size)
+    # Median of an even count = mean of the two middle order statistics
+    # (matches np.median in the golden model).
+    srt = jnp.sort(low, axis=-1)
+    k = hash_size * hash_size // 2
+    med = (srt[:, k - 1] + srt[:, k]) * 0.5
+    return (low > med[:, None]).astype(jnp.int32)
+
+
+def phash_batched(
+    luma: jnp.ndarray, dct_size: int = 32, hash_size: int = 8
+) -> jnp.ndarray:
+    """(T, H, W) luma -> (T, words) uint32 packed fingerprints."""
+    bits = phash_bits_batched(luma, dct_size, hash_size)
+    return _pack_bits_u32(bits)

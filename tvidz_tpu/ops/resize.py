@@ -1,0 +1,47 @@
+"""Exact area-average resize as two matmuls (MXU-friendly).
+
+Arbitrary (H, W) -> (h, w) via precomputed overlap-weight matrices
+``P_h (h, H)`` and ``P_w (w, W)``: ``Y = P_h @ X @ P_w^T``. The weights are
+built once per source shape on host (golden.area_resize_matrix) and cached;
+the device work is two dense matmuls batched over frames — static shapes,
+no dynamic gather, exactly matching the golden model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops import golden
+
+
+@functools.lru_cache(maxsize=64)
+def _resize_matrices_np(src_h: int, src_w: int, dst_h: int, dst_w: int):
+    return (
+        golden.area_resize_matrix(src_h, dst_h),
+        golden.area_resize_matrix(src_w, dst_w),
+    )
+
+
+def resize_matrices(
+    src_h: int, src_w: int, dst_h: int, dst_w: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    ph, pw = _resize_matrices_np(src_h, src_w, dst_h, dst_w)
+    return jnp.asarray(ph), jnp.asarray(pw)
+
+
+def area_resize_batched(x: jnp.ndarray, dst_h: int, dst_w: int) -> jnp.ndarray:
+    """(..., H, W) -> (..., dst_h, dst_w) exact area-average, float32."""
+    src_h, src_w = x.shape[-2], x.shape[-1]
+    ph, pw = resize_matrices(src_h, src_w, dst_h, dst_w)
+    x = x.astype(jnp.float32)
+    # HIGHEST precision for hash-bit stability (see ops/dct.py).
+    return jnp.einsum(
+        "hH,...HW,wW->...hw", ph, x, pw,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )

@@ -1,0 +1,66 @@
+"""Scene-cut scoring with FFmpeg `select` semantics, streaming-block form.
+
+Replaces the reference's FFmpeg subprocess + stderr text parsing
+(app.py:197-257) with an on-device computation:
+
+    mafd[t]  = mean |luma[t] - luma[t-1]|        (8-bit pixel units, plane 0)
+    score[t] = clip(min(mafd[t], |mafd[t] - mafd[t-1]|) / 100, 0, 1)
+
+which is FFmpeg f_select.c ``get_scene_score`` (prev_mafd starts at 0; the
+first frame has no predecessor and scores 0).
+
+Because XLA programs need static shapes, videos are processed in fixed-size
+blocks of T frames; the carry (last luma frame of the previous block, its
+mafd, and a first-frame flag) makes block boundaries invisible — scores are
+identical to processing the whole video at once (golden.scene_scores parity
+test). The mean-abs-diff reduction is bandwidth-bound elementwise work that
+XLA fuses into the surrounding fingerprint program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+
+class SceneCarry(NamedTuple):
+    prev_frame: jnp.ndarray   # (H, W) float32 — last luma frame seen
+    prev_mafd: jnp.ndarray    # () float32 — mafd of the last comparison
+    has_prev: jnp.ndarray     # () bool — False before the first real frame
+
+
+def initial_scene_carry(height: int, width: int) -> SceneCarry:
+    return SceneCarry(
+        prev_frame=jnp.zeros((height, width), jnp.float32),
+        prev_mafd=jnp.zeros((), jnp.float32),
+        has_prev=jnp.zeros((), bool),
+    )
+
+
+def scene_scores_block(
+    luma: jnp.ndarray, carry: SceneCarry
+) -> Tuple[jnp.ndarray, SceneCarry]:
+    """Score one (T, H, W) block of luma frames.
+
+    Returns ((T,) float32 scores, new carry). For the stream's first block,
+    frame 0 is differenced against the zero-filled carry frame — that mafd is
+    meaningless, so both its score and its contribution to frame 1's
+    ``prev_mafd`` are masked to 0, which is exactly FFmpeg's startup state.
+    """
+    x = luma.astype(jnp.float32)
+    t = x.shape[0]
+    prev = jnp.concatenate([carry.prev_frame[None], x[:-1]], axis=0)
+    mafd = jnp.mean(jnp.abs(x - prev), axis=(1, 2))            # (T,)
+    is_stream_start = jnp.logical_not(carry.has_prev) & (jnp.arange(t) == 0)
+    mafd = jnp.where(is_stream_start, 0.0, mafd)
+    prev_mafd = jnp.concatenate([carry.prev_mafd[None], mafd[:-1]])
+    diff = jnp.abs(mafd - prev_mafd)
+    scores = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
+    scores = jnp.where(is_stream_start, 0.0, scores)
+    new_carry = SceneCarry(
+        prev_frame=x[-1],
+        prev_mafd=mafd[-1],
+        has_prev=jnp.ones((), bool),
+    )
+    return scores, new_carry

@@ -1,0 +1,61 @@
+"""On-device scene-cut timestamp matching.
+
+The behavioral contract comes from the reference's ``find_duplicates``
+(db.py:76-94): for each corpus video, count how many query timestamps appear
+in its timestamp list (exact float equality, each query timestamp counted at
+most once), and report videos with count >= min_match (caller passes
+min_match=2, app.py:235).
+
+Device layout: the corpus is a padded (N, MAX_CUTS) float32 array plus an
+(N,) int32 valid-length vector. The reference rescans the entire corpus in
+Python once per detected cut; here one vectorized program does it, blocked
+over the corpus with ``lax.map`` so the broadcast never exceeds a fixed
+working-set size regardless of N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "tolerance"))
+def timestamp_match_counts(
+    query_ts: jnp.ndarray,     # (K,) float32, padded entries = NaN
+    corpus_ts: jnp.ndarray,    # (N, MAX_CUTS) float32 padded
+    corpus_len: jnp.ndarray,   # (N,) int32
+    tolerance: float = 0.0,
+    block_n: int = 4096,
+) -> jnp.ndarray:
+    """(N,) int32 match counts. NaN query entries never match (query padding)."""
+    n, max_cuts = corpus_ts.shape
+    k = query_ts.shape[0]
+
+    def block_counts(args):
+        c_ts, c_len = args                      # (B, MAX), (B,)
+        q = query_ts[None, :, None]             # (1, K, 1)
+        c = c_ts[:, None, :]                    # (B, 1, MAX)
+        valid = (
+            jnp.arange(max_cuts, dtype=jnp.int32)[None, None, :]
+            < c_len[:, None, None]
+        )
+        if tolerance <= 0.0:
+            hit = (q == c) & valid
+        else:
+            hit = (jnp.abs(q - c) <= tolerance) & valid
+        return jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+
+    if n <= block_n:
+        return block_counts((corpus_ts, corpus_len))
+
+    pad = (-n) % block_n
+    c_ts = jnp.pad(corpus_ts, ((0, pad), (0, 0)))
+    c_len = jnp.pad(corpus_len, (0, pad))
+    nb = (n + pad) // block_n
+    counts = jax.lax.map(
+        block_counts,
+        (c_ts.reshape(nb, block_n, max_cuts), c_len.reshape(nb, block_n)),
+    )
+    return counts.reshape(-1)[:n]

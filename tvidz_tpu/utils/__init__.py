@@ -1,0 +1,4 @@
+from tvidz_tpu.utils.logging import get_logger, log
+from tvidz_tpu.utils.timing import StageTimer, trace_stage
+
+__all__ = ["get_logger", "log", "StageTimer", "trace_stage"]

@@ -1,0 +1,60 @@
+"""Structured logging.
+
+The reference logs with bare ``print()`` + bracketed tags ([filename-extraction],
+[analysis-triggered], [progress-update], [duplicate], [cleanup], [poll_sqs] —
+app.py:132,148,275,245,320,431). We keep the same human-readable bracketed-tag
+format (so log-scraping habits transfer) on top of stdlib logging, with an
+optional JSON mode for machine consumption.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+_FORMAT_JSON = os.environ.get("TVIDZ_LOG_JSON", "").lower() in ("1", "true")
+_configured = False
+
+
+class _TagFormatter(logging.Formatter):
+    def format(self, record: logging.LogRecord) -> str:
+        tag = getattr(record, "tag", record.name.rsplit(".", 1)[-1])
+        if _FORMAT_JSON:
+            return json.dumps(
+                {
+                    "ts": round(time.time(), 3),
+                    "level": record.levelname,
+                    "tag": tag,
+                    "msg": record.getMessage(),
+                },
+                separators=(",", ":"),
+            )
+        return f"[{tag}] {record.getMessage()}"
+
+
+def _configure() -> None:
+    global _configured
+    if _configured:
+        return
+    handler = logging.StreamHandler(sys.stdout)
+    handler.setFormatter(_TagFormatter())
+    root = logging.getLogger("tvidz")
+    root.addHandler(handler)
+    root.setLevel(os.environ.get("TVIDZ_LOG_LEVEL", "INFO").upper())
+    root.propagate = False
+    _configured = True
+
+
+def get_logger(name: str = "tvidz") -> logging.Logger:
+    _configure()
+    if not name.startswith("tvidz"):
+        name = f"tvidz.{name}"
+    return logging.getLogger(name)
+
+
+def log(tag: str, msg: str, level: int = logging.INFO) -> None:
+    """Reference-style tagged line: ``[tag] msg``."""
+    get_logger().log(level, msg, extra={"tag": tag})

@@ -1,0 +1,77 @@
+"""Per-stage timing + JAX profiler integration.
+
+The reference has no tracing at all (SURVEY.md §5: only UI wall-clock stamps,
+App.js:30-31). Here every pipeline stage is timed, and when
+``TVIDZ_PROFILE_DIR`` is set, stages are wrapped in ``jax.profiler`` traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import threading
+import time
+from collections import defaultdict
+from typing import Dict, Iterator
+
+_PROFILE_DIR = os.environ.get("TVIDZ_PROFILE_DIR")
+
+
+class StageTimer:
+    """Accumulates wall-clock per named stage; thread-safe."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._total: Dict[str, float] = defaultdict(float)
+        self._count: Dict[str, int] = defaultdict(int)
+
+    @contextlib.contextmanager
+    def stage(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            with trace_stage(name):
+                yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self._total[name] += dt
+                self._count[name] += 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        with self._lock:
+            return {
+                name: {
+                    "total_s": round(self._total[name], 6),
+                    "count": self._count[name],
+                    "mean_s": round(self._total[name] / max(self._count[name], 1), 6),
+                }
+                for name in sorted(self._total)
+            }
+
+
+@contextlib.contextmanager
+def trace_stage(name: str) -> Iterator[None]:
+    """jax.profiler annotation when profiling is on; no-op (and no jax import)
+    otherwise so host-only code paths stay jax-free."""
+    if _PROFILE_DIR is None:
+        yield
+        return
+    import jax
+
+    with jax.profiler.TraceAnnotation(name):
+        yield
+
+
+@contextlib.contextmanager
+def profile_session() -> Iterator[None]:
+    """Start a jax.profiler trace for the duration if TVIDZ_PROFILE_DIR set."""
+    if _PROFILE_DIR is None:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(_PROFILE_DIR)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
