@@ -1,0 +1,78 @@
+"""Y4M reader/writer, probe, downscale, and synthetic-video plumbing."""
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.decode import (
+    DecodeError,
+    Y4MDecoder,
+    get_decoder,
+    probe,
+    synthetic_video,
+    write_synthetic_y4m,
+    write_y4m,
+)
+
+
+def test_y4m_roundtrip(tmp_path, rng):
+    luma = rng.integers(0, 256, size=(10, 48, 64), dtype=np.uint8)
+    path = str(tmp_path / "t.y4m")
+    write_y4m(path, luma, fps=25.0)
+    dec = Y4MDecoder()
+    info = dec.probe(path)
+    assert (info.width, info.height) == (64, 48)
+    assert info.nb_frames == 10
+    assert info.fps == 25.0
+    blocks = list(dec.blocks(path, block_frames=4, height=48, width=64))
+    got = np.concatenate([b.luma for b in blocks])
+    np.testing.assert_array_equal(got, luma)
+    pts = np.concatenate([b.pts for b in blocks])
+    np.testing.assert_allclose(pts, np.arange(10) / 25.0)
+    assert [b.start_frame for b in blocks] == [0, 4, 8]
+
+
+def test_y4m_downscale(tmp_path, rng):
+    luma = rng.integers(0, 256, size=(3, 96, 128), dtype=np.uint8)
+    path = str(tmp_path / "t.y4m")
+    write_y4m(path, luma)
+    blocks = list(Y4MDecoder().blocks(path, 8, 48, 64))
+    assert blocks[0].luma.shape == (3, 48, 64)
+    want = luma.reshape(3, 48, 2, 64, 2).astype(np.float32).mean(axis=(2, 4))
+    np.testing.assert_allclose(
+        blocks[0].luma.astype(np.float32), want, atol=0.51
+    )
+
+
+def test_probe_missing_file():
+    with pytest.raises(DecodeError):
+        probe("/tmp/definitely_missing_9a8f.y4m")
+
+
+def test_truncated_y4m_raises(tmp_path, rng):
+    luma = rng.integers(0, 256, size=(4, 16, 16), dtype=np.uint8)
+    path = str(tmp_path / "t.y4m")
+    write_y4m(path, luma)
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) - 100])
+    with pytest.raises(DecodeError):
+        list(Y4MDecoder().blocks(path, 8, 16, 16))
+
+
+def test_get_decoder_prefers_y4m_for_y4m_paths():
+    assert isinstance(get_decoder("x.y4m"), Y4MDecoder)
+
+
+def test_synthetic_video_has_expected_cuts():
+    luma, pts = synthetic_video(num_frames=60, cut_frames=(25,), seed=1)
+    from tvidz_tpu.ops import golden
+
+    cuts = golden.scene_cuts(luma, pts, threshold=0.3)
+    assert cuts == [pts[25]]
+
+
+def test_write_synthetic_y4m(tmp_path):
+    path = str(tmp_path / "s.y4m")
+    luma, expected = write_synthetic_y4m(path, num_frames=40, cut_frames=(15,))
+    info = probe(path)
+    assert info.nb_frames == 40
+    assert expected == [15 / 25.0]

@@ -1,0 +1,78 @@
+"""DeviceCorpus: device-side find_duplicates parity, growth, fingerprints."""
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+
+
+def test_match_timestamps_reference_semantics():
+    c = DeviceCorpus(max_cuts=16, ts_initial_capacity=4)
+    c.upsert_timestamps(1, [1.0, 2.0, 3.0, 4.0, 5.0])
+    c.upsert_timestamps(2, [10.0, 20.0, 30.0, 40.0, 50.0])
+    dups = c.match_timestamps([10.0, 20.0, 30.0, 40.0, 50.0], min_match=5)
+    assert dups == [(2, 5)]
+    dups = c.match_timestamps([1.0, 2.0], min_match=2, exclude_video_id=1)
+    assert dups == []
+    dups = c.match_timestamps([1.0, 2.0], min_match=2)
+    assert dups == [(1, 2)]
+
+
+def test_upsert_updates_in_place():
+    c = DeviceCorpus(max_cuts=8, ts_initial_capacity=2)
+    c.upsert_timestamps(1, [1.0])
+    c.upsert_timestamps(1, [1.0, 2.0, 3.0])
+    assert c.num_videos == 1
+    assert c.match_timestamps([2.0, 3.0], min_match=2) == [(1, 2)]
+
+
+def test_capacity_growth():
+    c = DeviceCorpus(max_cuts=4, ts_initial_capacity=2)
+    for vid in range(10):
+        c.upsert_timestamps(vid, [float(vid), float(vid) + 0.5])
+    assert c.num_videos == 10
+    assert c.match_timestamps([7.0, 7.5], min_match=2) == [(7, 2)]
+
+
+def test_empty_query_and_empty_corpus():
+    c = DeviceCorpus()
+    assert c.match_timestamps([1.0], min_match=1) == []
+    c.upsert_timestamps(1, [1.0])
+    assert c.match_timestamps([], min_match=1) == []
+
+
+def test_fingerprint_search_finds_duplicate_video(rng):
+    c = DeviceCorpus(fp_initial_capacity=512, fp_block_n=128, hamming_threshold=5)
+    fp_a = rng.integers(0, 2**32, size=(50, 2), dtype=np.uint32)
+    fp_b = rng.integers(0, 2**32, size=(60, 2), dtype=np.uint32)
+    c.append_fingerprints(1, fp_a)
+    c.append_fingerprints(2, fp_b)
+    # query = a fragment of video 1
+    hits = c.search_fingerprints(fp_a[10:20], min_match=2)
+    assert hits and hits[0][0] == 1 and hits[0][1] >= 10
+    # self-exclusion
+    hits = c.search_fingerprints(fp_a[10:20], min_match=2, exclude_video_id=1)
+    assert all(v != 1 for v, _ in hits)
+
+
+def test_fingerprint_growth(rng):
+    c = DeviceCorpus(fp_initial_capacity=128, fp_block_n=128)
+    fp = rng.integers(0, 2**32, size=(300, 2), dtype=np.uint32)
+    c.append_fingerprints(1, fp)
+    assert c.num_fingerprints == 300
+    hits = c.search_fingerprints(fp[250:258], min_match=1)
+    assert hits and hits[0][0] == 1
+
+
+def test_load_from_store(rng):
+    s = Store("sqlite:///:memory:")
+    v1 = s.add_video("a.mp4")
+    s.add_timestamps(v1.id, [1.0, 2.0, 3.0])
+    s.add_fingerprints(v1.id, rng.integers(0, 2**32, size=(9, 2), dtype=np.uint32))
+    c = DeviceCorpus()
+    c.load(s)
+    assert c.num_videos == 1
+    assert c.num_fingerprints == 9
+    assert c.match_timestamps([1.0, 2.0], min_match=2) == [(v1.id, 2)]
+    s.close()

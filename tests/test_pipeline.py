@@ -1,0 +1,137 @@
+"""End-to-end single-chip pipeline: decode -> fused kernels -> dedup verdict.
+
+The minimum end-to-end slice of SURVEY.md §7 step 3, exercised hermetically:
+a synthetic .y4m "upload" fetched from a local directory (standing in for
+S3), streamed through the analyzer, verdicts checked against the reference's
+behavioral contract.
+"""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.pipeline.analyzer import Analyzer, extract_filenames
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+@pytest.fixture
+def env(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.download_retry_wait_s = 0.01
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket_dir = tmp_path / "bucket"
+    os.makedirs(bucket_dir)
+
+    def fetcher(bucket, key, local_path):
+        src = bucket_dir / key
+        if not src.exists():
+            raise FileNotFoundError(key)
+        shutil.copy(src, local_path)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(
+        max_cuts=cfg.match.max_cuts, ts_initial_capacity=8,
+        fp_initial_capacity=1024, fp_block_n=256,
+    )
+    registry = AnalysisRegistry()
+    analyzer = Analyzer(store, corpus, registry, fetcher, cfg)
+    return analyzer, store, corpus, registry, bucket_dir
+
+
+def test_extract_filenames():
+    assert extract_filenames("videos/1234567890-cat.mp4") == (
+        "1234567890-cat.mp4", "cat.mp4",
+    )
+    assert extract_filenames("plain.mp4") == ("plain.mp4", "plain.mp4")
+    assert extract_filenames("") == ("unknown_file", "unknown_file")
+    assert extract_filenames("dir/sub/99-a-b.mp4") == ("99-a-b.mp4", "a-b.mp4")
+
+
+def test_analyze_detects_cuts(env):
+    analyzer, store, corpus, registry, bucket = env
+    _, expected = write_synthetic_y4m(
+        str(bucket / "v1.y4m"), num_frames=200, height=72, width=96,
+        cut_frames=(50, 130), seed=3,
+    )
+    res = analyzer.analyze("videos", "v1.y4m")
+    assert res.status == "done"
+    assert res.scene_cuts == expected
+    assert res.duplicates == []
+    state = registry.lookup("v1.y4m")
+    assert state["status"] == "done"
+    assert state["progress"] == 1.0
+    assert state["total_cuts"] == 2
+    # durable artifacts
+    assert store.get_timestamps(res.video_id) == expected
+    assert store.get_fingerprints(res.video_id).shape[0] == 200
+
+
+def test_duplicate_detection_and_early_exit(env):
+    analyzer, store, corpus, registry, bucket = env
+    write_synthetic_y4m(
+        str(bucket / "orig.y4m"), num_frames=200, height=72, width=96,
+        cut_frames=(50, 130), seed=3,
+    )
+    res1 = analyzer.analyze("videos", "orig.y4m")
+    assert res1.status == "done" and res1.duplicates == []
+
+    # Same content uploaded again under the frontend's epoch-prefix name.
+    shutil.copy(bucket / "orig.y4m", bucket / "1234567890-orig.y4m")
+    res2 = analyzer.analyze("videos", "1234567890-orig.y4m")
+    assert res2.status == "done"
+    assert res2.duplicates == ["orig.y4m"]
+    # Early exit: with cuts at frames 50/130 and 64-frame blocks, the second
+    # cut lands in block 3 of 4 — analysis must stop before the last block.
+    state = registry.lookup("1234567890-orig.y4m")
+    assert state["duplicates"] == ["orig.y4m"]
+    # duplicates column persisted (app.py:239)
+    assert store.get_video_by_id(res2.video_id).duplicates == [res1.video_id]
+
+
+def test_different_videos_are_not_duplicates(env):
+    analyzer, _, _, _, bucket = env
+    write_synthetic_y4m(
+        str(bucket / "a.y4m"), num_frames=120, height=72, width=96,
+        cut_frames=(30,), seed=5,
+    )
+    write_synthetic_y4m(
+        str(bucket / "b.y4m"), num_frames=120, height=72, width=96,
+        cut_frames=(71,), seed=9,
+    )
+    r1 = analyzer.analyze("videos", "a.y4m")
+    r2 = analyzer.analyze("videos", "b.y4m")
+    assert r1.duplicates == [] and r2.duplicates == []
+
+
+def test_download_failure_yields_error_state(env):
+    analyzer, _, _, registry, _ = env
+    analyzer.config.pipeline.download_retries = 2
+    res = analyzer.analyze("videos", "missing.y4m")
+    assert res.status == "error"
+    assert "2 attempts" in res.error
+    state = registry.lookup("missing.y4m")
+    assert state["status"] == "error"
+    assert state["progress"] == 0.0
+    assert state["duplicates"] == []
+
+
+def test_fingerprints_enable_fragment_search(env):
+    analyzer, store, corpus, _, bucket = env
+    write_synthetic_y4m(
+        str(bucket / "full.y4m"), num_frames=150, height=72, width=96,
+        cut_frames=(40, 90), seed=11,
+    )
+    res = analyzer.analyze("videos", "full.y4m")
+    fps = store.get_fingerprints(res.video_id)
+    hits = corpus.search_fingerprints(fps[100:110], min_match=2)
+    assert hits and hits[0][0] == res.video_id

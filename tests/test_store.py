@@ -1,0 +1,74 @@
+"""Store contract parity with the reference db.py helpers."""
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.corpus.store import Store
+
+
+@pytest.fixture
+def store():
+    s = Store("sqlite:///:memory:")
+    yield s
+    s.close()
+
+
+def test_add_and_get_video(store):
+    v = store.add_video("a.mp4")
+    assert v.id >= 1
+    got = store.get_video_by_id(v.id)
+    assert got.filename == "a.mp4"
+    assert store.get_video_by_filename("a.mp4").id == v.id
+    assert store.get_video_by_filename("missing.mp4") is None
+
+
+def test_add_timestamps_is_upsert(store):
+    """db.py:43-64: one row per video, updated in place."""
+    v = store.add_video("a.mp4")
+    store.add_timestamps(v.id, [1.0, 2.0])
+    store.add_timestamps(v.id, [1.0, 2.0, 3.0])
+    assert store.get_timestamps(v.id) == [1.0, 2.0, 3.0]
+    assert len(store.all_timestamps()) == 1
+
+
+def test_find_duplicates_reference_semantics(store):
+    """Port of the reference's own test (test_app.py:66-83)."""
+    v1 = store.add_video("a.mp4")
+    v2 = store.add_video("b.mp4")
+    store.add_timestamps(v1.id, [1.0, 2.0, 3.0, 4.0, 5.0])
+    store.add_timestamps(v2.id, [10.0, 20.0, 30.0, 40.0, 50.0])
+    dups = store.find_duplicates([10.0, 20.0, 30.0, 40.0, 50.0], min_match=5)
+    assert (v1.id, 0) not in dups
+    assert (v2.id, 5) in dups
+    v3 = store.add_video("c.mp4")
+    store.add_timestamps(v3.id, [1.0, 2.0, 3.0, 4.0, 5.0])
+    dups = store.find_duplicates([1.0, 2.0, 3.0, 4.0, 5.0], min_match=5)
+    assert (v1.id, 5) in dups
+    assert (v3.id, 5) in dups
+
+
+def test_update_duplicates(store):
+    v = store.add_video("a.mp4")
+    store.update_duplicates(v.id, [7, 9])
+    assert store.get_video_by_id(v.id).duplicates == [7, 9]
+
+
+def test_fingerprint_roundtrip(store, rng):
+    v = store.add_video("a.mp4")
+    fp = rng.integers(0, 2**32, size=(17, 2), dtype=np.uint32)
+    store.add_fingerprints(v.id, fp)
+    got = store.get_fingerprints(v.id)
+    np.testing.assert_array_equal(got, fp)
+    # upsert replaces
+    fp2 = rng.integers(0, 2**32, size=(5, 2), dtype=np.uint32)
+    store.add_fingerprints(v.id, fp2)
+    np.testing.assert_array_equal(store.get_fingerprints(v.id), fp2)
+    assert len(store.all_fingerprints()) == 1
+
+
+def test_clear(store):
+    v = store.add_video("a.mp4")
+    store.add_timestamps(v.id, [1.0])
+    store.clear()
+    assert store.all_videos() == []
+    assert store.all_timestamps() == []

@@ -1,0 +1,4 @@
+from tvidz_tpu.corpus.store import Store, VideoRecord
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+
+__all__ = ["Store", "VideoRecord", "DeviceCorpus"]

@@ -1,0 +1,227 @@
+"""On-device fingerprint & timestamp corpus.
+
+The reference re-loads and re-scans every ``video_timestamps`` row in Python
+once per detected cut (db.py:83-91 called from app.py:235). Here the corpus
+lives on the TPU as padded, capacity-bucketed device arrays and every query
+is one compiled program:
+
+- **Timestamp index** — (cap, MAX_CUTS) float32 NaN-padded + (cap,) lengths +
+  video ids; queried with ops.timestamps.timestamp_match_counts (exact
+  find_duplicates semantics, optional tolerance).
+- **Fingerprint index** — flat (cap, W) packed uint32 frames with sentinel
+  padding + frame->video map; queried with the Pallas corpus scan
+  (ops.hamming.corpus_min_distance).
+
+Capacities grow by doubling, so jit recompiles are O(log N) over a corpus's
+lifetime. Host mirrors are kept for cheap row updates and verdict resolution;
+device arrays are refreshed with ``.at[].set`` (on-device copy, no host
+round-trip of the whole corpus).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops.hamming import corpus_min_distance
+from tvidz_tpu.ops.timestamps import timestamp_match_counts
+
+_FP_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+class DeviceCorpus:
+    """Single-chip device corpus. The sharded multi-chip variant lives in
+    tvidz_tpu.parallel.sharded_search and shares the same host layout."""
+
+    def __init__(
+        self,
+        max_cuts: int = 128,
+        words: int = 2,
+        hamming_threshold: int = 10,
+        ts_initial_capacity: int = 256,
+        fp_initial_capacity: int = 4096,
+        fp_block_n: int = 2048,
+    ):
+        self.max_cuts = max_cuts
+        self.words = words
+        self.hamming_threshold = hamming_threshold
+        self._lock = threading.RLock()
+
+        # Timestamp index host mirrors.
+        self._ts_cap = ts_initial_capacity
+        self._ts = np.full((self._ts_cap, max_cuts), np.nan, np.float32)
+        self._ts_len = np.zeros(self._ts_cap, np.int32)
+        self._ts_vid = np.full(self._ts_cap, -1, np.int32)
+        self._vid_to_row: Dict[int, int] = {}
+        self._ts_count = 0
+        self._ts_dev: Optional[jnp.ndarray] = None
+        self._ts_len_dev: Optional[jnp.ndarray] = None
+        self._ts_dirty = True
+
+        # Fingerprint index host mirrors. Pallas tiling needs the corpus block
+        # (and therefore every capacity) to be a multiple of 128 lanes.
+        self._fp_block_n = max(128, -(-fp_block_n // 128) * 128)
+        self._fp_cap = -(-fp_initial_capacity // self._fp_block_n) * self._fp_block_n
+        self._fp = np.full((self._fp_cap, words), _FP_SENTINEL, np.uint32)
+        self._fp_vid = np.full(self._fp_cap, -1, np.int32)
+        self._fp_count = 0
+        self._fp_dev: Optional[jnp.ndarray] = None
+        self._fp_dirty = True
+
+    # -- properties -----------------------------------------------------------
+
+    @property
+    def num_videos(self) -> int:
+        return self._ts_count
+
+    @property
+    def num_fingerprints(self) -> int:
+        return self._fp_count
+
+    # -- load / update ----------------------------------------------------------
+
+    def load(self, store) -> None:
+        """Bulk-load timestamps + fingerprints from a corpus.Store."""
+        with self._lock:
+            for video_id, ts in store.all_timestamps():
+                self._upsert_ts_locked(video_id, ts)
+            for video_id, fps in store.all_fingerprints():
+                self._append_fp_locked(video_id, fps)
+
+    def upsert_timestamps(self, video_id: int, timestamps: Sequence[float]) -> None:
+        with self._lock:
+            self._upsert_ts_locked(video_id, timestamps)
+
+    def _upsert_ts_locked(self, video_id: int, timestamps: Sequence[float]) -> None:
+        row = self._vid_to_row.get(video_id)
+        if row is None:
+            if self._ts_count == self._ts_cap:
+                self._grow_ts()
+            row = self._ts_count
+            self._ts_count += 1
+            self._vid_to_row[video_id] = row
+            self._ts_vid[row] = video_id
+        ts = np.asarray(list(timestamps)[: self.max_cuts], np.float32)
+        self._ts[row, :] = np.nan
+        self._ts[row, : len(ts)] = ts
+        self._ts_len[row] = len(ts)
+        self._ts_dirty = True
+
+    def _grow_ts(self) -> None:
+        new_cap = self._ts_cap * 2
+        self._ts = np.concatenate(
+            [self._ts, np.full((self._ts_cap, self.max_cuts), np.nan, np.float32)]
+        )
+        self._ts_len = np.concatenate([self._ts_len, np.zeros(self._ts_cap, np.int32)])
+        self._ts_vid = np.concatenate([self._ts_vid, np.full(self._ts_cap, -1, np.int32)])
+        self._ts_cap = new_cap
+
+    def append_fingerprints(self, video_id: int, fingerprints: np.ndarray) -> None:
+        with self._lock:
+            self._append_fp_locked(video_id, fingerprints)
+
+    def _append_fp_locked(self, video_id: int, fingerprints: np.ndarray) -> None:
+        fp = np.ascontiguousarray(fingerprints, np.uint32)
+        t = fp.shape[0]
+        while self._fp_count + t > self._fp_cap:
+            self._grow_fp()
+        self._fp[self._fp_count : self._fp_count + t] = fp
+        self._fp_vid[self._fp_count : self._fp_count + t] = video_id
+        self._fp_count += t
+        self._fp_dirty = True
+
+    def _grow_fp(self) -> None:
+        add = self._fp_cap
+        self._fp = np.concatenate(
+            [self._fp, np.full((add, self.words), _FP_SENTINEL, np.uint32)]
+        )
+        self._fp_vid = np.concatenate([self._fp_vid, np.full(add, -1, np.int32)])
+        self._fp_cap += add
+
+    # -- queries ------------------------------------------------------------------
+
+    def _sync_ts(self) -> None:
+        if self._ts_dirty or self._ts_dev is None:
+            self._ts_dev = jnp.asarray(self._ts)
+            self._ts_len_dev = jnp.asarray(self._ts_len)
+            self._ts_dirty = False
+
+    def _sync_fp(self) -> None:
+        if self._fp_dirty or self._fp_dev is None:
+            self._fp_dev = jnp.asarray(self._fp)
+            self._fp_dirty = False
+
+    def match_timestamps(
+        self,
+        query_ts: Sequence[float],
+        min_match: int = 2,
+        tolerance: float = 0.0,
+        exclude_video_id: Optional[int] = None,
+    ) -> List[Tuple[int, int]]:
+        """[(video_id, match_count)] with count >= min_match, self-excluded —
+        the device replacement for find_duplicates + app.py:237's filter."""
+        with self._lock:
+            if self._ts_count == 0 or len(query_ts) == 0:
+                return []
+            self._sync_ts()
+            ts_dev, len_dev = self._ts_dev, self._ts_len_dev
+            vids = self._ts_vid[: self._ts_count].copy()
+            count_n = self._ts_count
+        # Pad the query to the fixed max_cuts width (bounded recompiles).
+        q = np.full(self.max_cuts, np.nan, np.float32)
+        take = list(query_ts)[-self.max_cuts :]
+        q[: len(take)] = np.asarray(take, np.float32)
+        counts = np.asarray(
+            timestamp_match_counts(jnp.asarray(q), ts_dev, len_dev, tolerance=tolerance)
+        )[:count_n]
+        out = []
+        for i in range(count_n):
+            if counts[i] >= min_match and vids[i] != exclude_video_id:
+                out.append((int(vids[i]), int(counts[i])))
+        return out
+
+    def search_fingerprints(
+        self, query: np.ndarray, min_match: int = 2,
+        exclude_video_id: Optional[int] = None,
+    ) -> List[Tuple[int, int]]:
+        """Per-video fingerprint match evidence.
+
+        query: (M, W) packed uint32 (M rounded up to a multiple of 8 with
+        sentinels internally). A corpus frame "matches" when its min Hamming
+        distance to any query frame is <= hamming_threshold; evidence per
+        video = number of matching frames. Returns [(video_id, count)] with
+        count >= min_match, sorted by count descending.
+        """
+        with self._lock:
+            if self._fp_count == 0 or query.shape[0] == 0:
+                return []
+            self._sync_fp()
+            fp_dev = self._fp_dev
+            fp_vid = self._fp_vid[: self._fp_count].copy()
+            count_n = self._fp_count
+        q = np.asarray(query, np.uint32)
+        m_pad = -q.shape[0] % 8
+        if m_pad:
+            # Pad with copies of a real query row: duplicates can't change the
+            # min distance, whereas sentinel rows would fake matches against
+            # mostly-set corpus frames.
+            q = np.concatenate([q, np.repeat(q[:1], m_pad, axis=0)])
+        frame_min, _, _ = corpus_min_distance(
+            jnp.asarray(q), fp_dev, block_n=self._fp_block_n
+        )
+        matched = np.asarray(frame_min)[:count_n] <= self.hamming_threshold
+        vids_matched = fp_vid[matched]
+        if vids_matched.size == 0:
+            return []
+        uniq, cnt = np.unique(vids_matched, return_counts=True)
+        out = [
+            (int(v), int(c))
+            for v, c in zip(uniq, cnt)
+            if c >= min_match and v != exclude_video_id
+        ]
+        out.sort(key=lambda vc: -vc[1])
+        return out

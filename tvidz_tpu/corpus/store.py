@@ -1,0 +1,335 @@
+"""Durable fingerprint/timestamp store.
+
+Preserves the reference's schema and helper contract (db.py:12-110):
+
+- ``videos(id, filename, upload_time, thumbnail_path, duplicates)``
+- ``video_timestamps(id, video_id, timestamps)`` — one row per video,
+  upserted in place (db.py:43-64)
+
+plus one extension table the reference lacks:
+
+- ``video_fingerprints(id, video_id, words, fingerprints)`` — packed uint32
+  perceptual-hash sequence per video.
+
+Backends: sqlite3 (stdlib; default, array columns stored as JSON text) and
+Postgres via psycopg2 when available (reference default POSTGRES_URL,
+db.py:7). Unlike the reference, tables are NOT created at import time
+(db.py:30 crashes the process when the DB is down — SURVEY.md §7 quirk);
+creation happens on first connect with retry left to the caller.
+
+Helper functions mirror db.py: add_video, add_timestamps (upsert),
+update_duplicates, find_duplicates, get_video_by_id, get_video_by_filename.
+``find_duplicates`` here is the host-side parity path (exact semantics of
+db.py:76-94); the device path is corpus.device_corpus.DeviceCorpus.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import sqlite3
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class VideoRecord:
+    id: int
+    filename: str
+    upload_time: Optional[datetime.datetime] = None
+    thumbnail_path: Optional[str] = None
+    duplicates: List[int] = dataclasses.field(default_factory=list)
+
+
+_SQLITE_SCHEMA = """
+CREATE TABLE IF NOT EXISTS videos (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    filename TEXT NOT NULL,
+    upload_time TEXT,
+    thumbnail_path TEXT,
+    duplicates TEXT DEFAULT '[]'
+);
+CREATE TABLE IF NOT EXISTS video_timestamps (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    video_id INTEGER REFERENCES videos(id),
+    timestamps TEXT NOT NULL
+);
+CREATE TABLE IF NOT EXISTS video_fingerprints (
+    id INTEGER PRIMARY KEY AUTOINCREMENT,
+    video_id INTEGER REFERENCES videos(id),
+    words INTEGER NOT NULL,
+    fingerprints BLOB NOT NULL
+);
+CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
+CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
+"""
+
+_PG_SCHEMA = """
+CREATE TABLE IF NOT EXISTS videos (
+    id SERIAL PRIMARY KEY,
+    filename VARCHAR NOT NULL,
+    upload_time TIMESTAMP,
+    thumbnail_path VARCHAR,
+    duplicates INTEGER[] DEFAULT '{}'
+);
+CREATE TABLE IF NOT EXISTS video_timestamps (
+    id SERIAL PRIMARY KEY,
+    video_id INTEGER REFERENCES videos(id),
+    timestamps DOUBLE PRECISION[] NOT NULL
+);
+CREATE TABLE IF NOT EXISTS video_fingerprints (
+    id SERIAL PRIMARY KEY,
+    video_id INTEGER REFERENCES videos(id),
+    words INTEGER NOT NULL,
+    fingerprints BYTEA NOT NULL
+);
+CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
+CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
+"""
+
+
+class Store:
+    """Thread-safe durable store. One instance per process is the norm."""
+
+    def __init__(self, url: str = "sqlite:///tvidz.db"):
+        self.url = url
+        self._lock = threading.RLock()
+        if url.startswith("sqlite://"):
+            path = url[len("sqlite:///"):] if url.startswith("sqlite:///") else url[len("sqlite://"):]
+            self._backend = "sqlite"
+            self._conn = sqlite3.connect(path or ":memory:", check_same_thread=False)
+            self._conn.execute("PRAGMA journal_mode=WAL") if path not in ("", ":memory:") else None
+            with self._lock:
+                self._conn.executescript(_SQLITE_SCHEMA)
+                self._conn.commit()
+        elif url.startswith(("postgresql://", "postgres://")):
+            self._backend = "postgres"
+            try:
+                import psycopg2  # type: ignore
+            except ImportError as e:  # pragma: no cover - env without psycopg2
+                raise RuntimeError(
+                    "postgresql:// store URL requires psycopg2; use sqlite:/// "
+                    "or install psycopg2"
+                ) from e
+            self._conn = psycopg2.connect(url)  # pragma: no cover
+            with self._lock, self._conn, self._conn.cursor() as cur:  # pragma: no cover
+                cur.execute(_PG_SCHEMA)
+        else:
+            raise ValueError(f"unsupported store URL: {url}")
+
+    # -- placeholder style ---------------------------------------------------
+
+    def _ph(self) -> str:
+        return "?" if self._backend == "sqlite" else "%s"
+
+    def _encode_floats(self, xs: Sequence[float]):
+        return json.dumps(list(map(float, xs))) if self._backend == "sqlite" else list(map(float, xs))
+
+    def _encode_ints(self, xs: Sequence[int]):
+        return json.dumps(list(map(int, xs))) if self._backend == "sqlite" else list(map(int, xs))
+
+    def _decode_list(self, raw):
+        if raw is None:
+            return []
+        if isinstance(raw, str):
+            return json.loads(raw)
+        return list(raw)
+
+    # -- reference helper parity (db.py:32-110) -------------------------------
+
+    def add_video(self, filename: str, thumbnail_path: Optional[str] = None) -> VideoRecord:
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            if self._backend == "sqlite":
+                cur.execute(
+                    f"INSERT INTO videos (filename, upload_time, thumbnail_path) "
+                    f"VALUES ({ph}, {ph}, {ph})",
+                    (filename, now.isoformat(), thumbnail_path),
+                )
+                vid = cur.lastrowid
+            else:  # pragma: no cover
+                cur.execute(
+                    f"INSERT INTO videos (filename, upload_time, thumbnail_path) "
+                    f"VALUES ({ph}, {ph}, {ph}) RETURNING id",
+                    (filename, now, thumbnail_path),
+                )
+                vid = cur.fetchone()[0]
+            self._conn.commit()
+        return VideoRecord(id=int(vid), filename=filename, upload_time=now,
+                           thumbnail_path=thumbnail_path)
+
+    def add_timestamps(self, video_id: int, timestamps: Sequence[float]) -> None:
+        """Upsert — single row per video, updated in place (db.py:43-64)."""
+        ph = self._ph()
+        enc = self._encode_floats(timestamps)
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"UPDATE video_timestamps SET timestamps = {ph} WHERE video_id = {ph}",
+                (enc, video_id),
+            )
+            if cur.rowcount == 0:
+                cur.execute(
+                    f"INSERT INTO video_timestamps (video_id, timestamps) VALUES ({ph}, {ph})",
+                    (video_id, enc),
+                )
+            self._conn.commit()
+
+    def update_duplicates(self, video_id: int, duplicate_ids: Sequence[int]) -> None:
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"UPDATE videos SET duplicates = {ph} WHERE id = {ph}",
+                (self._encode_ints(duplicate_ids), video_id),
+            )
+            self._conn.commit()
+
+    def find_duplicates(
+        self, new_timestamps: Sequence[float], min_match: int = 5
+    ) -> List[Tuple[int, int]]:
+        """Host parity path for db.py:76-94: exact membership counting over
+        every stored timestamp row. Prefer DeviceCorpus.match for scale."""
+        results = []
+        for video_id, ts in self.all_timestamps():
+            match_count = sum(1 for t in new_timestamps if t in ts)
+            if match_count >= min_match:
+                results.append((video_id, match_count))
+        return results
+
+    def get_video_by_id(self, video_id: int) -> Optional[VideoRecord]:
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT id, filename, upload_time, thumbnail_path, duplicates "
+                f"FROM videos WHERE id = {ph}",
+                (video_id,),
+            )
+            row = cur.fetchone()
+        return self._row_to_video(row)
+
+    def get_video_by_filename(self, filename: str) -> Optional[VideoRecord]:
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT id, filename, upload_time, thumbnail_path, duplicates "
+                f"FROM videos WHERE filename = {ph}",
+                (filename,),
+            )
+            row = cur.fetchone()
+        return self._row_to_video(row)
+
+    def _row_to_video(self, row) -> Optional[VideoRecord]:
+        if row is None:
+            return None
+        upload = row[2]
+        if isinstance(upload, str):
+            upload = datetime.datetime.fromisoformat(upload)
+        return VideoRecord(
+            id=int(row[0]), filename=row[1], upload_time=upload,
+            thumbnail_path=row[3], duplicates=[int(x) for x in self._decode_list(row[4])],
+        )
+
+    # -- corpus access --------------------------------------------------------
+
+    def all_videos(self) -> List[VideoRecord]:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "SELECT id, filename, upload_time, thumbnail_path, duplicates "
+                "FROM videos ORDER BY id"
+            )
+            rows = cur.fetchall()
+        return [self._row_to_video(r) for r in rows]
+
+    def all_timestamps(self) -> List[Tuple[int, List[float]]]:
+        """[(video_id, timestamps)] for every stored row."""
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute("SELECT video_id, timestamps FROM video_timestamps ORDER BY video_id")
+            rows = cur.fetchall()
+        return [(int(v), [float(x) for x in self._decode_list(ts)]) for v, ts in rows]
+
+    def get_timestamps(self, video_id: int) -> List[float]:
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT timestamps FROM video_timestamps WHERE video_id = {ph}",
+                (video_id,),
+            )
+            row = cur.fetchone()
+        return [float(x) for x in self._decode_list(row[0])] if row else []
+
+    # -- fingerprint extension -------------------------------------------------
+
+    def add_fingerprints(self, video_id: int, fingerprints: np.ndarray) -> None:
+        """Upsert packed (T, words) uint32 fingerprint sequence for a video."""
+        fp = np.ascontiguousarray(fingerprints, dtype=np.uint32)
+        assert fp.ndim == 2, fp.shape
+        blob = fp.tobytes()
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"UPDATE video_fingerprints SET words = {ph}, fingerprints = {ph} "
+                f"WHERE video_id = {ph}",
+                (fp.shape[1], blob, video_id),
+            )
+            if cur.rowcount == 0:
+                cur.execute(
+                    f"INSERT INTO video_fingerprints (video_id, words, fingerprints) "
+                    f"VALUES ({ph}, {ph}, {ph})",
+                    (video_id, fp.shape[1], blob),
+                )
+            self._conn.commit()
+
+    def get_fingerprints(self, video_id: int) -> Optional[np.ndarray]:
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT words, fingerprints FROM video_fingerprints WHERE video_id = {ph}",
+                (video_id,),
+            )
+            row = cur.fetchone()
+        if row is None:
+            return None
+        words, blob = int(row[0]), row[1]
+        arr = np.frombuffer(bytes(blob), dtype=np.uint32)
+        return arr.reshape(-1, words).copy()
+
+    def all_fingerprints(self) -> List[Tuple[int, np.ndarray]]:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "SELECT video_id, words, fingerprints FROM video_fingerprints ORDER BY video_id"
+            )
+            rows = cur.fetchall()
+        out = []
+        for vid, words, blob in rows:
+            arr = np.frombuffer(bytes(blob), dtype=np.uint32).reshape(-1, int(words))
+            out.append((int(vid), arr.copy()))
+        return out
+
+    # -- admin ------------------------------------------------------------------
+
+    def clear(self) -> None:
+        """Delete all rows (reference /admin/clear-db, app.py:325-333)."""
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute("DELETE FROM video_fingerprints")
+            cur.execute("DELETE FROM video_timestamps")
+            cur.execute("DELETE FROM videos")
+            self._conn.commit()
+
+    def close(self) -> None:
+        with self._lock:
+            self._conn.close()

@@ -1,0 +1,15 @@
+from tvidz_tpu.decode.base import DecodeError, FrameBlock, VideoInfo, get_decoder, probe
+from tvidz_tpu.decode.y4m import Y4MDecoder, write_y4m
+from tvidz_tpu.decode.synthetic import synthetic_video, write_synthetic_y4m
+
+__all__ = [
+    "DecodeError",
+    "FrameBlock",
+    "VideoInfo",
+    "get_decoder",
+    "probe",
+    "Y4MDecoder",
+    "write_y4m",
+    "synthetic_video",
+    "write_synthetic_y4m",
+]

@@ -1,0 +1,99 @@
+"""Host-side decode interface.
+
+Replaces the reference's FFmpeg subprocess + stderr text parsing
+(app.py:197-257) and its ffprobe frame counting (app.py:176-188) with an
+in-process decoder API producing fixed-size luma blocks ready for
+``jax.device_put``:
+
+- ``probe(path)``        -> VideoInfo (the ffprobe role)
+- ``decoder.blocks(...)`` -> iterator of FrameBlock (luma (T, H, W) uint8 +
+  pts (T,) float64), downscaled on host so the device sees a bounded,
+  static-shape stream regardless of source resolution.
+
+Implementations:
+- NativeDecoder (decode.native)  — C++/libav, any container/codec. Preferred.
+- Y4MDecoder   (decode.y4m)      — pure-Python YUV4MPEG2, no dependencies.
+
+``get_decoder`` picks by availability + file type.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class DecodeError(RuntimeError):
+    """Raised for unreadable/corrupt inputs (drives the download retry loop,
+    reference app.py:192-196)."""
+
+
+@dataclasses.dataclass
+class VideoInfo:
+    width: int
+    height: int
+    fps: float
+    nb_frames: int          # 0 when the container doesn't declare it
+    duration: float         # seconds; 0.0 when unknown
+    codec: str = "unknown"
+
+
+@dataclasses.dataclass
+class FrameBlock:
+    luma: np.ndarray        # (T, H, W) uint8 — target resolution
+    pts: np.ndarray         # (T,) float64 seconds
+    start_frame: int        # global index of luma[0]
+
+
+class Decoder:
+    """Interface. Implementations must be thread-safe across instances
+    (one instance per analysis thread, like the reference's one FFmpeg
+    process per upload)."""
+
+    def probe(self, path: str) -> VideoInfo:
+        raise NotImplementedError
+
+    def blocks(
+        self, path: str, block_frames: int, height: int, width: int
+    ) -> Iterator[FrameBlock]:
+        """Yield luma blocks at (height, width). The final block may be
+        shorter than block_frames; callers pad for the static-shape op."""
+        raise NotImplementedError
+
+
+def _native_available() -> bool:
+    try:
+        from tvidz_tpu.decode import native
+
+        return native.available()
+    except Exception:
+        return False
+
+
+def get_decoder(path: Optional[str] = None) -> Decoder:
+    """Pick a decoder: native C++/libav when built, else pure-Python Y4M."""
+    if path is not None and path.endswith(".y4m"):
+        from tvidz_tpu.decode.y4m import Y4MDecoder
+
+        return Y4MDecoder()
+    if _native_available():
+        from tvidz_tpu.decode.native import NativeDecoder
+
+        return NativeDecoder()
+    if path is None or path.endswith(".y4m"):
+        from tvidz_tpu.decode.y4m import Y4MDecoder
+
+        return Y4MDecoder()
+    raise DecodeError(
+        f"no decoder available for {path!r}: native libav extension not built "
+        "(run `make -C tvidz_tpu/decode/_native`) and file is not .y4m"
+    )
+
+
+def probe(path: str) -> VideoInfo:
+    if not os.path.exists(path):
+        raise DecodeError(f"no such file: {path}")
+    return get_decoder(path).probe(path)

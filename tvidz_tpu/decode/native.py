@@ -1,0 +1,125 @@
+"""ctypes wrapper for the native C++/libav decoder (decode/_native/decoder.cpp).
+
+Built with ``make -C tvidz_tpu/decode/_native``. Falls back cleanly (see
+decode.base.get_decoder) when the shared library is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+
+from tvidz_tpu.decode.base import DecodeError, Decoder, FrameBlock, VideoInfo
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_native", "libtvidz_decode.so")
+_lib: Optional[ctypes.CDLL] = None
+_load_error: Optional[str] = None
+
+
+class _ProbeResult(ctypes.Structure):
+    _fields_ = [
+        ("width", ctypes.c_int),
+        ("height", ctypes.c_int),
+        ("fps", ctypes.c_double),
+        ("nb_frames", ctypes.c_long),
+        ("duration", ctypes.c_double),
+        ("codec", ctypes.c_char * 32),
+    ]
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_error
+    if _lib is not None:
+        return _lib
+    if _load_error is not None:
+        return None
+    if not os.path.exists(_LIB_PATH):
+        _load_error = f"{_LIB_PATH} not built"
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError as e:
+        _load_error = str(e)
+        return None
+    lib.tvz_probe.argtypes = [ctypes.c_char_p, ctypes.POINTER(_ProbeResult)]
+    lib.tvz_probe.restype = ctypes.c_int
+    lib.tvz_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.tvz_open.restype = ctypes.c_void_p
+    lib.tvz_read_block.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_double),
+    ]
+    lib.tvz_read_block.restype = ctypes.c_int
+    lib.tvz_close.argtypes = [ctypes.c_void_p]
+    lib.tvz_close.restype = None
+    lib.tvz_last_error.argtypes = []
+    lib.tvz_last_error.restype = ctypes.c_char_p
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _err(lib) -> str:
+    msg = lib.tvz_last_error()
+    return msg.decode("utf-8", "replace") if msg else "unknown native decode error"
+
+
+class NativeDecoder(Decoder):
+    def probe(self, path: str) -> VideoInfo:
+        lib = _load()
+        if lib is None:
+            raise DecodeError(f"native decoder unavailable: {_load_error}")
+        res = _ProbeResult()
+        rc = lib.tvz_probe(path.encode(), ctypes.byref(res))
+        if rc != 0:
+            raise DecodeError(f"probe failed for {path}: {_err(lib)}")
+        return VideoInfo(
+            width=res.width,
+            height=res.height,
+            fps=res.fps,
+            nb_frames=int(res.nb_frames),
+            duration=res.duration,
+            codec=res.codec.decode("ascii", "replace"),
+        )
+
+    def blocks(
+        self, path: str, block_frames: int, height: int, width: int
+    ) -> Iterator[FrameBlock]:
+        lib = _load()
+        if lib is None:
+            raise DecodeError(f"native decoder unavailable: {_load_error}")
+        # Decode threads are managed inside the C++ side (avcodec thread pool).
+        handle = lib.tvz_open(path.encode(), height, width, 0)
+        if not handle:
+            raise DecodeError(f"open failed for {path}: {_err(lib)}")
+        try:
+            start = 0
+            luma = np.empty((block_frames, height, width), np.uint8)
+            pts = np.empty((block_frames,), np.float64)
+            while True:
+                got = lib.tvz_read_block(
+                    handle,
+                    block_frames,
+                    luma.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                )
+                if got < 0:
+                    raise DecodeError(f"decode failed at frame {start}: {_err(lib)}")
+                if got == 0:
+                    break
+                yield FrameBlock(
+                    luma=luma[:got].copy(), pts=pts[:got].copy(), start_frame=start
+                )
+                start += got
+                if got < block_frames:
+                    break
+        finally:
+            lib.tvz_close(handle)

@@ -1,0 +1,53 @@
+"""Deterministic synthetic test videos with planted scene cuts.
+
+Fills the role of the reference's `/debug/create-test-video` seeding
+(app.py:368-384) at the pixel level: known cut positions in, exact expected
+timestamps out — used by unit tests, the integration script, and bench.py.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+def synthetic_video(
+    num_frames: int = 250,
+    height: int = 144,
+    width: int = 192,
+    cut_frames: Sequence[int] = (80, 170),
+    fps: float = 25.0,
+    seed: int = 0,
+    noise: float = 1.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """((T, H, W) uint8 luma, (T,) float64 pts) with hard cuts at cut_frames."""
+    rng = np.random.default_rng(seed)
+    luma = np.zeros((num_frames, height, width), np.uint8)
+    base = rng.integers(0, 256, size=(height, width)).astype(np.float32)
+    cuts = set(int(c) for c in cut_frames)
+    for i in range(num_frames):
+        if i in cuts:
+            base = rng.integers(0, 256, size=(height, width)).astype(np.float32)
+        frame = base + rng.normal(0.0, noise, size=(height, width)).astype(np.float32)
+        luma[i] = np.clip(frame, 0, 255).astype(np.uint8)
+    pts = np.arange(num_frames, dtype=np.float64) / fps
+    return luma, pts
+
+
+def write_synthetic_y4m(
+    path: str,
+    num_frames: int = 250,
+    height: int = 144,
+    width: int = 192,
+    cut_frames: Sequence[int] = (80, 170),
+    fps: float = 25.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, list]:
+    """Write a synthetic video to `path`; returns (luma, expected cut pts)."""
+    from tvidz_tpu.decode.y4m import write_y4m
+
+    luma, pts = synthetic_video(num_frames, height, width, cut_frames, fps, seed)
+    write_y4m(path, luma, fps)
+    expected = [float(pts[c]) for c in sorted(cut_frames)]
+    return luma, expected

@@ -1,0 +1,145 @@
+"""Pure-Python YUV4MPEG2 (.y4m) reader/writer.
+
+The dependency-free decode path: Y4M is uncompressed planar YUV with a text
+header, so it needs no codec. It serves tests and environments without the
+native libav extension — the role LocalStack plays for AWS in the reference's
+test strategy (SURVEY.md §4). Luma is downscaled to the target resolution
+with integer-exact area averaging (matches ops/golden.area_resize for
+integer ratios; general case uses the same overlap weights).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from tvidz_tpu.decode.base import DecodeError, Decoder, FrameBlock, VideoInfo
+from tvidz_tpu.ops import golden
+
+_MAGIC = b"YUV4MPEG2"
+
+
+def _parse_header(line: bytes) -> Tuple[int, int, float, str]:
+    if not line.startswith(_MAGIC):
+        raise DecodeError("not a YUV4MPEG2 stream")
+    width = height = 0
+    fps = 25.0
+    colorspace = "420"
+    for tok in line.decode("ascii", "replace").split()[1:]:
+        key, val = tok[0], tok[1:]
+        if key == "W":
+            width = int(val)
+        elif key == "H":
+            height = int(val)
+        elif key == "F":
+            num, den = val.split(":")
+            fps = int(num) / int(den)
+        elif key == "C":
+            colorspace = val
+    if width <= 0 or height <= 0:
+        raise DecodeError(f"bad y4m geometry W={width} H={height}")
+    return width, height, fps, colorspace
+
+
+def _frame_bytes(width: int, height: int, colorspace: str) -> int:
+    y = width * height
+    if colorspace.startswith("420"):
+        return y + y // 2
+    if colorspace.startswith("422"):
+        return y * 2
+    if colorspace.startswith("444"):
+        return y * 3
+    if colorspace.startswith("mono"):
+        return y
+    raise DecodeError(f"unsupported y4m colorspace {colorspace}")
+
+
+def _downscale_luma(luma: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """(T, H, W) uint8 -> (T, out_h, out_w) uint8 area average."""
+    t, h, w = luma.shape
+    if (h, w) == (out_h, out_w):
+        return luma
+    if h % out_h == 0 and w % out_w == 0:
+        fh, fw = h // out_h, w // out_w
+        x = luma.reshape(t, out_h, fh, out_w, fw).astype(np.float32)
+        out = x.mean(axis=(2, 4))
+    else:
+        ph = golden.area_resize_matrix(h, out_h)
+        pw = golden.area_resize_matrix(w, out_w)
+        out = np.einsum("hH,tHW,wW->thw", ph, luma.astype(np.float32), pw)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class Y4MDecoder(Decoder):
+    def probe(self, path: str) -> VideoInfo:
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            header = f.readline()
+            width, height, fps, cs = _parse_header(header)
+        fb = _frame_bytes(width, height, cs)
+        # Each frame record is b"FRAME...\n" + planes; estimate count from the
+        # file size assuming the minimal 6-byte FRAME marker.
+        per = fb + 6
+        nb = max((size - len(header)) // per, 0)
+        return VideoInfo(
+            width=width, height=height, fps=fps, nb_frames=int(nb),
+            duration=float(nb / fps) if fps else 0.0, codec="rawvideo/y4m",
+        )
+
+    def blocks(
+        self, path: str, block_frames: int, height: int, width: int
+    ) -> Iterator[FrameBlock]:
+        with open(path, "rb") as f:
+            header = f.readline()
+            src_w, src_h, fps, cs = None, None, None, None
+            src_w, src_h, fps, cs = _parse_header(header)
+            fb = _frame_bytes(src_w, src_h, cs)
+            y_bytes = src_w * src_h
+            frames = []
+            pts = []
+            idx = 0
+            start = 0
+            while True:
+                marker = f.readline()
+                if not marker:
+                    break
+                if not marker.startswith(b"FRAME"):
+                    raise DecodeError(f"bad frame marker at frame {idx}")
+                raw = f.read(fb)
+                if len(raw) < fb:
+                    raise DecodeError(f"truncated frame {idx}")
+                y = np.frombuffer(raw, np.uint8, count=y_bytes).reshape(src_h, src_w)
+                frames.append(y)
+                pts.append(idx / fps)
+                idx += 1
+                if len(frames) == block_frames:
+                    yield FrameBlock(
+                        luma=_downscale_luma(np.stack(frames), height, width),
+                        pts=np.asarray(pts, np.float64),
+                        start_frame=start,
+                    )
+                    start = idx
+                    frames, pts = [], []
+            if frames:
+                yield FrameBlock(
+                    luma=_downscale_luma(np.stack(frames), height, width),
+                    pts=np.asarray(pts, np.float64),
+                    start_frame=start,
+                )
+
+
+def write_y4m(path: str, luma: np.ndarray, fps: float = 25.0) -> None:
+    """Write (T, H, W) uint8 luma as C420 y4m (U/V planes neutral 128)."""
+    t, h, w = luma.shape
+    assert h % 2 == 0 and w % 2 == 0, "y4m 420 needs even dims"
+    chroma = np.full((h // 2) * (w // 2), 128, np.uint8).tobytes()
+    num, den = (int(fps), 1) if float(fps).is_integer() else (int(round(fps * 1001)), 1001)
+    with open(path, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F{num}:{den} Ip A1:1 C420jpeg\n".encode())
+        for i in range(t):
+            f.write(b"FRAME\n")
+            f.write(np.ascontiguousarray(luma[i]).tobytes())
+            f.write(chroma)
+            f.write(chroma)

@@ -140,6 +140,7 @@ def corpus_min_distance(
     """
     m, w = q.shape
     n = corpus.shape[0]
+    assert block_n % 128 == 0, f"block_n must be a multiple of 128, got {block_n}"
     assert n % block_n == 0, (n, block_n)
     grid = (n // block_n,)
     kernel = functools.partial(_corpus_scan_kernel, block_n=block_n)

@@ -1,0 +1,4 @@
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+from tvidz_tpu.pipeline.analyzer import Analyzer, AnalysisResult
+
+__all__ = ["AnalysisRegistry", "Analyzer", "AnalysisResult"]

@@ -1,0 +1,330 @@
+"""The streaming per-video analyzer — TPU rebuild of ``analyze_file``
+(reference app.py:117-322).
+
+What changes vs the reference (SURVEY.md §7):
+- The FFmpeg subprocess + stderr text parse (app.py:197-257) becomes: host
+  decode to fixed-size luma blocks -> one jitted fused op per block
+  (scene score + packed pHash, ops/fused.py) -> host-side thresholding.
+- The per-cut full-corpus Python rescan (app.py:234-237, db.py:76-94)
+  becomes one device query per block against the on-device corpus
+  (corpus/device_corpus.py), plus fingerprint evidence the reference
+  never had.
+
+What is preserved bit-for-bit (behavioral contract):
+- filename extraction incl. epoch-prefix stripping (app.py:121-132)
+- race-proof analysis keys ``{epoch}_{uuid8}_{filename}`` (app.py:133-147)
+- download retry x5 with probe validation (app.py:163-196)
+- incremental duplicate search with min_match=2, self-exclusion, early
+  process termination on first hit (app.py:233-255)
+- the progress model incl. the 1-cut-per-10s fallback heuristic and the
+  0.3 s write throttle (app.py:258-291)
+- final 'done' / 'error' (duplicates preserved) / finally-cleanup states
+  (app.py:292-322)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+import uuid
+from typing import Callable, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode.base import DecodeError, get_decoder
+from tvidz_tpu.ops.fused import fingerprint_block, initial_fingerprint_carry
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+from tvidz_tpu.utils import StageTimer, log
+
+# fetch(bucket, key, local_path) -> None; raises on failure.
+Fetcher = Callable[[str, str, str], None]
+
+
+@dataclasses.dataclass
+class AnalysisResult:
+    analysis_key: str
+    video_id: int
+    status: str
+    scene_cuts: List[float]
+    duplicates: List[str]
+    error: Optional[str] = None
+
+
+def extract_filenames(key: str) -> Tuple[str, str]:
+    """(filename, original_filename) from an S3 key — app.py:121-132.
+
+    The frontend uploads as ``{epoch_ms}-{name}`` (App.js:95); the all-digit
+    prefix is stripped to recover the logical name used for dedup.
+    """
+    filename = key.split("/")[-1] if key and "/" in key else key or "unknown_file"
+    if not filename:
+        filename = "unknown_file"
+    original = filename
+    if "-" in filename and filename.split("-")[0].isdigit():
+        original = "-".join(filename.split("-")[1:])
+    return filename, original
+
+
+class Analyzer:
+    """One instance per process; ``analyze`` may be called from many threads
+    (one per upload, like the reference's thread-per-event, app.py:43,472)."""
+
+    def __init__(
+        self,
+        store: Store,
+        corpus: DeviceCorpus,
+        registry: AnalysisRegistry,
+        fetcher: Fetcher,
+        config: Optional[Config] = None,
+    ):
+        self.store = store
+        self.corpus = corpus
+        self.registry = registry
+        self.fetcher = fetcher
+        self.config = config or Config()
+        self.timer = StageTimer()
+
+    # -- public ----------------------------------------------------------------
+
+    def analyze(self, bucket: str, key: str) -> AnalysisResult:
+        cfg = self.config
+        filename, original_filename = extract_filenames(key)
+        log("filename-extraction",
+            f"S3 key: {key}, filename: {filename}, original: {original_filename}")
+
+        unique_id = f"{int(time.time())}_{uuid.uuid4().hex[:8]}"
+        local_path = os.path.join(cfg.pipeline.tmp_dir, f"{unique_id}_{filename}")
+        analysis_key = f"{unique_id}_{filename}"
+
+        self.registry.remove(analysis_key)
+        if os.path.exists(local_path):
+            try:
+                os.remove(local_path)
+                log("cleanup", f"Removed stale file: {local_path}")
+            except OSError as e:
+                log("cleanup", f"Failed to remove stale file: {local_path} ({e})")
+
+        log("analysis-triggered", f"Starting analysis for {filename}")
+        video = self.store.add_video(original_filename)
+        video_id = video.id
+        self.registry.seed(analysis_key, original_filename=filename,
+                           clean_filename=original_filename)
+        log("analysis-start",
+            f"Created analysis key: {analysis_key} for original filename: {filename}")
+
+        scene_cuts: List[float] = []
+        dups_to_report: List[str] = []
+        status = "error"
+        error_msg: Optional[str] = None
+        try:
+            info = self._download_with_retry(bucket, key, local_path)
+            total_frames = info.nb_frames
+            log("frame-count", f"Total frames detected: {total_frames}")
+            scene_cuts, dups_to_report = self._stream_analyze(
+                local_path, analysis_key, filename, video_id, total_frames
+            )
+            status = "done"
+            self.registry.finish(
+                analysis_key,
+                status="done",
+                scene_cuts=scene_cuts,
+                progress=1.0,
+                total_cuts=len(scene_cuts),
+                duplicates=sorted(set(dups_to_report)) if dups_to_report else [],
+                original_filename=filename,
+                clean_filename=original_filename,
+            )
+        except Exception as e:  # noqa: BLE001 — mirrors app.py:303's blanket handler
+            error_msg = str(e)
+            existing_duplicates = self.registry.get_existing_duplicates(analysis_key)
+            self.registry.finish(
+                analysis_key,
+                status="error",
+                error=error_msg,
+                progress=0.0,
+                total_cuts=0,
+                duplicates=existing_duplicates,
+                original_filename=filename,
+                clean_filename=original_filename,
+            )
+            dups_to_report = existing_duplicates
+        finally:
+            if os.path.exists(local_path):
+                try:
+                    os.remove(local_path)
+                    log("cleanup", f"Removed file: {local_path}")
+                except OSError as e:
+                    log("cleanup", f"Failed to remove file: {local_path} ({e})")
+
+        return AnalysisResult(
+            analysis_key=analysis_key,
+            video_id=video_id,
+            status=status,
+            scene_cuts=scene_cuts,
+            duplicates=sorted(set(dups_to_report)),
+            error=error_msg,
+        )
+
+    # -- internals -----------------------------------------------------------------
+
+    def _download_with_retry(self, bucket: str, key: str, local_path: str):
+        """Download + probe-validate, up to N attempts (app.py:163-196)."""
+        cfg = self.config.pipeline
+        last_exc: Optional[Exception] = None
+        for attempt in range(cfg.download_retries):
+            try:
+                with self.timer.stage("download"):
+                    self.fetcher(bucket, key, local_path)
+                with self.timer.stage("probe"):
+                    return get_decoder(local_path).probe(local_path)
+            except Exception as e:  # noqa: BLE001
+                last_exc = e
+                if attempt < cfg.download_retries - 1:
+                    time.sleep(cfg.download_retry_wait_s)
+        raise DecodeError(
+            f"File download incomplete or corrupt after "
+            f"{cfg.download_retries} attempts: {last_exc}"
+        )
+
+    def _stream_analyze(
+        self,
+        local_path: str,
+        analysis_key: str,
+        filename: str,
+        video_id: int,
+        total_frames: int,
+    ) -> Tuple[List[float], List[str]]:
+        cfg = self.config
+        block_t = cfg.pipeline.block_frames
+        h, w = cfg.pipeline.scene_height, cfg.pipeline.scene_width
+
+        decoder = get_decoder(local_path)
+        carry = initial_fingerprint_carry(h, w)
+
+        scene_cuts: List[float] = []
+        all_fps: List[np.ndarray] = []
+        dups_to_report: List[str] = []
+        duplicate_found = False
+        last_progress = 0.0
+        last_update_time = time.time()
+        current_frame = 0
+
+        for block in decoder.blocks(local_path, block_t, h, w):
+            t = block.luma.shape[0]
+            luma = block.luma
+            if t < block_t:
+                # Pad to the static block shape; outputs beyond t are dropped.
+                luma = np.concatenate(
+                    [luma, np.repeat(luma[-1:], block_t - t, axis=0)]
+                )
+            with self.timer.stage("fingerprint"):
+                scores_dev, fps_dev, carry = fingerprint_block(
+                    jnp.asarray(luma), carry,
+                    dct_size=cfg.hash.dct_size, hash_size=cfg.hash.hash_size,
+                )
+                scores = np.asarray(scores_dev)[:t]
+                fps = np.asarray(fps_dev)[:t]
+            all_fps.append(fps)
+            current_frame = block.start_frame + t
+
+            # Host-side cut extraction (threshold + consecutive dedupe,
+            # app.py:228-231).
+            new_cut = False
+            for i in np.nonzero(scores > cfg.scene.threshold)[0]:
+                ts = float(block.pts[i])
+                if not scene_cuts or ts != scene_cuts[-1]:
+                    scene_cuts.append(ts)
+                    new_cut = True
+
+            if new_cut and not duplicate_found:
+                with self.timer.stage("dedup-search"):
+                    self.store.add_timestamps(video_id, scene_cuts)
+                    self.corpus.upsert_timestamps(video_id, scene_cuts)
+                    dups = self.corpus.match_timestamps(
+                        scene_cuts,
+                        min_match=cfg.match.min_match,
+                        tolerance=cfg.match.timestamp_tolerance,
+                        exclude_video_id=video_id,
+                    )
+                if dups:
+                    self.store.update_duplicates(video_id, [d[0] for d in dups])
+                    dups_to_report = []
+                    for dup_id, match_count in dups:
+                        dup_video = self.store.get_video_by_id(dup_id)
+                        if dup_video:
+                            dups_to_report.append(dup_video.filename)
+                            log("duplicate",
+                                f"Match found: {dup_video.filename} "
+                                f"({match_count} matching timestamps)")
+                    duplicate_found = True
+                    log("duplicate",
+                        f"Found {len(dups_to_report)} duplicates: {dups_to_report}")
+                    log("duplicate", f"Current scene cuts: {scene_cuts}")
+
+            progress = self._progress(current_frame, total_frames, scene_cuts)
+            now = time.time()
+            if (
+                progress > last_progress
+                or now - last_update_time > cfg.pipeline.update_throttle_s
+                or new_cut
+            ):
+                last_progress = progress
+                last_update_time = now
+                log("progress-update",
+                    f"{filename}: {progress*100:.2f}% "
+                    f"({current_frame}/{total_frames}) scene_cuts={len(scene_cuts)}")
+                self.registry.update(
+                    analysis_key,
+                    progress=progress,
+                    scene_cuts=list(scene_cuts),
+                    **(
+                        {"duplicates": sorted(set(dups_to_report))}
+                        if dups_to_report
+                        else {}
+                    ),
+                )
+
+            if duplicate_found and cfg.pipeline.early_exit:
+                # Early termination — the analog of process.terminate()
+                # (app.py:249-255): stop decoding, keep what we have.
+                log("duplicate",
+                    "decode loop terminated early due to duplicate detection.")
+                self.registry.update(
+                    analysis_key,
+                    progress=progress,
+                    scene_cuts=list(scene_cuts),
+                    **(
+                        {"duplicates": sorted(set(dups_to_report))}
+                        if dups_to_report
+                        else {}
+                    ),
+                )
+                break
+
+        # Persist artifacts: timestamps (final) + packed fingerprints — makes
+        # re-analysis idempotent (checkpoint/resume story, SURVEY.md §5).
+        if scene_cuts:
+            self.store.add_timestamps(video_id, scene_cuts)
+            self.corpus.upsert_timestamps(video_id, scene_cuts)
+        if all_fps:
+            fps_full = np.concatenate(all_fps)
+            self.store.add_fingerprints(video_id, fps_full)
+            self.corpus.append_fingerprints(video_id, fps_full)
+
+        return scene_cuts, dups_to_report
+
+    @staticmethod
+    def _progress(current_frame: int, total_frames: int, cuts: List[float]) -> float:
+        """Progress model incl. the reference's 1-cut-per-10s fallback
+        heuristic (app.py:258-266)."""
+        if total_frames > 0 and current_frame > 0:
+            return min(current_frame / total_frames, 1.0)
+        if cuts:
+            estimated_duration = max(cuts) + 10
+            return min(len(cuts) * 10 / estimated_duration, 1.0)
+        return 0.0

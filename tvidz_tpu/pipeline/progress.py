@@ -1,0 +1,80 @@
+"""The in-process state plane.
+
+Reference: the ``analysis_results`` dict + ``analysis_lock`` (app.py:28-29),
+written by analysis threads and read by /status and the SSE streamer. Same
+JSON state shape here so the frontend works unchanged:
+
+    {status, progress, scene_cuts, total_cuts, duplicates,
+     original_filename, clean_filename [, error]}
+
+plus framework extensions under non-conflicting keys (fingerprint count,
+stage timings) that old clients simply ignore.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Dict, List, Optional
+
+
+class AnalysisRegistry:
+    """Thread-safe registry of per-analysis state dicts, keyed by the
+    race-proof analysis key (``{epoch}_{uuid8}_{filename}``, app.py:134-136)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._results: Dict[str, dict] = {}
+
+    # -- write side (analyzer) ----------------------------------------------
+
+    def seed(self, key: str, original_filename: str, clean_filename: str) -> None:
+        with self._lock:
+            self._results[key] = {
+                "status": "analyzing",
+                "scene_cuts": [],
+                "progress": 0.0,
+                "total_cuts": 0,
+                "duplicates": [],
+                "original_filename": original_filename,
+                "clean_filename": clean_filename,
+            }
+
+    def remove(self, key: str) -> None:
+        with self._lock:
+            self._results.pop(key, None)
+
+    def update(self, key: str, **fields) -> None:
+        with self._lock:
+            if key in self._results:
+                self._results[key].update(fields)
+
+    def finish(self, key: str, **fields) -> None:
+        """Replace the entry wholesale (reference final-state writes,
+        app.py:293-302 / 303-315)."""
+        with self._lock:
+            self._results[key] = fields
+
+    def get_existing_duplicates(self, key: str) -> List[str]:
+        with self._lock:
+            return list(self._results.get(key, {}).get("duplicates", []))
+
+    # -- read side (API / SSE) -------------------------------------------------
+
+    def lookup(self, filename: str) -> Optional[dict]:
+        """Exact-key match first, then scan for original_filename — the
+        reference's /status resolution order (app.py:75-84)."""
+        with self._lock:
+            if filename in self._results:
+                return dict(self._results[filename])
+            for data in self._results.values():
+                if isinstance(data, dict) and data.get("original_filename") == filename:
+                    return dict(data)
+        return None
+
+    def snapshot(self) -> Dict[str, dict]:
+        with self._lock:
+            return {k: dict(v) for k, v in self._results.items()}
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._results)
