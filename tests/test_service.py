@@ -1,0 +1,240 @@
+"""Service layer: route contracts (superset of the reference's test_app.py),
+SSE framing, and the full S3-event -> SQS -> analysis -> verdict path on the
+in-process fakes."""
+
+import json
+import os
+import time
+
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.service.app import create_app
+from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+
+@pytest.fixture
+def app(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.download_retry_wait_s = 0.01
+    cfg.service.sse_poll_s = 0.02
+    os.makedirs(cfg.pipeline.tmp_dir)
+    sqs = FakeSQS()
+    s3 = FakeS3(str(tmp_path / "s3"))
+    sqs.create_queue(cfg.service.sqs_queue)
+    s3.create_bucket(cfg.service.s3_bucket)
+    s3.configure_notification(sqs, cfg.service.sqs_queue)
+    inspector = create_app(
+        config=cfg,
+        store=Store("sqlite:///:memory:"),
+        corpus=DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                            fp_block_n=256),
+        s3=s3,
+        sqs=sqs,
+        build_env={"BUILD_DATE": "2026-08-16", "BUILD_TIME": "00:00",
+                   "GIT_COMMIT": "deadbeef"},
+    )
+    yield inspector
+    inspector.stop()
+
+
+@pytest.fixture
+def client(app):
+    return app.wsgi.test_client()
+
+
+# -- reference test_app.py parity -------------------------------------------------
+
+
+def test_status_pending(client):
+    resp = client.get("/status/nonexistentfile.mp4")
+    assert resp.status_code == 200
+    assert resp.get_json()["status"] == "pending"
+
+
+def test_status_stream_options(client):
+    resp = client.options("/status/stream/somefile.mp4")
+    assert resp.status_code == 200
+    assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_notify_bad_event(client):
+    resp = client.post("/notify", json_body={"foo": "bar"})
+    assert resp.status_code == 400
+    assert "error" in resp.get_json()
+
+
+def test_notify_valid_event(client, app, monkeypatch):
+    called = {}
+
+    def fake_analyze(bucket, key):
+        called["bucket"] = bucket
+        called["key"] = key
+
+    monkeypatch.setattr(app.analyzer, "analyze", fake_analyze)
+    event = {
+        "Records": [
+            {"s3": {"bucket": {"name": "videos"}, "object": {"key": "test.mp4"}}}
+        ]
+    }
+    resp = client.post("/notify", json_body=event)
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["status"] == "Analysis started"
+    assert data["file"] == "test.mp4"
+    deadline = time.time() + 2
+    while "bucket" not in called and time.time() < deadline:
+        time.sleep(0.01)
+    assert called == {"bucket": "videos", "key": "test.mp4"}
+
+
+def test_clear_db(client):
+    resp = client.post("/admin/clear-db")
+    assert resp.status_code == 200
+    assert resp.get_json()["status"] == "cleared"
+
+
+def test_build_info(client):
+    resp = client.get("/build-info")
+    assert resp.status_code == 200
+    data = resp.get_json()
+    assert data["inspector"]["build_date"] == "2026-08-16"
+    assert data["inspector"]["service"] == "inspector"
+
+
+def test_duplicate_detection_via_debug_routes(client):
+    client.post("/admin/clear-db")
+    r = client.post(
+        "/debug/create-test-video",
+        json_body={"filename": "a.mp4", "timestamps": [1.0, 2.0, 3.0, 4.0, 5.0]},
+    )
+    assert r.status_code == 200
+    vid = r.get_json()["video_id"]
+    r2 = client.post("/debug/test-duplicate", json_body={})
+    data = r2.get_json()
+    assert data["first_video_id"] != vid
+    assert [data["first_video_id"], 4] in data["duplicates_found"]
+
+
+def test_debug_videos_and_analysis_results(client):
+    client.post(
+        "/debug/create-test-video",
+        json_body={"filename": "x.mp4", "timestamps": [9.0]},
+    )
+    data = client.get("/debug/videos").get_json()
+    assert data["count"] == 1
+    assert data["videos"][0]["filename"] == "x.mp4"
+    assert data["videos"][0]["timestamps"] == [9.0]
+    res = client.get("/debug/analysis-results").get_json()
+    assert res["count"] == 0
+
+
+def test_unknown_route_404(client):
+    assert client.get("/nope").status_code == 404
+
+
+def test_wrong_method_405(client):
+    assert client.get("/notify").status_code == 405
+
+
+def test_healthz_and_metrics(client):
+    h = client.get("/healthz").get_json()
+    assert h["status"] == "ok"
+    m = client.get("/metrics").get_json()
+    assert "stage_timings" in m
+
+
+# -- end-to-end ingestion over fakes ------------------------------------------------
+
+
+def _upload_and_wait(app, client, s3, name, seed, cut_frames=(50, 130), timeout=30):
+    path = f"/tmp/tvidz_test_{name}"
+    write_synthetic_y4m(path, num_frames=200, height=72, width=96,
+                        cut_frames=cut_frames, seed=seed)
+    s3.put_file("videos", name, path)
+    os.remove(path)
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        data = client.get(f"/status/{name}").get_json()
+        if data.get("status") in ("done", "error"):
+            return data
+        time.sleep(0.05)
+    raise TimeoutError(f"analysis of {name} did not finish")
+
+
+def test_full_ingest_path_with_duplicate(app, client):
+    app.start_poller()
+    s3 = app.s3
+    first = _upload_and_wait(app, client, s3, "orig.y4m", seed=3)
+    assert first["status"] == "done"
+    assert first["total_cuts"] == 2
+    assert first["duplicates"] == []
+
+    second = _upload_and_wait(app, client, s3, "1234567890-orig.y4m", seed=3)
+    assert second["status"] == "done"
+    assert second["duplicates"] == ["orig.y4m"]
+
+
+def test_sse_stream_emits_and_terminates(app, client):
+    app.start_poller()
+    s3 = app.s3
+    # Seed a completed analysis, then stream it: first frame must carry the
+    # final state and the stream must terminate on 'done' (app.py:108-109).
+    _upload_and_wait(app, client, s3, "vid.y4m", seed=5, cut_frames=(30,))
+    frames = []
+    for chunk in client.stream("/status/stream/vid.y4m"):
+        text = chunk.decode()
+        assert text.startswith("data: ") and text.endswith("\n\n")
+        frames.append(json.loads(text[len("data: "):]))
+    assert frames, "no SSE frames received"
+    assert frames[-1]["status"] == "done"
+    assert frames[-1]["total_cuts"] == 1
+
+
+def test_sse_pending_then_done(app, client):
+    """Stream starting before the analysis exists: first frame 'pending',
+    eventually 'done'."""
+    import threading
+
+    app.start_poller()
+    s3 = app.s3
+    frames = []
+
+    def consume():
+        for chunk in client.stream("/status/stream/late.y4m"):
+            frames.append(json.loads(chunk.decode()[len("data: "):]))
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.1)
+    path = "/tmp/tvidz_test_late.y4m"
+    write_synthetic_y4m(path, num_frames=120, height=72, width=96,
+                        cut_frames=(40,), seed=8)
+    s3.put_file("videos", "late.y4m", path)
+    os.remove(path)
+    t.join(timeout=30)
+    assert not t.is_alive(), "SSE stream did not terminate"
+    assert frames[0]["status"] == "pending"
+    assert frames[-1]["status"] == "done"
+
+
+def test_at_least_once_redelivery(app, client):
+    """A message left in flight (not deleted) is redelivered and eventually
+    processed — the at-least-once contract (app.py:476-479)."""
+    sqs = app.sqs
+    url = sqs.get_queue_url(app.config.service.sqs_queue)
+    event = {"Records": [{"s3": {"bucket": {"name": "videos"},
+                                 "object": {"key": "ghost.y4m"}}}]}
+    sqs.send(url, json.dumps(event))
+    msgs = sqs.receive(url)          # consume without deleting
+    assert msgs
+    assert sqs.requeue_inflight() == 1
+    msgs2 = sqs.receive(url)
+    assert msgs2 and json.loads(msgs2[0]["Body"]) == event

@@ -72,6 +72,16 @@ class DeviceCorpus:
         self._fp_dev: Optional[jnp.ndarray] = None
         self._fp_dirty = True
 
+    def reset(self) -> None:
+        """Drop all corpus content, keeping configuration (admin clear-db)."""
+        with self._lock:
+            self.__init__(
+                max_cuts=self.max_cuts,
+                words=self.words,
+                hamming_threshold=self.hamming_threshold,
+                fp_block_n=self._fp_block_n,
+            )
+
     # -- properties -----------------------------------------------------------
 
     @property

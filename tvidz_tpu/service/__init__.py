@@ -1,0 +1,3 @@
+from tvidz_tpu.service.app import InspectorApp, create_app
+
+__all__ = ["InspectorApp", "create_app"]

@@ -1,0 +1,338 @@
+"""The inspector HTTP service — wire-compatible rebuild of the reference's
+Flask app (app.py:12-484): same routes, same JSON shapes, same SSE framing,
+so the reference's React frontend works unchanged (SURVEY.md §7 contract).
+
+Routes (reference line refs):
+- POST /notify                     app.py:31-44
+- GET  /status/<filename>          app.py:46-62
+- GET  /status/stream/<filename>   app.py:64-115 (SSE) + OPTIONS app.py:23-25
+- POST /admin/clear-db             app.py:325-333
+- GET  /build-info                 app.py:335-345
+- GET  /debug/videos               app.py:347-366
+- POST /debug/create-test-video    app.py:368-384
+- GET  /debug/analysis-results     app.py:386-393
+- POST /debug/test-duplicate       app.py:395-415
+plus framework extensions: GET /healthz, GET /metrics (the reference has no
+health endpoint or metrics — SURVEY.md §5 gap, filled here).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Optional
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+from tvidz_tpu.service.wsgi import App, Request, Response, jsonify
+from tvidz_tpu.utils import log
+from tvidz_tpu.version import __version__
+
+
+def _cors(resp: Response) -> Response:
+    """CORS * on every response (app.py:15-21)."""
+    resp.headers["Access-Control-Allow-Origin"] = "*"
+    resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+    resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+    return resp
+
+
+class InspectorApp:
+    def __init__(
+        self,
+        config: Optional[Config] = None,
+        store: Optional[Store] = None,
+        corpus: Optional[DeviceCorpus] = None,
+        s3=None,
+        sqs=None,
+        build_env: Optional[dict] = None,
+    ):
+        self.config = config or Config()
+        self.store = store or Store(self.config.store.url)
+        self.corpus = corpus or DeviceCorpus(
+            max_cuts=self.config.match.max_cuts,
+            hamming_threshold=self.config.match.hamming_threshold,
+        )
+        self.registry = AnalysisRegistry()
+        self.s3 = s3
+        self.sqs = sqs
+        self.build_env = build_env or {}
+        self._stop = threading.Event()
+        self._poller_thread: Optional[threading.Thread] = None
+
+        def fetcher(bucket: str, key: str, local_path: str) -> None:
+            if self.s3 is None:
+                raise RuntimeError("no S3 client configured")
+            self.s3.download(bucket, key, local_path,
+                             self.config.pipeline.download_chunk_bytes)
+
+        self.analyzer = Analyzer(
+            self.store, self.corpus, self.registry, fetcher, self.config
+        )
+        # Warm the device corpus from durable storage — unlike the reference,
+        # verdict capability survives restarts (SURVEY.md §5 checkpoint gap).
+        self.corpus.load(self.store)
+
+        self.wsgi = self._build_routes()
+
+    # -- analysis dispatch -------------------------------------------------------
+
+    def start_analysis_thread(self, bucket: str, key: str) -> threading.Thread:
+        """Thread-per-upload, like app.py:43,472."""
+        t = threading.Thread(
+            target=self._run_analysis, args=(bucket, key), daemon=True
+        )
+        t.start()
+        return t
+
+    def _run_analysis(self, bucket: str, key: str) -> None:
+        try:
+            self.analyzer.analyze(bucket, key)
+        except Exception as e:  # noqa: BLE001 — worker threads never die loudly
+            log("analysis", f"unhandled analysis error for {key}: {e}")
+
+    # -- routes ----------------------------------------------------------------------
+
+    def _build_routes(self) -> App:
+        app = App("inspector")
+        app.after_request(_cors)
+        cfg = self.config
+
+        @app.route("/notify", methods=["POST"])
+        def notify(request: Request):
+            data = request.get_json(silent=True)
+            try:
+                record = data["Records"][0]
+                bucket = record["s3"]["bucket"]["name"]
+                key = record["s3"]["object"]["key"]
+            except Exception as e:  # noqa: BLE001 — app.py:39
+                return jsonify(
+                    {"error": "Invalid event format", "details": str(e)}, 400
+                )
+            self.start_analysis_thread(bucket, key)
+            return jsonify({"status": "Analysis started", "file": key})
+
+        @app.route("/status/<filename>", methods=["GET"])
+        def status(request: Request, filename: str):
+            result = self.registry.lookup(filename)
+            if not result:
+                log("status", f"No result in memory for {filename}")
+                return jsonify({"status": "pending"})
+            log("status", f"Serving result from memory for {filename}")
+            return jsonify(result)
+
+        @app.route("/status/stream/<filename>", methods=["OPTIONS"])
+        def status_stream_options(request: Request, filename: str):
+            return Response()
+
+        @app.route("/status/stream/<filename>", methods=["GET"])
+        def status_stream(request: Request, filename: str):
+            return Response(
+                self._event_stream(filename),
+                mimetype="text/event-stream",
+                headers={"Cache-Control": "no-cache"},
+            )
+
+        @app.route("/admin/clear-db", methods=["POST"])
+        def clear_db(request: Request):
+            self.store.clear()
+            # Device corpus must drop with the durable corpus.
+            self.corpus.reset()
+            return jsonify({"status": "cleared"})
+
+        @app.route("/build-info", methods=["GET"])
+        def build_info(request: Request):
+            env = self.build_env or os.environ
+            return jsonify({
+                "inspector": {
+                    "build_date": env.get("BUILD_DATE", "unknown"),
+                    "build_time": env.get("BUILD_TIME", "unknown"),
+                    "git_commit": env.get("GIT_COMMIT", "unknown"),
+                    "service": "inspector",
+                }
+            })
+
+        @app.route("/debug/videos", methods=["GET"])
+        def debug_videos(request: Request):
+            result = []
+            for video in self.store.all_videos():
+                result.append({
+                    "id": video.id,
+                    "filename": video.filename,
+                    "upload_time": (
+                        video.upload_time.isoformat() if video.upload_time else None
+                    ),
+                    "duplicates": video.duplicates,
+                    "timestamps": self.store.get_timestamps(video.id),
+                })
+            return jsonify({"videos": result, "count": len(result)})
+
+        @app.route("/debug/create-test-video", methods=["POST"])
+        def create_test_video(request: Request):
+            body = request.get_json(silent=True) or {}
+            test_filename = body.get("filename", "test_video.mp4")
+            test_timestamps = body.get("timestamps", [1.2, 5.7, 12.3, 18.9, 25.1])
+            try:
+                video = self.store.add_video(test_filename)
+                self.store.add_timestamps(video.id, test_timestamps)
+                self.corpus.upsert_timestamps(video.id, test_timestamps)
+                return jsonify({
+                    "status": "created",
+                    "video_id": video.id,
+                    "filename": test_filename,
+                    "timestamps": test_timestamps,
+                })
+            except Exception as e:  # noqa: BLE001 — app.py:383
+                return jsonify({"error": str(e)}, 500)
+
+        @app.route("/debug/analysis-results", methods=["GET"])
+        def debug_analysis_results(request: Request):
+            snap = self.registry.snapshot()
+            return jsonify({"analysis_results": snap, "count": len(snap)})
+
+        @app.route("/debug/test-duplicate", methods=["POST"])
+        def test_duplicate_scenario(request: Request):
+            first_video = self.store.add_video("test.mp4")
+            self.store.add_timestamps(first_video.id, [1.2, 5.7, 12.3, 18.9])
+            self.corpus.upsert_timestamps(first_video.id, [1.2, 5.7, 12.3, 18.9])
+            timestamp = int(time.time() * 1000)
+            second_filename = f"{timestamp}-test.mp4"
+            dups = self.corpus.match_timestamps(
+                [1.2, 5.7, 12.3, 18.9], min_match=2
+            )
+            return jsonify({
+                "first_video_id": first_video.id,
+                "second_filename": second_filename,
+                "duplicates_found": [[v, c] for v, c in dups],
+                "message": (
+                    "Created test video, then tested duplicate detection "
+                    f"for {second_filename}"
+                ),
+            })
+
+        # -- framework extensions (not in the reference) --------------------
+
+        @app.route("/healthz", methods=["GET"])
+        def healthz(request: Request):
+            return jsonify({
+                "status": "ok",
+                "version": __version__,
+                "poller_alive": bool(
+                    self._poller_thread and self._poller_thread.is_alive()
+                ),
+                "corpus_videos": self.corpus.num_videos,
+                "corpus_fingerprints": self.corpus.num_fingerprints,
+            })
+
+        @app.route("/metrics", methods=["GET"])
+        def metrics(request: Request):
+            return jsonify({
+                "stage_timings": self.analyzer.timer.summary(),
+                "analyses_in_memory": len(self.registry),
+                "corpus_videos": self.corpus.num_videos,
+                "corpus_fingerprints": self.corpus.num_fingerprints,
+            })
+
+        return app
+
+    # -- SSE --------------------------------------------------------------------------
+
+    def _event_stream(self, filename: str):
+        """Generator with the reference's exact change-detection + framing
+        (app.py:66-110): emit on any status/progress/cuts/duplicates change,
+        poll every sse_poll_s, terminate after 'done'/'error'."""
+        poll = self.config.service.sse_poll_s
+        last_status = last_progress = None
+        last_cuts_len = last_dups_len = None
+        while True:
+            result = self.registry.lookup(filename)
+            if not result:
+                status, progress, cuts_len, dups_len = "pending", 0.0, 0, 0
+            else:
+                status = result.get("status")
+                progress = result.get("progress", 0.0)
+                cuts_len = len(result.get("scene_cuts", []))
+                dups_len = len(result.get("duplicates", []))
+            if (
+                status != last_status
+                or progress != last_progress
+                or cuts_len != last_cuts_len
+                or dups_len != last_dups_len
+            ):
+                last_status, last_progress = status, progress
+                last_cuts_len, last_dups_len = cuts_len, dups_len
+                data = result if result else {"status": "pending"}
+                yield f"data: {json.dumps(data)}\n\n"
+                if status in ("done", "error"):
+                    break
+            time.sleep(poll)
+
+    # -- ingestion --------------------------------------------------------------------
+
+    def start_poller(self) -> None:
+        """Daemon SQS poller thread (app.py:483)."""
+        self._poller_thread = threading.Thread(target=self.poll_sqs, daemon=True)
+        self._poller_thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    def poll_sqs(self) -> None:
+        """Long-poll loop with at-least-once semantics (app.py:417-480):
+        double-encoded Message unwrap, thread per record, delete only on
+        successful dispatch, idle sleep between polls."""
+        if self.sqs is None:
+            log("poll_sqs", "no SQS client configured; poller exiting")
+            return
+        cfg = self.config.service
+        queue_url = self.sqs.get_or_create_queue(
+            cfg.sqs_queue, retries=cfg.sqs_create_retries
+        )
+        if not queue_url:
+            log("poll_sqs", "Failed to get SQS queue URL after multiple attempts.")
+            return
+        while not self._stop.is_set():
+            try:
+                messages = self.sqs.receive(
+                    queue_url, wait_s=cfg.sqs_wait_s, max_messages=1
+                )
+            except Exception as e:  # noqa: BLE001
+                log("poll_sqs", f"receive error: {e}")
+                time.sleep(cfg.sqs_idle_sleep_s)
+                continue
+            for msg in messages:
+                processed_successfully = False
+                try:
+                    body = json.loads(msg["Body"])
+                    if "Message" in body:  # double-encoded (app.py:467)
+                        body = json.loads(body["Message"])
+                    record = body["Records"][0]
+                    bucket = record["s3"]["bucket"]["name"]
+                    key = record["s3"]["object"]["key"]
+                    self.start_analysis_thread(bucket, key)
+                    processed_successfully = True
+                except Exception as e:  # noqa: BLE001
+                    log("poll_sqs", f"Error processing SQS message: {e}")
+                finally:
+                    if processed_successfully:
+                        self.sqs.delete(queue_url, msg["ReceiptHandle"])
+            self._stop.wait(cfg.sqs_idle_sleep_s)
+
+
+def create_app(
+    config: Optional[Config] = None,
+    store: Optional[Store] = None,
+    corpus: Optional[DeviceCorpus] = None,
+    s3=None,
+    sqs=None,
+    build_env: Optional[dict] = None,
+) -> InspectorApp:
+    return InspectorApp(
+        config=config, store=store, corpus=corpus, s3=s3, sqs=sqs,
+        build_env=build_env,
+    )

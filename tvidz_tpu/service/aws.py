@@ -1,0 +1,160 @@
+"""Minimal S3 + SQS clients over plain HTTP (no boto3).
+
+The reference talks to LocalStack with raw HTTP for downloads (app.py:163-172)
+and boto3 for SQS (app.py:419-425). Here both are small first-party clients
+on ``requests`` speaking the S3 REST API and the SQS query protocol — enough
+for LocalStack / real AWS with path-style addressing. Test doubles with the
+same interface live in service.fakes (the in-proc analog of LocalStack,
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import time
+import urllib.parse
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import requests
+
+from tvidz_tpu.utils import log
+
+
+class S3Client:
+    """Path-style S3 over HTTP: GET/PUT objects, create bucket."""
+
+    def __init__(self, endpoint: str, timeout: float = 30.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.timeout = timeout
+
+    def _url(self, bucket: str, key: str = "") -> str:
+        path = f"/{bucket}"
+        if key:
+            path += "/" + urllib.parse.quote(key)
+        return self.endpoint + path
+
+    def download(self, bucket: str, key: str, local_path: str,
+                 chunk_bytes: int = 8192) -> None:
+        """Streamed download in small chunks (app.py:169-172)."""
+        r = requests.get(self._url(bucket, key), stream=True, timeout=self.timeout)
+        r.raise_for_status()
+        with open(local_path, "wb") as f:
+            for chunk in r.iter_content(chunk_size=chunk_bytes):
+                f.write(chunk)
+
+    def put_object(self, bucket: str, key: str, data: bytes) -> None:
+        r = requests.put(self._url(bucket, key), data=data, timeout=self.timeout)
+        r.raise_for_status()
+
+    def create_bucket(self, bucket: str) -> None:
+        r = requests.put(self._url(bucket), timeout=self.timeout)
+        if r.status_code not in (200, 409):  # 409 = already exists
+            r.raise_for_status()
+
+
+_SQS_NS = "{http://queue.amazonaws.com/doc/2012-11-05/}"
+
+
+class SQSClient:
+    """SQS query-protocol client (CreateQueue/GetQueueUrl/Receive/Delete/Send)."""
+
+    def __init__(self, endpoint: str, region: str = "us-east-1",
+                 timeout: float = 35.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.region = region
+        self.timeout = timeout
+
+    def _call(self, action: str, url: Optional[str] = None, **params) -> ET.Element:
+        data = {"Action": action, "Version": "2012-11-05", **params}
+        headers = {
+            # LocalStack only needs a parseable SigV4 header, not a valid one.
+            "Authorization": (
+                "AWS4-HMAC-SHA256 Credential=test/20240101/"
+                f"{self.region}/sqs/aws4_request, "
+                "SignedHeaders=host, Signature=test"
+            )
+        }
+        r = requests.post(url or self.endpoint, data=data, headers=headers,
+                          timeout=self.timeout)
+        root = ET.fromstring(r.text)
+        if r.status_code >= 300:
+            code = root.findtext(f".//{_SQS_NS}Code") or root.findtext(".//Code")
+            raise SQSError(code or f"http {r.status_code}", r.text)
+        return root
+
+    def get_queue_url(self, name: str) -> str:
+        root = self._call("GetQueueUrl", QueueName=name)
+        url = root.findtext(f".//{_SQS_NS}QueueUrl") or root.findtext(".//QueueUrl")
+        if not url:
+            raise SQSError("MalformedResponse", "no QueueUrl in response")
+        return url
+
+    def create_queue(self, name: str) -> str:
+        root = self._call("CreateQueue", QueueName=name)
+        url = root.findtext(f".//{_SQS_NS}QueueUrl") or root.findtext(".//QueueUrl")
+        return url or self.get_queue_url(name)
+
+    def get_or_create_queue(self, name: str, retries: int = 10,
+                            wait_s: float = 2.0) -> Optional[str]:
+        """Get-or-create with retry — reference poll_sqs startup
+        (app.py:427-453)."""
+        for attempt in range(retries):
+            try:
+                url = self.get_queue_url(name)
+                log("poll_sqs", f"Successfully got queue URL: {url}")
+                return url
+            except SQSError as e:
+                if "NonExistentQueue" in e.code:
+                    log("poll_sqs", f"Queue does not exist. Creating '{name}' queue...")
+                    try:
+                        self.create_queue(name)
+                        time.sleep(wait_s)
+                        url = self.get_queue_url(name)
+                        log("poll_sqs",
+                            f"Successfully got queue URL after creation: {url}")
+                        return url
+                    except Exception as ce:  # noqa: BLE001
+                        log("poll_sqs", f"Error creating queue: {ce}")
+                        time.sleep(wait_s)
+                else:
+                    log("poll_sqs",
+                        f"Waiting for SQS queue to be available... "
+                        f"(attempt {attempt+1}, error: {e.code})")
+                    time.sleep(wait_s)
+            except requests.RequestException as e:
+                log("poll_sqs",
+                    f"Waiting for SQS endpoint... (attempt {attempt+1}, error: {e})")
+                time.sleep(wait_s)
+        return None
+
+    def receive(self, queue_url: str, wait_s: int = 10,
+                max_messages: int = 1) -> List[Dict[str, str]]:
+        root = self._call(
+            "ReceiveMessage", url=queue_url,
+            WaitTimeSeconds=str(wait_s), MaxNumberOfMessages=str(max_messages),
+        )
+        out = []
+        for msg in root.iter(f"{_SQS_NS}Message"):
+            out.append({
+                "Body": msg.findtext(f"{_SQS_NS}Body") or "",
+                "ReceiptHandle": msg.findtext(f"{_SQS_NS}ReceiptHandle") or "",
+            })
+        if not out:  # namespace-less fallback (some emulators)
+            for msg in root.iter("Message"):
+                out.append({
+                    "Body": msg.findtext("Body") or "",
+                    "ReceiptHandle": msg.findtext("ReceiptHandle") or "",
+                })
+        return out
+
+    def delete(self, queue_url: str, receipt_handle: str) -> None:
+        self._call("DeleteMessage", url=queue_url, ReceiptHandle=receipt_handle)
+
+    def send(self, queue_url: str, body: str) -> None:
+        self._call("SendMessage", url=queue_url, MessageBody=body)
+
+
+class SQSError(RuntimeError):
+    def __init__(self, code: str, detail: str = ""):
+        super().__init__(f"SQS error {code}: {detail[:200]}")
+        self.code = code

@@ -1,0 +1,95 @@
+"""Process entrypoint — the role of inspector/entrypoint.sh + app.py __main__.
+
+Bootstraps AWS resources (bucket + queue with spin-wait retry, the
+entrypoint.sh:5-44 behavior), starts the SQS poller daemon thread
+(app.py:483) and serves HTTP (app.py:484).
+
+Usage:
+    python -m tvidz_tpu.service.entrypoint                  # real endpoints
+    python -m tvidz_tpu.service.entrypoint --fake-aws \\
+        --db sqlite:///:memory: --port 5055                 # hermetic demo
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.service.app import create_app
+from tvidz_tpu.service.wsgi import serve
+from tvidz_tpu.utils import log
+
+
+def build_clients(config: Config, fake: bool, fake_root: str = "/tmp/tvidz-fake-s3"):
+    if fake:
+        from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+        sqs = FakeSQS()
+        s3 = FakeS3(fake_root)
+        sqs.create_queue(config.service.sqs_queue)
+        s3.create_bucket(config.service.s3_bucket)
+        s3.configure_notification(sqs, config.service.sqs_queue)
+        return s3, sqs
+    from tvidz_tpu.service.aws import S3Client, SQSClient
+
+    return (
+        S3Client(config.service.s3_endpoint),
+        SQSClient(config.service.s3_endpoint, config.service.aws_region),
+    )
+
+
+def bootstrap(config: Config, s3, sqs, retries: int = 30, wait_s: float = 2.0) -> None:
+    """Block until the queue is creatable, then ensure the bucket exists —
+    entrypoint.sh:5-11 semantics."""
+    for attempt in range(retries):
+        try:
+            sqs.create_queue(config.service.sqs_queue)
+            break
+        except Exception as e:  # noqa: BLE001
+            log("entrypoint",
+                f"Waiting for SQS to be ready... (attempt {attempt+1}: {e})")
+            time.sleep(wait_s)
+    try:
+        s3.create_bucket(config.service.s3_bucket)
+    except Exception as e:  # noqa: BLE001
+        log("entrypoint", f"bucket create failed (may already exist): {e}")
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="tvidz_tpu inspector service")
+    parser.add_argument("--host", default=None)
+    parser.add_argument("--port", type=int, default=None)
+    parser.add_argument("--db", default=None, help="store URL (sqlite:/// or postgresql://)")
+    parser.add_argument("--s3-endpoint", default=None)
+    parser.add_argument("--fake-aws", action="store_true",
+                        help="in-process S3/SQS fakes (hermetic demo/test mode)")
+    parser.add_argument("--no-poller", action="store_true")
+    args = parser.parse_args(argv)
+
+    config = Config()
+    if args.host:
+        config.service.host = args.host
+    if args.port:
+        config.service.port = args.port
+    if args.db:
+        config.store.url = args.db
+    if args.s3_endpoint:
+        config.service.s3_endpoint = args.s3_endpoint
+
+    s3, sqs = build_clients(config, args.fake_aws)
+    if not args.fake_aws:
+        bootstrap(config, s3, sqs)
+
+    from tvidz_tpu.corpus.store import Store
+
+    app = create_app(config=config, store=Store(config.store.url), s3=s3, sqs=sqs)
+    if not args.no_poller:
+        app.start_poller()
+    log("entrypoint",
+        f"inspector serving on {config.service.host}:{config.service.port}")
+    serve(app.wsgi, config.service.host, config.service.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,274 @@
+"""Minimal first-party WSGI micro-framework.
+
+The reference uses Flask (app.py:1,12). This environment treats the HTTP
+layer as first-party code: a small router + request/response model on top of
+the WSGI contract, served by a threading ``wsgiref`` server (one handler
+thread per connection — required for long-lived SSE streams concurrent with
+API calls, like Flask's default threaded dev server the reference runs).
+
+Feature set is exactly what the inspector API needs: path params
+(``/status/<filename>``), JSON bodies, after-request hooks (CORS on every
+response, app.py:15-21), streaming generator responses (SSE), and an
+in-process test client mirroring Flask's ``app.test_client()`` that the
+reference's tests rely on (test_app.py:7).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+import traceback
+from socketserver import ThreadingMixIn
+from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
+from urllib.parse import parse_qs, quote, unquote
+from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
+
+_STATUS_TEXT = {
+    200: "200 OK",
+    400: "400 BAD REQUEST",
+    404: "404 NOT FOUND",
+    405: "405 METHOD NOT ALLOWED",
+    500: "500 INTERNAL SERVER ERROR",
+}
+
+
+class Request:
+    def __init__(self, environ: dict):
+        self.environ = environ
+        self.method = environ.get("REQUEST_METHOD", "GET").upper()
+        self.path = environ.get("PATH_INFO", "/")
+        self.query = {
+            k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+        }
+        self._body: Optional[bytes] = None
+
+    @property
+    def body(self) -> bytes:
+        if self._body is None:
+            try:
+                length = int(self.environ.get("CONTENT_LENGTH") or 0)
+            except ValueError:
+                length = 0
+            stream = self.environ.get("wsgi.input")
+            self._body = stream.read(length) if (stream and length) else b""
+        return self._body
+
+    def get_json(self, silent: bool = False) -> Any:
+        try:
+            return json.loads(self.body.decode("utf-8")) if self.body else None
+        except (ValueError, UnicodeDecodeError):
+            if silent:
+                return None
+            raise
+
+
+class Response:
+    def __init__(
+        self,
+        body: Any = b"",
+        status: int = 200,
+        headers: Optional[Dict[str, str]] = None,
+        mimetype: str = "text/html",
+    ):
+        self.status = status
+        self.headers: Dict[str, str] = {"Content-Type": mimetype}
+        if headers:
+            self.headers.update(headers)
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        self.body = body  # bytes or an iterable of bytes (streaming)
+
+    @property
+    def is_streaming(self) -> bool:
+        return not isinstance(self.body, (bytes, bytearray))
+
+    def body_bytes(self) -> bytes:
+        if self.is_streaming:
+            return b"".join(self.body)
+        return bytes(self.body)
+
+    def get_json(self) -> Any:
+        return json.loads(self.body_bytes().decode("utf-8"))
+
+    @property
+    def status_code(self) -> int:
+        return self.status
+
+
+def jsonify(obj: Any, status: int = 200) -> Response:
+    return Response(
+        json.dumps(obj), status=status, mimetype="application/json"
+    )
+
+
+_PARAM_RE = re.compile(r"<([a-zA-Z_][a-zA-Z0-9_]*)>")
+
+
+def _compile_rule(rule: str) -> re.Pattern:
+    pattern = _PARAM_RE.sub(lambda m: f"(?P<{m.group(1)}>[^/]+)", rule)
+    return re.compile(f"^{pattern}$")
+
+
+class App:
+    """Route table + WSGI callable."""
+
+    def __init__(self, name: str = "app"):
+        self.name = name
+        # [(regex, methods, handler)]
+        self._routes: List[Tuple[re.Pattern, Tuple[str, ...], Callable]] = []
+        self._after_request: List[Callable[[Response], Response]] = []
+
+    def route(self, rule: str, methods: Iterable[str] = ("GET",)):
+        compiled = _compile_rule(rule)
+
+        def deco(fn):
+            self._routes.append((compiled, tuple(m.upper() for m in methods), fn))
+            return fn
+
+        return deco
+
+    def after_request(self, fn: Callable[[Response], Response]) -> None:
+        self._after_request.append(fn)
+
+    # -- dispatch -------------------------------------------------------------
+
+    def dispatch(self, request: Request) -> Response:
+        path = unquote(request.path)
+        path_matched = False
+        for pattern, methods, handler in self._routes:
+            m = pattern.match(path)
+            if not m:
+                continue
+            path_matched = True
+            if request.method not in methods:
+                continue
+            try:
+                rv = handler(request, **m.groupdict())
+            except Exception:  # noqa: BLE001
+                traceback.print_exc()
+                return self._finalize(
+                    jsonify({"error": "internal server error"}, 500)
+                )
+            return self._finalize(self._coerce(rv))
+        if path_matched:
+            return self._finalize(jsonify({"error": "method not allowed"}, 405))
+        return self._finalize(jsonify({"error": "not found"}, 404))
+
+    @staticmethod
+    def _coerce(rv: Any) -> Response:
+        if isinstance(rv, Response):
+            return rv
+        if isinstance(rv, tuple) and len(rv) == 2 and isinstance(rv[0], Response):
+            resp, status = rv
+            resp.status = status
+            return resp
+        if isinstance(rv, (dict, list)):
+            return jsonify(rv)
+        return Response(rv)
+
+    def _finalize(self, resp: Response) -> Response:
+        for hook in self._after_request:
+            resp = hook(resp)
+        return resp
+
+    # -- WSGI ---------------------------------------------------------------------
+
+    def __call__(self, environ: dict, start_response: Callable):
+        request = Request(environ)
+        resp = self.dispatch(request)
+        status_line = _STATUS_TEXT.get(resp.status, f"{resp.status} UNKNOWN")
+        headers = list(resp.headers.items())
+        if not resp.is_streaming:
+            body = resp.body_bytes()
+            headers.append(("Content-Length", str(len(body))))
+            start_response(status_line, headers)
+            return [body]
+        start_response(status_line, headers)
+        return (chunk.encode("utf-8") if isinstance(chunk, str) else chunk
+                for chunk in resp.body)
+
+    # -- test client -----------------------------------------------------------------
+
+    def test_client(self) -> "TestClient":
+        return TestClient(self)
+
+
+class TestClient:
+    """In-process client mirroring the Flask test client the reference's
+    tests use (test_app.py): ``.get/.post/.options`` returning Response."""
+
+    def __init__(self, app: App):
+        self.app = app
+
+    def open(
+        self,
+        path: str,
+        method: str = "GET",
+        json_body: Any = None,
+        data: Optional[bytes] = None,
+        content_type: Optional[str] = None,
+    ) -> Response:
+        body = b""
+        if json_body is not None:
+            body = json.dumps(json_body).encode("utf-8")
+            content_type = content_type or "application/json"
+        elif data is not None:
+            body = data.encode("utf-8") if isinstance(data, str) else data
+        environ = {
+            "REQUEST_METHOD": method.upper(),
+            "PATH_INFO": quote(path),
+            "QUERY_STRING": "",
+            "CONTENT_LENGTH": str(len(body)),
+            "CONTENT_TYPE": content_type or "",
+            "wsgi.input": io.BytesIO(body),
+        }
+        return self.app.dispatch(Request(environ))
+
+    def get(self, path: str, **kw) -> Response:
+        return self.open(path, "GET", **kw)
+
+    def post(self, path: str, json_body: Any = None, **kw) -> Response:
+        return self.open(path, "POST", json_body=json_body, **kw)
+
+    def options(self, path: str, **kw) -> Response:
+        return self.open(path, "OPTIONS", **kw)
+
+    def stream(self, path: str) -> Iterable[bytes]:
+        """GET a streaming response and iterate its chunks lazily (SSE)."""
+        resp = self.open(path, "GET")
+        if not resp.is_streaming:
+            yield resp.body_bytes()
+            return
+        for chunk in resp.body:
+            yield chunk.encode("utf-8") if isinstance(chunk, str) else chunk
+
+
+class _ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
+    daemon_threads = True
+
+
+class _QuietHandler(WSGIRequestHandler):
+    def log_message(self, fmt, *args):  # route access logs through our logger
+        from tvidz_tpu.utils import log
+
+        log("http", fmt % args)
+
+
+def serve(app: App, host: str, port: int) -> None:
+    """Blocking threaded server (one thread per connection; SSE-safe)."""
+    server = make_server(
+        host, port, app, server_class=_ThreadingWSGIServer, handler_class=_QuietHandler
+    )
+    server.serve_forever()
+
+
+def start_server_thread(app: App, host: str, port: int):
+    """Non-blocking server for tests/integration; returns (server, thread)."""
+    server = make_server(
+        host, port, app, server_class=_ThreadingWSGIServer, handler_class=_QuietHandler
+    )
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server, thread
