@@ -1,0 +1,122 @@
+"""Native C++/libav decoder: builds on demand, parity vs the pure-Python
+decoder, real-codec (MJPEG/AVI) decode, probe metadata, error paths."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.decode import write_synthetic_y4m, synthetic_video
+from tvidz_tpu.decode.y4m import Y4MDecoder
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(__file__), "..", "tvidz_tpu", "decode", "_native"
+)
+
+
+def _ensure_built():
+    lib = os.path.join(_NATIVE_DIR, "libtvidz_decode.so")
+    if not os.path.exists(lib):
+        try:
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
+        except Exception as e:  # noqa: BLE001
+            pytest.skip(f"native decoder not buildable here: {e}")
+    from tvidz_tpu.decode import native
+
+    if not native.available():
+        pytest.skip("native decoder library failed to load")
+    return native
+
+
+@pytest.fixture(scope="module")
+def native():
+    return _ensure_built()
+
+
+def test_probe_y4m(native, tmp_path):
+    path = str(tmp_path / "p.y4m")
+    write_synthetic_y4m(path, num_frames=30, height=96, width=128)
+    info = native.NativeDecoder().probe(path)
+    assert (info.width, info.height) == (128, 96)
+    assert info.fps == 25.0
+    assert info.nb_frames == 30
+    assert info.codec == "rawvideo"
+
+
+def test_y4m_luma_bit_exact(native, tmp_path):
+    path = str(tmp_path / "e.y4m")
+    luma, _ = write_synthetic_y4m(path, num_frames=40, height=96, width=128,
+                                  cut_frames=(15,), seed=2)
+    blocks = list(native.NativeDecoder().blocks(path, 16, 96, 128))
+    got = np.concatenate([b.luma for b in blocks])
+    np.testing.assert_array_equal(got, luma)
+    pts = np.concatenate([b.pts for b in blocks])
+    np.testing.assert_allclose(pts, np.arange(40) / 25.0, atol=1e-6)
+
+
+def test_downscale_matches_python_decoder(native, tmp_path):
+    path = str(tmp_path / "d.y4m")
+    write_synthetic_y4m(path, num_frames=8, height=96, width=128, seed=4)
+    nat = np.concatenate(
+        [b.luma for b in native.NativeDecoder().blocks(path, 8, 48, 64)]
+    )
+    py = np.concatenate([b.luma for b in Y4MDecoder().blocks(path, 8, 48, 64)])
+    # sws AREA vs exact area-average: allow small rounding differences.
+    assert np.abs(nat.astype(int) - py.astype(int)).mean() < 2.0
+
+
+def test_mjpeg_avi_roundtrip(native, tmp_path):
+    """Real encoded codec path: MJPEG inside AVI."""
+    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+
+    luma, _ = synthetic_video(num_frames=25, height=96, width=128,
+                              cut_frames=(10,), seed=6)
+    path = str(tmp_path / "m.avi")
+    write_mjpeg_avi(path, luma, fps=25.0, quality=95)
+    dec = native.NativeDecoder()
+    info = dec.probe(path)
+    assert (info.width, info.height) == (128, 96)
+    assert info.nb_frames == 25
+    assert info.codec == "mjpeg"
+    blocks = list(dec.blocks(path, 8, 96, 128))
+    got = np.concatenate([b.luma for b in blocks])
+    assert got.shape == (25, 96, 128)
+    # Lossy but high-quality: frames must closely match the source.
+    err = np.abs(got.astype(int) - luma.astype(int)).mean()
+    assert err < 4.0, err
+
+
+def test_mjpeg_scene_cuts_survive_encoding(native, tmp_path):
+    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+    from tvidz_tpu.ops import golden
+
+    luma, pts = synthetic_video(num_frames=60, height=96, width=128,
+                                cut_frames=(25,), seed=7)
+    path = str(tmp_path / "c.avi")
+    write_mjpeg_avi(path, luma, fps=25.0)
+    blocks = list(native.NativeDecoder().blocks(path, 32, 96, 128))
+    got = np.concatenate([b.luma for b in blocks])
+    got_pts = np.concatenate([b.pts for b in blocks])
+    cuts = golden.scene_cuts(got, got_pts, threshold=0.3)
+    assert cuts == [pts[25]]
+
+
+def test_probe_error_paths(native, tmp_path):
+    from tvidz_tpu.decode.base import DecodeError
+
+    dec = native.NativeDecoder()
+    with pytest.raises(DecodeError):
+        dec.probe(str(tmp_path / "missing.avi"))
+    junk = tmp_path / "junk.avi"
+    junk.write_bytes(b"\x00" * 1024)
+    with pytest.raises(DecodeError):
+        dec.probe(str(junk))
+
+
+def test_get_decoder_prefers_native_for_non_y4m(native):
+    from tvidz_tpu.decode.base import get_decoder
+    from tvidz_tpu.decode.native import NativeDecoder
+
+    assert isinstance(get_decoder("video.mp4"), NativeDecoder)

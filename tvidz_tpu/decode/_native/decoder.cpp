@@ -1,0 +1,288 @@
+// tvidz_tpu native decoder — C ABI over libavformat/libavcodec/libswscale.
+//
+// The TPU rebuild's replacement for the reference's FFmpeg *subprocess*
+// (inspector/app.py:202-209): instead of spawning `ffmpeg -vf select,showinfo`
+// and text-parsing stderr, the framework decodes in-process and hands fixed
+// size luma blocks straight to the JAX pipeline. Scene scoring and hashing
+// happen on the TPU, so this layer only demuxes, decodes (multi-threaded via
+// the avcodec thread pool) and downsamples to the requested luma geometry
+// (sws_scale AREA) — the host-side share of the work.
+//
+// C ABI (consumed by tvidz_tpu/decode/native.py via ctypes):
+//   int    tvz_probe(path, ProbeResult*)            -> 0 ok / -1 error
+//   void*  tvz_open(path, out_h, out_w, flags)      -> handle / NULL
+//   int    tvz_read_block(h, max_frames, luma, pts) -> frames (0 EOF, <0 err)
+//   void   tvz_close(handle)
+//   const char* tvz_last_error()                    -> thread-local message
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+thread_local std::string g_last_error;
+
+void set_error(const std::string& msg) { g_last_error = msg; }
+
+void set_averror(const std::string& what, int rc) {
+  char buf[AV_ERROR_MAX_STRING_SIZE] = {0};
+  av_strerror(rc, buf, sizeof(buf));
+  set_error(what + ": " + buf);
+}
+
+struct Handle {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  SwsContext* sws = nullptr;
+  AVFrame* frame = nullptr;
+  AVFrame* gray = nullptr;
+  AVPacket* pkt = nullptr;
+  int stream_index = -1;
+  int out_w = 0;
+  int out_h = 0;
+  double time_base = 0.0;
+  int64_t frame_counter = 0;
+  double fps = 0.0;
+  bool eof_sent = false;
+  bool drained = false;
+};
+
+void destroy(Handle* h) {
+  if (!h) return;
+  if (h->sws) sws_freeContext(h->sws);
+  if (h->gray) av_frame_free(&h->gray);
+  if (h->frame) av_frame_free(&h->frame);
+  if (h->pkt) av_packet_free(&h->pkt);
+  if (h->codec) avcodec_free_context(&h->codec);
+  if (h->fmt) avformat_close_input(&h->fmt);
+  delete h;
+}
+
+int open_input(const char* path, AVFormatContext** fmt, AVCodecContext** codec,
+               int* stream_index) {
+  int rc = avformat_open_input(fmt, path, nullptr, nullptr);
+  if (rc < 0) {
+    set_averror("avformat_open_input", rc);
+    return -1;
+  }
+  rc = avformat_find_stream_info(*fmt, nullptr);
+  if (rc < 0) {
+    set_averror("avformat_find_stream_info", rc);
+    return -1;
+  }
+  const AVCodec* dec = nullptr;
+  rc = av_find_best_stream(*fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &dec, 0);
+  if (rc < 0) {
+    set_averror("no video stream", rc);
+    return -1;
+  }
+  *stream_index = rc;
+  AVStream* st = (*fmt)->streams[rc];
+  *codec = avcodec_alloc_context3(dec);
+  if (!*codec) {
+    set_error("avcodec_alloc_context3 failed");
+    return -1;
+  }
+  rc = avcodec_parameters_to_context(*codec, st->codecpar);
+  if (rc < 0) {
+    set_averror("avcodec_parameters_to_context", rc);
+    return -1;
+  }
+  // Frame-threaded decode across all cores — the hot host-side path.
+  (*codec)->thread_count = 0;
+  (*codec)->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  rc = avcodec_open2(*codec, dec, nullptr);
+  if (rc < 0) {
+    set_averror("avcodec_open2", rc);
+    return -1;
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct ProbeResult {
+  int32_t width;
+  int32_t height;
+  double fps;
+  int64_t nb_frames;
+  double duration;
+  char codec[32];
+};
+
+const char* tvz_last_error() { return g_last_error.c_str(); }
+
+int tvz_probe(const char* path, ProbeResult* out) {
+  AVFormatContext* fmt = nullptr;
+  AVCodecContext* codec = nullptr;
+  int stream_index = -1;
+  if (open_input(path, &fmt, &codec, &stream_index) != 0) {
+    if (codec) avcodec_free_context(&codec);
+    if (fmt) avformat_close_input(&fmt);
+    return -1;
+  }
+  AVStream* st = fmt->streams[stream_index];
+  out->width = codec->width;
+  out->height = codec->height;
+  AVRational fr = av_guess_frame_rate(fmt, st, nullptr);
+  out->fps = (fr.den > 0) ? av_q2d(fr) : 0.0;
+  out->nb_frames = st->nb_frames;
+  out->duration = 0.0;
+  if (st->duration > 0 && st->time_base.den > 0) {
+    out->duration = st->duration * av_q2d(st->time_base);
+  } else if (fmt->duration > 0) {
+    out->duration = fmt->duration / (double)AV_TIME_BASE;
+  }
+  // Containers like y4m / raw streams don't declare nb_frames; derive it from
+  // duration x fps so the progress model has a denominator (the ffprobe
+  // -count_frames fallback role, app.py:183-188, without a full decode pass).
+  if (out->nb_frames == 0 && out->duration > 0 && out->fps > 0) {
+    out->nb_frames = (int64_t)(out->duration * out->fps + 0.5);
+  }
+  snprintf(out->codec, sizeof(out->codec), "%s",
+           avcodec_get_name(codec->codec_id));
+  avcodec_free_context(&codec);
+  avformat_close_input(&fmt);
+  return 0;
+}
+
+void* tvz_open(const char* path, int out_h, int out_w, int flags) {
+  (void)flags;
+  Handle* h = new Handle();
+  if (open_input(path, &h->fmt, &h->codec, &h->stream_index) != 0) {
+    destroy(h);
+    return nullptr;
+  }
+  h->out_h = out_h;
+  h->out_w = out_w;
+  AVStream* st = h->fmt->streams[h->stream_index];
+  h->time_base = av_q2d(st->time_base);
+  AVRational fr = av_guess_frame_rate(h->fmt, st, nullptr);
+  h->fps = (fr.den > 0) ? av_q2d(fr) : 0.0;
+  h->frame = av_frame_alloc();
+  h->gray = av_frame_alloc();
+  h->pkt = av_packet_alloc();
+  if (!h->frame || !h->gray || !h->pkt) {
+    set_error("frame alloc failed");
+    destroy(h);
+    return nullptr;
+  }
+  h->gray->format = AV_PIX_FMT_GRAY8;
+  h->gray->width = out_w;
+  h->gray->height = out_h;
+  if (av_frame_get_buffer(h->gray, 32) < 0) {
+    set_error("gray buffer alloc failed");
+    destroy(h);
+    return nullptr;
+  }
+  return h;
+}
+
+// Returns number of frames written (0 = clean EOF), or <0 on error.
+// luma_out: max_frames * out_h * out_w bytes; pts_out: max_frames doubles.
+int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
+                   double* pts_out) {
+  Handle* h = (Handle*)handle;
+  if (!h) {
+    set_error("null handle");
+    return -1;
+  }
+  const size_t frame_bytes = (size_t)h->out_h * h->out_w;
+  int produced = 0;
+  while (produced < max_frames && !h->drained) {
+    int rc = avcodec_receive_frame(h->codec, h->frame);
+    if (rc == 0) {
+      // Lazily create sws once we know the input geometry/pixfmt.
+      if (!h->sws) {
+        h->sws = sws_getContext(
+            h->frame->width, h->frame->height, (AVPixelFormat)h->frame->format,
+            h->out_w, h->out_h, AV_PIX_FMT_GRAY8, SWS_AREA, nullptr, nullptr,
+            nullptr);
+        if (!h->sws) {
+          set_error("sws_getContext failed");
+          return -1;
+        }
+        // Luma must pass through bit-exact: force dstRange == srcRange so
+        // sws never applies a JPEG<->MPEG range conversion (full-range
+        // yuvj420p sources would otherwise be compressed to 16..235).
+        int src_range =
+            (h->frame->color_range == AVCOL_RANGE_JPEG) ? 1 : 0;
+        const int* coefs = sws_getCoefficients(SWS_CS_DEFAULT);
+        sws_setColorspaceDetails(h->sws, coefs, src_range, coefs, src_range,
+                                 0, 1 << 16, 1 << 16);
+      }
+      rc = sws_scale(h->sws, h->frame->data, h->frame->linesize, 0,
+                     h->frame->height, h->gray->data, h->gray->linesize);
+      if (rc < 0) {
+        set_averror("sws_scale", rc);
+        return -1;
+      }
+      uint8_t* dst = luma_out + (size_t)produced * frame_bytes;
+      for (int row = 0; row < h->out_h; ++row) {
+        memcpy(dst + (size_t)row * h->out_w,
+               h->gray->data[0] + (size_t)row * h->gray->linesize[0],
+               h->out_w);
+      }
+      int64_t pts = h->frame->best_effort_timestamp;
+      if (pts == AV_NOPTS_VALUE) {
+        pts_out[produced] =
+            (h->fps > 0) ? h->frame_counter / h->fps : (double)h->frame_counter;
+      } else {
+        pts_out[produced] = pts * h->time_base;
+      }
+      h->frame_counter++;
+      produced++;
+      av_frame_unref(h->frame);
+      continue;
+    }
+    if (rc == AVERROR_EOF) {
+      h->drained = true;
+      break;
+    }
+    if (rc != AVERROR(EAGAIN)) {
+      set_averror("avcodec_receive_frame", rc);
+      return -1;
+    }
+    // Decoder wants input: pump packets.
+    if (h->eof_sent) continue;
+    while (true) {
+      rc = av_read_frame(h->fmt, h->pkt);
+      if (rc == AVERROR_EOF) {
+        avcodec_send_packet(h->codec, nullptr);  // flush
+        h->eof_sent = true;
+        break;
+      }
+      if (rc < 0) {
+        set_averror("av_read_frame", rc);
+        return -1;
+      }
+      if (h->pkt->stream_index != h->stream_index) {
+        av_packet_unref(h->pkt);
+        continue;
+      }
+      rc = avcodec_send_packet(h->codec, h->pkt);
+      av_packet_unref(h->pkt);
+      if (rc == 0) break;
+      if (rc == AVERROR(EAGAIN)) break;  // drain receive side first
+      set_averror("avcodec_send_packet", rc);
+      return -1;
+    }
+  }
+  return produced;
+}
+
+void tvz_close(void* handle) { destroy((Handle*)handle); }
+
+}  // extern "C"

@@ -1,0 +1,76 @@
+"""Minimal MJPEG-in-AVI writer (pure Python + PIL).
+
+Produces genuinely *encoded* test videos — each frame a baseline JPEG inside
+a RIFF/AVI container — so the native libav decoder is exercised against a
+real codec path, not just rawvideo. Used by tests and the integration script
+(the environment ships no ffmpeg binary to encode with).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+from typing import List
+
+import numpy as np
+
+
+def _jpeg_bytes(luma: np.ndarray, quality: int) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(luma, mode="L").save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def write_mjpeg_avi(
+    path: str, luma: np.ndarray, fps: float = 25.0, quality: int = 95
+) -> None:
+    """Write (T, H, W) uint8 luma as an MJPEG AVI at `path`."""
+    t, h, w = luma.shape
+    frames: List[bytes] = [_jpeg_bytes(luma[i], quality) for i in range(t)]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    us_per_frame = int(round(1_000_000 / fps))
+    max_frame = max(len(f) for f in frames)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, max_frame * int(fps), 0, 0x10,  # AVIF_HASINDEX
+        t, 0, 1, max_frame + 8, w, h, 0, 0, 0, 0,
+    )
+    scale, rate = (1001, int(round(fps * 1001))) if not float(fps).is_integer() else (1, int(fps))
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHH8I", 0, 0, 0, 0, scale, rate, 0, t,
+                      max_frame + 8, 10000, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+
+    movi_payload = b""
+    index_entries = []
+    offset = 4  # relative to start of 'movi' fourcc
+    for f in frames:
+        c = chunk(b"00dc", f)
+        index_entries.append((offset, len(f)))
+        movi_payload += c
+        offset += len(c)
+    movi = lst(b"movi", movi_payload)
+
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", 0x10, off, size)
+        for off, size in index_entries
+    )
+    body = hdrl + movi + chunk(b"idx1", idx1)
+    with open(path, "wb") as fh:
+        fh.write(b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body)

@@ -24,11 +24,22 @@ def synthetic_video(
     """((T, H, W) uint8 luma, (T,) float64 pts) with hard cuts at cut_frames."""
     rng = np.random.default_rng(seed)
     luma = np.zeros((num_frames, height, width), np.uint8)
-    base = rng.integers(0, 256, size=(height, width)).astype(np.float32)
+
+    def make_base() -> np.ndarray:
+        # Structured (low-frequency) content, like real footage: a coarse
+        # random grid upsampled to full resolution. Survives aggressive
+        # downscaling in the decode path, unlike iid per-pixel noise which
+        # averages to flat gray and erases scene contrast.
+        cell = 16
+        gh, gw = -(-height // cell), -(-width // cell)
+        grid = rng.integers(0, 256, size=(gh, gw)).astype(np.float32)
+        return np.kron(grid, np.ones((cell, cell), np.float32))[:height, :width]
+
+    base = make_base()
     cuts = set(int(c) for c in cut_frames)
     for i in range(num_frames):
         if i in cuts:
-            base = rng.integers(0, 256, size=(height, width)).astype(np.float32)
+            base = make_base()
         frame = base + rng.normal(0.0, noise, size=(height, width)).astype(np.float32)
         luma[i] = np.clip(frame, 0, 255).astype(np.uint8)
     pts = np.arange(num_frames, dtype=np.float64) / fps
@@ -47,6 +58,7 @@ def write_synthetic_y4m(
     """Write a synthetic video to `path`; returns (luma, expected cut pts)."""
     from tvidz_tpu.decode.y4m import write_y4m
 
+    cut_frames = [c for c in cut_frames if 0 < c < num_frames]
     luma, pts = synthetic_video(num_frames, height, width, cut_frames, fps, seed)
     write_y4m(path, luma, fps)
     expected = [float(pts[c]) for c in sorted(cut_frames)]

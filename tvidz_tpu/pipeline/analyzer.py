@@ -233,10 +233,13 @@ class Analyzer:
             current_frame = block.start_frame + t
 
             # Host-side cut extraction (threshold + consecutive dedupe,
-            # app.py:228-231).
+            # app.py:228-231). Timestamps are rounded to microseconds: the
+            # reference got this implicitly by parsing showinfo's printed
+            # pts_time text; without it, container-dependent float artifacts
+            # (e.g. 140 * (1/25) vs 140/25.0) break exact-equality matching.
             new_cut = False
             for i in np.nonzero(scores > cfg.scene.threshold)[0]:
-                ts = float(block.pts[i])
+                ts = round(float(block.pts[i]), 6)
                 if not scene_cuts or ts != scene_cuts[-1]:
                     scene_cuts.append(ts)
                     new_cut = True
