@@ -2,21 +2,27 @@
 
 Tests run hermetically on CPU with a virtual 8-device mesh — the moral
 equivalent of the reference exercising its "distributed" S3/SQS path against
-LocalStack on a laptop (SURVEY.md §4). Environment must be set before the
-first jax import, hence module level.
+LocalStack on a laptop (SURVEY.md §4).
+
+The image pre-sets JAX_PLATFORMS=axon (the real TPU) and its import hook
+re-registers the axon platform regardless of the env var, so setting the
+env alone is not enough: jax.config must be updated after import. Opt out
+with TVIDZ_TEST_TPU=1 to run tests against the real chip.
 """
 
 import os
 
-# The image pre-sets JAX_PLATFORMS=axon (the real TPU); tests must be
-# hermetic and run on the virtual CPU mesh unless explicitly opted out.
-if os.environ.get("TVIDZ_TEST_TPU", "") not in ("1", "true"):
-    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+if os.environ.get("TVIDZ_TEST_TPU", "") not in ("1", "true"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

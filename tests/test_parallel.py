@@ -1,0 +1,130 @@
+"""Mesh sharding: sharded timestamp match, cross-shard top-k, the full
+multi-chip analysis step, and the graft entrypoints — all on the virtual
+8-device CPU mesh (conftest forces it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from tvidz_tpu.parallel.sharded_search import (
+    ShardedCorpus,
+    sharded_hamming_topk,
+    sharded_timestamp_match,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_mesh_shape_for():
+    assert mesh_shape_for(1) == (1, 1)
+    assert mesh_shape_for(8) == (2, 4)
+    assert mesh_shape_for(4) == (1, 4)
+    assert mesh_shape_for(2) == (1, 2)
+    assert mesh_shape_for(16) == (4, 4)
+
+
+def test_sharded_timestamp_match_matches_golden(mesh, rng):
+    n, max_cuts = 32, 8
+    corpus = rng.uniform(0, 50, size=(n, max_cuts)).astype(np.float32).round(1)
+    lens = rng.integers(1, max_cuts + 1, size=n).astype(np.int32)
+    query = np.concatenate([corpus[13, :4], [99.0, 98.0, 97.0, 96.0]]).astype(np.float32)
+    with mesh:
+        got = np.asarray(
+            sharded_timestamp_match(
+                jnp.asarray(query), jnp.asarray(corpus), jnp.asarray(lens), mesh
+            )
+        )
+    want = golden.timestamp_match_counts(query, corpus, lens)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_hamming_topk_matches_golden(mesh, rng):
+    m, n, k = 8, 256, 5
+    q = rng.integers(0, 2**32, size=(m, 2), dtype=np.uint32)
+    c = rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
+    c[200] = q[3]  # plant
+    with mesh:
+        d, idx = sharded_hamming_topk(jnp.asarray(q), jnp.asarray(c), mesh, k=k)
+    d, idx = np.asarray(d), np.asarray(idx)
+    h = golden.hamming_matrix(q, c)
+    want_d = np.sort(h, axis=1)[:, :k]
+    np.testing.assert_array_equal(d, want_d)
+    assert d[3, 0] == 0 and idx[3, 0] == 200
+    # returned indices actually achieve the returned distances
+    for i in range(m):
+        np.testing.assert_array_equal(h[i, idx[i]], d[i])
+
+
+def test_sharded_corpus_wrapper(mesh, rng):
+    with mesh:
+        sc = ShardedCorpus(mesh, max_cuts=16)
+        sc.load_timestamps(
+            [[1.0, 2.0, 3.0], [7.0, 8.0]], [101, 202]
+        )
+        assert sc.match_timestamps([1.0, 2.0], min_match=2) == [(101, 2)]
+        assert sc.match_timestamps([1.0, 2.0], min_match=2,
+                                   exclude_video_id=101) == []
+        fp = rng.integers(0, 2**32, size=(300, 2), dtype=np.uint32)
+        vids = np.repeat([101, 202], 150).astype(np.int32)
+        sc.load_fingerprints(fp, vids)
+        nn = sc.nearest_fingerprints(fp[200:204], k=3)
+        assert nn[0][0][0] == 0          # exact match distance 0
+        assert nn[0][0][2] == 202        # owned by video 202
+
+
+def test_multichip_analysis_step(mesh, rng):
+    from tvidz_tpu.parallel.step import multichip_analysis_step, place_step_inputs
+
+    b, nt, t, h, w = 4, 2, 8, 24, 32
+    clips = rng.integers(0, 256, size=(b, nt, t, h, w), dtype=np.uint8)
+    pts = np.tile(np.arange(nt * t, dtype=np.float32) / 25.0, (b, 1))
+    corpus_ts = np.full((32, 16), np.nan, np.float32)
+    corpus_len = np.zeros(32, np.int32)
+    corpus_fp = rng.integers(0, 2**32, size=(512, 2), dtype=np.uint32)
+    with mesh:
+        args = place_step_inputs(mesh, clips, pts, corpus_ts, corpus_len, corpus_fp)
+        out = multichip_analysis_step(*args, mesh=mesh, max_cuts=8)
+        out = jax.block_until_ready(out)
+    # Scene scores of the whole (scanned) stream must equal golden whole-clip.
+    want = golden.scene_scores(clips[0].reshape(nt * t, h, w))
+    np.testing.assert_allclose(np.asarray(out.scores[0]), want, atol=1e-5)
+    # Fingerprints must match the single-stream batched op.
+    from tvidz_tpu.ops.phash import phash_batched
+
+    want_fp = np.asarray(phash_batched(jnp.asarray(clips[0].reshape(nt * t, h, w))))
+    np.testing.assert_array_equal(np.asarray(out.fingerprints[0]), want_fp)
+
+
+def test_graft_entry_single_chip():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, example = mod.entry()
+    out = jax.jit(fn)(*example)
+    scores, fps, carry = jax.block_until_ready(out)
+    assert scores.shape == (128,)
+    assert fps.shape == (128, 2)
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,3 @@
+from tvidz_tpu.models.fingerprint import FingerprintModel
+
+__all__ = ["FingerprintModel"]

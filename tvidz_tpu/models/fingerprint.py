@@ -1,0 +1,101 @@
+"""The flagship model: streaming video fingerprinting.
+
+``FingerprintModel`` composes the framework's kernels (ops/fused.py) behind
+a stable, config-driven interface — the role the model zoo plays in a
+training framework. Its forward step maps a luma block to (scene scores,
+packed perceptual hashes); it is the function the graft entrypoint exposes
+and the benchmark measures.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.ops.fused import (
+    FingerprintCarry,
+    fingerprint_block,
+    initial_fingerprint_carry,
+)
+
+
+class FingerprintModel:
+    """Config-bound streaming fingerprint model.
+
+    forward(luma_block, carry) -> (scores, fingerprints, carry')
+      luma_block: (T, H, W) uint8/float luma at the model's scene geometry
+      scores:     (T,) float32 FFmpeg-parity scene scores
+      fingerprints: (T, words) uint32 packed DCT pHash
+    """
+
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+        p = self.config.pipeline
+        self.block_frames = p.block_frames
+        self.height = p.scene_height
+        self.width = p.scene_width
+        self.dct_size = self.config.hash.dct_size
+        self.hash_size = self.config.hash.hash_size
+
+    # -- single-stream API ------------------------------------------------------
+
+    def init_carry(self) -> FingerprintCarry:
+        return initial_fingerprint_carry(self.height, self.width)
+
+    def forward(
+        self, luma_block: jnp.ndarray, carry: FingerprintCarry
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, FingerprintCarry]:
+        return fingerprint_block(
+            luma_block, carry, dct_size=self.dct_size, hash_size=self.hash_size
+        )
+
+    def example_inputs(self) -> Tuple[jnp.ndarray, FingerprintCarry]:
+        luma = jnp.zeros(
+            (self.block_frames, self.height, self.width), jnp.uint8
+        )
+        return luma, self.init_carry()
+
+    # -- batched API (data-parallel over clips) ------------------------------------
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def forward_batch(
+        self, clips: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, T, H, W) -> ((B, T) scores, (B, T, words) fingerprints).
+        Each clip is an independent stream (fresh carry)."""
+
+        def one(clip):
+            scores, fps, _ = self.forward(clip, self.init_carry())
+            return scores, fps
+
+        return jax.vmap(one)(clips)
+
+    # -- whole-array convenience (tests, bench) --------------------------------------
+
+    def analyze_array(
+        self, luma: np.ndarray, pts: np.ndarray
+    ) -> Tuple[List[float], np.ndarray]:
+        """Host-streamed analysis of (T, H, W) luma: (cut timestamps, fps)."""
+        carry = self.init_carry()
+        t = luma.shape[0]
+        bt = self.block_frames
+        cuts: List[float] = []
+        fps_out = []
+        for s in range(0, t, bt):
+            block = luma[s : s + bt]
+            n = block.shape[0]
+            if n < bt:
+                block = np.concatenate([block, np.repeat(block[-1:], bt - n, 0)])
+            scores, fps, carry = self.forward(jnp.asarray(block), carry)
+            scores = np.asarray(scores)[:n]
+            fps_out.append(np.asarray(fps)[:n])
+            for i in np.nonzero(scores > self.config.scene.threshold)[0]:
+                ts = round(float(pts[s + i]), 6)
+                if not cuts or ts != cuts[-1]:
+                    cuts.append(ts)
+        return cuts, np.concatenate(fps_out)

@@ -1,0 +1,16 @@
+from tvidz_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from tvidz_tpu.parallel.sharded_search import (
+    sharded_timestamp_match,
+    sharded_hamming_topk,
+    ShardedCorpus,
+)
+from tvidz_tpu.parallel.step import multichip_analysis_step
+
+__all__ = [
+    "make_mesh",
+    "mesh_shape_for",
+    "sharded_timestamp_match",
+    "sharded_hamming_topk",
+    "ShardedCorpus",
+    "multichip_analysis_step",
+]

@@ -1,0 +1,56 @@
+"""Device-mesh construction.
+
+The reference's only "distribution" is N inspector containers sharing one SQS
+queue (SURVEY.md §2 parallelism inventory). The TPU framework distributes the
+*compute*: a 2-axis ``jax.sharding.Mesh``:
+
+- ``data``   — batches of clips / queries (data parallelism; the analog of
+  the reference's thread-per-upload, but on-device)
+- ``corpus`` — the fingerprint/timestamp corpus rows (the 1M-fingerprint
+  table sharded across chips; cross-shard verdicts ride ICI collectives)
+
+On a v5e-8 the default split is data=2 x corpus=4; any device count works
+(tests use the 8-device virtual CPU mesh).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+CORPUS_AXIS = "corpus"
+
+
+def mesh_shape_for(n_devices: int, corpus_fraction: int = 4) -> Tuple[int, int]:
+    """(data, corpus) sizes: favor the corpus axis (the big-memory dimension)
+    while keeping both axes > 1 when possible."""
+    if n_devices == 1:
+        return (1, 1)
+    corpus = 1
+    # Largest power-of-2 divisor of n_devices, capped at corpus_fraction.
+    while corpus * 2 <= min(corpus_fraction, n_devices) and n_devices % (corpus * 2) == 0:
+        corpus *= 2
+    if corpus == 1 and n_devices % 2 == 0:
+        corpus = 2
+    data = n_devices // corpus
+    return (data, corpus)
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    data_size: Optional[int] = None,
+    corpus_size: Optional[int] = None,
+) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    if data_size and corpus_size:
+        shape = (data_size, corpus_size)
+    else:
+        shape = mesh_shape_for(n)
+    assert shape[0] * shape[1] == n, (shape, n)
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, (DATA_AXIS, CORPUS_AXIS))

@@ -1,0 +1,191 @@
+"""Corpus-sharded search over a device mesh.
+
+The scale-out replacement for the reference's single-process Python scan
+(db.py:76-94): the corpus lives sharded over the mesh's ``corpus`` axis;
+each shard computes local evidence, and verdicts are merged across ICI with
+XLA collectives (``all_gather`` inside ``shard_map``) — SURVEY.md §2's
+"corpus sharding + cross-shard top-k reduction" mandate.
+
+Two primitives:
+- ``sharded_timestamp_match`` — find_duplicates counts over a row-sharded
+  timestamp table (counts are per-row, so the only collective is the final
+  gather of the count vector).
+- ``sharded_hamming_topk``   — global top-k nearest fingerprints across
+  shards: per-shard top-k (k small), then all_gather(k per shard) + re-top-k;
+  ICI traffic is O(devices * k), not O(corpus).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tvidz_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
+from tvidz_tpu.ops.hamming import hamming_matrix
+
+
+def sharded_timestamp_match(
+    query_ts: jnp.ndarray,     # (K,) float32, NaN-padded — replicated
+    corpus_ts: jnp.ndarray,    # (N, MAX) float32 — sharded over corpus axis
+    corpus_len: jnp.ndarray,   # (N,) int32 — sharded over corpus axis
+    mesh: Mesh,
+    tolerance: float = 0.0,
+) -> jnp.ndarray:
+    """(N,) int32 match counts; N must divide evenly by the corpus axis."""
+
+    def local(query, c_ts, c_len):
+        max_cuts = c_ts.shape[1]
+        q = query[None, :, None]
+        c = c_ts[:, None, :]
+        valid = (
+            jnp.arange(max_cuts, dtype=jnp.int32)[None, None, :]
+            < c_len[:, None, None]
+        )
+        if tolerance <= 0.0:
+            hit = (q == c) & valid
+        else:
+            hit = (jnp.abs(q - c) <= tolerance) & valid
+        return jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+        out_specs=P(CORPUS_AXIS),
+    )
+    return fn(query_ts, corpus_ts, corpus_len)
+
+
+def sharded_hamming_topk(
+    query_fp: jnp.ndarray,     # (M, W) uint32 — replicated
+    corpus_fp: jnp.ndarray,    # (N, W) uint32 — sharded over corpus axis
+    mesh: Mesh,
+    k: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global top-k nearest corpus fingerprints per query.
+
+    Returns (distances (M, k) int32 ascending, indices (M, k) int32 global).
+    """
+    n = corpus_fp.shape[0]
+    n_shards = mesh.shape[CORPUS_AXIS]
+    local_n = n // n_shards
+
+    def local(q, c):
+        # c: (local_n, W). Per-shard distances + local top-k (negate for
+        # top_k's max semantics).
+        d = hamming_matrix(q, c)                                   # (M, local_n)
+        neg, idx = jax.lax.top_k(-d, min(k, local_n))              # (M, k)
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        gidx = idx + shard * local_n
+        # all_gather over the corpus axis: (n_shards, M, k)
+        all_neg = jax.lax.all_gather(neg, CORPUS_AXIS)
+        all_idx = jax.lax.all_gather(gidx, CORPUS_AXIS)
+        m = q.shape[0]
+        cat_neg = jnp.transpose(all_neg, (1, 0, 2)).reshape(m, -1)
+        cat_idx = jnp.transpose(all_idx, (1, 0, 2)).reshape(m, -1)
+        best_neg, best_pos = jax.lax.top_k(cat_neg, k)
+        best_idx = jnp.take_along_axis(cat_idx, best_pos, axis=1)
+        return -best_neg, best_idx
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(CORPUS_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(query_fp, corpus_fp)
+
+
+class ShardedCorpus:
+    """Host-side wrapper placing corpus arrays with corpus-axis shardings and
+    issuing sharded queries. The multi-chip sibling of DeviceCorpus (same
+    padded layout; rows padded to a multiple of the corpus axis)."""
+
+    def __init__(self, mesh: Mesh, max_cuts: int = 128, words: int = 2):
+        self.mesh = mesh
+        self.max_cuts = max_cuts
+        self.words = words
+        self.n_shards = mesh.shape[CORPUS_AXIS]
+        self._ts_sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
+        self._len_sharding = NamedSharding(mesh, P(CORPUS_AXIS))
+        self._fp_sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
+        self._rep = NamedSharding(mesh, P())
+        self.corpus_ts = None
+        self.corpus_len = None
+        self.video_ids = None
+        self.corpus_fp = None
+        self.fp_video_ids = None
+
+    def _pad_rows(self, n: int, multiple: int) -> int:
+        m = multiple * self.n_shards
+        return -(-n // m) * m
+
+    def load_timestamps(self, rows, video_ids) -> None:
+        """rows: list of float lists; video_ids: parallel list of ints."""
+        n = max(len(rows), 1)
+        n_pad = self._pad_rows(n, 8)
+        ts = np.full((n_pad, self.max_cuts), np.nan, np.float32)
+        lens = np.zeros(n_pad, np.int32)
+        vids = np.full(n_pad, -1, np.int32)
+        for i, (row, vid) in enumerate(zip(rows, video_ids)):
+            row = list(row)[: self.max_cuts]
+            ts[i, : len(row)] = row
+            lens[i] = len(row)
+            vids[i] = vid
+        self.corpus_ts = jax.device_put(ts, self._ts_sharding)
+        self.corpus_len = jax.device_put(lens, self._len_sharding)
+        self.video_ids = vids
+
+    def load_fingerprints(self, fp: np.ndarray, fp_video_ids: np.ndarray) -> None:
+        n = fp.shape[0]
+        n_pad = self._pad_rows(max(n, 1), 128)
+        buf = np.full((n_pad, self.words), 0xFFFFFFFF, np.uint32)
+        buf[:n] = fp
+        vids = np.full(n_pad, -1, np.int32)
+        vids[:n] = fp_video_ids
+        self.corpus_fp = jax.device_put(buf, self._fp_sharding)
+        self.fp_video_ids = vids
+
+    def match_timestamps(
+        self, query_ts, min_match: int = 2, tolerance: float = 0.0,
+        exclude_video_id: Optional[int] = None,
+    ):
+        if self.corpus_ts is None:
+            return []
+        q = np.full(self.max_cuts, np.nan, np.float32)
+        take = list(query_ts)[-self.max_cuts:]
+        q[: len(take)] = take
+        counts = np.asarray(
+            sharded_timestamp_match(
+                jax.device_put(jnp.asarray(q), self._rep),
+                self.corpus_ts, self.corpus_len, self.mesh, tolerance,
+            )
+        )
+        out = [
+            (int(self.video_ids[i]), int(counts[i]))
+            for i in range(len(counts))
+            if counts[i] >= min_match
+            and self.video_ids[i] >= 0
+            and self.video_ids[i] != exclude_video_id
+        ]
+        out.sort(key=lambda vc: -vc[1])
+        return out
+
+    def nearest_fingerprints(self, query_fp: np.ndarray, k: int = 16):
+        """[(distance, global_index, video_id)] x k per query row."""
+        assert self.corpus_fp is not None
+        q = jax.device_put(jnp.asarray(query_fp, jnp.uint32), self._rep)
+        d, idx = sharded_hamming_topk(q, self.corpus_fp, self.mesh, k=k)
+        d, idx = np.asarray(d), np.asarray(idx)
+        return [
+            [(int(d[m, j]), int(idx[m, j]), int(self.fp_video_ids[idx[m, j]]))
+             for j in range(d.shape[1])]
+            for m in range(d.shape[0])
+        ]

@@ -1,0 +1,129 @@
+"""The full multi-chip analysis step — one jitted SPMD program.
+
+This is the framework's "training step" equivalent (there is no gradient
+work in this domain; the production hot loop is fingerprint + search). One
+compiled program runs, over a (data, corpus) mesh:
+
+1. **Data parallelism**: a batch of B clips sharded over the ``data`` axis.
+2. **Sequence streaming**: each clip is (NT, T, H, W) time tiles consumed by
+   ``lax.scan`` threading the scene carry — bounded HBM working set for
+   long-form video (the ring-attention analog of SURVEY.md §5).
+3. **Fused kernels**: scene scores + packed pHash per tile (vmapped).
+4. **Corpus sharding**: timestamp match counts + fingerprint top-k against a
+   corpus sharded over the ``corpus`` axis, merged with XLA collectives.
+
+The driver's ``dryrun_multichip`` compiles and runs exactly this on an
+N-virtual-device mesh.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tvidz_tpu.ops.fused import initial_fingerprint_carry
+from tvidz_tpu.ops.scene import SceneCarry, scene_scores_block
+from tvidz_tpu.ops.phash import phash_batched
+from tvidz_tpu.ops.hamming import hamming_matrix
+from tvidz_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
+
+
+class StepOutput(NamedTuple):
+    scores: jnp.ndarray        # (B, NT*T) scene scores
+    fingerprints: jnp.ndarray  # (B, NT*T, W) packed pHash
+    ts_counts: jnp.ndarray     # (B, N) timestamp match counts per corpus row
+    fp_min_dist: jnp.ndarray   # (B, N) min hamming of each corpus frame row
+
+
+def _clip_fingerprint(clip: jnp.ndarray, h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(NT, T, H, W) tiles -> ((NT*T,) scores, (NT*T, W) fingerprints) via scan."""
+
+    def tile_step(carry: SceneCarry, tile):
+        scores, new_carry = scene_scores_block(tile, carry)
+        fps = phash_batched(tile)
+        return new_carry, (scores, fps)
+
+    carry0 = initial_fingerprint_carry(h, w).scene
+    _, (scores, fps) = jax.lax.scan(tile_step, carry0, clip)
+    nt, t = scores.shape
+    return scores.reshape(nt * t), fps.reshape(nt * t, -1)
+
+
+def _extract_cut_ts(scores: jnp.ndarray, pts: jnp.ndarray, threshold: float,
+                    max_cuts: int) -> jnp.ndarray:
+    """Device-side cut timestamp extraction: pts of the first max_cuts frames
+    whose score exceeds threshold, NaN-padded (static shapes; the device
+    analog of the analyzer's host loop)."""
+    total = scores.shape[0]
+    is_cut = scores > threshold
+    order = jnp.where(is_cut, jnp.arange(total), total)
+    picked = jnp.sort(order)[:max_cuts]
+    valid = picked < total
+    ts = jnp.where(valid, pts[jnp.clip(picked, 0, total - 1)], jnp.nan)
+    return ts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "threshold", "max_cuts", "tile_h", "tile_w"),
+)
+def multichip_analysis_step(
+    clips: jnp.ndarray,        # (B, NT, T, H, W) uint8 — sharded over data
+    pts: jnp.ndarray,          # (B, NT*T) float32 — sharded over data
+    corpus_ts: jnp.ndarray,    # (N, MAX) float32 — sharded over corpus
+    corpus_len: jnp.ndarray,   # (N,) int32 — sharded over corpus
+    corpus_fp: jnp.ndarray,    # (NF, W) uint32 — sharded over corpus
+    mesh: Mesh,
+    threshold: float = 0.3,
+    max_cuts: int = 32,
+    tile_h: int = 0,
+    tile_w: int = 0,
+) -> StepOutput:
+    b = clips.shape[0]
+    h, w = clips.shape[-2], clips.shape[-1]
+
+    scores, fps = jax.vmap(lambda c: _clip_fingerprint(c, h, w))(clips)
+
+    # Per-clip cut timestamps (device-side, padded static shape).
+    cut_ts = jax.vmap(
+        lambda s, p: _extract_cut_ts(s, p, threshold, max_cuts)
+    )(scores, pts)                                            # (B, max_cuts)
+
+    # Timestamp evidence vs the sharded corpus: (B, max_cuts) x (N, MAX).
+    q = cut_ts[:, None, :, None]                              # (B,1,K,1)
+    c = corpus_ts[None, :, None, :]                           # (1,N,1,MAX)
+    valid = (
+        jnp.arange(corpus_ts.shape[1], dtype=jnp.int32)[None, None, None, :]
+        < corpus_len[None, :, None, None]
+    )
+    hit = (q == c) & valid
+    ts_counts = jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+
+    # Fingerprint evidence: per corpus frame, min hamming over each clip's
+    # frames (B, NF). XLA partitions the contraction over both mesh axes.
+    def clip_min(fp_clip):
+        d = hamming_matrix(fp_clip, corpus_fp)                # (T_all, NF)
+        return jnp.min(d, axis=0)
+
+    fp_min = jax.vmap(clip_min)(fps)                          # (B, NF)
+
+    return StepOutput(
+        scores=scores, fingerprints=fps, ts_counts=ts_counts, fp_min_dist=fp_min
+    )
+
+
+def place_step_inputs(mesh: Mesh, clips, pts, corpus_ts, corpus_len, corpus_fp):
+    """device_put each input with its step sharding."""
+    data_s = NamedSharding(mesh, P(DATA_AXIS))
+    corpus_rows = NamedSharding(mesh, P(CORPUS_AXIS))
+    return (
+        jax.device_put(clips, NamedSharding(mesh, P(DATA_AXIS, None, None, None, None))),
+        jax.device_put(pts, NamedSharding(mesh, P(DATA_AXIS, None))),
+        jax.device_put(corpus_ts, NamedSharding(mesh, P(CORPUS_AXIS, None))),
+        jax.device_put(corpus_len, corpus_rows),
+        jax.device_put(corpus_fp, NamedSharding(mesh, P(CORPUS_AXIS, None))),
+    )
