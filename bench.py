@@ -1,0 +1,235 @@
+"""tvidz_tpu benchmark harness.
+
+Headline metric (BASELINE.json north star): 1080p-source frames fingerprinted
+(FFmpeg-parity scene score + packed 64-bit DCT pHash) per second per chip, at
+the framework's device contract geometry (host decode downscales 1080p to
+160x90 luma; see config.PipelineConfig). Baseline target: 20,000 frames/s/chip
+-> vs_baseline = value / 20000.
+
+Also measured and reported on stderr (the driver consumes only the single
+stdout JSON line):
+- duplicate-verdict latency against a 1M-fingerprint on-device corpus
+  (north-star p50 < 1 s)
+- pairwise fingerprint compares/s implied by the corpus scan
+- timestamp-match latency against a 1M-video timestamp index
+- end-to-end 1080p MJPEG decode+hash (host decode bound)
+
+Measurement notes: on the axon TPU tunnel ``jax.block_until_ready`` does not
+actually wait for device completion, so every timing loop synchronizes by
+pulling a scalar reduction of the outputs to the host. Loops chain data
+dependencies where possible and sync once at the end.
+
+Usage: python bench.py  (runs on the default platform — the real TPU chip)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _sync(*arrays) -> float:
+    """Force device completion: reduce to scalars on device, pull to host.
+    (block_until_ready is unreliable over the axon tunnel.)"""
+    import jax.numpy as jnp
+
+    total = 0.0
+    for a in arrays:
+        total += float(jnp.sum(a.astype(jnp.float32) if a.dtype != jnp.float32 else a))
+    return total
+
+
+def bench_fingerprint_throughput(block_frames: int = 256, n_blocks: int = 512,
+                                 reps: int = 5):
+    """Single-dispatch streaming throughput: one jitted lax.scan consumes
+    n_blocks luma blocks (threading the scene carry exactly like production
+    streaming) and returns small accumulators. Data is generated on-device;
+    one dispatch + one sync per rep amortizes the ~25 ms tunnel RTT."""
+    import jax
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.fused import initial_fingerprint_carry
+    from tvidz_tpu.ops.phash import phash_batched
+    from tvidz_tpu.ops.scene import scene_scores_block
+
+    h, w = 90, 160
+
+    @jax.jit
+    def make_data(key):
+        bits = jax.random.randint(
+            key, (n_blocks, block_frames, h, w), 0, 256, dtype=jnp.int32
+        )
+        return bits.astype(jnp.uint8)
+
+    data = make_data(jax.random.PRNGKey(0))
+    _sync(data[0, 0, 0, :8])
+
+    @jax.jit
+    def stream(blocks):
+        def step(carry, tile):
+            scores, new_carry = scene_scores_block(tile, carry)
+            fps = phash_batched(tile)
+            return new_carry, (jnp.sum(scores), jnp.sum(fps[:, 0] ^ fps[:, 1]))
+
+        carry0 = initial_fingerprint_carry(h, w).scene
+        _, (s_acc, f_acc) = jax.lax.scan(step, carry0, blocks)
+        return jnp.sum(s_acc), jnp.sum(f_acc)
+
+    out = stream(data)  # compile
+    _sync(*out)
+
+    frames = n_blocks * block_frames
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = stream(data)
+        _sync(*out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    frames_per_s = frames / dt
+    _log(
+        f"fingerprint: {frames_per_s:,.0f} frames/s/chip "
+        f"({frames} frames/dispatch in {dt*1e3:.1f} ms, geometry {h}x{w}, "
+        f"{frames * h * w / dt / 1e9:.0f} GB/s luma)"
+    )
+    return frames_per_s
+
+
+def bench_verdict_latency(corpus_n: int = 1 << 20, query_m: int = 128,
+                          iters: int = 10):
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.hamming import corpus_min_distance
+
+    rng = np.random.default_rng(1)
+    corpus = jnp.asarray(
+        rng.integers(0, 2**32, size=(corpus_n, 2), dtype=np.uint32)
+    )
+    query = jnp.asarray(rng.integers(0, 2**32, size=(query_m, 2), dtype=np.uint32))
+    out = corpus_min_distance(query, corpus, block_n=8192)
+    _sync(*out)
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = corpus_min_distance(query, corpus, block_n=8192)
+        _sync(out[1], out[2])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    compares = query_m * corpus_n / p50
+    _log(
+        f"verdict: p50 {p50*1e3:.2f} ms vs {corpus_n:,} fingerprints "
+        f"({compares:,.0f} fingerprint compares/s)"
+    )
+    return p50, compares
+
+
+def bench_timestamp_match(n_videos: int = 1 << 20, max_cuts: int = 32,
+                          iters: int = 10):
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.timestamps import timestamp_match_counts
+
+    rng = np.random.default_rng(2)
+    corpus = rng.uniform(0, 3600, size=(n_videos, max_cuts)).astype(np.float32)
+    lens = np.full(n_videos, max_cuts, np.int32)
+    query = np.concatenate(
+        [corpus[12345, :8], rng.uniform(0, 3600, size=8).astype(np.float32)]
+    )
+    c = jnp.asarray(corpus)
+    l = jnp.asarray(lens)
+    q = jnp.asarray(query)
+    out = timestamp_match_counts(q, c, l, block_n=65536)
+    _sync(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = timestamp_match_counts(q, c, l, block_n=65536)
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    _log(f"timestamp match: p50 {p50*1e3:.2f} ms vs {n_videos:,} videos")
+    return p50
+
+
+def bench_e2e_decode_hash(num_frames: int = 120):
+    """End-to-end host decode (1080p MJPEG) -> device fingerprint, stderr-only:
+    the honest number including the host-side share of the work."""
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.decode import get_decoder, native
+    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    if not native.available():
+        _log("e2e: native decoder not built; skipping")
+        return None
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    model = FingerprintModel(cfg)
+    luma, _ = synthetic_video(num_frames=num_frames, height=1080, width=1920,
+                              cut_frames=(40,), seed=3)
+    path = os.path.join(tempfile.gettempdir(), "bench_1080p.avi")
+    write_mjpeg_avi(path, luma, fps=25.0, quality=90)
+    dec = get_decoder(path)
+    carry = model.init_carry()
+    warm = jnp.zeros((64, model.height, model.width), jnp.uint8)
+    s0, f0, _ = model.forward(warm, carry)
+    _sync(s0, f0)
+
+    t0 = time.perf_counter()
+    carry = model.init_carry()
+    frames = 0
+    acc = None
+    for block in dec.blocks(path, 64, model.height, model.width):
+        t = block.luma.shape[0]
+        buf = block.luma
+        if t < 64:
+            buf = np.concatenate([buf, np.repeat(buf[-1:], 64 - t, 0)])
+        scores, fps_arr, carry = model.forward(jnp.asarray(buf), carry)
+        acc = scores if acc is None else acc + scores
+        frames += t
+    _sync(acc)
+    dt = time.perf_counter() - t0
+    os.remove(path)
+    _log(
+        f"e2e 1080p MJPEG decode+hash: {frames/dt:,.0f} frames/s "
+        f"({frames} frames in {dt:.2f} s; host decode bound)"
+    )
+    return frames / dt
+
+
+def main() -> None:
+    import jax
+
+    _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    frames_per_s = bench_fingerprint_throughput()
+    try:
+        bench_verdict_latency()
+        bench_timestamp_match()
+        bench_e2e_decode_hash()
+    except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
+        _log(f"secondary benches failed: {e}")
+
+    print(json.dumps({
+        "metric": "1080p_frames_fingerprinted_per_sec_per_chip",
+        "value": round(frames_per_s, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / 20000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,9 @@
+#!/usr/bin/env bash
+# End-to-end integration test — the script the reference's CI references but
+# never ships (.github/workflows/integration-tests.yml:21-22, SURVEY.md §4).
+# Boots the full inspector service (HTTP + SSE + S3/SQS fakes standing in for
+# LocalStack), pushes real encoded uploads through the event path, and checks
+# scene cuts, duplicate verdicts, SSE framing, and admin/debug routes.
+set -euo pipefail
+cd "$(dirname "$0")"
+exec python scripts/integration_test.py "$@"

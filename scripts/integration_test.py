@@ -1,0 +1,175 @@
+"""Full-stack integration test (see ../integration-test.sh).
+
+Flow (mirrors the reference's intended E2E pseudocode,
+docs/tvidz-detailed-guide.md:709-740): boot service -> upload video #1 via
+the S3-event path -> watch SSE to 'done' -> upload a re-encoded copy under a
+frontend-style epoch-prefixed name -> expect a duplicate verdict naming
+video #1 -> exercise debug/admin routes -> report PASS/FAIL.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import threading
+import time
+
+import requests
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+PORT = int(os.environ.get("TVIDZ_IT_PORT", "5077"))
+BASE = f"http://127.0.0.1:{PORT}"
+
+
+def wait_http(url: str, timeout: float = 30.0) -> None:
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            requests.get(url, timeout=2)
+            return
+        except requests.RequestException:
+            time.sleep(0.3)
+    raise TimeoutError(f"service at {url} did not come up")
+
+
+def sse_frames(url: str, out: list, done: threading.Event) -> None:
+    with requests.get(url, stream=True, timeout=300) as r:
+        for line in r.iter_lines():
+            if line.startswith(b"data: "):
+                frame = json.loads(line[6:])
+                out.append(frame)
+                if frame.get("status") in ("done", "error"):
+                    break
+    done.set()
+
+
+def main() -> int:
+    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.decode import native
+
+    fake_root = tempfile.mkdtemp(prefix="tvidz-it-s3-")
+    os.environ.setdefault("BUILD_DATE", "integration")
+    server = None
+    import subprocess
+
+    server = subprocess.Popen(
+        [
+            sys.executable, "-m", "tvidz_tpu.service.entrypoint",
+            "--fake-aws", "--db", "sqlite:///:memory:",
+            "--host", "127.0.0.1", "--port", str(PORT),
+        ],
+        cwd=ROOT,
+        env={**os.environ, "TVIDZ_FAKE_S3_ROOT": fake_root},
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    failures = []
+
+    def check(name, cond, detail=""):
+        status = "PASS" if cond else "FAIL"
+        print(f"[integration] {status}: {name} {detail}")
+        if not cond:
+            failures.append(name)
+
+    try:
+        wait_http(f"{BASE}/healthz")
+        h = requests.get(f"{BASE}/healthz").json()
+        check("healthz", h.get("status") == "ok" and h.get("poller_alive"), h)
+
+        # Build uploads: MJPEG AVI if the native decoder is present, else y4m.
+        use_avi = native.available()
+        ext = "avi" if use_avi else "y4m"
+        luma, pts = synthetic_video(num_frames=200, height=240, width=320,
+                                    cut_frames=(60, 140), seed=21)
+        expected_cuts = [round(pts[60], 6), round(pts[140], 6)]
+        local1 = os.path.join(tempfile.gettempdir(), f"it-orig.{ext}")
+        if use_avi:
+            write_mjpeg_avi(local1, luma, fps=25.0)
+        else:
+            from tvidz_tpu.decode.y4m import write_y4m
+
+            write_y4m(local1, luma, fps=25.0)
+
+        bucket_dir = os.path.join("/tmp/tvidz-fake-s3", "videos")
+        os.makedirs(bucket_dir, exist_ok=True)
+
+        # Upload #1: SSE watcher first, then drop the object + notify.
+        frames1: list = []
+        done1 = threading.Event()
+        threading.Thread(
+            target=sse_frames,
+            args=(f"{BASE}/status/stream/orig.{ext}", frames1, done1),
+            daemon=True,
+        ).start()
+        time.sleep(0.3)
+        shutil.copy(local1, os.path.join(bucket_dir, f"orig.{ext}"))
+        r = requests.post(f"{BASE}/notify", json={
+            "Records": [{"s3": {"bucket": {"name": "videos"},
+                                "object": {"key": f"orig.{ext}"}}}]
+        })
+        check("notify accepted", r.status_code == 200, r.text)
+        check("sse terminated", done1.wait(timeout=120))
+        final1 = frames1[-1] if frames1 else {}
+        check("upload1 done", final1.get("status") == "done", final1)
+        check("upload1 cuts", final1.get("scene_cuts") == expected_cuts,
+              f"{final1.get('scene_cuts')} vs {expected_cuts}")
+        check("upload1 no dups", final1.get("duplicates") == [])
+
+        # Upload #2: re-encoded copy under an epoch-prefixed name.
+        name2 = f"{int(time.time()*1000)}-orig.{ext}"
+        local2 = os.path.join(tempfile.gettempdir(), f"it-dup.{ext}")
+        if use_avi:
+            write_mjpeg_avi(local2, luma, fps=25.0, quality=80)
+        else:
+            shutil.copy(local1, local2)
+        shutil.copy(local2, os.path.join(bucket_dir, name2))
+        r = requests.post(f"{BASE}/notify", json={
+            "Records": [{"s3": {"bucket": {"name": "videos"},
+                                "object": {"key": name2}}}]
+        })
+        check("notify2 accepted", r.status_code == 200)
+        verdict = {}
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            verdict = requests.get(f"{BASE}/status/{name2}").json()
+            if verdict.get("status") in ("done", "error"):
+                break
+            time.sleep(0.3)
+        check("upload2 done", verdict.get("status") == "done", verdict)
+        check("duplicate detected", verdict.get("duplicates") == [f"orig.{ext}"],
+              verdict.get("duplicates"))
+
+        dbg = requests.get(f"{BASE}/debug/videos").json()
+        check("debug videos", dbg.get("count") == 2, dbg.get("count"))
+        check("clear-db",
+              requests.post(f"{BASE}/admin/clear-db").json().get("status")
+              == "cleared")
+        dbg = requests.get(f"{BASE}/debug/videos").json()
+        check("cleared", dbg.get("count") == 0)
+        m = requests.get(f"{BASE}/metrics").json()
+        check("metrics", "stage_timings" in m)
+    finally:
+        if server:
+            server.terminate()
+            try:
+                out, _ = server.communicate(timeout=10)
+            except subprocess.TimeoutExpired:
+                server.kill()
+                out, _ = server.communicate()
+        shutil.rmtree(fake_root, ignore_errors=True)
+        shutil.rmtree("/tmp/tvidz-fake-s3", ignore_errors=True)
+
+    if failures:
+        print(f"[integration] FAILED: {failures}")
+        return 1
+    print("[integration] ALL CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

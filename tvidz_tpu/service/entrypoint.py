@@ -56,6 +56,21 @@ def bootstrap(config: Config, s3, sqs, retries: int = 30, wait_s: float = 2.0) -
         log("entrypoint", f"bucket create failed (may already exist): {e}")
 
 
+def _warmup_device(config: Config) -> None:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    model = FingerprintModel(config)
+    luma, carry = model.example_inputs()
+    scores, fps, _ = model.forward(luma, carry)
+    np.asarray(scores[:1])
+    log("entrypoint",
+        f"device warm: fused op compiled for "
+        f"{model.block_frames}x{model.height}x{model.width}")
+
+
 def main(argv=None) -> None:
     parser = argparse.ArgumentParser(description="tvidz_tpu inspector service")
     parser.add_argument("--host", default=None)
@@ -80,6 +95,13 @@ def main(argv=None) -> None:
     s3, sqs = build_clients(config, args.fake_aws)
     if not args.fake_aws:
         bootstrap(config, s3, sqs)
+
+    # Initialize the accelerator runtime from the MAIN thread before serving:
+    # first-touch of the axon TPU client from a worker thread deadlocks in
+    # device-to-host transfers while the main thread sits in select().
+    # Warming here also front-loads the fused-op compile so the first upload
+    # is fast.
+    _warmup_device(config)
 
     from tvidz_tpu.corpus.store import Store
 
