@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tvidz_tpu.ops.hamming import corpus_min_distance
+from tvidz_tpu.ops.hamming import corpus_min_distance_t
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
 
 _FP_SENTINEL = np.uint32(0xFFFFFFFF)
@@ -162,7 +162,9 @@ class DeviceCorpus:
 
     def _sync_fp(self) -> None:
         if self._fp_dirty or self._fp_dev is None:
-            self._fp_dev = jnp.asarray(self._fp)
+            # Word-major (W, N) device mirror — the Pallas scan kernel's
+            # lane-friendly layout (see ops/hamming.py).
+            self._fp_dev = jnp.asarray(np.ascontiguousarray(self._fp.T))
             self._fp_dirty = False
 
     def match_timestamps(
@@ -220,7 +222,7 @@ class DeviceCorpus:
             # min distance, whereas sentinel rows would fake matches against
             # mostly-set corpus frames.
             q = np.concatenate([q, np.repeat(q[:1], m_pad, axis=0)])
-        frame_min, _, _ = corpus_min_distance(
+        frame_min, _, _ = corpus_min_distance_t(
             jnp.asarray(q), fp_dev, block_n=self._fp_block_n
         )
         matched = np.asarray(frame_min)[:count_n] <= self.hamming_threshold

@@ -6,6 +6,7 @@ from tvidz_tpu.ops.hamming import (
     hamming_matrix,
     hamming_matrix_pm1,
     corpus_min_distance,
+    corpus_min_distance_t,
     corpus_nearest,
 )
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
@@ -24,6 +25,7 @@ __all__ = [
     "hamming_matrix",
     "hamming_matrix_pm1",
     "corpus_min_distance",
+    "corpus_min_distance_t",
     "corpus_nearest",
     "timestamp_match_counts",
     "align_scores",

