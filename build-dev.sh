@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Dev loop without containers: build the native decoder, run tests, start the
+# hermetic service (reference build-dev.sh role, minus docker).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+export BUILD_DATE="$(date -u +%Y-%m-%d)"
+export BUILD_TIME="$(date -u +%H:%M:%S)"
+export GIT_COMMIT="$(git rev-parse --short HEAD 2>/dev/null || echo unknown)-dev"
+
+make -C tvidz_tpu/decode/_native
+python -m pytest tests/ -q
+exec python -m tvidz_tpu.service.entrypoint --fake-aws \
+  --db "${TVIDZ_DB_URL:-sqlite:///tvidz-dev.db}" --port "${PORT:-5000}"

@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Production build: stamp build info and bring the stack up
+# (reference build.sh:9-33 role).
+set -euo pipefail
+cd "$(dirname "$0")"
+
+export BUILD_DATE="$(date -u +%Y-%m-%d)"
+export BUILD_TIME="$(date -u +%H:%M:%S)"
+export GIT_COMMIT="$(git rev-parse --short HEAD 2>/dev/null || echo unknown)"
+
+echo "Building tvidz-tpu  date=${BUILD_DATE} time=${BUILD_TIME} commit=${GIT_COMMIT}"
+docker compose build \
+  --build-arg BUILD_DATE="${BUILD_DATE}" \
+  --build-arg BUILD_TIME="${BUILD_TIME}" \
+  --build-arg GIT_COMMIT="${GIT_COMMIT}"
+docker compose up -d
+echo "Stack is up: frontend+API on :5001 (and :3000), S3/SQS on :4566."

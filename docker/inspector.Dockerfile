@@ -1,0 +1,31 @@
+# tvidz_tpu inspector service image.
+# Role of the reference's inspector/Dockerfile: python base + native decode
+# toolchain + the service entrypoint. The TPU runtime (libtpu/jax[tpu]) is
+# provided by the deployment base image on TPU VMs; this file defaults to the
+# CPU jax wheel so the image also runs in dev/CI.
+ARG BASE=python:3.12-slim
+FROM ${BASE}
+
+# Build-info stamping (reference inspector/Dockerfile:6-11).
+ARG BUILD_DATE=unknown
+ARG BUILD_TIME=unknown
+ARG GIT_COMMIT=unknown
+ENV BUILD_DATE=${BUILD_DATE} BUILD_TIME=${BUILD_TIME} GIT_COMMIT=${GIT_COMMIT} \
+    PYTHONUNBUFFERED=1
+
+# Native decode toolchain + libav dev headers (replaces the reference's
+# ffmpeg CLI apt install, inspector/Dockerfile:13 — we link libav directly).
+RUN apt-get update && apt-get install -y --no-install-recommends \
+        g++ make pkg-config \
+        libavformat-dev libavcodec-dev libavutil-dev libswscale-dev \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /app
+COPY requirements.txt ./
+RUN pip install --no-cache-dir -r requirements.txt
+
+COPY tvidz_tpu ./tvidz_tpu
+RUN make -C tvidz_tpu/decode/_native
+
+EXPOSE 5000
+ENTRYPOINT ["python", "-m", "tvidz_tpu.service.entrypoint"]

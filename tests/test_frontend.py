@@ -1,0 +1,80 @@
+"""Frontend serving + the same-origin upload route's full event path."""
+
+import os
+import time
+
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.service.app import create_app
+from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+
+@pytest.fixture
+def app(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.service.sse_poll_s = 0.02
+    os.makedirs(cfg.pipeline.tmp_dir)
+    sqs = FakeSQS()
+    s3 = FakeS3(str(tmp_path / "s3"))
+    sqs.create_queue(cfg.service.sqs_queue)
+    s3.create_bucket(cfg.service.s3_bucket)
+    s3.configure_notification(sqs, cfg.service.sqs_queue)
+    inspector = create_app(
+        config=cfg, store=Store("sqlite:///:memory:"),
+        corpus=DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                            fp_block_n=256),
+        s3=s3, sqs=sqs,
+    )
+    yield inspector
+    inspector.stop()
+
+
+def test_index_served(app):
+    client = app.wsgi.test_client()
+    resp = client.get("/")
+    assert resp.status_code == 200
+    assert resp.headers["Content-Type"].startswith("text/html")
+    body = resp.body_bytes().decode()
+    # Reference-UI feature set must be present (App.js parity).
+    for needle in ("Upload video", "Clean database", "Build info",
+                   "Scene cuts", "Duplicates", "EventSource",
+                   "status/stream"):
+        assert needle in body, needle
+    assert client.get("/index.html").status_code == 200
+
+
+def test_upload_route_triggers_event_analysis(app, tmp_path):
+    app.start_poller()
+    client = app.wsgi.test_client()
+    path = str(tmp_path / "up.y4m")
+    write_synthetic_y4m(path, num_frames=120, height=72, width=96,
+                        cut_frames=(40,), seed=4)
+    data = open(path, "rb").read()
+    key = "1234567890-up.y4m"
+    resp = client.post(f"/upload/{key}", data=data,
+                       content_type="application/octet-stream")
+    assert resp.status_code == 200
+    assert resp.get_json()["bytes"] == len(data)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        d = client.get(f"/status/{key}").get_json()
+        if d.get("status") in ("done", "error"):
+            break
+        time.sleep(0.05)
+    assert d["status"] == "done"
+    assert d["total_cuts"] == 1
+    assert d["clean_filename"] == "up.y4m"
+
+
+def test_upload_empty_body_rejected(app):
+    client = app.wsgi.test_client()
+    resp = client.post("/upload/x.y4m", data=b"")
+    assert resp.status_code == 400

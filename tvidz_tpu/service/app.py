@@ -217,6 +217,35 @@ class InspectorApp:
 
         # -- framework extensions (not in the reference) --------------------
 
+        @app.route("/", methods=["GET"])
+        @app.route("/index.html", methods=["GET"])
+        def index(request: Request):
+            """First-party frontend (the reference serves its React app from
+            a separate container on :3000; ours is dependency-free and served
+            in-process — same features, see static/index.html)."""
+            path = os.path.join(os.path.dirname(__file__), "static", "index.html")
+            with open(path, "rb") as f:
+                return Response(f.read(), mimetype="text/html; charset=utf-8")
+
+        @app.route("/upload/<key>", methods=["POST"])
+        def upload(request: Request, key: str):
+            """Direct upload: store the object in S3 and let the configured
+            event path (S3 notification -> SQS -> poller) trigger analysis;
+            without a queue, dispatch directly. Replaces the reference
+            frontend's browser-side presigned S3 PUT (App.js:201-249) with a
+            same-origin route so the UI works without AWS credentials."""
+            if self.s3 is None:
+                return jsonify({"error": "no S3 client configured"}, 500)
+            data = request.body
+            if not data:
+                return jsonify({"error": "empty upload"}, 400)
+            bucket = cfg.service.s3_bucket
+            self.s3.put_object(bucket, key, data)
+            if self.sqs is None:
+                self.start_analysis_thread(bucket, key)
+            return jsonify({"status": "uploaded", "bucket": bucket, "key": key,
+                            "bytes": len(data)})
+
         @app.route("/healthz", methods=["GET"])
         def healthz(request: Request):
             return jsonify({

@@ -72,6 +72,16 @@ def _warmup_device(config: Config) -> None:
 
 
 def main(argv=None) -> None:
+    # Dev/off-TPU override (the image's import hook ignores JAX_PLATFORMS,
+    # so this must go through jax.config after import).
+    import os
+
+    platform = os.environ.get("TVIDZ_JAX_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
     parser = argparse.ArgumentParser(description="tvidz_tpu inspector service")
     parser.add_argument("--host", default=None)
     parser.add_argument("--port", type=int, default=None)
