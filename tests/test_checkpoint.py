@@ -1,0 +1,127 @@
+"""Checkpoint/resume: serialization round-trip, fault-injected interrupt,
+bit-identical resume vs an uninterrupted run."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.ops.fused import initial_fingerprint_carry
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.checkpoint import AnalysisCheckpoint, content_signature
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+def test_checkpoint_blob_roundtrip(rng):
+    ckpt = AnalysisCheckpoint.capture(
+        content_sig="abc123",
+        frames_done=256,
+        scene_cuts=[1.2, 3.4],
+        fingerprints=[rng.integers(0, 2**32, size=(256, 2), dtype=np.uint32)],
+        carry=initial_fingerprint_carry(72, 96),
+    )
+    back = AnalysisCheckpoint.from_blob(ckpt.to_blob())
+    assert back.content_sig == "abc123"
+    assert back.frames_done == 256
+    assert back.scene_cuts == [1.2, 3.4]
+    np.testing.assert_array_equal(back.fingerprints, ckpt.fingerprints)
+    np.testing.assert_array_equal(back.carry_prev_frame, ckpt.carry_prev_frame)
+    assert back.carry_has_prev == ckpt.carry_has_prev
+
+
+def test_content_signature_changes_with_content(tmp_path):
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    open(p1, "wb").write(b"x" * 100000)
+    open(p2, "wb").write(b"x" * 99999 + b"y")
+    assert content_signature(p1) != content_signature(p2)
+    assert content_signature(p1) == content_signature(p1)
+
+
+class _FlakyDecoderEnv:
+    """Fetcher works; decode killed after N blocks via a poisoned block
+    iterator (fault injection for the streaming loop)."""
+
+
+@pytest.fixture
+def env(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.checkpoint_every_blocks = 2
+    cfg.pipeline.download_retries = 1
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                          fp_block_n=256)
+    analyzer = Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+    return analyzer, store, bucket
+
+
+def test_interrupted_analysis_resumes_bit_identical(env, monkeypatch):
+    analyzer, store, bucket = env
+    write_synthetic_y4m(str(bucket / "long.y4m"), num_frames=320, height=72,
+                        width=96, cut_frames=(100, 250), seed=13)
+
+    # Reference (uninterrupted) run against a scratch store.
+    ref_store = Store("sqlite:///:memory:")
+    ref = Analyzer(ref_store, DeviceCorpus(ts_initial_capacity=8,
+                                           fp_initial_capacity=1024,
+                                           fp_block_n=256),
+                   AnalysisRegistry(), analyzer.fetcher, analyzer.config)
+    ref_res = ref.analyze("videos", "long.y4m")
+    assert ref_res.status == "done"
+    ref_fps = ref_store.get_fingerprints(ref_res.video_id)
+
+    # Fault injection: kill the stream after 5 blocks (160 frames).
+    from tvidz_tpu.decode.y4m import Y4MDecoder
+
+    real_blocks = Y4MDecoder.blocks
+
+    def dying_blocks(self, path, block_frames, height, width):
+        for i, blk in enumerate(real_blocks(self, path, block_frames, height, width)):
+            if i == 5:
+                raise RuntimeError("injected decode fault")
+            yield blk
+
+    monkeypatch.setattr(Y4MDecoder, "blocks", dying_blocks)
+    res1 = analyzer.analyze("videos", "long.y4m")
+    assert res1.status == "error"
+    # A checkpoint must exist (4 full blocks = 128 frames at every=2).
+    local = str(bucket / "long.y4m")
+    sig = content_signature(local)
+    blob = store.load_checkpoint(sig)
+    assert blob is not None
+    ckpt = AnalysisCheckpoint.from_blob(blob)
+    assert ckpt.frames_done == 128
+
+    # Heal the decoder and re-run: must resume and match the reference run.
+    monkeypatch.setattr(Y4MDecoder, "blocks", real_blocks)
+    res2 = analyzer.analyze("videos", "long.y4m")
+    assert res2.status == "done"
+    assert res2.scene_cuts == ref_res.scene_cuts
+    got_fps = store.get_fingerprints(res2.video_id)
+    np.testing.assert_array_equal(got_fps, ref_fps)
+    # Checkpoint cleaned up after success.
+    assert store.load_checkpoint(sig) is None
+
+
+def test_checkpoint_disabled(env):
+    analyzer, store, bucket = env
+    analyzer.config.pipeline.checkpoint_every_blocks = 0
+    write_synthetic_y4m(str(bucket / "v.y4m"), num_frames=96, height=72,
+                        width=96, cut_frames=(50,), seed=2)
+    res = analyzer.analyze("videos", "v.y4m")
+    assert res.status == "done"

@@ -105,6 +105,10 @@ class PipelineConfig:
     download_chunk_bytes: int = 8192
     # Working directory for downloaded files (app.py:135).
     tmp_dir: str = "/tmp"
+    # Checkpoint streaming progress every N blocks so interrupted long-video
+    # analyses resume instead of restarting (SURVEY.md §5; reference loses
+    # everything on restart). 0 disables.
+    checkpoint_every_blocks: int = 8
 
 
 @dataclasses.dataclass

@@ -63,6 +63,11 @@ CREATE TABLE IF NOT EXISTS video_fingerprints (
     words INTEGER NOT NULL,
     fingerprints BLOB NOT NULL
 );
+CREATE TABLE IF NOT EXISTS analysis_checkpoints (
+    logical_key TEXT PRIMARY KEY,
+    blob BLOB NOT NULL,
+    updated_at TEXT
+);
 CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
 CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
 """
@@ -85,6 +90,11 @@ CREATE TABLE IF NOT EXISTS video_fingerprints (
     video_id INTEGER REFERENCES videos(id),
     words INTEGER NOT NULL,
     fingerprints BYTEA NOT NULL
+);
+CREATE TABLE IF NOT EXISTS analysis_checkpoints (
+    logical_key VARCHAR PRIMARY KEY,
+    blob BYTEA NOT NULL,
+    updated_at TIMESTAMP
 );
 CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
 CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
@@ -319,12 +329,55 @@ class Store:
             out.append((int(vid), arr.copy()))
         return out
 
+    # -- analysis checkpoints (SURVEY.md §5 checkpoint/resume mandate) ----------
+
+    def save_checkpoint(self, logical_key: str, blob: bytes) -> None:
+        ph = self._ph()
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        now_v = now.isoformat() if self._backend == "sqlite" else now
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"UPDATE analysis_checkpoints SET blob = {ph}, updated_at = {ph} "
+                f"WHERE logical_key = {ph}",
+                (blob, now_v, logical_key),
+            )
+            if cur.rowcount == 0:
+                cur.execute(
+                    f"INSERT INTO analysis_checkpoints (logical_key, blob, updated_at) "
+                    f"VALUES ({ph}, {ph}, {ph})",
+                    (logical_key, blob, now_v),
+                )
+            self._conn.commit()
+
+    def load_checkpoint(self, logical_key: str) -> Optional[bytes]:
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT blob FROM analysis_checkpoints WHERE logical_key = {ph}",
+                (logical_key,),
+            )
+            row = cur.fetchone()
+        return bytes(row[0]) if row else None
+
+    def delete_checkpoint(self, logical_key: str) -> None:
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"DELETE FROM analysis_checkpoints WHERE logical_key = {ph}",
+                (logical_key,),
+            )
+            self._conn.commit()
+
     # -- admin ------------------------------------------------------------------
 
     def clear(self) -> None:
         """Delete all rows (reference /admin/clear-db, app.py:325-333)."""
         with self._lock:
             cur = self._conn.cursor()
+            cur.execute("DELETE FROM analysis_checkpoints")
             cur.execute("DELETE FROM video_fingerprints")
             cur.execute("DELETE FROM video_timestamps")
             cur.execute("DELETE FROM videos")

@@ -68,7 +68,11 @@ def _downscale_luma(luma: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     else:
         ph = golden.area_resize_matrix(h, out_h)
         pw = golden.area_resize_matrix(w, out_w)
-        out = np.einsum("hH,tHW,wW->thw", ph, luma.astype(np.float32), pw)
+        # Two BLAS matmuls; a single 3-operand np.einsum without optimize=True
+        # falls back to naive nested loops (~100x slower on 128-frame blocks).
+        tmp = luma.astype(np.float32) @ pw.T                 # (T, H, out_w)
+        out = np.tensordot(tmp, ph, axes=([1], [1]))         # (T, out_w, out_h)
+        out = out.transpose(0, 2, 1)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 

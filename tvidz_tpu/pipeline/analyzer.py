@@ -214,8 +214,46 @@ class Analyzer:
         last_update_time = time.time()
         current_frame = 0
 
+        # Resume from a prior interrupted run of the same content, if any
+        # (pipeline/checkpoint.py; the reference restarts from scratch).
+        ckpt_key: Optional[str] = None
+        resume_from = 0
+        blocks_since_ckpt = 0
+        if cfg.pipeline.checkpoint_every_blocks > 0:
+            from tvidz_tpu.pipeline.checkpoint import (
+                AnalysisCheckpoint,
+                content_signature,
+            )
+
+            ckpt_key = content_signature(local_path)
+            blob = self.store.load_checkpoint(ckpt_key)
+            if blob is not None:
+                try:
+                    ckpt = AnalysisCheckpoint.from_blob(blob)
+                    # Only resume on exact content + block-aligned progress
+                    # with matching geometry; otherwise restart cleanly.
+                    if (
+                        ckpt.content_sig == ckpt_key
+                        and ckpt.frames_done % block_t == 0
+                        and ckpt.carry_prev_frame.shape == (h, w)
+                    ):
+                        resume_from = ckpt.frames_done
+                        scene_cuts = list(ckpt.scene_cuts)
+                        if ckpt.fingerprints.shape[0]:
+                            all_fps = [ckpt.fingerprints]
+                        carry = ckpt.restore_carry()
+                        log("checkpoint",
+                            f"resuming {filename} at frame {resume_from} "
+                            f"({len(scene_cuts)} cuts so far)")
+                except Exception as e:  # noqa: BLE001 — corrupt ckpt = restart
+                    log("checkpoint", f"ignoring unreadable checkpoint: {e}")
+
         for block in decoder.blocks(local_path, block_t, h, w):
             t = block.luma.shape[0]
+            if block.start_frame + t <= resume_from:
+                # Already fingerprinted in a previous run: replay decode only.
+                current_frame = block.start_frame + t
+                continue
             luma = block.luma
             if t < block_t:
                 # Pad to the static block shape; outputs beyond t are dropped.
@@ -292,6 +330,22 @@ class Analyzer:
                     ),
                 )
 
+            blocks_since_ckpt += 1
+            if (
+                ckpt_key is not None
+                and t == block_t
+                and blocks_since_ckpt >= cfg.pipeline.checkpoint_every_blocks
+            ):
+                from tvidz_tpu.pipeline.checkpoint import AnalysisCheckpoint
+
+                blocks_since_ckpt = 0
+                self.store.save_checkpoint(
+                    ckpt_key,
+                    AnalysisCheckpoint.capture(
+                        ckpt_key, current_frame, scene_cuts, all_fps, carry
+                    ).to_blob(),
+                )
+
             if duplicate_found and cfg.pipeline.early_exit:
                 # Early termination — the analog of process.terminate()
                 # (app.py:249-255): stop decoding, keep what we have.
@@ -318,6 +372,8 @@ class Analyzer:
             fps_full = np.concatenate(all_fps)
             self.store.add_fingerprints(video_id, fps_full)
             self.corpus.append_fingerprints(video_id, fps_full)
+        if ckpt_key is not None:
+            self.store.delete_checkpoint(ckpt_key)
 
         return scene_cuts, dups_to_report
 

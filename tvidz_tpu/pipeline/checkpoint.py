@@ -1,0 +1,127 @@
+"""Per-tile analysis checkpointing.
+
+The reference loses all in-flight analysis state on restart (in-memory
+``analysis_results``, app.py:28; SURVEY.md §5 "an interrupted analysis is
+simply re-run from scratch"). For long-form video (BASELINE config #4: 1 hr
+4K) a from-scratch rerun is expensive, so the analyzer checkpoints streaming
+progress every N blocks: frames done, cut timestamps, packed fingerprints so
+far, and the exact kernel carry (previous luma frame + mafd), keyed by the
+upload identity plus a content signature. Resuming replays decode up to the
+checkpoint (cheap, no device work) and continues bit-identically — verified
+by tests/test_checkpoint.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import io
+import json
+import os
+import struct
+from typing import List, Optional
+
+import numpy as np
+
+from tvidz_tpu.ops.fused import FingerprintCarry
+from tvidz_tpu.ops.scene import SceneCarry
+
+
+def content_signature(path: str) -> str:
+    """Cheap identity for a downloaded file: size + head/tail sample hash."""
+    size = os.path.getsize(path)
+    h = hashlib.sha256()
+    h.update(str(size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(65536))
+        if size > 65536:
+            # Overlap with the head is fine; what matters is covering the tail.
+            f.seek(-min(65536, size), os.SEEK_END)
+            h.update(f.read(65536))
+    return h.hexdigest()[:32]
+
+
+@dataclasses.dataclass
+class AnalysisCheckpoint:
+    content_sig: str
+    frames_done: int
+    scene_cuts: List[float]
+    fingerprints: np.ndarray          # (frames_done, words) uint32
+    carry_prev_frame: np.ndarray      # (H, W) float32
+    carry_prev_mafd: float
+    carry_has_prev: bool
+
+    def to_blob(self) -> bytes:
+        buf = io.BytesIO()
+        meta = {
+            "content_sig": self.content_sig,
+            "frames_done": self.frames_done,
+            "scene_cuts": self.scene_cuts,
+            "fp_shape": list(self.fingerprints.shape),
+            "frame_shape": list(self.carry_prev_frame.shape),
+            "prev_mafd": float(self.carry_prev_mafd),
+            "has_prev": bool(self.carry_has_prev),
+        }
+        mb = json.dumps(meta).encode()
+        buf.write(struct.pack("<I", len(mb)))
+        buf.write(mb)
+        buf.write(np.ascontiguousarray(self.fingerprints, np.uint32).tobytes())
+        buf.write(np.ascontiguousarray(self.carry_prev_frame, np.float32).tobytes())
+        return buf.getvalue()
+
+    @classmethod
+    def from_blob(cls, blob: bytes) -> "AnalysisCheckpoint":
+        (mlen,) = struct.unpack_from("<I", blob, 0)
+        meta = json.loads(blob[4 : 4 + mlen].decode())
+        off = 4 + mlen
+        fp_shape = tuple(meta["fp_shape"])
+        fp_n = int(np.prod(fp_shape)) if fp_shape else 0
+        fp = np.frombuffer(blob, np.uint32, count=fp_n, offset=off).reshape(fp_shape).copy()
+        off += fp_n * 4
+        fr_shape = tuple(meta["frame_shape"])
+        fr_n = int(np.prod(fr_shape))
+        frame = np.frombuffer(blob, np.float32, count=fr_n, offset=off).reshape(fr_shape).copy()
+        return cls(
+            content_sig=meta["content_sig"],
+            frames_done=int(meta["frames_done"]),
+            scene_cuts=[float(x) for x in meta["scene_cuts"]],
+            fingerprints=fp,
+            carry_prev_frame=frame,
+            carry_prev_mafd=float(meta["prev_mafd"]),
+            carry_has_prev=bool(meta["has_prev"]),
+        )
+
+    def restore_carry(self) -> FingerprintCarry:
+        import jax.numpy as jnp
+
+        return FingerprintCarry(
+            scene=SceneCarry(
+                prev_frame=jnp.asarray(self.carry_prev_frame),
+                prev_mafd=jnp.asarray(self.carry_prev_mafd, jnp.float32),
+                has_prev=jnp.asarray(self.carry_has_prev, bool),
+            )
+        )
+
+    @classmethod
+    def capture(
+        cls,
+        content_sig: str,
+        frames_done: int,
+        scene_cuts: List[float],
+        fingerprints: List[np.ndarray],
+        carry: FingerprintCarry,
+    ) -> "AnalysisCheckpoint":
+        fp = (
+            np.concatenate(fingerprints)
+            if fingerprints
+            else np.zeros((0, 2), np.uint32)
+        )
+        return cls(
+            content_sig=content_sig,
+            frames_done=frames_done,
+            scene_cuts=list(scene_cuts),
+            fingerprints=fp,
+            carry_prev_frame=np.asarray(carry.scene.prev_frame, np.float32),
+            carry_prev_mafd=float(np.asarray(carry.scene.prev_mafd)),
+            carry_has_prev=bool(np.asarray(carry.scene.has_prev)),
+        )
