@@ -1,0 +1,92 @@
+"""Hash family parity (golden vs TPU batched) and registry behavior."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.ops.hashes import (
+    HASH_REGISTRY,
+    ahash_batched,
+    dhash_batched,
+    get_hash_fn,
+    golden_ahash,
+    golden_dhash,
+    golden_phash256,
+    hash_words,
+    phash256_batched,
+)
+
+
+def _frames(rng, n=5):
+    # structured content (block grid) — realistic for hashes
+    cell = 8
+    g = rng.integers(0, 256, size=(n, 12, 20)).astype(np.float32)
+    return np.kron(g, np.ones((1, cell, cell))).astype(np.uint8)[:, :90, :160]
+
+
+@pytest.mark.parametrize("name,batched,gold,words", [
+    ("ahash", ahash_batched, golden_ahash, 2),
+    ("dhash", dhash_batched, golden_dhash, 2),
+    ("phash256", phash256_batched, golden_phash256, 8),
+])
+def test_hash_parity(rng, name, batched, gold, words):
+    frames = _frames(rng)
+    got = np.asarray(batched(jnp.asarray(frames)))
+    assert got.shape == (frames.shape[0], words)
+    want = np.stack([gold(f) for f in frames])
+    ham = golden.hamming_matrix(got, want)
+    # near-identical (float-noise at threshold boundaries tolerated)
+    assert np.diag(ham).max() <= max(2, words), np.diag(ham)
+
+
+def test_registry():
+    assert set(HASH_REGISTRY) == {"ahash", "dhash", "phash", "phash256"}
+    assert hash_words("phash256") == 8
+    assert hash_words("phash") == 2
+    with pytest.raises(KeyError):
+        get_hash_fn("nope")
+
+
+def test_dhash_brightness_invariance(rng):
+    frames = _frames(rng, n=1)
+    bright = np.clip(frames.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    h1 = np.asarray(dhash_batched(jnp.asarray(frames)))
+    h2 = np.asarray(dhash_batched(jnp.asarray(bright)))
+    d = golden.hamming_matrix(h1, h2)[0, 0]
+    assert d <= 6, d
+
+
+def test_fused_block_with_alternate_algorithm(rng):
+    from tvidz_tpu.ops.fused import fingerprint_block, initial_fingerprint_carry
+
+    frames = _frames(rng, n=8)
+    carry = initial_fingerprint_carry(frames.shape[1], frames.shape[2])
+    scores, fps, _ = fingerprint_block(
+        jnp.asarray(frames), carry, algorithm="phash256"
+    )
+    assert fps.shape == (8, 8)
+    scores2, fps2, _ = fingerprint_block(
+        jnp.asarray(frames), initial_fingerprint_carry(*frames.shape[1:]),
+        algorithm="dhash",
+    )
+    assert fps2.shape == (8, 2)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(scores2))
+
+
+def test_locate_fragment(rng):
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+
+    c = DeviceCorpus(fp_initial_capacity=512, fp_block_n=128, hamming_threshold=5)
+    fp_a = rng.integers(0, 2**32, size=(100, 2), dtype=np.uint32)
+    fp_b = rng.integers(0, 2**32, size=(80, 2), dtype=np.uint32)
+    c.append_fingerprints(1, fp_a)
+    c.append_fingerprints(2, fp_b)
+    frag = fp_b[30:50]
+    hits = c.locate_fragment(frag, top_k=2)
+    assert hits[0][0] == 2
+    assert hits[0][1] == 30
+    assert hits[0][2] == 20
+    # exclusion
+    hits = c.locate_fragment(frag, top_k=2, exclude_video_id=2)
+    assert all(h[0] != 2 for h in hits)

@@ -225,6 +225,41 @@ def test_sse_pending_then_done(app, client):
     assert frames[-1]["status"] == "done"
 
 
+def test_search_fragment_route(app, client):
+    """Partial-reuse search over the API: a span of video B must locate
+    inside the corpus copy of the same content."""
+    app.start_poller()
+    s3 = app.s3
+    first = _upload_and_wait(app, client, s3, "frag-src.y4m", seed=33,
+                             cut_frames=(60,))
+    assert first["status"] == "done"
+    # Duplicate content under a new name; disable early exit so the full
+    # fingerprint sequence is stored for both.
+    app.config.pipeline.early_exit = False
+    second = _upload_and_wait(app, client, s3, "999-frag-src.y4m", seed=33,
+                              cut_frames=(60,))
+    assert second["status"] == "done"
+    r = client.post("/search/fragment", json_body={
+        "filename": "frag-src.y4m", "start_frame": 100, "num_frames": 40,
+    })
+    assert r.status_code == 200
+    data = r.get_json()
+    assert data["matches"], data
+    top = data["matches"][0]
+    assert top["filename"] == "frag-src.y4m"  # the re-upload's clean name
+    # Synthetic segments are visually constant, so every offset that keeps
+    # the fragment inside segment 2 (frames 60..200) scores maximally; the
+    # aligner returns the first of that plateau. Frame-exact offsets are
+    # covered by test_locate_fragment with per-frame-distinct fingerprints.
+    assert 60 <= top["offset_frames"] <= 160
+    assert top["match_count"] >= 35
+
+    # error paths
+    assert client.post("/search/fragment", json_body={}).status_code == 400
+    assert client.post("/search/fragment",
+                       json_body={"filename": "ghost.y4m"}).status_code == 404
+
+
 def test_at_least_once_redelivery(app, client):
     """A message left in flight (not deleted) is redelivered and eventually
     processed — the at-least-once contract (app.py:476-479)."""

@@ -49,10 +49,19 @@ class HashConfig:
 
     dct_size: int = 32
     hash_size: int = 8
+    # Fingerprint family: ahash | dhash | phash | phash256
+    # (ops/hashes.HASH_REGISTRY). "phash" honors dct_size/hash_size.
+    algorithm: str = dataclasses.field(
+        default_factory=lambda: _env("HASH_ALGO", "phash")
+    )
 
     @property
     def bits(self) -> int:
-        return self.hash_size * self.hash_size
+        if self.algorithm == "phash":
+            return self.hash_size * self.hash_size
+        from tvidz_tpu.ops.hashes import hash_words
+
+        return 32 * hash_words(self.algorithm)
 
     @property
     def words(self) -> int:

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tvidz_tpu.ops.align import batch_best_alignment
 from tvidz_tpu.ops.hamming import corpus_min_distance_t
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
 
@@ -237,3 +238,49 @@ class DeviceCorpus:
         ]
         out.sort(key=lambda vc: -vc[1])
         return out
+
+    def locate_fragment(
+        self,
+        query_fps: np.ndarray,
+        top_k: int = 5,
+        hamming_threshold: Optional[int] = None,
+        exclude_video_id: Optional[int] = None,
+    ) -> List[Tuple[int, int, int]]:
+        """Partial-reuse localization (BASELINE config #3): find where a
+        fingerprint fragment best aligns inside each corpus video.
+
+        query_fps: (Tq, W) packed uint32 fragment sequence.
+        Returns [(video_id, best_offset_frames, match_count)] sorted by
+        match_count desc, top_k entries. Offsets are relative to the
+        candidate video's first fingerprinted frame.
+        """
+        thr = self.hamming_threshold if hamming_threshold is None else hamming_threshold
+        with self._lock:
+            if self._fp_count == 0 or query_fps.shape[0] == 0:
+                return []
+            vids = self._fp_vid[: self._fp_count]
+            fps = self._fp[: self._fp_count]
+        # Per-video contiguous sequences (append order preserves time order).
+        uniq = [int(v) for v in dict.fromkeys(vids.tolist()) if v >= 0]
+        uniq = [v for v in uniq if v != exclude_video_id]
+        if not uniq:
+            return []
+        seqs = {v: fps[vids == v] for v in uniq}
+        max_t = max(s.shape[0] for s in seqs.values())
+        # Round up to bound jit recompiles across corpora of similar size.
+        max_t = max(64, -(-max_t // 64) * 64)
+        cand = np.full((len(uniq), max_t, self.words), _FP_SENTINEL, np.uint32)
+        lens = np.zeros(len(uniq), np.int32)
+        for i, v in enumerate(uniq):
+            s = seqs[v]
+            cand[i, : s.shape[0]] = s
+            lens[i] = s.shape[0]
+        offs, scores = batch_best_alignment(
+            jnp.asarray(query_fps, jnp.uint32),
+            jnp.asarray(cand),
+            jnp.asarray(lens),
+            hamming_threshold=thr,
+        )
+        offs, scores = np.asarray(offs), np.asarray(scores)
+        order = np.argsort(-scores)[:top_k]
+        return [(uniq[i], int(offs[i]), int(scores[i])) for i in order]

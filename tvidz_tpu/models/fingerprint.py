@@ -41,6 +41,7 @@ class FingerprintModel:
         self.width = p.scene_width
         self.dct_size = self.config.hash.dct_size
         self.hash_size = self.config.hash.hash_size
+        self.algorithm = self.config.hash.algorithm
 
     # -- single-stream API ------------------------------------------------------
 
@@ -51,7 +52,8 @@ class FingerprintModel:
         self, luma_block: jnp.ndarray, carry: FingerprintCarry
     ) -> Tuple[jnp.ndarray, jnp.ndarray, FingerprintCarry]:
         return fingerprint_block(
-            luma_block, carry, dct_size=self.dct_size, hash_size=self.hash_size
+            luma_block, carry, dct_size=self.dct_size,
+            hash_size=self.hash_size, algorithm=self.algorithm,
         )
 
     def example_inputs(self) -> Tuple[jnp.ndarray, FingerprintCarry]:

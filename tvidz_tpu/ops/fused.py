@@ -33,14 +33,26 @@ def initial_fingerprint_carry(height: int, width: int) -> FingerprintCarry:
     return FingerprintCarry(scene=initial_scene_carry(height, width))
 
 
-@functools.partial(jax.jit, static_argnames=("dct_size", "hash_size"))
+@functools.partial(
+    jax.jit, static_argnames=("dct_size", "hash_size", "algorithm")
+)
 def fingerprint_block(
     luma: jnp.ndarray,                # (T, H, W) uint8/float luma
     carry: FingerprintCarry,
     dct_size: int = 32,
     hash_size: int = 8,
+    algorithm: str = "phash",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, FingerprintCarry]:
-    """Returns (scores (T,) f32, fingerprints (T, words) uint32, new carry)."""
+    """Returns (scores (T,) f32, fingerprints (T, words) uint32, new carry).
+
+    ``algorithm`` selects the fingerprint family (ops/hashes.HASH_REGISTRY:
+    ahash / dhash / phash / phash256); "phash" honors dct_size/hash_size.
+    """
     scores, scene_carry = scene_scores_block(luma, carry.scene)
-    fps = phash_batched(luma, dct_size=dct_size, hash_size=hash_size)
+    if algorithm == "phash":
+        fps = phash_batched(luma, dct_size=dct_size, hash_size=hash_size)
+    else:
+        from tvidz_tpu.ops.hashes import get_hash_fn
+
+        fps = get_hash_fn(algorithm)(luma)
     return scores, fps, FingerprintCarry(scene=scene_carry)

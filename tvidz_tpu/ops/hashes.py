@@ -1,0 +1,115 @@
+"""The perceptual-hash family beyond the default 64-bit DCT pHash.
+
+The reference has exactly one "algorithm" (exact timestamp matching,
+db.py:76-94); the rebuild's fingerprint layer is pluggable. All variants
+produce packed uint32 words compatible with the Hamming kernels
+(ops/hamming.py) and the corpus layout:
+
+- ``ahash``     — average hash: 8x8 area resize, mean threshold. 64 bits.
+  Cheapest; robust to blur, weak to brightness shifts.
+- ``dhash``     — difference hash: 8x9 resize, horizontal gradient sign.
+  64 bits. Robust to global brightness/contrast changes.
+- ``phash``     — DCT hash (ops/phash.py): 32x32 resize, 2D DCT-II, low 8x8
+  block vs median. 64 bits. The default.
+- ``phash256``  — multi-scale DCT hash: 64x64 resize, low 16x16 block vs
+  median. 256 bits (8 words) for corpus-scale precision (fewer random
+  collisions at 1M+ fingerprints).
+
+Each has a NumPy golden model here-adjacent (golden_* functions) and a
+batched TPU implementation; parity tested in tests/test_ops_hashes.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.ops.phash import _pack_bits_u32, phash_batched
+from tvidz_tpu.ops.resize import resize_matrices
+
+# ---------------------------------------------------------------------------
+# Golden models
+# ---------------------------------------------------------------------------
+
+
+def golden_ahash(luma: np.ndarray) -> np.ndarray:
+    small = golden.area_resize(np.asarray(luma, np.float32), 8, 8)
+    bits = (small > small.mean()).astype(np.uint8).reshape(-1)
+    return golden.pack_bits(bits)
+
+
+def golden_dhash(luma: np.ndarray) -> np.ndarray:
+    small = golden.area_resize(np.asarray(luma, np.float32), 8, 9)
+    bits = (small[:, 1:] > small[:, :-1]).astype(np.uint8).reshape(-1)
+    return golden.pack_bits(bits)
+
+
+def golden_phash256(luma: np.ndarray) -> np.ndarray:
+    return golden.phash(luma, dct_size=64, hash_size=16)
+
+
+# ---------------------------------------------------------------------------
+# Batched TPU implementations
+# ---------------------------------------------------------------------------
+
+
+def ahash_batched(luma: jnp.ndarray) -> jnp.ndarray:
+    """(T, H, W) -> (T, 2) uint32 average hash."""
+    t, h, w = luma.shape
+    ph, pw = resize_matrices(h, w, 8, 8)
+    x = luma.astype(jnp.float32)
+    small = jnp.einsum(
+        "hH,tHW,wW->thw", ph, x, pw,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    flat = small.reshape(t, 64)
+    mean = jnp.mean(flat, axis=1, keepdims=True)
+    return _pack_bits_u32((flat > mean).astype(jnp.int32))
+
+
+def dhash_batched(luma: jnp.ndarray) -> jnp.ndarray:
+    """(T, H, W) -> (T, 2) uint32 difference hash (horizontal gradient)."""
+    t, h, w = luma.shape
+    ph, pw = resize_matrices(h, w, 8, 9)
+    x = luma.astype(jnp.float32)
+    small = jnp.einsum(
+        "hH,tHW,wW->thw", ph, x, pw,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    bits = (small[:, :, 1:] > small[:, :, :-1]).astype(jnp.int32).reshape(t, 64)
+    return _pack_bits_u32(bits)
+
+
+def phash64_batched(luma: jnp.ndarray) -> jnp.ndarray:
+    return phash_batched(luma, dct_size=32, hash_size=8)
+
+
+def phash256_batched(luma: jnp.ndarray) -> jnp.ndarray:
+    """(T, H, W) -> (T, 8) uint32 256-bit multi-scale DCT hash."""
+    return phash_batched(luma, dct_size=64, hash_size=16)
+
+
+# algorithm name -> (batched fn, words, golden fn)
+HASH_REGISTRY: Dict[str, tuple] = {
+    "ahash": (ahash_batched, 2, golden_ahash),
+    "dhash": (dhash_batched, 2, golden_dhash),
+    "phash": (phash64_batched, 2, lambda f: golden.phash(f)),
+    "phash256": (phash256_batched, 8, golden_phash256),
+}
+
+
+def get_hash_fn(name: str) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    if name not in HASH_REGISTRY:
+        raise KeyError(f"unknown hash algorithm {name!r}; "
+                       f"available: {sorted(HASH_REGISTRY)}")
+    return HASH_REGISTRY[name][0]
+
+
+def hash_words(name: str) -> int:
+    return HASH_REGISTRY[name][1]

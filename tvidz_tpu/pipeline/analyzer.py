@@ -264,6 +264,7 @@ class Analyzer:
                 scores_dev, fps_dev, carry = fingerprint_block(
                     jnp.asarray(luma), carry,
                     dct_size=cfg.hash.dct_size, hash_size=cfg.hash.hash_size,
+                    algorithm=cfg.hash.algorithm,
                 )
                 scores = np.asarray(scores_dev)[:t]
                 fps = np.asarray(fps_dev)[:t]

@@ -56,6 +56,7 @@ class InspectorApp:
         self.store = store or Store(self.config.store.url)
         self.corpus = corpus or DeviceCorpus(
             max_cuts=self.config.match.max_cuts,
+            words=self.config.hash.words,
             hamming_threshold=self.config.match.hamming_threshold,
         )
         self.registry = AnalysisRegistry()
@@ -141,7 +142,8 @@ class InspectorApp:
         @app.route("/admin/clear-db", methods=["POST"])
         def clear_db(request: Request):
             self.store.clear()
-            # Device corpus must drop with the durable corpus.
+            # Device corpus must drop with the durable corpus. (In-memory
+            # analysis_results intentionally survive, like the reference.)
             self.corpus.reset()
             return jsonify({"status": "cleared"})
 
@@ -245,6 +247,50 @@ class InspectorApp:
                 self.start_analysis_thread(bucket, key)
             return jsonify({"status": "uploaded", "bucket": bucket, "key": key,
                             "bytes": len(data)})
+
+        @app.route("/search/fragment", methods=["POST"])
+        def search_fragment(request: Request):
+            """Partial-reuse search: locate a span of an analyzed video
+            inside the fingerprint corpus (BASELINE config #3). Body:
+            {"filename": <analyzed video>, "start_frame": int,
+             "num_frames": int, "top_k": int} — uses the stored fingerprint
+            sequence of `filename` as the query fragment."""
+            body = request.get_json(silent=True) or {}
+            filename = body.get("filename")
+            if not filename:
+                return jsonify({"error": "filename required"}, 400)
+            video = self.store.get_video_by_filename(filename)
+            if video is None:
+                return jsonify({"error": f"unknown video {filename}"}, 404)
+            fps = self.store.get_fingerprints(video.id)
+            if fps is None or fps.shape[0] == 0:
+                return jsonify({"error": f"no fingerprints for {filename}"}, 404)
+            start = int(body.get("start_frame", 0))
+            num = int(body.get("num_frames", min(64, fps.shape[0])))
+            frag = fps[start : start + num]
+            if frag.shape[0] == 0:
+                return jsonify({"error": "empty fragment span"}, 400)
+            hits = self.corpus.locate_fragment(
+                frag,
+                top_k=int(body.get("top_k", 5)),
+                exclude_video_id=(
+                    video.id if body.get("exclude_self", True) else None
+                ),
+            )
+            resolved = []
+            for vid, offset, score in hits:
+                v = self.store.get_video_by_id(vid)
+                resolved.append({
+                    "video_id": vid,
+                    "filename": v.filename if v else None,
+                    "offset_frames": offset,
+                    "match_count": score,
+                    "fragment_frames": int(frag.shape[0]),
+                })
+            return jsonify({"query": {"filename": filename,
+                                      "start_frame": start,
+                                      "num_frames": int(frag.shape[0])},
+                            "matches": resolved})
 
         @app.route("/healthz", methods=["GET"])
         def healthz(request: Request):
