@@ -1,0 +1,159 @@
+"""S3/SQS HTTP clients against in-process mock endpoints speaking the real
+wire protocols (S3 REST, SQS query protocol + XML)."""
+
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import pytest
+
+from tvidz_tpu.service.aws import S3Client, SQSClient, SQSError
+
+_SQS_NS = "http://queue.amazonaws.com/doc/2012-11-05/"
+
+
+class _MockAWSHandler(BaseHTTPRequestHandler):
+    """Minimal LocalStack stand-in: path-style S3 + SQS query protocol."""
+
+    objects = {}
+    queues = {}
+    fail_first_getqueue = [0]  # countdown of NonExistentQueue responses
+
+    def log_message(self, *a):
+        pass
+
+    def _send(self, code, body, ctype="application/xml"):
+        data = body.encode() if isinstance(body, str) else body
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    # --- S3 ---
+    def do_PUT(self):
+        length = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(length)
+        self.objects[self.path] = body
+        self._send(200, "")
+
+    def do_GET(self):
+        if self.path in self.objects:
+            self._send(200, self.objects[self.path], "application/octet-stream")
+        else:
+            self._send(404, "<Error><Code>NoSuchKey</Code></Error>")
+
+    # --- SQS (query protocol over POST) ---
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length") or 0)
+        params = dict(urllib.parse.parse_qsl(self.rfile.read(length).decode()))
+        action = params.get("Action")
+        host = f"http://{self.headers['Host']}"
+        if action == "GetQueueUrl":
+            name = params["QueueName"]
+            if self.fail_first_getqueue[0] > 0:
+                self.fail_first_getqueue[0] -= 1
+                self._send(400, (
+                    '<ErrorResponse xmlns="%s"><Error>'
+                    "<Code>AWS.SimpleQueueService.NonExistentQueue</Code>"
+                    "</Error></ErrorResponse>" % _SQS_NS))
+                return
+            if name not in self.queues:
+                self._send(400, (
+                    '<ErrorResponse xmlns="%s"><Error>'
+                    "<Code>AWS.SimpleQueueService.NonExistentQueue</Code>"
+                    "</Error></ErrorResponse>" % _SQS_NS))
+                return
+            self._send(200, (
+                '<GetQueueUrlResponse xmlns="%s"><GetQueueUrlResult>'
+                "<QueueUrl>%s/queue/%s</QueueUrl>"
+                "</GetQueueUrlResult></GetQueueUrlResponse>" % (_SQS_NS, host, name)))
+        elif action == "CreateQueue":
+            name = params["QueueName"]
+            self.queues.setdefault(name, [])
+            self._send(200, (
+                '<CreateQueueResponse xmlns="%s"><CreateQueueResult>'
+                "<QueueUrl>%s/queue/%s</QueueUrl>"
+                "</CreateQueueResult></CreateQueueResponse>" % (_SQS_NS, host, name)))
+        elif action == "SendMessage":
+            name = self.path.rsplit("/", 1)[-1]
+            self.queues[name].append(params["MessageBody"])
+            self._send(200, '<SendMessageResponse xmlns="%s"/>' % _SQS_NS)
+        elif action == "ReceiveMessage":
+            name = self.path.rsplit("/", 1)[-1]
+            msgs = self.queues.get(name, [])
+            if msgs:
+                body = msgs[0]
+                self._send(200, (
+                    '<ReceiveMessageResponse xmlns="%s"><ReceiveMessageResult>'
+                    "<Message><Body>%s</Body>"
+                    "<ReceiptHandle>rh-0</ReceiptHandle></Message>"
+                    "</ReceiveMessageResult></ReceiveMessageResponse>"
+                    % (_SQS_NS, body)))
+            else:
+                self._send(200, (
+                    '<ReceiveMessageResponse xmlns="%s">'
+                    "<ReceiveMessageResult/></ReceiveMessageResponse>" % _SQS_NS))
+        elif action == "DeleteMessage":
+            name = self.path.rsplit("/", 1)[-1]
+            if self.queues.get(name):
+                self.queues[name].pop(0)
+            self._send(200, '<DeleteMessageResponse xmlns="%s"/>' % _SQS_NS)
+        else:
+            self._send(400, "<Error><Code>InvalidAction</Code></Error>")
+
+
+@pytest.fixture
+def mock_aws():
+    _MockAWSHandler.objects = {}
+    _MockAWSHandler.queues = {}
+    _MockAWSHandler.fail_first_getqueue = [0]
+    server = HTTPServer(("127.0.0.1", 0), _MockAWSHandler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{server.server_port}"
+    server.shutdown()
+
+
+def test_s3_put_and_streamed_download(mock_aws, tmp_path):
+    s3 = S3Client(mock_aws)
+    s3.create_bucket("videos")
+    payload = b"x" * 50000
+    s3.put_object("videos", "dir/clip.y4m", payload)
+    out = tmp_path / "dl.bin"
+    s3.download("videos", "dir/clip.y4m", str(out), chunk_bytes=8192)
+    assert out.read_bytes() == payload
+
+
+def test_s3_download_missing_raises(mock_aws, tmp_path):
+    s3 = S3Client(mock_aws)
+    with pytest.raises(Exception):
+        s3.download("videos", "ghost", str(tmp_path / "x"))
+
+
+def test_sqs_roundtrip(mock_aws):
+    sqs = SQSClient(mock_aws)
+    url = sqs.create_queue("video-events")
+    assert url.endswith("/queue/video-events")
+    assert sqs.get_queue_url("video-events") == url
+    sqs.send(url, '{"hello": 1}')
+    msgs = sqs.receive(url, wait_s=0)
+    assert msgs and msgs[0]["Body"] == '{"hello": 1}'
+    sqs.delete(url, msgs[0]["ReceiptHandle"])
+    assert sqs.receive(url, wait_s=0) == []
+
+
+def test_sqs_get_or_create_retries_nonexistent(mock_aws):
+    """The poll_sqs startup behavior (app.py:427-453): NonExistentQueue ->
+    create -> fetch URL."""
+    sqs = SQSClient(mock_aws)
+    _MockAWSHandler.fail_first_getqueue = [1]
+    url = sqs.get_or_create_queue("video-events", retries=3, wait_s=0.01)
+    assert url and url.endswith("/queue/video-events")
+
+
+def test_sqs_unknown_queue_raises(mock_aws):
+    sqs = SQSClient(mock_aws)
+    with pytest.raises(SQSError) as ei:
+        sqs.get_queue_url("nope")
+    assert "NonExistentQueue" in str(ei.value)

@@ -1,0 +1,86 @@
+"""Fingerprint-evidence duplicate verdicts: catch re-encodes whose scene-cut
+timestamps shift (different fps), which the exact-timestamp rule misses."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.decode.y4m import write_y4m
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+@pytest.fixture
+def env(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.match.fp_min_match = 25
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                          fp_block_n=256)
+    analyzer = Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+    return analyzer, store, bucket
+
+
+def test_retimed_duplicate_caught_by_fingerprints(env):
+    """Same pixels, different container frame rate: timestamps shift
+    (2.4s -> 2.0s cuts), exact matching fails, fingerprints catch it."""
+    analyzer, store, bucket = env
+    luma, _ = synthetic_video(num_frames=200, height=72, width=96,
+                              cut_frames=(60, 140), seed=17)
+    write_y4m(str(bucket / "orig.y4m"), luma, fps=25.0)
+    write_y4m(str(bucket / "123-orig30.y4m"), luma, fps=30.0)
+
+    r1 = analyzer.analyze("videos", "orig.y4m")
+    assert r1.status == "done" and r1.duplicates == []
+    assert r1.scene_cuts == [2.4, 5.6]
+
+    r2 = analyzer.analyze("videos", "123-orig30.y4m")
+    assert r2.status == "done"
+    # Different fps -> different cut timestamps -> exact rule finds nothing…
+    assert r2.scene_cuts[0] == 2.0
+    # …but fingerprint evidence does.
+    assert r2.duplicates == ["orig.y4m"]
+    assert store.get_video_by_id(r2.video_id).duplicates == [r1.video_id]
+
+
+def test_fingerprint_evidence_disabled(env):
+    analyzer, store, bucket = env
+    analyzer.config.match.use_fingerprint_evidence = False
+    luma, _ = synthetic_video(num_frames=200, height=72, width=96,
+                              cut_frames=(60, 140), seed=17)
+    write_y4m(str(bucket / "a.y4m"), luma, fps=25.0)
+    write_y4m(str(bucket / "9-a30.y4m"), luma, fps=30.0)
+    analyzer.analyze("videos", "a.y4m")
+    r2 = analyzer.analyze("videos", "9-a30.y4m")
+    # Reference behavior: exact timestamps only -> no duplicate.
+    assert r2.duplicates == []
+
+
+def test_unrelated_videos_have_no_fp_duplicates(env):
+    analyzer, _, bucket = env
+    a, _ = synthetic_video(num_frames=150, height=72, width=96,
+                           cut_frames=(50,), seed=5)
+    b, _ = synthetic_video(num_frames=150, height=72, width=96,
+                           cut_frames=(70,), seed=99)
+    write_y4m(str(bucket / "a.y4m"), a)
+    write_y4m(str(bucket / "b.y4m"), b)
+    r1 = analyzer.analyze("videos", "a.y4m")
+    r2 = analyzer.analyze("videos", "b.y4m")
+    assert r1.duplicates == [] and r2.duplicates == []

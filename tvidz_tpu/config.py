@@ -81,6 +81,13 @@ class MatchConfig:
     timestamp_tolerance: float = 0.0
     # Hamming distance (out of 64) at or below which two fingerprints match.
     hamming_threshold: int = 10
+    # Also use per-frame fingerprint evidence for duplicate verdicts (the
+    # north-star Hamming path; catches re-encodes whose scene-cut timestamps
+    # shift, which the reference's exact timestamp rule misses).
+    use_fingerprint_evidence: bool = True
+    # Corpus frames (cumulative per video) that must match before fingerprint
+    # evidence alone declares a duplicate (~1s of 25fps footage).
+    fp_min_match: int = 25
     # Max timestamps kept per video in the padded device index.
     max_cuts: int = 128
     # Top-k candidates returned from corpus search.

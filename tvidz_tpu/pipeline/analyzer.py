@@ -209,6 +209,7 @@ class Analyzer:
         scene_cuts: List[float] = []
         all_fps: List[np.ndarray] = []
         dups_to_report: List[str] = []
+        fp_evidence: dict = {}
         duplicate_found = False
         last_progress = 0.0
         last_update_time = time.time()
@@ -307,6 +308,40 @@ class Analyzer:
                     log("duplicate",
                         f"Found {len(dups_to_report)} duplicates: {dups_to_report}")
                     log("duplicate", f"Current scene cuts: {scene_cuts}")
+
+            # Fingerprint evidence (north-star Hamming path): catches content
+            # the exact-timestamp rule misses, e.g. re-encodes at a different
+            # frame rate. Cumulative per-video matched-frame counts; verdict
+            # once any video crosses fp_min_match.
+            if (
+                cfg.match.use_fingerprint_evidence
+                and not duplicate_found
+                and self.corpus.num_fingerprints > 0
+            ):
+                with self.timer.stage("fp-search"):
+                    block_hits = self.corpus.search_fingerprints(
+                        fps, min_match=1, exclude_video_id=video_id
+                    )
+                for vid, count in block_hits:
+                    fp_evidence[vid] = fp_evidence.get(vid, 0) + count
+                strong = [
+                    (vid, total) for vid, total in fp_evidence.items()
+                    if total >= cfg.match.fp_min_match
+                ]
+                if strong:
+                    strong.sort(key=lambda vc: -vc[1])
+                    self.store.update_duplicates(video_id, [v for v, _ in strong])
+                    for dup_id, total in strong:
+                        dup_video = self.store.get_video_by_id(dup_id)
+                        if dup_video and dup_video.filename not in dups_to_report:
+                            dups_to_report.append(dup_video.filename)
+                            log("duplicate",
+                                f"Match found: {dup_video.filename} "
+                                f"({total} matching fingerprint frames)")
+                    duplicate_found = True
+                    log("duplicate",
+                        f"Found {len(dups_to_report)} duplicates via "
+                        f"fingerprints: {dups_to_report}")
 
             progress = self._progress(current_frame, total_frames, scene_cuts)
             now = time.time()
