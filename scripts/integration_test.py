@@ -26,14 +26,19 @@ PORT = int(os.environ.get("TVIDZ_IT_PORT", "5077"))
 BASE = f"http://127.0.0.1:{PORT}"
 
 
-def wait_http(url: str, timeout: float = 30.0) -> None:
+def wait_http(url: str, timeout: float = 300.0) -> None:
+    """Wait for the service to be both listening and device-warm (the server
+    binds immediately and reports status 'warming' until the accelerator is
+    initialized; a fresh process's first TPU compile can take minutes over
+    the axon tunnel)."""
     deadline = time.time() + timeout
     while time.time() < deadline:
         try:
-            requests.get(url, timeout=2)
-            return
-        except requests.RequestException:
-            time.sleep(0.3)
+            if requests.get(url, timeout=2).json().get("status") == "ok":
+                return
+        except (requests.RequestException, ValueError):
+            pass
+        time.sleep(0.5)
     raise TimeoutError(f"service at {url} did not come up")
 
 
@@ -58,6 +63,12 @@ def main() -> int:
     server = None
     import subprocess
 
+    env = {**os.environ, "TVIDZ_FAKE_S3_ROOT": fake_root}
+    # Integration tests the service contract, not the chip; default to the
+    # CPU platform so a timed-out run never kills a process mid-TPU-operation
+    # (which can wedge the axon tunnel). Set TVIDZ_IT_TPU=1 to run on-chip.
+    if os.environ.get("TVIDZ_IT_TPU", "") not in ("1", "true"):
+        env.setdefault("TVIDZ_JAX_PLATFORM", "cpu")
     server = subprocess.Popen(
         [
             sys.executable, "-m", "tvidz_tpu.service.entrypoint",
@@ -65,7 +76,7 @@ def main() -> int:
             "--host", "127.0.0.1", "--port", str(PORT),
         ],
         cwd=ROOT,
-        env={**os.environ, "TVIDZ_FAKE_S3_ROOT": fake_root},
+        env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     failures = []

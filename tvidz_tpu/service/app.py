@@ -65,6 +65,9 @@ class InspectorApp:
         self.build_env = build_env or {}
         self._stop = threading.Event()
         self._poller_thread: Optional[threading.Thread] = None
+        # Flipped by the entrypoint once the accelerator is warm; in-process
+        # embedders (tests) are considered ready immediately.
+        self.device_ready = True
 
         def fetcher(bucket: str, key: str, local_path: str) -> None:
             if self.s3 is None:
@@ -295,7 +298,7 @@ class InspectorApp:
         @app.route("/healthz", methods=["GET"])
         def healthz(request: Request):
             return jsonify({
-                "status": "ok",
+                "status": "ok" if self.device_ready else "warming",
                 "version": __version__,
                 "poller_alive": bool(
                     self._poller_thread and self._poller_thread.is_alive()

@@ -106,21 +106,31 @@ def main(argv=None) -> None:
     if not args.fake_aws:
         bootstrap(config, s3, sqs)
 
-    # Initialize the accelerator runtime from the MAIN thread before serving:
-    # first-touch of the axon TPU client from a worker thread deadlocks in
-    # device-to-host transfers while the main thread sits in select().
-    # Warming here also front-loads the fused-op compile so the first upload
-    # is fast.
-    _warmup_device(config)
-
     from tvidz_tpu.corpus.store import Store
 
     app = create_app(config=config, store=Store(config.store.url), s3=s3, sqs=sqs)
+    app.device_ready = False
+
+    # Bind and serve immediately (from a thread) so orchestrators see the
+    # port up and /healthz can report "warming"; then initialize the
+    # accelerator from the MAIN thread — first-touch of the axon TPU client
+    # from a worker thread deadlocks in device-to-host transfers while the
+    # main thread sits in select(). Killing a process mid-warmup can wedge
+    # the TPU tunnel for a long time, so exposing readiness early matters.
+    from tvidz_tpu.service.wsgi import start_server_thread
+
+    server, thread = start_server_thread(
+        app.wsgi, config.service.host, config.service.port
+    )
+    log("entrypoint",
+        f"inspector serving on {config.service.host}:{config.service.port} "
+        f"(device warming)")
+    _warmup_device(config)
+    app.device_ready = True
     if not args.no_poller:
         app.start_poller()
-    log("entrypoint",
-        f"inspector serving on {config.service.host}:{config.service.port}")
-    serve(app.wsgi, config.service.host, config.service.port)
+    log("entrypoint", "inspector ready")
+    thread.join()
 
 
 if __name__ == "__main__":
