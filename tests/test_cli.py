@@ -1,0 +1,60 @@
+"""CLI surface: analyze / search / fingerprint via cli.main()."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.cli import main
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.decode.y4m import write_y4m
+
+
+@pytest.fixture
+def videos(tmp_path):
+    luma, _ = synthetic_video(num_frames=120, height=72, width=96,
+                              cut_frames=(40, 80), seed=41)
+    a = str(tmp_path / "a.y4m")
+    b = str(tmp_path / "b.y4m")
+    write_y4m(a, luma, fps=25.0)
+    write_y4m(b, luma, fps=30.0)
+    return a, b, str(tmp_path / "corpus.db")
+
+
+def test_analyze_and_search(videos, capsys):
+    a, b, db = videos
+    rc = main(["analyze", a, "--db", f"sqlite:///{db}", "--compact"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["status"] == "done"
+    assert out["scene_cuts"] == [1.6, 3.2]
+    assert out["fingerprinted_frames"] == 120
+
+    rc = main(["search", b, "--db", f"sqlite:///{db}"])
+    data = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert data["timestamp_matches"] == []           # retimed -> ts rule misses
+    assert data["fingerprint_matches"][0]["filename"] == "a.y4m"
+    assert data["best_alignments"][0]["offset_frames"] == 0
+
+
+def test_fingerprint_npz(videos, tmp_path, capsys):
+    a, _, _ = videos
+    out_path = str(tmp_path / "fp.npz")
+    rc = main(["fingerprint", a, "-o", out_path])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["frames"] == 120
+    z = np.load(out_path)
+    assert z["fingerprints"].shape == (120, 2)
+    np.testing.assert_allclose(z["scene_cuts"], [1.6, 3.2])
+
+
+def test_analyze_missing_file_exits_nonzero(videos, capsys):
+    _, _, db = videos
+    rc = main(["analyze", "/tmp/definitely-missing.y4m",
+               "--db", f"sqlite:///{db}", "--compact"])
+    assert rc == 1
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "error"

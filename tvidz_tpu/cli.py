@@ -1,0 +1,218 @@
+"""tvidz_tpu command-line interface.
+
+The reference is service-only (analysis reachable solely via S3 events or
+/notify); the framework adds a direct CLI for local/batch use:
+
+    python -m tvidz_tpu analyze video.mp4 --db sqlite:///corpus.db
+    python -m tvidz_tpu fingerprint video.mp4 -o fp.npz
+    python -m tvidz_tpu search fragment.mp4 --db sqlite:///corpus.db
+    python -m tvidz_tpu serve --fake-aws
+    python -m tvidz_tpu bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _platform_override() -> None:
+    platform = os.environ.get("TVIDZ_JAX_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def _local_session(db_url: str):
+    """(analyzer, store, corpus) wired for local files: the 'bucket' is the
+    filesystem and keys are paths."""
+    import shutil
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+    from tvidz_tpu.corpus.store import Store
+    from tvidz_tpu.pipeline.analyzer import Analyzer
+    from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+    config = Config()
+    store = Store(db_url)
+    corpus = DeviceCorpus(
+        max_cuts=config.match.max_cuts,
+        words=config.hash.words,
+        hamming_threshold=config.match.hamming_threshold,
+    )
+    corpus.load(store)
+
+    def fetcher(bucket: str, key: str, local_path: str) -> None:
+        src = os.path.join(bucket, key) if bucket else key
+        if not os.path.exists(src):
+            raise FileNotFoundError(src)
+        shutil.copy(src, local_path)
+
+    return Analyzer(store, corpus, AnalysisRegistry(), fetcher, config), store, corpus
+
+
+def cmd_analyze(args) -> int:
+    _platform_override()
+    analyzer, store, corpus = _local_session(args.db)
+    path = os.path.abspath(args.video)
+    result = analyzer.analyze(os.path.dirname(path), os.path.basename(path))
+    out = {
+        "file": args.video,
+        "status": result.status,
+        "video_id": result.video_id,
+        "scene_cuts": result.scene_cuts,
+        "duplicates": result.duplicates,
+    }
+    if result.error:
+        out["error"] = result.error
+    fps = store.get_fingerprints(result.video_id)
+    out["fingerprinted_frames"] = int(fps.shape[0]) if fps is not None else 0
+    print(json.dumps(out, indent=None if args.compact else 2))
+    return 0 if result.status == "done" else 1
+
+
+def cmd_fingerprint(args) -> int:
+    _platform_override()
+    import numpy as np
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.decode import get_decoder
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    config = Config()
+    model = FingerprintModel(config)
+    decoder = get_decoder(args.video)
+    info = decoder.probe(args.video)
+    luma_blocks, pts_blocks = [], []
+    for block in decoder.blocks(args.video, model.block_frames,
+                                model.height, model.width):
+        luma_blocks.append(block.luma)
+        pts_blocks.append(block.pts)
+    luma = np.concatenate(luma_blocks)
+    pts = np.concatenate(pts_blocks)
+    cuts, fps = model.analyze_array(luma, pts)
+    if args.output:
+        np.savez(args.output, fingerprints=fps,
+                 scene_cuts=np.asarray(cuts, np.float64), pts=pts)
+    print(json.dumps({
+        "file": args.video,
+        "frames": int(fps.shape[0]),
+        "fps": info.fps,
+        "algorithm": config.hash.algorithm,
+        "scene_cuts": cuts,
+        "output": args.output,
+    }))
+    return 0
+
+
+def cmd_search(args) -> int:
+    _platform_override()
+    import numpy as np
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.decode import get_decoder
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    analyzer, store, corpus = _local_session(args.db)
+    config = Config()
+    model = FingerprintModel(config)
+    decoder = get_decoder(args.video)
+    luma_blocks, pts_blocks = [], []
+    for block in decoder.blocks(args.video, model.block_frames,
+                                model.height, model.width):
+        luma_blocks.append(block.luma)
+        pts_blocks.append(block.pts)
+    luma = np.concatenate(luma_blocks)
+    pts = np.concatenate(pts_blocks)
+    cuts, fps = model.analyze_array(luma, pts)
+
+    ts_matches = corpus.match_timestamps(
+        cuts, min_match=config.match.min_match,
+        tolerance=config.match.timestamp_tolerance,
+    )
+    fp_matches = corpus.search_fingerprints(fps, min_match=config.match.fp_min_match)
+    frag = corpus.locate_fragment(fps, top_k=args.top_k)
+
+    def resolve(vid):
+        v = store.get_video_by_id(vid)
+        return v.filename if v else None
+
+    print(json.dumps({
+        "file": args.video,
+        "scene_cuts": cuts,
+        "timestamp_matches": [
+            {"video_id": v, "filename": resolve(v), "matching_timestamps": c}
+            for v, c in ts_matches
+        ],
+        "fingerprint_matches": [
+            {"video_id": v, "filename": resolve(v), "matching_frames": c}
+            for v, c in fp_matches
+        ],
+        "best_alignments": [
+            {"video_id": v, "filename": resolve(v), "offset_frames": o,
+             "match_count": s}
+            for v, o, s in frag
+        ],
+    }, indent=2))
+    return 0
+
+
+def cmd_serve(args, extra) -> int:
+    from tvidz_tpu.service.entrypoint import main as serve_main
+
+    serve_main(extra)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="tvidz_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("analyze", help="analyze a local video against the corpus")
+    p.add_argument("video")
+    p.add_argument("--db", default="sqlite:///tvidz.db")
+    p.add_argument("--compact", action="store_true")
+
+    p = sub.add_parser("fingerprint", help="compute cuts + fingerprints only")
+    p.add_argument("video")
+    p.add_argument("-o", "--output", default=None, help=".npz output path")
+
+    p = sub.add_parser("search", help="search a video against the corpus "
+                                      "without adding it")
+    p.add_argument("video")
+    p.add_argument("--db", default="sqlite:///tvidz.db")
+    p.add_argument("--top-k", type=int, default=5)
+
+    sub.add_parser("serve", help="run the inspector service "
+                                 "(args pass through to the entrypoint)")
+    sub.add_parser("bench", help="run the benchmark harness")
+
+    args, extra = parser.parse_known_args(argv)
+    if args.cmd == "analyze":
+        return cmd_analyze(args)
+    if args.cmd == "fingerprint":
+        return cmd_fingerprint(args)
+    if args.cmd == "search":
+        return cmd_search(args)
+    if args.cmd == "serve":
+        return cmd_serve(args, extra)
+    if args.cmd == "bench":
+        return cmd_bench(args)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
