@@ -1,0 +1,97 @@
+"""MeshCorpus on the 8-device CPU mesh: interface-identical to DeviceCorpus,
+and the full service/analyzer pipeline running with a sharded corpus."""
+
+import os
+import shutil
+
+import jax
+import numpy as np
+import pytest
+
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.parallel.mesh import make_mesh
+from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8
+    return make_mesh(8)
+
+
+def _mk(mesh, **kw):
+    return MeshCorpus(mesh, ts_initial_capacity=8, fp_initial_capacity=256,
+                      fp_block_n=128, **kw)
+
+
+def test_match_timestamps_parity_with_device_corpus(mesh, rng):
+    mc = _mk(mesh)
+    dc = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=256,
+                      fp_block_n=128)
+    for vid in range(12):
+        ts = sorted(rng.uniform(0, 100, size=rng.integers(2, 10)).round(1).tolist())
+        mc.upsert_timestamps(vid, ts)
+        dc.upsert_timestamps(vid, ts)
+    query = dc._ts[3, :4].tolist() + [999.0]
+    assert mc.match_timestamps(query, min_match=2) == dc.match_timestamps(
+        query, min_match=2
+    )
+
+
+def test_search_fingerprints_parity(mesh, rng):
+    mc = _mk(mesh, hamming_threshold=5)
+    dc = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=256,
+                      fp_block_n=128, hamming_threshold=5)
+    for vid in (1, 2, 3):
+        fp = rng.integers(0, 2**32, size=(40, 2), dtype=np.uint32)
+        mc.append_fingerprints(vid, fp)
+        dc.append_fingerprints(vid, fp)
+    q = dc._fp[50:60].copy()  # frames of video 2
+    assert mc.search_fingerprints(q, min_match=2) == dc.search_fingerprints(
+        q, min_match=2
+    )
+
+
+def test_growth_preserves_shard_divisibility(mesh, rng):
+    mc = _mk(mesh)
+    for vid in range(40):  # force ts growth past 8 -> 16 -> 32 -> 64
+        mc.upsert_timestamps(vid, [float(vid), vid + 0.5])
+    assert mc._ts_cap % mc.n_shards == 0
+    fp = rng.integers(0, 2**32, size=(2000, 2), dtype=np.uint32)
+    mc.append_fingerprints(99, fp)  # force fp growth
+    assert mc._fp_cap % mc.n_shards == 0
+    assert mc.match_timestamps([7.0, 7.5], min_match=2) == [(7, 2)]
+    hits = mc.search_fingerprints(fp[100:108], min_match=2)
+    assert hits and hits[0][0] == 99
+
+
+def test_full_pipeline_on_mesh_corpus(mesh, tmp_path):
+    """The analyzer E2E with a sharded corpus — upload + duplicate verdict."""
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.corpus.store import Store
+    from tvidz_tpu.decode import write_synthetic_y4m
+    from tvidz_tpu.pipeline.analyzer import Analyzer
+    from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    analyzer = Analyzer(Store("sqlite:///:memory:"), _mk(mesh),
+                        AnalysisRegistry(), fetcher, cfg)
+    write_synthetic_y4m(str(bucket / "m.y4m"), num_frames=200, height=72,
+                        width=96, cut_frames=(50, 130), seed=3)
+    r1 = analyzer.analyze("videos", "m.y4m")
+    assert r1.status == "done" and r1.duplicates == []
+    shutil.copy(bucket / "m.y4m", bucket / "42-m.y4m")
+    r2 = analyzer.analyze("videos", "42-m.y4m")
+    assert r2.status == "done"
+    assert r2.duplicates == ["m.y4m"]

@@ -168,6 +168,16 @@ class DeviceCorpus:
             self._fp_dev = jnp.asarray(np.ascontiguousarray(self._fp.T))
             self._fp_dirty = False
 
+    # Query kernels — overridden by parallel.mesh_corpus.MeshCorpus with
+    # shard_map versions over a device mesh.
+
+    def _ts_counts(self, q, ts_dev, len_dev, tolerance: float):
+        return timestamp_match_counts(q, ts_dev, len_dev, tolerance=tolerance)
+
+    def _frame_min(self, q, fp_dev):
+        frame_min, _, _ = corpus_min_distance_t(q, fp_dev, block_n=self._fp_block_n)
+        return frame_min
+
     def match_timestamps(
         self,
         query_ts: Sequence[float],
@@ -189,7 +199,7 @@ class DeviceCorpus:
         take = list(query_ts)[-self.max_cuts :]
         q[: len(take)] = np.asarray(take, np.float32)
         counts = np.asarray(
-            timestamp_match_counts(jnp.asarray(q), ts_dev, len_dev, tolerance=tolerance)
+            self._ts_counts(jnp.asarray(q), ts_dev, len_dev, tolerance)
         )[:count_n]
         out = []
         for i in range(count_n):
@@ -223,9 +233,7 @@ class DeviceCorpus:
             # min distance, whereas sentinel rows would fake matches against
             # mostly-set corpus frames.
             q = np.concatenate([q, np.repeat(q[:1], m_pad, axis=0)])
-        frame_min, _, _ = corpus_min_distance_t(
-            jnp.asarray(q), fp_dev, block_n=self._fp_block_n
-        )
+        frame_min = self._frame_min(jnp.asarray(q), fp_dev)
         matched = np.asarray(frame_min)[:count_n] <= self.hamming_threshold
         vids_matched = fp_vid[matched]
         if vids_matched.size == 0:

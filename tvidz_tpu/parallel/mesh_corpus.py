@@ -1,0 +1,72 @@
+"""MeshCorpus — the corpus sharded over a device mesh, behind the exact
+DeviceCorpus interface the analyzer/service use.
+
+Scale-out story (SURVEY.md §2 parallelism mandate): the 1M+ fingerprint /
+timestamp corpus shards row-wise over the mesh's ``corpus`` axis; queries are
+replicated; per-shard evidence is computed locally (shard_map) and only the
+small count/min vectors cross ICI. Host mirrors, growth, verdict resolution
+and fragment localization are inherited from DeviceCorpus unchanged — only
+device placement (row-sharded device_put) and the two query kernels differ.
+
+Validated on the virtual 8-device CPU mesh (tests/test_mesh_corpus.py) and
+dry-run-compiled by __graft_entry__.dryrun_multichip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+from tvidz_tpu.parallel.sharded_search import (
+    sharded_frame_min,
+    sharded_timestamp_match,
+)
+
+
+class MeshCorpus(DeviceCorpus):
+    def __init__(self, mesh: Mesh, **kwargs):
+        self.mesh = mesh
+        self.n_shards = mesh.shape[CORPUS_AXIS]
+        # Row counts must divide evenly across the corpus axis; round the
+        # initial capacities up (growth doubles, so divisibility persists).
+        ts_cap = kwargs.pop("ts_initial_capacity", 256)
+        kwargs["ts_initial_capacity"] = -(-ts_cap // self.n_shards) * self.n_shards
+        fp_cap = kwargs.pop("fp_initial_capacity", 4096)
+        blk = kwargs.get("fp_block_n", 2048)
+        unit = max(128, blk) * self.n_shards
+        kwargs["fp_initial_capacity"] = -(-fp_cap // unit) * unit
+        super().__init__(**kwargs)
+        self._ts_sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
+        self._len_sharding = NamedSharding(mesh, P(CORPUS_AXIS))
+        self._fp_sharding = NamedSharding(mesh, P(None, CORPUS_AXIS))
+        self._rep = NamedSharding(mesh, P())
+
+    # -- sharded device placement ------------------------------------------------
+
+    def _sync_ts(self) -> None:
+        if self._ts_dirty or self._ts_dev is None:
+            self._ts_dev = jax.device_put(self._ts, self._ts_sharding)
+            self._ts_len_dev = jax.device_put(self._ts_len, self._len_sharding)
+            self._ts_dirty = False
+
+    def _sync_fp(self) -> None:
+        if self._fp_dirty or self._fp_dev is None:
+            self._fp_dev = jax.device_put(
+                np.ascontiguousarray(self._fp.T), self._fp_sharding
+            )
+            self._fp_dirty = False
+
+    # -- sharded query kernels ------------------------------------------------------
+
+    def _ts_counts(self, q, ts_dev, len_dev, tolerance: float):
+        q = jax.device_put(q, self._rep)
+        return sharded_timestamp_match(q, ts_dev, len_dev, self.mesh, tolerance)
+
+    def _frame_min(self, q, fp_dev):
+        q = jax.device_put(q, self._rep)
+        return sharded_frame_min(q, fp_dev, self.mesh,
+                                 block_n=self._fp_block_n)

@@ -103,6 +103,46 @@ def sharded_hamming_topk(
     return fn(query_fp, corpus_fp)
 
 
+def sharded_frame_min(
+    q: jnp.ndarray,            # (M, W) uint32 — replicated
+    corpus_t: jnp.ndarray,     # (W, N) uint32 word-major — sharded over N
+    mesh: Mesh,
+    block_n: int = 8192,
+) -> jnp.ndarray:
+    """(N,) int32: per corpus fingerprint, min Hamming distance over queries.
+
+    The sharded counterpart of ops.hamming.corpus_min_distance_t's frame_min
+    output: each shard scans its local corpus columns (blocked to bound the
+    broadcast working set); the output stays sharded over the corpus axis.
+    """
+
+    def local(qq, c_t):
+        nloc = c_t.shape[1]
+        blk = min(block_n, nloc)
+        if nloc % blk:
+            blk = nloc  # fall back to one block (capacities are pow2)
+
+        def one(cb):  # (W, blk)
+            x = qq[:, :, None] ^ cb[None, :, :]            # (M, W, blk)
+            d = jnp.sum(
+                jax.lax.population_count(x).astype(jnp.int32), axis=1
+            )                                               # (M, blk)
+            return jnp.min(d, axis=0)
+
+        nb = nloc // blk
+        w = c_t.shape[0]
+        out = jax.lax.map(one, c_t.reshape(w, nb, blk).transpose(1, 0, 2))
+        return out.reshape(nloc)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, CORPUS_AXIS)),
+        out_specs=P(CORPUS_AXIS),
+    )
+    return fn(q, corpus_t)
+
+
 class ShardedCorpus:
     """Host-side wrapper placing corpus arrays with corpus-axis shardings and
     issuing sharded queries. The multi-chip sibling of DeviceCorpus (same

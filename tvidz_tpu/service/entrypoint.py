@@ -90,6 +90,9 @@ def main(argv=None) -> None:
     parser.add_argument("--fake-aws", action="store_true",
                         help="in-process S3/SQS fakes (hermetic demo/test mode)")
     parser.add_argument("--no-poller", action="store_true")
+    parser.add_argument("--mesh", action="store_true",
+                        help="shard the corpus over all visible devices "
+                             "(jax.sharding.Mesh; needs device_count > 1)")
     args = parser.parse_args(argv)
 
     config = Config()
@@ -108,7 +111,30 @@ def main(argv=None) -> None:
 
     from tvidz_tpu.corpus.store import Store
 
-    app = create_app(config=config, store=Store(config.store.url), s3=s3, sqs=sqs)
+    corpus = None
+    if args.mesh:
+        import jax
+
+        from tvidz_tpu.parallel.mesh import make_mesh
+        from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
+
+        n = jax.device_count()
+        if n < 2:
+            log("entrypoint", f"--mesh requested but only {n} device; "
+                              "falling back to single-chip corpus")
+        else:
+            mesh = make_mesh(n)
+            corpus = MeshCorpus(
+                mesh,
+                max_cuts=config.match.max_cuts,
+                words=config.hash.words,
+                hamming_threshold=config.match.hamming_threshold,
+            )
+            log("entrypoint", f"corpus sharded over {n} devices "
+                              f"(mesh {dict(mesh.shape)})")
+
+    app = create_app(config=config, store=Store(config.store.url),
+                     corpus=corpus, s3=s3, sqs=sqs)
     app.device_ready = False
 
     # Bind and serve immediately (from a thread) so orchestrators see the
