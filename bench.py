@@ -180,6 +180,45 @@ def bench_timestamp_match(n_videos: int = 1 << 20, max_cuts: int = 32,
     return p50
 
 
+def bench_batched_clips(n_clips: int = 100, clip_frames: int = 128):
+    """BASELINE config #2: a batch of short clips fingerprinted data-parallel
+    on one chip (vmapped fused op, independent carries)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    cfg = Config()
+    cfg.pipeline.block_frames = clip_frames
+    model = FingerprintModel(cfg)
+    h, w = model.height, model.width
+
+    @jax.jit
+    def make(key):
+        return jax.random.randint(
+            key, (n_clips, clip_frames, h, w), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8)
+
+    clips = make(jax.random.PRNGKey(1))
+    _sync(clips[0, 0, 0, :8])
+    out = model.forward_batch(clips)
+    _sync(*out)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = model.forward_batch(clips)
+        _sync(*out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    total = n_clips * clip_frames
+    _log(
+        f"batched clips: {n_clips} x {clip_frames}f in {dt*1e3:.1f} ms "
+        f"({total/dt:,.0f} frames/s, {n_clips/dt:,.1f} clips/s)"
+    )
+    return total / dt
+
+
 def bench_e2e_decode_hash(num_frames: int = 120):
     """End-to-end host decode (1080p MJPEG) -> device fingerprint, stderr-only:
     the honest number including the host-side share of the work."""
@@ -240,6 +279,7 @@ def main() -> None:
     try:
         bench_verdict_latency()
         bench_timestamp_match()
+        bench_batched_clips()
         bench_e2e_decode_hash()
     except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
         _log(f"secondary benches failed: {e}")

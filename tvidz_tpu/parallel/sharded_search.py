@@ -17,7 +17,6 @@ Two primitives:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
@@ -26,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from tvidz_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
+from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 from tvidz_tpu.ops.hamming import hamming_matrix
 
 

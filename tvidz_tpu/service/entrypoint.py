@@ -17,7 +17,6 @@ import time
 
 from tvidz_tpu.config import Config
 from tvidz_tpu.service.app import create_app
-from tvidz_tpu.service.wsgi import serve
 from tvidz_tpu.utils import log
 
 
