@@ -1,0 +1,25 @@
+"""Batched (data-parallel) forward parity with per-clip streaming."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.models.fingerprint import FingerprintModel
+from tvidz_tpu.ops import golden
+
+
+def test_forward_batch_matches_streaming(rng):
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 48
+    cfg.pipeline.scene_width = 64
+    model = FingerprintModel(cfg)
+    clips = rng.integers(0, 256, size=(3, 32, 48, 64), dtype=np.uint8)
+    scores_b, fps_b = model.forward_batch(jnp.asarray(clips))
+    for i in range(3):
+        s, f, _ = model.forward(jnp.asarray(clips[i]), model.init_carry())
+        np.testing.assert_allclose(np.asarray(scores_b[i]), np.asarray(s),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(fps_b[i]), np.asarray(f))
+        np.testing.assert_allclose(np.asarray(s), golden.scene_scores(clips[i]),
+                                   atol=1e-5)

@@ -69,13 +69,37 @@ class FingerprintModel:
         self, clips: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, T, H, W) -> ((B, T) scores, (B, T, words) fingerprints).
-        Each clip is an independent stream (fresh carry)."""
 
-        def one(clip):
-            scores, fps, _ = self.forward(clip, self.init_carry())
-            return scores, fps
+        Each clip is an independent stream, so scene scores reduce to
+        intra-clip shifted diffs on a flat (B*T, H*W) layout — no carry, no
+        per-clip concatenate (the vmapped-carry form measured ~7x slower).
+        Hashing is the same batched op over all B*T frames.
+        """
+        b, t, h, w = clips.shape
+        flat = clips.reshape(b * t, h, w)
 
-        return jax.vmap(one)(clips)
+        x = clips.reshape(b, t, h * w).astype(jnp.float32)
+        mafd = jnp.zeros((b, t), jnp.float32)
+        mafd = mafd.at[:, 1:].set(
+            jnp.mean(jnp.abs(x[:, 1:] - x[:, :-1]), axis=2)
+        )
+        prev_mafd = jnp.concatenate(
+            [jnp.zeros((b, 1), jnp.float32), mafd[:, :-1]], axis=1
+        )
+        diff = jnp.abs(mafd - prev_mafd)
+        scores = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
+        scores = scores.at[:, 0].set(0.0)
+
+        if self.algorithm == "phash":
+            from tvidz_tpu.ops.phash import phash_batched
+
+            fps = phash_batched(flat, dct_size=self.dct_size,
+                                hash_size=self.hash_size)
+        else:
+            from tvidz_tpu.ops.hashes import get_hash_fn
+
+            fps = get_hash_fn(self.algorithm)(flat)
+        return scores, fps.reshape(b, t, -1)
 
     # -- whole-array convenience (tests, bench) --------------------------------------
 
