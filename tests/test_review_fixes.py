@@ -1,0 +1,158 @@
+"""Regression tests for code-review findings."""
+
+import jax
+import numpy as np
+import pytest
+
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+
+
+def test_mesh_corpus_reset_works():
+    """reset() used to re-call __init__ without the mesh arg -> TypeError,
+    leaving clear-db half-applied."""
+    from tvidz_tpu.parallel.mesh import make_mesh
+    from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
+
+    mesh = make_mesh(8)
+    mc = MeshCorpus(mesh, ts_initial_capacity=8, fp_initial_capacity=256,
+                    fp_block_n=128)
+    mc.upsert_timestamps(1, [1.0, 2.0])
+    mc.append_fingerprints(1, np.zeros((4, 2), np.uint32))
+    mc.reset()
+    assert mc.num_videos == 0
+    assert mc.num_fingerprints == 0
+    mc.upsert_timestamps(2, [3.0, 4.0])
+    assert mc.match_timestamps([3.0, 4.0], min_match=2) == [(2, 2)]
+
+
+def test_reset_keeps_lock_object():
+    c = DeviceCorpus(ts_initial_capacity=4)
+    lock = c._lock
+    c.reset()
+    assert c._lock is lock
+
+
+def test_static_corpus_frames_cannot_inflate_evidence(rng):
+    """A corpus video with many near-identical frames must not cross the
+    evidence threshold from a single matching query frame: evidence counts
+    QUERY frames (each at most once), not corpus frames."""
+    c = DeviceCorpus(fp_initial_capacity=256, fp_block_n=128,
+                     hamming_threshold=5)
+    static = np.tile(
+        rng.integers(0, 2**32, size=(1, 2), dtype=np.uint32), (60, 1)
+    )
+    c.append_fingerprints(7, static)  # 60 identical corpus frames
+    # Query: 1 frame matching the static shot + 15 unrelated frames.
+    query = np.concatenate(
+        [static[:1], rng.integers(0, 2**32, size=(15, 2), dtype=np.uint32)]
+    )
+    counts = c.nearest_video_counts(query)
+    assert counts.get(7, 0) <= 2  # 1 real + possible random collisions
+
+
+def test_blocks_never_double_count_query_frames(rng):
+    c = DeviceCorpus(fp_initial_capacity=256, fp_block_n=128,
+                     hamming_threshold=5)
+    fp = rng.integers(0, 2**32, size=(50, 2), dtype=np.uint32)
+    c.append_fingerprints(3, fp)
+    # Two disjoint query blocks from the same content: totals add to the
+    # number of query frames, never more.
+    c1 = c.nearest_video_counts(fp[:20])
+    c2 = c.nearest_video_counts(fp[20:40])
+    assert c1.get(3, 0) == 20
+    assert c2.get(3, 0) == 20
+
+
+def test_load_skips_mismatched_fingerprint_width(rng):
+    """Changing TVIDZ_HASH_ALGO between runs must not crash startup."""
+    s = Store("sqlite:///:memory:")
+    v = s.add_video("old.mp4")
+    s.add_fingerprints(v.id, rng.integers(0, 2**32, size=(10, 2), dtype=np.uint32))
+    c = DeviceCorpus(words=8)  # restarted under phash256
+    c.load(s)                  # must not raise
+    assert c.num_fingerprints == 0
+    s.close()
+
+
+def test_append_mismatched_width_raises(rng):
+    c = DeviceCorpus(words=2)
+    with pytest.raises(ValueError):
+        c.append_fingerprints(1, np.zeros((4, 8), np.uint32))
+
+
+def test_truncation_consistent_for_long_videos():
+    """Stored rows and queries both keep the FIRST max_cuts; an identical
+    long video must still match itself."""
+    c = DeviceCorpus(max_cuts=16, ts_initial_capacity=4)
+    long_cuts = [float(i) for i in range(50)]   # > max_cuts
+    c.upsert_timestamps(1, long_cuts)
+    hits = c.match_timestamps(long_cuts, min_match=10)
+    assert hits == [(1, 16)]
+
+
+def test_incremental_ts_sync_matches_full(rng):
+    c = DeviceCorpus(max_cuts=8, ts_initial_capacity=8)
+    c.upsert_timestamps(1, [1.0, 2.0])
+    assert c.match_timestamps([1.0, 2.0], min_match=2) == [(1, 2)]
+    # Incremental row update (no growth): device mirror must follow.
+    c.upsert_timestamps(1, [5.0, 6.0, 7.0])
+    assert c.match_timestamps([1.0, 2.0], min_match=2) == []
+    assert c.match_timestamps([5.0, 7.0], min_match=2) == [(1, 2)]
+    c.upsert_timestamps(2, [9.0, 10.0])
+    assert c.match_timestamps([9.0, 10.0], min_match=2) == [(2, 2)]
+
+
+def test_incremental_fp_sync_matches_full(rng):
+    c = DeviceCorpus(fp_initial_capacity=256, fp_block_n=128,
+                     hamming_threshold=5)
+    a = rng.integers(0, 2**32, size=(30, 2), dtype=np.uint32)
+    b = rng.integers(0, 2**32, size=(30, 2), dtype=np.uint32)
+    c.append_fingerprints(1, a)
+    assert c.nearest_video_counts(a[:5]).get(1, 0) == 5
+    # Incremental append after a sync: new columns must be visible.
+    c.append_fingerprints(2, b)
+    assert c.nearest_video_counts(b[:5]).get(2, 0) == 5
+
+
+def test_event_key_url_decoding(tmp_path):
+    from tvidz_tpu.service.app import InspectorApp
+
+    assert InspectorApp._decode_event_key("my+video.mp4") == "my video.mp4"
+    assert InspectorApp._decode_event_key("a%2Bb.mp4") == "a+b.mp4"
+    assert InspectorApp._decode_event_key("plain.mp4") == "plain.mp4"
+
+
+def test_phash_size_validation(rng):
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.phash import phash_bits_batched
+
+    x = jnp.zeros((2, 32, 32), jnp.uint8)
+    with pytest.raises(ValueError):
+        phash_bits_batched(x, hash_size=12)
+    with pytest.raises(ValueError):
+        phash_bits_batched(x, dct_size=8, hash_size=16)
+
+
+def test_sharded_nearest_matches_single_chip(rng):
+    from tvidz_tpu.parallel.mesh import make_mesh
+    from tvidz_tpu.parallel.sharded_search import sharded_nearest
+    from tvidz_tpu.ops import golden
+
+    import jax.numpy as jnp
+
+    mesh = make_mesh(8)
+    q = rng.integers(0, 2**32, size=(8, 2), dtype=np.uint32)
+    corpus = rng.integers(0, 2**32, size=(512, 2), dtype=np.uint32)
+    corpus[300] = q[2]
+    with mesh:
+        d, idx = sharded_nearest(
+            jnp.asarray(q), jnp.asarray(corpus.T.copy()), mesh, block_n=128
+        )
+    h = golden.hamming_matrix(q, corpus)
+    np.testing.assert_array_equal(np.asarray(d), h.min(axis=1))
+    assert int(idx[2]) == 300
+    # all returned indices achieve the min distance
+    for i in range(8):
+        assert h[i, int(idx[i])] == int(d[i])

@@ -135,6 +135,9 @@ class ServiceConfig:
     port: int = 5000
     sse_poll_s: float = 0.2          # app.py:110
     s3_endpoint: str = "http://localstack:4566"   # app.py:163,422
+    # Separate SQS endpoint (same-host default matches LocalStack; real AWS
+    # deployments point this at the regional SQS endpoint).
+    sqs_endpoint: str = ""                         # "" -> use s3_endpoint
     s3_bucket: str = "videos"
     sqs_queue: str = "video-events"
     sqs_wait_s: int = 10             # app.py:459
@@ -150,9 +153,14 @@ class ServiceConfig:
             host=_env("HOST", "0.0.0.0"),
             port=_env("PORT", 5000, int),
             s3_endpoint=_env("S3_ENDPOINT", "http://localstack:4566"),
+            sqs_endpoint=_env("SQS_ENDPOINT", ""),
             s3_bucket=_env("S3_BUCKET", "videos"),
             sqs_queue=_env("SQS_QUEUE", "video-events"),
         )
+
+    @property
+    def effective_sqs_endpoint(self) -> str:
+        return self.sqs_endpoint or self.s3_endpoint
 
 
 @dataclasses.dataclass

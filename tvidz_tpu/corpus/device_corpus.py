@@ -13,9 +13,10 @@ is one compiled program:
   (ops.hamming.corpus_min_distance).
 
 Capacities grow by doubling, so jit recompiles are O(log N) over a corpus's
-lifetime. Host mirrors are kept for cheap row updates and verdict resolution;
-device arrays are refreshed with ``.at[].set`` (on-device copy, no host
-round-trip of the whole corpus).
+lifetime. Host mirrors are the source of truth (cheap row updates, verdict
+resolution); device arrays sync lazily before each query — incrementally
+(``.at[].set`` of dirty rows / appended columns) when the capacity is
+unchanged, with a full re-upload only after growth.
 """
 
 from __future__ import annotations
@@ -50,38 +51,45 @@ class DeviceCorpus:
         self.max_cuts = max_cuts
         self.words = words
         self.hamming_threshold = hamming_threshold
+        # Pallas tiling needs the corpus block (and therefore every capacity)
+        # to be a multiple of 128 lanes.
+        self._fp_block_n = max(128, -(-fp_block_n // 128) * 128)
+        self._ts_initial_capacity = ts_initial_capacity
+        self._fp_initial_capacity = (
+            -(-fp_initial_capacity // self._fp_block_n) * self._fp_block_n
+        )
         self._lock = threading.RLock()
+        self._init_state()
 
+    def _init_state(self) -> None:
+        """(Re)initialize all corpus content. Callers must hold self._lock
+        (or be __init__); the lock object itself is never replaced."""
         # Timestamp index host mirrors.
-        self._ts_cap = ts_initial_capacity
-        self._ts = np.full((self._ts_cap, max_cuts), np.nan, np.float32)
+        self._ts_cap = self._ts_initial_capacity
+        self._ts = np.full((self._ts_cap, self.max_cuts), np.nan, np.float32)
         self._ts_len = np.zeros(self._ts_cap, np.int32)
         self._ts_vid = np.full(self._ts_cap, -1, np.int32)
         self._vid_to_row: Dict[int, int] = {}
         self._ts_count = 0
         self._ts_dev: Optional[jnp.ndarray] = None
         self._ts_len_dev: Optional[jnp.ndarray] = None
-        self._ts_dirty = True
+        self._ts_dirty_rows: List[int] = []
+        self._ts_full_resync = True
 
-        # Fingerprint index host mirrors. Pallas tiling needs the corpus block
-        # (and therefore every capacity) to be a multiple of 128 lanes.
-        self._fp_block_n = max(128, -(-fp_block_n // 128) * 128)
-        self._fp_cap = -(-fp_initial_capacity // self._fp_block_n) * self._fp_block_n
-        self._fp = np.full((self._fp_cap, words), _FP_SENTINEL, np.uint32)
+        # Fingerprint index host mirrors.
+        self._fp_cap = self._fp_initial_capacity
+        self._fp = np.full((self._fp_cap, self.words), _FP_SENTINEL, np.uint32)
         self._fp_vid = np.full(self._fp_cap, -1, np.int32)
         self._fp_count = 0
         self._fp_dev: Optional[jnp.ndarray] = None
-        self._fp_dirty = True
+        self._fp_synced_count = 0
+        self._fp_full_resync = True
 
     def reset(self) -> None:
-        """Drop all corpus content, keeping configuration (admin clear-db)."""
+        """Drop all corpus content, keeping configuration and the lock
+        (admin clear-db). Safe under concurrent queries/updates."""
         with self._lock:
-            self.__init__(
-                max_cuts=self.max_cuts,
-                words=self.words,
-                hamming_threshold=self.hamming_threshold,
-                fp_block_n=self._fp_block_n,
-            )
+            self._init_state()
 
     # -- properties -----------------------------------------------------------
 
@@ -96,12 +104,28 @@ class DeviceCorpus:
     # -- load / update ----------------------------------------------------------
 
     def load(self, store) -> None:
-        """Bulk-load timestamps + fingerprints from a corpus.Store."""
+        """Bulk-load timestamps + fingerprints from a corpus.Store.
+
+        Fingerprint rows whose word width doesn't match this corpus's
+        configured algorithm (e.g. the store was written under phash and the
+        service restarted with TVIDZ_HASH_ALGO=phash256) are skipped with a
+        warning instead of crashing startup; they remain in the store.
+        """
+        from tvidz_tpu.utils import log
+
         with self._lock:
             for video_id, ts in store.all_timestamps():
                 self._upsert_ts_locked(video_id, ts)
+            skipped = 0
             for video_id, fps in store.all_fingerprints():
+                if fps.ndim != 2 or fps.shape[1] != self.words:
+                    skipped += 1
+                    continue
                 self._append_fp_locked(video_id, fps)
+            if skipped:
+                log("corpus",
+                    f"skipped {skipped} stored fingerprint rows with word "
+                    f"width != {self.words} (hash algorithm changed?)")
 
     def upsert_timestamps(self, video_id: int, timestamps: Sequence[float]) -> None:
         with self._lock:
@@ -120,7 +144,7 @@ class DeviceCorpus:
         self._ts[row, :] = np.nan
         self._ts[row, : len(ts)] = ts
         self._ts_len[row] = len(ts)
-        self._ts_dirty = True
+        self._ts_dirty_rows.append(row)
 
     def _grow_ts(self) -> None:
         new_cap = self._ts_cap * 2
@@ -130,6 +154,7 @@ class DeviceCorpus:
         self._ts_len = np.concatenate([self._ts_len, np.zeros(self._ts_cap, np.int32)])
         self._ts_vid = np.concatenate([self._ts_vid, np.full(self._ts_cap, -1, np.int32)])
         self._ts_cap = new_cap
+        self._ts_full_resync = True
 
     def append_fingerprints(self, video_id: int, fingerprints: np.ndarray) -> None:
         with self._lock:
@@ -137,13 +162,17 @@ class DeviceCorpus:
 
     def _append_fp_locked(self, video_id: int, fingerprints: np.ndarray) -> None:
         fp = np.ascontiguousarray(fingerprints, np.uint32)
+        if fp.ndim != 2 or fp.shape[1] != self.words:
+            raise ValueError(
+                f"fingerprint width {fp.shape} incompatible with corpus "
+                f"words={self.words} (hash algorithm mismatch?)"
+            )
         t = fp.shape[0]
         while self._fp_count + t > self._fp_cap:
             self._grow_fp()
         self._fp[self._fp_count : self._fp_count + t] = fp
         self._fp_vid[self._fp_count : self._fp_count + t] = video_id
         self._fp_count += t
-        self._fp_dirty = True
 
     def _grow_fp(self) -> None:
         add = self._fp_cap
@@ -152,21 +181,38 @@ class DeviceCorpus:
         )
         self._fp_vid = np.concatenate([self._fp_vid, np.full(add, -1, np.int32)])
         self._fp_cap += add
+        self._fp_full_resync = True
 
     # -- queries ------------------------------------------------------------------
 
     def _sync_ts(self) -> None:
-        if self._ts_dirty or self._ts_dev is None:
+        if self._ts_full_resync or self._ts_dev is None:
             self._ts_dev = jnp.asarray(self._ts)
             self._ts_len_dev = jnp.asarray(self._ts_len)
-            self._ts_dirty = False
+            self._ts_full_resync = False
+        elif self._ts_dirty_rows:
+            # Incremental: update only dirty rows on device.
+            rows = sorted(set(self._ts_dirty_rows))
+            idx = jnp.asarray(rows, jnp.int32)
+            self._ts_dev = self._ts_dev.at[idx].set(jnp.asarray(self._ts[rows]))
+            self._ts_len_dev = self._ts_len_dev.at[idx].set(
+                jnp.asarray(self._ts_len[rows])
+            )
+        self._ts_dirty_rows.clear()
 
     def _sync_fp(self) -> None:
-        if self._fp_dirty or self._fp_dev is None:
-            # Word-major (W, N) device mirror — the Pallas scan kernel's
-            # lane-friendly layout (see ops/hamming.py).
+        # Word-major (W, N) device mirror — the Pallas scan kernel's
+        # lane-friendly layout (see ops/hamming.py).
+        if self._fp_full_resync or self._fp_dev is None:
             self._fp_dev = jnp.asarray(np.ascontiguousarray(self._fp.T))
-            self._fp_dirty = False
+            self._fp_full_resync = False
+        elif self._fp_synced_count < self._fp_count:
+            # Incremental: append only the new columns on device.
+            s, e = self._fp_synced_count, self._fp_count
+            self._fp_dev = self._fp_dev.at[:, s:e].set(
+                jnp.asarray(np.ascontiguousarray(self._fp[s:e].T))
+            )
+        self._fp_synced_count = self._fp_count
 
     # Query kernels — overridden by parallel.mesh_corpus.MeshCorpus with
     # shard_map versions over a device mesh.
@@ -177,6 +223,12 @@ class DeviceCorpus:
     def _frame_min(self, q, fp_dev):
         frame_min, _, _ = corpus_min_distance_t(q, fp_dev, block_n=self._fp_block_n)
         return frame_min
+
+    def _query_nearest(self, q, fp_dev):
+        """Per query row: (min distance, global corpus index of the nearest
+        fingerprint)."""
+        _, q_min, q_arg = corpus_min_distance_t(q, fp_dev, block_n=self._fp_block_n)
+        return q_min, q_arg
 
     def match_timestamps(
         self,
@@ -195,8 +247,11 @@ class DeviceCorpus:
             vids = self._ts_vid[: self._ts_count].copy()
             count_n = self._ts_count
         # Pad the query to the fixed max_cuts width (bounded recompiles).
+        # Keep the FIRST max_cuts, matching _upsert_ts_locked's truncation —
+        # a query truncated from the other end would share zero timestamps
+        # with an identically-truncated stored copy of the same video.
         q = np.full(self.max_cuts, np.nan, np.float32)
-        take = list(query_ts)[-self.max_cuts :]
+        take = list(query_ts)[: self.max_cuts]
         q[: len(take)] = np.asarray(take, np.float32)
         counts = np.asarray(
             self._ts_counts(jnp.asarray(q), ts_dev, len_dev, tolerance)
@@ -245,6 +300,41 @@ class DeviceCorpus:
             if c >= min_match and v != exclude_video_id
         ]
         out.sort(key=lambda vc: -vc[1])
+        return out
+
+    def nearest_video_counts(
+        self, query: np.ndarray, exclude_video_id: Optional[int] = None,
+    ) -> Dict[int, int]:
+        """{video_id: #query frames whose nearest corpus fingerprint belongs
+        to that video (within hamming_threshold)}.
+
+        The robust duplicate-evidence primitive: each QUERY frame contributes
+        at most once, so a corpus video full of near-identical frames (static
+        shots, black intros) cannot inflate evidence beyond the amount of
+        query content that actually matches, and per-block accumulation never
+        double-counts (blocks partition the query frames).
+        """
+        with self._lock:
+            if self._fp_count == 0 or query.shape[0] == 0:
+                return {}
+            self._sync_fp()
+            fp_dev = self._fp_dev
+            fp_vid = self._fp_vid[: self._fp_count].copy()
+            count_n = self._fp_count
+        m = query.shape[0]
+        q = np.asarray(query, np.uint32)
+        m_pad = -m % 8
+        if m_pad:
+            q = np.concatenate([q, np.repeat(q[:1], m_pad, axis=0)])
+        q_min, q_arg = self._query_nearest(jnp.asarray(q), fp_dev)
+        q_min = np.asarray(q_min)[:m]
+        q_arg = np.asarray(q_arg)[:m]
+        out: Dict[int, int] = {}
+        for i in range(m):
+            if q_min[i] <= self.hamming_threshold and q_arg[i] < count_n:
+                vid = int(fp_vid[q_arg[i]])
+                if vid >= 0 and vid != exclude_video_id:
+                    out[vid] = out.get(vid, 0) + 1
         return out
 
     def locate_fragment(

@@ -55,6 +55,7 @@ struct Handle {
   double fps = 0.0;
   bool eof_sent = false;
   bool drained = false;
+  bool pkt_pending = false;  // pkt holds an unsent packet (send was EAGAIN)
 };
 
 void destroy(Handle* h) {
@@ -255,27 +256,40 @@ int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
       set_averror("avcodec_receive_frame", rc);
       return -1;
     }
-    // Decoder wants input: pump packets.
+    // Decoder wants input: pump packets. A pending packet (send returned
+    // EAGAIN on a previous pass) must be retried first — dropping it would
+    // silently lose frames and shift every downstream timestamp.
     if (h->eof_sent) continue;
     while (true) {
-      rc = av_read_frame(h->fmt, h->pkt);
-      if (rc == AVERROR_EOF) {
-        avcodec_send_packet(h->codec, nullptr);  // flush
-        h->eof_sent = true;
-        break;
-      }
-      if (rc < 0) {
-        set_averror("av_read_frame", rc);
-        return -1;
-      }
-      if (h->pkt->stream_index != h->stream_index) {
-        av_packet_unref(h->pkt);
-        continue;
+      if (!h->pkt_pending) {
+        rc = av_read_frame(h->fmt, h->pkt);
+        if (rc == AVERROR_EOF) {
+          avcodec_send_packet(h->codec, nullptr);  // flush
+          h->eof_sent = true;
+          break;
+        }
+        if (rc < 0) {
+          set_averror("av_read_frame", rc);
+          return -1;
+        }
+        if (h->pkt->stream_index != h->stream_index) {
+          av_packet_unref(h->pkt);
+          continue;
+        }
       }
       rc = avcodec_send_packet(h->codec, h->pkt);
+      if (rc == 0) {
+        av_packet_unref(h->pkt);
+        h->pkt_pending = false;
+        break;
+      }
+      if (rc == AVERROR(EAGAIN)) {
+        // Keep the packet; drain the receive side, then resend.
+        h->pkt_pending = true;
+        break;
+      }
       av_packet_unref(h->pkt);
-      if (rc == 0) break;
-      if (rc == AVERROR(EAGAIN)) break;  // drain receive side first
+      h->pkt_pending = false;
       set_averror("avcodec_send_packet", rc);
       return -1;
     }

@@ -33,7 +33,19 @@ def _pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:
 def phash_bits_batched(
     luma: jnp.ndarray, dct_size: int = 32, hash_size: int = 8
 ) -> jnp.ndarray:
-    """(T, H, W) luma (uint8 or float) -> (T, hash_size²) {0,1} int32 bits."""
+    """(T, H, W) luma (uint8 or float) -> (T, hash_size²) {0,1} int32 bits.
+
+    hash_size² must be a multiple of 32 for uint32 packing, and even-count
+    medians are required for golden parity — in practice hash_size ∈ {8, 16}
+    (64-/256-bit hashes). Anything else is rejected up front.
+    """
+    if (hash_size * hash_size) % 32 != 0:
+        raise ValueError(
+            f"hash_size={hash_size} gives {hash_size*hash_size} bits, not a "
+            "multiple of 32; supported sizes: 8 (64-bit), 16 (256-bit)"
+        )
+    if hash_size > dct_size:
+        raise ValueError(f"hash_size {hash_size} > dct_size {dct_size}")
     t, h, w = luma.shape
     ph, pw = resize_matrices(h, w, dct_size, dct_size)
     d = dct_matrix(dct_size)

@@ -23,6 +23,7 @@ from tvidz_tpu.corpus.device_corpus import DeviceCorpus
 from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 from tvidz_tpu.parallel.sharded_search import (
     sharded_frame_min,
+    sharded_nearest,
     sharded_timestamp_match,
 )
 
@@ -36,8 +37,9 @@ class MeshCorpus(DeviceCorpus):
         ts_cap = kwargs.pop("ts_initial_capacity", 256)
         kwargs["ts_initial_capacity"] = -(-ts_cap // self.n_shards) * self.n_shards
         fp_cap = kwargs.pop("fp_initial_capacity", 4096)
-        blk = kwargs.get("fp_block_n", 2048)
-        unit = max(128, blk) * self.n_shards
+        # Same 128-lane rounding DeviceCorpus applies to the block size.
+        blk = max(128, -(-kwargs.get("fp_block_n", 2048) // 128) * 128)
+        unit = blk * self.n_shards
         kwargs["fp_initial_capacity"] = -(-fp_cap // unit) * unit
         super().__init__(**kwargs)
         self._ts_sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
@@ -46,19 +48,28 @@ class MeshCorpus(DeviceCorpus):
         self._rep = NamedSharding(mesh, P())
 
     # -- sharded device placement ------------------------------------------------
+    # Sharded mirrors are re-placed wholesale when dirty: per-row scatter into
+    # a row-sharded array is not worth the collective plumbing at current
+    # corpus sizes (one device_put of host memory, amortized per block).
 
     def _sync_ts(self) -> None:
-        if self._ts_dirty or self._ts_dev is None:
+        if self._ts_full_resync or self._ts_dev is None or self._ts_dirty_rows:
             self._ts_dev = jax.device_put(self._ts, self._ts_sharding)
             self._ts_len_dev = jax.device_put(self._ts_len, self._len_sharding)
-            self._ts_dirty = False
+            self._ts_full_resync = False
+            self._ts_dirty_rows.clear()
 
     def _sync_fp(self) -> None:
-        if self._fp_dirty or self._fp_dev is None:
+        if (
+            self._fp_full_resync
+            or self._fp_dev is None
+            or self._fp_synced_count < self._fp_count
+        ):
             self._fp_dev = jax.device_put(
                 np.ascontiguousarray(self._fp.T), self._fp_sharding
             )
-            self._fp_dirty = False
+            self._fp_full_resync = False
+            self._fp_synced_count = self._fp_count
 
     # -- sharded query kernels ------------------------------------------------------
 
@@ -70,3 +81,7 @@ class MeshCorpus(DeviceCorpus):
         q = jax.device_put(q, self._rep)
         return sharded_frame_min(q, fp_dev, self.mesh,
                                  block_n=self._fp_block_n)
+
+    def _query_nearest(self, q, fp_dev):
+        q = jax.device_put(q, self._rep)
+        return sharded_nearest(q, fp_dev, self.mesh, block_n=self._fp_block_n)

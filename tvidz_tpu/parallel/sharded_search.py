@@ -74,15 +74,17 @@ def sharded_hamming_topk(
     n = corpus_fp.shape[0]
     n_shards = mesh.shape[CORPUS_AXIS]
     local_n = n // n_shards
+    k = min(k, n)  # can't return more neighbors than corpus rows
 
     def local(q, c):
         # c: (local_n, W). Per-shard distances + local top-k (negate for
         # top_k's max semantics).
         d = hamming_matrix(q, c)                                   # (M, local_n)
-        neg, idx = jax.lax.top_k(-d, min(k, local_n))              # (M, k)
+        k_local = min(k, local_n)
+        neg, idx = jax.lax.top_k(-d, k_local)                      # (M, k_local)
         shard = jax.lax.axis_index(CORPUS_AXIS)
         gidx = idx + shard * local_n
-        # all_gather over the corpus axis: (n_shards, M, k)
+        # all_gather over the corpus axis: (n_shards, M, k_local)
         all_neg = jax.lax.all_gather(neg, CORPUS_AXIS)
         all_idx = jax.lax.all_gather(gidx, CORPUS_AXIS)
         m = q.shape[0]
@@ -138,6 +140,58 @@ def sharded_frame_min(
         mesh=mesh,
         in_specs=(P(), P(None, CORPUS_AXIS)),
         out_specs=P(CORPUS_AXIS),
+    )
+    return fn(q, corpus_t)
+
+
+def sharded_nearest(
+    q: jnp.ndarray,            # (M, W) uint32 — replicated
+    corpus_t: jnp.ndarray,     # (W, N) uint32 word-major — sharded over N
+    mesh: Mesh,
+    block_n: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per query row: (global min distance (M,), global argmin index (M,)).
+
+    Per-shard blocked scan + argmin, merged across the corpus axis with an
+    all_gather of (S, M) candidates — the sharded counterpart of
+    corpus_min_distance_t's query_min/query_argmin outputs.
+    """
+
+    def local(qq, c_t):
+        m = qq.shape[0]
+        w, nloc = c_t.shape
+        blk = min(block_n, nloc)
+        if nloc % blk:
+            blk = nloc
+        nb = nloc // blk
+
+        def one(cb):  # (W, blk) -> per-query (min, argmin-within-block)
+            x = qq[:, :, None] ^ cb[None, :, :]
+            d = jnp.sum(
+                jax.lax.population_count(x).astype(jnp.int32), axis=1
+            )                                            # (M, blk)
+            return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
+
+        mins, args = jax.lax.map(
+            one, c_t.reshape(w, nb, blk).transpose(1, 0, 2)
+        )                                                # (nb, M) each
+        m_idx = jnp.arange(m)
+        best_b = jnp.argmin(mins, axis=0)                # (M,)
+        loc_min = mins[best_b, m_idx]
+        loc_arg = args[best_b, m_idx] + best_b.astype(jnp.int32) * blk
+        shard = jax.lax.axis_index(CORPUS_AXIS)
+        g_arg = loc_arg + shard * nloc
+        all_min = jax.lax.all_gather(loc_min, CORPUS_AXIS)   # (S, M)
+        all_arg = jax.lax.all_gather(g_arg, CORPUS_AXIS)
+        s_best = jnp.argmin(all_min, axis=0)
+        return all_min[s_best, m_idx], all_arg[s_best, m_idx]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(None, CORPUS_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
     )
     return fn(q, corpus_t)
 

@@ -311,18 +311,21 @@ class Analyzer:
 
             # Fingerprint evidence (north-star Hamming path): catches content
             # the exact-timestamp rule misses, e.g. re-encodes at a different
-            # frame rate. Cumulative per-video matched-frame counts; verdict
-            # once any video crosses fp_min_match.
+            # frame rate. Each QUERY frame credits its nearest corpus video
+            # at most once (blocks partition the query frames, so per-block
+            # accumulation never double-counts, and a corpus video full of
+            # near-identical frames can't inflate evidence); verdict once any
+            # video crosses fp_min_match.
             if (
                 cfg.match.use_fingerprint_evidence
                 and not duplicate_found
                 and self.corpus.num_fingerprints > 0
             ):
                 with self.timer.stage("fp-search"):
-                    block_hits = self.corpus.search_fingerprints(
-                        fps, min_match=1, exclude_video_id=video_id
+                    block_hits = self.corpus.nearest_video_counts(
+                        fps, exclude_video_id=video_id
                     )
-                for vid, count in block_hits:
+                for vid, count in block_hits.items():
                     fp_evidence[vid] = fp_evidence.get(vid, 0) + count
                 strong = [
                     (vid, total) for vid, total in fp_evidence.items()

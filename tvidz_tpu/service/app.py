@@ -22,6 +22,7 @@ import json
 import os
 import threading
 import time
+import urllib.parse
 from typing import Optional
 
 from tvidz_tpu.config import Config
@@ -86,10 +87,19 @@ class InspectorApp:
 
     # -- analysis dispatch -------------------------------------------------------
 
+    @staticmethod
+    def _decode_event_key(key: str) -> str:
+        """Real S3 event notifications URL-encode object keys ('my video.mp4'
+        arrives as 'my+video.mp4'); decode before use. The reference passes
+        the raw key through and fails on such names (SURVEY quirk not kept)."""
+        return urllib.parse.unquote_plus(key)
+
     def start_analysis_thread(self, bucket: str, key: str) -> threading.Thread:
         """Thread-per-upload, like app.py:43,472."""
         t = threading.Thread(
-            target=self._run_analysis, args=(bucket, key), daemon=True
+            target=self._run_analysis,
+            args=(bucket, self._decode_event_key(key)),
+            daemon=True,
         )
         t.start()
         return t

@@ -34,7 +34,8 @@ def build_clients(config: Config, fake: bool, fake_root: str = "/tmp/tvidz-fake-
 
     return (
         S3Client(config.service.s3_endpoint),
-        SQSClient(config.service.s3_endpoint, config.service.aws_region),
+        SQSClient(config.service.effective_sqs_endpoint,
+                  config.service.aws_region),
     )
 
 
