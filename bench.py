@@ -25,6 +25,7 @@ Usage: python bench.py  (runs on the default platform — the real TPU chip)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -180,6 +181,37 @@ def bench_timestamp_match(n_videos: int = 1 << 20, max_cuts: int = 32,
     return p50
 
 
+def bench_reference_python_scan(n_videos: int = 10_000, cuts: int = 32,
+                                query_cuts: int = 16):
+    """The CPU baseline the reference never published (BASELINE.md): its
+    find_duplicates is a pure-Python membership scan over every stored row
+    (db.py:76-94). Measured here with identical semantics so the device
+    speedup is an apples-to-apples number."""
+    rng = np.random.default_rng(3)
+    corpus = [
+        (i, rng.uniform(0, 3600, size=cuts).round(2).tolist())
+        for i in range(n_videos)
+    ]
+    query = rng.uniform(0, 3600, size=query_cuts).round(2).tolist()
+
+    t0 = time.perf_counter()
+    results = []
+    for video_id, ts in corpus:      # the reference's loop, db.py:83-91
+        match_count = 0
+        for new_ts in query:
+            if new_ts in ts:
+                match_count += 1
+        if match_count >= 2:
+            results.append((video_id, match_count))
+    dt = time.perf_counter() - t0
+    compares = n_videos * query_cuts * cuts / dt
+    _log(
+        f"reference python scan: {dt*1e3:.1f} ms vs {n_videos:,} videos "
+        f"({compares:,.0f} timestamp compares/s) — the db.py:76-94 algorithm"
+    )
+    return dt, compares
+
+
 def bench_batched_clips(n_clips: int = 100, clip_frames: int = 128):
     """BASELINE config #2: a batch of short clips fingerprinted data-parallel
     on one chip (vmapped fused op, independent carries)."""
@@ -271,12 +303,54 @@ def bench_e2e_decode_hash(num_frames: int = 120):
     return frames / dt
 
 
+def supervise() -> None:
+    """Run the measurements in a subprocess with timeout + retries.
+
+    The axon TPU tunnel in this environment occasionally wedges (device ops
+    hang indefinitely in-process, recovering only after tens of minutes). A
+    hung benchmark would stall the whole harness; a fresh subprocess after a
+    wait usually succeeds. The successful child's stdout (the single JSON
+    line) is passed through verbatim.
+    """
+    import subprocess
+
+    attempts = 3
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--direct"],
+                capture_output=True, text=True, timeout=1500,
+            )
+        except subprocess.TimeoutExpired:
+            _log(f"attempt {attempt+1}/{attempts} timed out (TPU tunnel "
+                 "likely wedged); retrying in 120 s")
+            time.sleep(120)
+            continue
+        sys.stderr.write(proc.stderr)
+        line = next(
+            (ln for ln in proc.stdout.splitlines() if ln.startswith("{")), None
+        )
+        if proc.returncode == 0 and line:
+            print(line)
+            return
+        _log(f"attempt {attempt+1}/{attempts} failed rc={proc.returncode}")
+        time.sleep(30)
+    _log("all bench attempts failed; emitting zero-value record")
+    print(json.dumps({
+        "metric": "1080p_frames_fingerprinted_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "frames/s",
+        "vs_baseline": 0.0,
+    }))
+
+
 def main() -> None:
     import jax
 
     _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     frames_per_s = bench_fingerprint_throughput()
     try:
+        bench_reference_python_scan()
         bench_verdict_latency()
         bench_timestamp_match()
         bench_batched_clips()
@@ -293,4 +367,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--direct" in sys.argv:
+        main()
+    else:
+        supervise()
