@@ -57,10 +57,27 @@ def bootstrap(config: Config, s3, sqs, retries: int = 30, wait_s: float = 2.0) -
 
 
 def _warmup_device(config: Config) -> None:
+    import os
+
     import numpy as np
+    import jax
     import jax.numpy as jnp
 
     from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    # Persistent XLA compilation cache: repeat boots skip the fused-op
+    # compile entirely (first compile can take tens of seconds on TPU).
+    try:
+        cache_dir = os.environ.get(
+            "TVIDZ_COMPILATION_CACHE",
+            os.path.expanduser("~/.cache/tvidz-xla"),
+        )
+        if cache_dir and cache_dir != "0":
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # noqa: BLE001 — cache is best-effort
+        log("entrypoint", f"compilation cache unavailable: {e}")
 
     model = FingerprintModel(config)
     luma, carry = model.example_inputs()
