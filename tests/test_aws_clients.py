@@ -157,3 +157,39 @@ def test_sqs_unknown_queue_raises(mock_aws):
     with pytest.raises(SQSError) as ei:
         sqs.get_queue_url("nope")
     assert "NonExistentQueue" in str(ei.value)
+
+
+def test_poll_loop_with_real_wire_client(mock_aws, tmp_path, monkeypatch):
+    """The service's poll_sqs loop driven through the real SQSClient + XML
+    protocol (fakes bypass it): event in queue -> analysis dispatched with
+    the decoded bucket/key -> message deleted."""
+    import json
+    import time
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+    from tvidz_tpu.corpus.store import Store
+    from tvidz_tpu.service.app import create_app
+
+    cfg = Config()
+    cfg.service.sqs_wait_s = 0
+    cfg.service.sqs_idle_sleep_s = 0.05
+    sqs = SQSClient(mock_aws)
+    url = sqs.create_queue(cfg.service.sqs_queue)
+    app = create_app(config=cfg, store=Store("sqlite:///:memory:"),
+                     corpus=DeviceCorpus(), s3=S3Client(mock_aws), sqs=sqs)
+    seen = {}
+    monkeypatch.setattr(
+        app.analyzer, "analyze",
+        lambda bucket, key: seen.update(bucket=bucket, key=key),
+    )
+    event = {"Records": [{"s3": {"bucket": {"name": "videos"},
+                                 "object": {"key": "wire+test.mp4"}}}]}
+    sqs.send(url, json.dumps(event))
+    app.start_poller()
+    deadline = time.time() + 10
+    while "key" not in seen and time.time() < deadline:
+        time.sleep(0.05)
+    app.stop()
+    assert seen == {"bucket": "videos", "key": "wire test.mp4"}  # decoded
+    assert sqs.receive(url, wait_s=0) == []  # deleted after dispatch
