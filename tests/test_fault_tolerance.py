@@ -1,0 +1,100 @@
+"""Fault injection on the ingestion loop and profiler plumbing."""
+
+import threading
+import time
+
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.service.app import create_app
+from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+
+class _FlakySQS(FakeSQS):
+    """First N receives raise (transport errors); then behaves normally."""
+
+    def __init__(self, failures: int):
+        super().__init__()
+        self._failures = failures
+
+    def receive(self, queue_url, wait_s=10, max_messages=1):
+        if self._failures > 0:
+            self._failures -= 1
+            raise ConnectionError("injected transport failure")
+        return super().receive(queue_url, wait_s, max_messages)
+
+
+def test_poller_survives_receive_errors(tmp_path, monkeypatch):
+    cfg = Config()
+    cfg.service.sqs_idle_sleep_s = 0.02
+    sqs = _FlakySQS(failures=3)
+    url = sqs.create_queue(cfg.service.sqs_queue)
+    s3 = FakeS3(str(tmp_path / "s3"))
+    app = create_app(config=cfg, store=Store("sqlite:///:memory:"),
+                     corpus=DeviceCorpus(), s3=s3, sqs=sqs)
+    seen = {}
+    monkeypatch.setattr(app.analyzer, "analyze",
+                        lambda b, k: seen.update(b=b, k=k))
+    import json
+
+    sqs.send(url, json.dumps(
+        {"Records": [{"s3": {"bucket": {"name": "videos"},
+                             "object": {"key": "late.mp4"}}}]}
+    ))
+    app.start_poller()
+    deadline = time.time() + 10
+    while "k" not in seen and time.time() < deadline:
+        time.sleep(0.02)
+    app.stop()
+    assert seen.get("k") == "late.mp4"  # processed despite 3 receive failures
+
+
+def test_malformed_sqs_message_not_deleted_blindly(tmp_path, monkeypatch):
+    """A malformed message must not crash the poller; valid messages after
+    it still process (at-least-once handling, app.py:463-479)."""
+    cfg = Config()
+    cfg.service.sqs_idle_sleep_s = 0.02
+    sqs = FakeSQS()
+    url = sqs.create_queue(cfg.service.sqs_queue)
+    s3 = FakeS3(str(tmp_path / "s3"))
+    app = create_app(config=cfg, store=Store("sqlite:///:memory:"),
+                     corpus=DeviceCorpus(), s3=s3, sqs=sqs)
+    seen = []
+    monkeypatch.setattr(app.analyzer, "analyze",
+                        lambda b, k: seen.append(k))
+    import json
+
+    sqs.send(url, "this is not json")
+    sqs.send(url, json.dumps({"Records": []}))
+    sqs.send(url, json.dumps(
+        {"Records": [{"s3": {"bucket": {"name": "videos"},
+                             "object": {"key": "good.mp4"}}}]}
+    ))
+    app.start_poller()
+    deadline = time.time() + 10
+    while not seen and time.time() < deadline:
+        time.sleep(0.02)
+    app.stop()
+    assert seen == ["good.mp4"]
+
+
+def test_stage_timer_and_profiler_annotation(tmp_path, monkeypatch):
+    """StageTimer accumulates; trace_stage tolerates profiling enabled."""
+    import importlib
+
+    monkeypatch.setenv("TVIDZ_PROFILE_DIR", str(tmp_path / "prof"))
+    import tvidz_tpu.utils.timing as timing
+
+    importlib.reload(timing)
+    t = timing.StageTimer()
+    with t.stage("x"):
+        time.sleep(0.01)
+    with t.stage("x"):
+        pass
+    s = t.summary()
+    assert s["x"]["count"] == 2
+    assert s["x"]["total_s"] >= 0.01
+    monkeypatch.delenv("TVIDZ_PROFILE_DIR")
+    importlib.reload(timing)
