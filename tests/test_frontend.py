@@ -78,3 +78,39 @@ def test_upload_empty_body_rejected(app):
     client = app.wsgi.test_client()
     resp = client.post("/upload/x.y4m", data=b"")
     assert resp.status_code == 400
+
+
+def test_search_video_without_ingest(app, tmp_path):
+    """POST /search/video: verdicts without adding to the corpus."""
+    app.start_poller()
+    client = app.wsgi.test_client()
+    path = str(tmp_path / "src.y4m")
+    write_synthetic_y4m(path, num_frames=120, height=72, width=96,
+                        cut_frames=(40,), seed=4)
+    data = open(path, "rb").read()
+    # Ingest one copy via the normal path.
+    client.post("/upload/corpus-copy.y4m", data=data,
+                content_type="application/octet-stream")
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if client.get("/status/corpus-copy.y4m").get_json().get("status") == "done":
+            break
+        time.sleep(0.05)
+    before = app.corpus.num_fingerprints
+    # Query the same content without ingesting.
+    r = client.open("/search/video?filename=query.y4m", "POST", data=data,
+                    content_type="application/octet-stream")
+    assert r.status_code == 200, r.body_bytes()
+    out = r.get_json()
+    assert out["filename"] == "query.y4m"
+    assert out["frames"] == 120
+    assert out["fingerprint_matches"][0]["filename"] == "corpus-copy.y4m"
+    assert out["fingerprint_matches"][0]["matching_frames"] == 120
+    # One cut < min_match=2 -> the exact-timestamp rule stays silent; the
+    # fingerprint evidence is what identifies the copy.
+    assert out["timestamp_matches"] == []
+    assert app.corpus.num_fingerprints == before  # nothing ingested
+
+    # error paths
+    assert client.post("/search/video", data=b"").status_code == 400
+    assert client.post("/search/video", data=b"garbage").status_code == 400

@@ -48,11 +48,14 @@ def fingerprint_block(
     ``algorithm`` selects the fingerprint family (ops/hashes.HASH_REGISTRY:
     ahash / dhash / phash / phash256); "phash" honors dct_size/hash_size.
     """
-    scores, scene_carry = scene_scores_block(luma, carry.scene)
+    # Convert uint8 -> f32 once; both consumers treat f32 input as a no-op
+    # cast, so the frame is widened a single time per block.
+    xf = luma.astype(jnp.float32)
+    scores, scene_carry = scene_scores_block(xf, carry.scene)
     if algorithm == "phash":
-        fps = phash_batched(luma, dct_size=dct_size, hash_size=hash_size)
+        fps = phash_batched(xf, dct_size=dct_size, hash_size=hash_size)
     else:
         from tvidz_tpu.ops.hashes import get_hash_fn
 
-        fps = get_hash_fn(algorithm)(luma)
+        fps = get_hash_fn(algorithm)(xf)
     return scores, fps, FingerprintCarry(scene=scene_carry)

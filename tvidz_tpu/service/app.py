@@ -305,6 +305,82 @@ class InspectorApp:
                                       "num_frames": int(frag.shape[0])},
                             "matches": resolved})
 
+        @app.route("/search/video", methods=["POST"])
+        def search_video(request: Request):
+            """Query-without-ingest: POST a raw video body, get verdicts
+            against the corpus without adding the video to it (the service
+            counterpart of `python -m tvidz_tpu search`). Query params:
+            ?filename=<name>&top_k=N."""
+            data = request.body
+            if not data:
+                return jsonify({"error": "empty body"}, 400)
+            name = request.query.get("filename", "query.bin")
+            import tempfile
+
+            import numpy as np
+
+            from tvidz_tpu.models.fingerprint import FingerprintModel
+            from tvidz_tpu.decode import get_decoder
+
+            suffix = os.path.splitext(name)[1] or ".bin"
+            with tempfile.NamedTemporaryFile(
+                suffix=suffix, dir=cfg.pipeline.tmp_dir, delete=False
+            ) as f:
+                f.write(data)
+                tmp_path = f.name
+            try:
+                model = FingerprintModel(cfg)
+                decoder = get_decoder(tmp_path)
+                luma_blocks, pts_blocks = [], []
+                for block in decoder.blocks(tmp_path, model.block_frames,
+                                            model.height, model.width):
+                    luma_blocks.append(block.luma)
+                    pts_blocks.append(block.pts)
+                if not luma_blocks:
+                    return jsonify({"error": "no decodable frames"}, 400)
+                luma = np.concatenate(luma_blocks)
+                pts = np.concatenate(pts_blocks)
+                cuts, fps = model.analyze_array(luma, pts)
+            except Exception as e:  # noqa: BLE001 — undecodable upload
+                return jsonify({"error": f"decode failed: {e}"}, 400)
+            finally:
+                try:
+                    os.remove(tmp_path)
+                except OSError:
+                    pass
+
+            top_k = int(request.query.get("top_k", "5"))
+            ts_matches = self.corpus.match_timestamps(
+                cuts, min_match=cfg.match.min_match,
+                tolerance=cfg.match.timestamp_tolerance,
+            )
+            fp_counts = self.corpus.nearest_video_counts(fps)
+            frag = self.corpus.locate_fragment(fps, top_k=top_k)
+
+            def resolve(vid):
+                v = self.store.get_video_by_id(vid)
+                return v.filename if v else None
+
+            fp_sorted = sorted(fp_counts.items(), key=lambda vc: -vc[1])[:top_k]
+            return jsonify({
+                "filename": name,
+                "frames": int(fps.shape[0]),
+                "scene_cuts": cuts,
+                "timestamp_matches": [
+                    {"video_id": v, "filename": resolve(v),
+                     "matching_timestamps": c} for v, c in ts_matches[:top_k]
+                ],
+                "fingerprint_matches": [
+                    {"video_id": v, "filename": resolve(v),
+                     "matching_frames": c} for v, c in fp_sorted
+                ],
+                "best_alignments": [
+                    {"video_id": v, "filename": resolve(v),
+                     "offset_frames": o, "match_count": s}
+                    for v, o, s in frag
+                ],
+            })
+
         @app.route("/healthz", methods=["GET"])
         def healthz(request: Request):
             return jsonify({

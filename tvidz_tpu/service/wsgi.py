@@ -216,10 +216,11 @@ class TestClient:
             content_type = content_type or "application/json"
         elif data is not None:
             body = data.encode("utf-8") if isinstance(data, str) else data
+        path, _, query = path.partition("?")
         environ = {
             "REQUEST_METHOD": method.upper(),
             "PATH_INFO": quote(path),
-            "QUERY_STRING": "",
+            "QUERY_STRING": query,
             "CONTENT_LENGTH": str(len(body)),
             "CONTENT_TYPE": content_type or "",
             "wsgi.input": io.BytesIO(body),
