@@ -314,27 +314,34 @@ def supervise() -> None:
     """
     import subprocess
 
-    attempts = 3
-    for attempt in range(attempts):
+    def attempt_once(env=None, timeout=900):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--direct"],
-                capture_output=True, text=True, timeout=1500,
+                capture_output=True, text=True, timeout=timeout,
+                env={**os.environ, **(env or {})},
             )
         except subprocess.TimeoutExpired:
-            _log(f"attempt {attempt+1}/{attempts} timed out (TPU tunnel "
-                 "likely wedged); retrying in 120 s")
-            time.sleep(120)
-            continue
+            return None
         sys.stderr.write(proc.stderr)
         line = next(
             (ln for ln in proc.stdout.splitlines() if ln.startswith("{")), None
         )
-        if proc.returncode == 0 and line:
+        return line if proc.returncode == 0 and line else None
+
+    for attempt in range(3):
+        line = attempt_once()
+        if line:
             print(line)
             return
-        _log(f"attempt {attempt+1}/{attempts} failed rc={proc.returncode}")
-        time.sleep(30)
+        _log(f"TPU attempt {attempt+1}/3 failed or timed out (tunnel wedged?); "
+             "waiting 180 s")
+        time.sleep(180)
+    _log("TPU attempts exhausted; measuring on CPU as a degraded fallback")
+    line = attempt_once(env={"TVIDZ_BENCH_CPU_FALLBACK": "1"}, timeout=900)
+    if line:
+        print(line)
+        return
     _log("all bench attempts failed; emitting zero-value record")
     print(json.dumps({
         "metric": "1080p_frames_fingerprinted_per_sec_per_chip",
@@ -347,16 +354,27 @@ def supervise() -> None:
 def main() -> None:
     import jax
 
+    cpu_fallback = os.environ.get("TVIDZ_BENCH_CPU_FALLBACK") == "1"
+    if cpu_fallback:
+        # Degraded mode when the TPU tunnel is unreachable: honest (slow)
+        # CPU measurement of the headline metric only.
+        jax.config.update("jax_platforms", "cpu")
+        _log("CPU FALLBACK MODE — TPU unavailable; headline metric only")
+
     _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    frames_per_s = bench_fingerprint_throughput()
-    try:
-        bench_reference_python_scan()
-        bench_verdict_latency()
-        bench_timestamp_match()
-        bench_batched_clips()
-        bench_e2e_decode_hash()
-    except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
-        _log(f"secondary benches failed: {e}")
+    if cpu_fallback:
+        frames_per_s = bench_fingerprint_throughput(n_blocks=32, reps=2)
+    else:
+        frames_per_s = bench_fingerprint_throughput()
+    if not cpu_fallback:
+        try:
+            bench_reference_python_scan()
+            bench_verdict_latency()
+            bench_timestamp_match()
+            bench_batched_clips()
+            bench_e2e_decode_hash()
+        except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
+            _log(f"secondary benches failed: {e}")
 
     print(json.dumps({
         "metric": "1080p_frames_fingerprinted_per_sec_per_chip",
