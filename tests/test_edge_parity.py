@@ -1,0 +1,82 @@
+"""Edge-geometry and extreme-value parity: odd resolutions, flat frames,
+wide fingerprints — kernels must track the golden models everywhere."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.ops.hamming import corpus_min_distance, hamming_matrix
+from tvidz_tpu.ops.phash import phash_batched
+from tvidz_tpu.ops.scene import initial_scene_carry, scene_scores_block
+
+
+@pytest.mark.parametrize("h,w", [(91, 163), (33, 47), (720, 1280), (8, 8)])
+def test_phash_parity_odd_geometries(rng, h, w):
+    x = rng.integers(0, 256, size=(2, h, w), dtype=np.uint8)
+    got = np.asarray(phash_batched(jnp.asarray(x)))
+    want = np.stack([golden.phash(f) for f in x])
+    d = golden.hamming_matrix(got, want)
+    assert np.diag(d).max() <= 2, (h, w, np.diag(d))
+
+
+def test_scene_extreme_values(rng):
+    # all-zero -> all-255 hard cut; then constant frames (score 0)
+    video = np.zeros((8, 16, 16), np.uint8)
+    video[3:] = 255
+    scores = np.asarray(
+        scene_scores_block(jnp.asarray(video), initial_scene_carry(16, 16))[0]
+    )
+    want = golden.scene_scores(video)
+    np.testing.assert_allclose(scores, want, atol=1e-5)
+    assert scores[3] == 1.0          # 255 mafd clipped to 1.0
+    assert scores[4] == 0.0          # constant after the cut
+
+
+def test_scene_flat_video_never_cuts():
+    video = np.full((32, 24, 24), 128, np.uint8)
+    scores = np.asarray(
+        scene_scores_block(jnp.asarray(video), initial_scene_carry(24, 24))[0]
+    )
+    assert scores.max() == 0.0
+
+
+def test_hamming_extremes():
+    zeros = np.zeros((1, 2), np.uint32)
+    ones = np.full((1, 2), 0xFFFFFFFF, np.uint32)
+    d = np.asarray(hamming_matrix(jnp.asarray(zeros), jnp.asarray(ones)))
+    assert d[0, 0] == 64
+    d = np.asarray(hamming_matrix(jnp.asarray(ones), jnp.asarray(ones)))
+    assert d[0, 0] == 0
+
+
+def test_hamming_wide_fingerprints(rng):
+    """8-word (256-bit) fingerprints through matrix + Pallas paths."""
+    q = rng.integers(0, 2**32, size=(8, 8), dtype=np.uint32)
+    c = rng.integers(0, 2**32, size=(256, 8), dtype=np.uint32)
+    c[100] = q[1]
+    got = np.asarray(hamming_matrix(jnp.asarray(q), jnp.asarray(c)))
+    np.testing.assert_array_equal(got, golden.hamming_matrix(q, c))
+    fmin, qmin, qarg = corpus_min_distance(jnp.asarray(q), jnp.asarray(c),
+                                           block_n=128)
+    assert int(qmin[1]) == 0 and int(qarg[1]) == 100
+    np.testing.assert_array_equal(np.asarray(fmin), got.min(axis=0))
+
+
+def test_phash_constant_frame_is_stable():
+    """A flat frame has all-equal DCT coeffs at the median boundary; the
+    hash must still be deterministic across calls."""
+    x = np.full((1, 90, 160), 77, np.uint8)
+    h1 = np.asarray(phash_batched(jnp.asarray(x)))
+    h2 = np.asarray(phash_batched(jnp.asarray(x)))
+    np.testing.assert_array_equal(h1, h2)
+
+
+def test_single_frame_video(rng):
+    x = rng.integers(0, 256, size=(1, 48, 64), dtype=np.uint8)
+    scores, carry = scene_scores_block(
+        jnp.asarray(x), initial_scene_carry(48, 64)
+    )
+    assert float(scores[0]) == 0.0
+    fps = np.asarray(phash_batched(jnp.asarray(x)))
+    assert fps.shape == (1, 2)
