@@ -10,8 +10,9 @@ from tvidz_tpu.ops.hamming import (
     corpus_nearest,
 )
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
-from tvidz_tpu.ops.align import align_scores, best_alignment
+from tvidz_tpu.ops.align import align_scores, batch_best_alignment, best_alignment
 from tvidz_tpu.ops.fused import fingerprint_block, FingerprintCarry
+from tvidz_tpu.ops.hashes import HASH_REGISTRY, get_hash_fn, hash_words
 
 __all__ = [
     "dct_matrix",
@@ -29,7 +30,11 @@ __all__ = [
     "corpus_nearest",
     "timestamp_match_counts",
     "align_scores",
+    "batch_best_alignment",
     "best_alignment",
+    "HASH_REGISTRY",
+    "get_hash_fn",
+    "hash_words",
     "fingerprint_block",
     "FingerprintCarry",
 ]

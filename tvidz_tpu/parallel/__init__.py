@@ -1,16 +1,22 @@
 from tvidz_tpu.parallel.mesh import make_mesh, mesh_shape_for
+from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
 from tvidz_tpu.parallel.sharded_search import (
-    sharded_timestamp_match,
-    sharded_hamming_topk,
     ShardedCorpus,
+    sharded_frame_min,
+    sharded_hamming_topk,
+    sharded_nearest,
+    sharded_timestamp_match,
 )
 from tvidz_tpu.parallel.step import multichip_analysis_step
 
 __all__ = [
     "make_mesh",
     "mesh_shape_for",
-    "sharded_timestamp_match",
-    "sharded_hamming_topk",
+    "MeshCorpus",
     "ShardedCorpus",
+    "sharded_frame_min",
+    "sharded_hamming_topk",
+    "sharded_nearest",
+    "sharded_timestamp_match",
     "multichip_analysis_step",
 ]
