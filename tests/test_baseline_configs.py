@@ -1,0 +1,147 @@
+"""BASELINE.json configs #1-#5, each demonstrated end-to-end (scaled to CI
+sizes on the virtual CPU mesh; the full-size numbers live in bench.py and
+docs/status.md)."""
+
+import os
+import shutil
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.models.fingerprint import FingerprintModel
+from tvidz_tpu.ops import golden
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+def test_config1_720p_video_vs_10_video_corpus(tmp_path, rng):
+    """#1: a 720p video's scene cuts + pHash, CPU golden parity, duplicate
+    verdict against a 10-video corpus."""
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(ts_initial_capacity=16, fp_initial_capacity=4096,
+                          fp_block_n=256)
+    analyzer = Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+
+    # 10-video corpus.
+    for i in range(10):
+        corpus.upsert_timestamps(100 + i, [float(i) + 0.5, float(i) + 7.5])
+
+    # 720p source, decoded down to the device contract geometry.
+    luma720, pts = synthetic_video(num_frames=250, height=720, width=1280,
+                                   cut_frames=(80, 170), seed=20)
+    from tvidz_tpu.decode.y4m import write_y4m
+
+    write_y4m(str(bucket / "hd.y4m"), luma720, fps=25.0)
+    res = analyzer.analyze("videos", "hd.y4m")
+    assert res.status == "done"
+    assert res.scene_cuts == [3.2, 6.8]
+    assert res.duplicates == []  # nothing in the corpus shares timestamps
+
+    # CPU golden parity at the decoded geometry.
+    from tvidz_tpu.decode.y4m import Y4MDecoder
+
+    blocks = list(Y4MDecoder().blocks(str(bucket / "hd.y4m"), 64,
+                                      cfg.pipeline.scene_height,
+                                      cfg.pipeline.scene_width))
+    luma_dev = np.concatenate([b.luma for b in blocks])
+    want_cuts = golden.scene_cuts(luma_dev, pts, threshold=0.3)
+    assert res.scene_cuts == [round(c, 6) for c in want_cuts]
+    fps_stored = store.get_fingerprints(res.video_id)
+    want_fp = np.stack([golden.phash(f) for f in luma_dev[:8]])
+    ham = golden.hamming_matrix(fps_stored[:8], want_fp)
+    assert np.diag(ham).max() <= 2
+
+
+def test_config2_batched_clips_one_chip(rng):
+    """#2: a batch of clips fingerprinted data-parallel; golden parity."""
+    cfg = Config()
+    cfg.pipeline.block_frames = 16
+    cfg.pipeline.scene_height = 48
+    cfg.pipeline.scene_width = 64
+    model = FingerprintModel(cfg)
+    clips = rng.integers(0, 256, size=(16, 16, 48, 64), dtype=np.uint8)
+    scores, fps = model.forward_batch(jnp.asarray(clips))
+    assert scores.shape == (16, 16) and fps.shape == (16, 16, 2)
+    np.testing.assert_allclose(
+        np.asarray(scores[5]), golden.scene_scores(clips[5]), atol=1e-5
+    )
+
+
+def test_config3_fragment_in_1k_video_corpus(rng):
+    """#3: a fragment located inside a 1000-video corpus via alignment."""
+    c = DeviceCorpus(fp_initial_capacity=1 << 15, fp_block_n=1024,
+                     hamming_threshold=5)
+    target_fp = None
+    for vid in range(1000):
+        fp = rng.integers(0, 2**32, size=(20, 2), dtype=np.uint32)
+        if vid == 777:
+            target_fp = fp
+        c.append_fingerprints(vid, fp)
+    frag = target_fp[5:15]
+    hits = c.locate_fragment(frag, top_k=3)
+    assert hits[0][0] == 777
+    assert hits[0][1] == 5
+    assert hits[0][2] == 10
+
+
+def test_config4_long_form_streaming_bounded_memory(rng):
+    """#4: long-form 4K-geometry streaming: decode-downscale a 4K block and
+    stream thousands of frames through fixed-size device blocks."""
+    from tvidz_tpu.decode.y4m import _downscale_luma
+
+    # 4K source geometry handled by the host downscale path.
+    block_4k = rng.integers(0, 256, size=(4, 2160, 3840), dtype=np.uint8)
+    small = _downscale_luma(block_4k, 90, 160)
+    assert small.shape == (4, 90, 160)
+
+    # Long-stream device side: 5k frames in 128-frame blocks, carry-correct.
+    cfg = Config()
+    cfg.pipeline.scene_height = 48
+    cfg.pipeline.scene_width = 64
+    model = FingerprintModel(cfg)
+    luma, pts = synthetic_video(num_frames=5000, height=48, width=64,
+                                cut_frames=(1234, 3456), seed=6)
+    cuts, fps = model.analyze_array(luma, pts)
+    assert cuts == [round(pts[1234], 6), round(pts[3456], 6)]
+    assert fps.shape == (5000, 2)
+
+
+def test_config5_sharded_corpus_dedup(rng):
+    """#5: corpus-scale dedup sharded over the mesh: fingerprints sharded
+    over 8 devices, all-pairs scan + top-k verdicts."""
+    from tvidz_tpu.parallel.mesh import make_mesh
+    from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
+
+    assert jax.device_count() >= 8
+    mesh = make_mesh(8)
+    mc = MeshCorpus(mesh, fp_initial_capacity=1 << 14, fp_block_n=512,
+                    hamming_threshold=5)
+    n_videos, frames_each = 64, 256   # 16k fingerprints sharded over 8 devices
+    planted = None
+    for vid in range(n_videos):
+        fp = rng.integers(0, 2**32, size=(frames_each, 2), dtype=np.uint32)
+        if vid == 42:
+            planted = fp
+        mc.append_fingerprints(vid, fp)
+    assert mc.num_fingerprints == n_videos * frames_each
+    counts = mc.nearest_video_counts(planted[100:116])
+    assert counts.get(42, 0) == 16
+    hits = mc.search_fingerprints(planted[:32], min_match=8)
+    assert hits and hits[0][0] == 42
