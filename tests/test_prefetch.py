@@ -1,0 +1,104 @@
+"""Decode-ahead prefetcher: ordering, exception propagation, early-exit."""
+
+import threading
+import time
+
+import pytest
+
+from tvidz_tpu.pipeline.prefetch import BlockPrefetcher
+
+
+def test_order_preserved():
+    pf = BlockPrefetcher(iter(range(100)), depth=4)
+    assert list(pf) == list(range(100))
+
+
+def test_exception_propagates():
+    def gen():
+        yield 1
+        yield 2
+        raise RuntimeError("decode blew up")
+
+    pf = BlockPrefetcher(gen(), depth=2)
+    out = []
+    with pytest.raises(RuntimeError, match="decode blew up"):
+        for x in pf:
+            out.append(x)
+    assert out == [1, 2]
+
+
+def test_early_close_stops_worker_promptly():
+    produced = []
+
+    def slow_gen():
+        for i in range(1000):
+            produced.append(i)
+            yield i
+
+    pf = BlockPrefetcher(slow_gen(), depth=2)
+    it = iter(pf)
+    assert next(it) == 0
+    pf.close()
+    deadline = time.time() + 5
+    while pf._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.01)
+    assert not pf._thread.is_alive()
+    # Worker stopped far short of exhausting the source.
+    assert len(produced) < 100
+
+
+def test_break_in_for_loop_closes(tmp_path):
+    """The analyzer's early-exit pattern: break out of iteration, then the
+    explicit close() stops the worker."""
+    pf = BlockPrefetcher(iter(range(10_000)), depth=2)
+    for i, x in enumerate(pf):
+        if i == 3:
+            break
+    pf.close()
+    deadline = time.time() + 5
+    while pf._thread.is_alive() and time.time() < deadline:
+        time.sleep(0.01)
+    assert not pf._thread.is_alive()
+
+
+def test_analyzer_results_identical_with_and_without_prefetch(tmp_path, rng):
+    import os
+    import shutil
+
+    import numpy as np
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+    from tvidz_tpu.corpus.store import Store
+    from tvidz_tpu.decode import write_synthetic_y4m
+    from tvidz_tpu.pipeline.analyzer import Analyzer
+    from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+    write_synthetic_y4m(str(bucket / "v.y4m"), num_frames=200, height=72,
+                        width=96, cut_frames=(50, 130), seed=3)
+
+    def run(prefetch_depth):
+        cfg = Config()
+        cfg.pipeline.block_frames = 64
+        cfg.pipeline.scene_height = 72
+        cfg.pipeline.scene_width = 96
+        cfg.pipeline.tmp_dir = str(tmp_path / f"work{prefetch_depth}")
+        cfg.pipeline.decode_prefetch_blocks = prefetch_depth
+        os.makedirs(cfg.pipeline.tmp_dir, exist_ok=True)
+
+        def fetcher(b, k, lp):
+            shutil.copy(bucket / k, lp)
+
+        store = Store("sqlite:///:memory:")
+        analyzer = Analyzer(store, DeviceCorpus(), AnalysisRegistry(),
+                            fetcher, cfg)
+        res = analyzer.analyze("videos", "v.y4m")
+        return res, store.get_fingerprints(res.video_id)
+
+    r0, fp0 = run(0)
+    r2, fp2 = run(2)
+    assert r0.status == r2.status == "done"
+    assert r0.scene_cuts == r2.scene_cuts
+    np.testing.assert_array_equal(fp0, fp2)

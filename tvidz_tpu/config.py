@@ -125,6 +125,9 @@ class PipelineConfig:
     # analyses resume instead of restarting (SURVEY.md §5; reference loses
     # everything on restart). 0 disables.
     checkpoint_every_blocks: int = 8
+    # Decode-ahead depth: host decodes N blocks ahead on a background thread
+    # while the device works (pipeline/prefetch.py). 0 disables.
+    decode_prefetch_blocks: int = 2
 
 
 @dataclasses.dataclass

@@ -249,7 +249,17 @@ class Analyzer:
                 except Exception as e:  # noqa: BLE001 — corrupt ckpt = restart
                     log("checkpoint", f"ignoring unreadable checkpoint: {e}")
 
-        for block in decoder.blocks(local_path, block_t, h, w):
+        block_iter = decoder.blocks(local_path, block_t, h, w)
+        prefetcher = None
+        if cfg.pipeline.decode_prefetch_blocks > 0:
+            from tvidz_tpu.pipeline.prefetch import BlockPrefetcher
+
+            prefetcher = BlockPrefetcher(
+                block_iter, depth=cfg.pipeline.decode_prefetch_blocks
+            )
+            block_iter = iter(prefetcher)
+
+        for block in block_iter:
             t = block.luma.shape[0]
             if block.start_frame + t <= resume_from:
                 # Already fingerprinted in a previous run: replay decode only.
@@ -401,6 +411,11 @@ class Analyzer:
                     ),
                 )
                 break
+
+        if prefetcher is not None:
+            # Stop the decode-ahead worker promptly (early-exit paths leave
+            # the generator open until GC otherwise).
+            prefetcher.close()
 
         # Persist artifacts: timestamps (final) + packed fingerprints — makes
         # re-analysis idempotent (checkpoint/resume story, SURVEY.md §5).
