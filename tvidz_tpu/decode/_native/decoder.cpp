@@ -299,4 +299,130 @@ int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
 
 void tvz_close(void* handle) { destroy((Handle*)handle); }
 
+// Encode (T, h, w) uint8 luma frames (U/V neutral) into any container/codec
+// libav supports ("mpeg4", "libx264", ...). Test/demo helper: the framework
+// needs real inter-frame-coded fixtures (P/B frames, pts reordering) and the
+// image ships no ffmpeg binary to make them with.
+int tvz_encode(const char* path, const uint8_t* luma, int n_frames, int h,
+               int w, double fps, const char* codec_name, int64_t bit_rate,
+               int max_b_frames) {
+  AVFormatContext* fmt = nullptr;
+  int rc = avformat_alloc_output_context2(&fmt, nullptr, nullptr, path);
+  if (rc < 0 || !fmt) {
+    set_averror("alloc_output_context", rc);
+    return -1;
+  }
+  const AVCodec* codec = avcodec_find_encoder_by_name(codec_name);
+  if (!codec) {
+    set_error(std::string("no encoder: ") + codec_name);
+    avformat_free_context(fmt);
+    return -1;
+  }
+  AVStream* st = avformat_new_stream(fmt, nullptr);
+  AVCodecContext* enc = avcodec_alloc_context3(codec);
+  AVFrame* frame = av_frame_alloc();
+  AVPacket* pkt = av_packet_alloc();
+  int ret = -1;
+  do {
+    if (!st || !enc || !frame || !pkt) {
+      set_error("encode alloc failed");
+      break;
+    }
+    enc->width = w;
+    enc->height = h;
+    enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    enc->time_base = AVRational{100, (int)(fps * 100 + 0.5)};
+    enc->framerate = AVRational{(int)(fps * 100 + 0.5), 100};
+    enc->bit_rate = bit_rate > 0 ? bit_rate : 4'000'000;
+    enc->gop_size = 12;
+    enc->max_b_frames = max_b_frames;  // >0 forces pts/dts reordering
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    rc = avcodec_open2(enc, codec, nullptr);
+    if (rc < 0) {
+      set_averror("encoder open", rc);
+      break;
+    }
+    avcodec_parameters_from_context(st->codecpar, enc);
+    st->time_base = enc->time_base;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+      rc = avio_open(&fmt->pb, path, AVIO_FLAG_WRITE);
+      if (rc < 0) {
+        set_averror("avio_open", rc);
+        break;
+      }
+    }
+    rc = avformat_write_header(fmt, nullptr);
+    if (rc < 0) {
+      set_averror("write_header", rc);
+      break;
+    }
+    frame->format = AV_PIX_FMT_YUV420P;
+    frame->width = w;
+    frame->height = h;
+    if (av_frame_get_buffer(frame, 32) < 0) {
+      set_error("frame buffer alloc failed");
+      break;
+    }
+    bool failed = false;
+    auto drain = [&](bool flush) -> bool {
+      if (flush) avcodec_send_frame(enc, nullptr);
+      while (true) {
+        int r = avcodec_receive_packet(enc, pkt);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) return true;
+        if (r < 0) {
+          set_averror("receive_packet", r);
+          return false;
+        }
+        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        // Explicit per-sample duration: the mp4 muxer gives the final
+        // sample duration 0 otherwise, and the demuxer then drops it
+        // (one lost frame per file).
+        if (pkt->duration == 0)
+          pkt->duration = av_rescale_q(1, enc->time_base, st->time_base);
+        if (av_interleaved_write_frame(fmt, pkt) < 0) {
+          set_error("write_frame failed");
+          return false;
+        }
+      }
+    };
+    for (int i = 0; i < n_frames && !failed; ++i) {
+      if (av_frame_make_writable(frame) < 0) {
+        set_error("frame not writable");
+        failed = true;
+        break;
+      }
+      const uint8_t* src = luma + (size_t)i * h * w;
+      for (int row = 0; row < h; ++row)
+        memcpy(frame->data[0] + (size_t)row * frame->linesize[0],
+               src + (size_t)row * w, w);
+      for (int row = 0; row < h / 2; ++row) {
+        memset(frame->data[1] + (size_t)row * frame->linesize[1], 128, w / 2);
+        memset(frame->data[2] + (size_t)row * frame->linesize[2], 128, w / 2);
+      }
+      frame->pts = i;
+      rc = avcodec_send_frame(enc, frame);
+      if (rc < 0) {
+        set_averror("send_frame", rc);
+        failed = true;
+        break;
+      }
+      if (!drain(false)) failed = true;
+    }
+    if (!failed && drain(true)) {
+      av_write_trailer(fmt);
+      ret = 0;
+    }
+  } while (false);
+  if (pkt) av_packet_free(&pkt);
+  if (frame) av_frame_free(&frame);
+  if (enc) avcodec_free_context(&enc);
+  if (fmt) {
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+  }
+  return ret;
+}
+
 }  // extern "C"

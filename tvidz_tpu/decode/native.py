@@ -59,6 +59,13 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tvz_close.restype = None
     lib.tvz_last_error.argtypes = []
     lib.tvz_last_error.restype = ctypes.c_char_p
+    lib.tvz_encode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+    ]
+    lib.tvz_encode.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -70,6 +77,31 @@ def available() -> bool:
 def _err(lib) -> str:
     msg = lib.tvz_last_error()
     return msg.decode("utf-8", "replace") if msg else "unknown native decode error"
+
+
+def encode_video(
+    path: str,
+    luma: np.ndarray,
+    fps: float = 25.0,
+    codec: str = "mpeg4",
+    bit_rate: int = 0,
+    max_b_frames: int = 2,
+) -> None:
+    """Encode (T, H, W) uint8 luma into any libav-supported container/codec
+    ("mpeg4", "libx264", ...). Chroma is neutral. Test/fixture helper: B/P
+    inter-frames and pts reordering exercise the decode path the way real
+    uploads do."""
+    lib = _load()
+    if lib is None:
+        raise DecodeError(f"native encoder unavailable: {_load_error}")
+    buf = np.ascontiguousarray(luma, np.uint8)
+    t, h, w = buf.shape
+    rc = lib.tvz_encode(
+        path.encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, h, w, float(fps), codec.encode(), bit_rate, max_b_frames,
+    )
+    if rc != 0:
+        raise DecodeError(f"encode failed for {path}: {_err(lib)}")
 
 
 class NativeDecoder(Decoder):
