@@ -321,10 +321,10 @@ def supervise() -> None:
     """
     import subprocess
 
-    def attempt_once(env=None, timeout=900):
+    def run_child(args, env=None, timeout=900):
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--direct"],
+                [sys.executable, os.path.abspath(__file__), *args],
                 capture_output=True, text=True, timeout=timeout,
                 env={**os.environ, **(env or {})},
             )
@@ -336,16 +336,32 @@ def supervise() -> None:
         )
         return line if proc.returncode == 0 and line else None
 
-    for attempt in range(3):
-        line = attempt_once()
+    def tunnel_ok() -> bool:
+        """Cheap device probe. Killing a process mid-TPU-op can wedge the
+        tunnel for tens of minutes, so gate each heavy attempt on a tiny
+        transfer succeeding first instead of burning (and re-wedging) full
+        benchmark attempts."""
+        return run_child(["--probe"], timeout=120) is not None
+
+    deadline = time.time() + 45 * 60
+    attempted = 0
+    while time.time() < deadline:
+        if not tunnel_ok():
+            _log("TPU tunnel probe failed/hung; waiting 240 s before re-probing")
+            time.sleep(240)
+            continue
+        attempted += 1
+        line = run_child(["--direct"], timeout=1200)
         if line:
             print(line)
             return
-        _log(f"TPU attempt {attempt+1}/3 failed or timed out (tunnel wedged?); "
-             "waiting 180 s")
-        time.sleep(180)
+        _log(f"TPU bench attempt {attempted} failed despite healthy probe")
+        if attempted >= 3:
+            break
+        time.sleep(120)
     _log("TPU attempts exhausted; measuring on CPU as a degraded fallback")
-    line = attempt_once(env={"TVIDZ_BENCH_CPU_FALLBACK": "1"}, timeout=900)
+    line = run_child(["--direct"], env={"TVIDZ_BENCH_CPU_FALLBACK": "1"},
+                     timeout=900)
     if line:
         print(line)
         return
@@ -392,7 +408,12 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    if "--direct" in sys.argv:
+    if "--probe" in sys.argv:
+        import jax
+        import jax.numpy as jnp
+
+        print(json.dumps({"probe": float(np.asarray(jnp.ones((4, 4)).sum()))}))
+    elif "--direct" in sys.argv:
         main()
     else:
         supervise()

@@ -85,19 +85,11 @@ def cmd_fingerprint(args) -> int:
 
     config = Config()
     model = FingerprintModel(config)
-    decoder = get_decoder(args.video)
-    info = decoder.probe(args.video)
-    luma_blocks, pts_blocks = [], []
-    for block in decoder.blocks(args.video, model.block_frames,
-                                model.height, model.width):
-        luma_blocks.append(block.luma)
-        pts_blocks.append(block.pts)
-    luma = np.concatenate(luma_blocks)
-    pts = np.concatenate(pts_blocks)
-    cuts, fps = model.analyze_array(luma, pts)
+    info = get_decoder(args.video).probe(args.video)
+    cuts, fps = model.analyze_path(args.video)
     if args.output:
         np.savez(args.output, fingerprints=fps,
-                 scene_cuts=np.asarray(cuts, np.float64), pts=pts)
+                 scene_cuts=np.asarray(cuts, np.float64))
     print(json.dumps({
         "file": args.video,
         "frames": int(fps.shape[0]),
@@ -111,24 +103,13 @@ def cmd_fingerprint(args) -> int:
 
 def cmd_search(args) -> int:
     _platform_override()
-    import numpy as np
-
     from tvidz_tpu.config import Config
-    from tvidz_tpu.decode import get_decoder
     from tvidz_tpu.models.fingerprint import FingerprintModel
 
     analyzer, store, corpus = _local_session(args.db)
     config = Config()
     model = FingerprintModel(config)
-    decoder = get_decoder(args.video)
-    luma_blocks, pts_blocks = [], []
-    for block in decoder.blocks(args.video, model.block_frames,
-                                model.height, model.width):
-        luma_blocks.append(block.luma)
-        pts_blocks.append(block.pts)
-    luma = np.concatenate(luma_blocks)
-    pts = np.concatenate(pts_blocks)
-    cuts, fps = model.analyze_array(luma, pts)
+    cuts, fps = model.analyze_path(args.video)
 
     ts_matches = corpus.match_timestamps(
         cuts, min_match=config.match.min_match,

@@ -59,13 +59,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.tvz_close.restype = None
     lib.tvz_last_error.argtypes = []
     lib.tvz_last_error.restype = ctypes.c_char_p
-    lib.tvz_encode.argtypes = [
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        ctypes.c_double, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
-    ]
-    lib.tvz_encode.restype = ctypes.c_int
+    # tvz_encode is newer than tvz_probe/open; a stale .so built before it
+    # must still provide decoding (guard instead of AttributeError, which
+    # would silently disable the whole native path).
+    if hasattr(lib, "tvz_encode"):
+        lib.tvz_encode.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double, ctypes.c_char_p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.tvz_encode.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -94,6 +98,11 @@ def encode_video(
     lib = _load()
     if lib is None:
         raise DecodeError(f"native encoder unavailable: {_load_error}")
+    if not hasattr(lib, "tvz_encode"):
+        raise DecodeError(
+            "native library predates tvz_encode; rebuild with "
+            "`make -C tvidz_tpu/decode/_native`"
+        )
     buf = np.ascontiguousarray(luma, np.uint8)
     t, h, w = buf.shape
     rc = lib.tvz_encode(

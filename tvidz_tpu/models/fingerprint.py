@@ -103,6 +103,39 @@ class FingerprintModel:
 
     # -- whole-array convenience (tests, bench) --------------------------------------
 
+    def analyze_path(self, path: str) -> Tuple[List[float], np.ndarray]:
+        """Stream a video file block-by-block: (cut timestamps, packed fps).
+
+        Never materializes the full decoded luma (a 2-hour video would be
+        gigabytes); only the 8-byte-per-frame fingerprints accumulate. The
+        shared implementation behind the CLI fingerprint/search commands and
+        POST /search/video.
+        """
+        from tvidz_tpu.decode import get_decoder
+
+        decoder = get_decoder(path)
+        carry = self.init_carry()
+        bt = self.block_frames
+        cuts: List[float] = []
+        fps_out: List[np.ndarray] = []
+        for block in decoder.blocks(path, bt, self.height, self.width):
+            t = block.luma.shape[0]
+            buf = block.luma
+            if t < bt:
+                buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
+            scores, fps, carry = self.forward(jnp.asarray(buf), carry)
+            scores = np.asarray(scores)[:t]
+            fps_out.append(np.asarray(fps)[:t])
+            for i in np.nonzero(scores > self.config.scene.threshold)[0]:
+                ts = round(float(block.pts[i]), 6)
+                if not cuts or ts != cuts[-1]:
+                    cuts.append(ts)
+        words = self.config.hash.words
+        fps_all = (
+            np.concatenate(fps_out) if fps_out else np.zeros((0, words), np.uint32)
+        )
+        return cuts, fps_all
+
     def analyze_array(
         self, luma: np.ndarray, pts: np.ndarray
     ) -> Tuple[List[float], np.ndarray]:

@@ -259,163 +259,165 @@ class Analyzer:
             )
             block_iter = iter(prefetcher)
 
-        for block in block_iter:
-            t = block.luma.shape[0]
-            if block.start_frame + t <= resume_from:
-                # Already fingerprinted in a previous run: replay decode only.
+        try:
+            for block in block_iter:
+                t = block.luma.shape[0]
+                if block.start_frame + t <= resume_from:
+                    # Already fingerprinted in a previous run: replay decode only.
+                    current_frame = block.start_frame + t
+                    continue
+                luma = block.luma
+                if t < block_t:
+                    # Pad to the static block shape; outputs beyond t are dropped.
+                    luma = np.concatenate(
+                        [luma, np.repeat(luma[-1:], block_t - t, axis=0)]
+                    )
+                with self.timer.stage("fingerprint"):
+                    scores_dev, fps_dev, carry = fingerprint_block(
+                        jnp.asarray(luma), carry,
+                        dct_size=cfg.hash.dct_size, hash_size=cfg.hash.hash_size,
+                        algorithm=cfg.hash.algorithm,
+                    )
+                    scores = np.asarray(scores_dev)[:t]
+                    fps = np.asarray(fps_dev)[:t]
+                all_fps.append(fps)
                 current_frame = block.start_frame + t
-                continue
-            luma = block.luma
-            if t < block_t:
-                # Pad to the static block shape; outputs beyond t are dropped.
-                luma = np.concatenate(
-                    [luma, np.repeat(luma[-1:], block_t - t, axis=0)]
-                )
-            with self.timer.stage("fingerprint"):
-                scores_dev, fps_dev, carry = fingerprint_block(
-                    jnp.asarray(luma), carry,
-                    dct_size=cfg.hash.dct_size, hash_size=cfg.hash.hash_size,
-                    algorithm=cfg.hash.algorithm,
-                )
-                scores = np.asarray(scores_dev)[:t]
-                fps = np.asarray(fps_dev)[:t]
-            all_fps.append(fps)
-            current_frame = block.start_frame + t
 
-            # Host-side cut extraction (threshold + consecutive dedupe,
-            # app.py:228-231). Timestamps are rounded to microseconds: the
-            # reference got this implicitly by parsing showinfo's printed
-            # pts_time text; without it, container-dependent float artifacts
-            # (e.g. 140 * (1/25) vs 140/25.0) break exact-equality matching.
-            new_cut = False
-            for i in np.nonzero(scores > cfg.scene.threshold)[0]:
-                ts = round(float(block.pts[i]), 6)
-                if not scene_cuts or ts != scene_cuts[-1]:
-                    scene_cuts.append(ts)
-                    new_cut = True
+                # Host-side cut extraction (threshold + consecutive dedupe,
+                # app.py:228-231). Timestamps are rounded to microseconds: the
+                # reference got this implicitly by parsing showinfo's printed
+                # pts_time text; without it, container-dependent float artifacts
+                # (e.g. 140 * (1/25) vs 140/25.0) break exact-equality matching.
+                new_cut = False
+                for i in np.nonzero(scores > cfg.scene.threshold)[0]:
+                    ts = round(float(block.pts[i]), 6)
+                    if not scene_cuts or ts != scene_cuts[-1]:
+                        scene_cuts.append(ts)
+                        new_cut = True
 
-            if new_cut and not duplicate_found:
-                with self.timer.stage("dedup-search"):
-                    self.store.add_timestamps(video_id, scene_cuts)
-                    self.corpus.upsert_timestamps(video_id, scene_cuts)
-                    dups = self.corpus.match_timestamps(
-                        scene_cuts,
-                        min_match=cfg.match.min_match,
-                        tolerance=cfg.match.timestamp_tolerance,
-                        exclude_video_id=video_id,
+                if new_cut and not duplicate_found:
+                    with self.timer.stage("dedup-search"):
+                        self.store.add_timestamps(video_id, scene_cuts)
+                        self.corpus.upsert_timestamps(video_id, scene_cuts)
+                        dups = self.corpus.match_timestamps(
+                            scene_cuts,
+                            min_match=cfg.match.min_match,
+                            tolerance=cfg.match.timestamp_tolerance,
+                            exclude_video_id=video_id,
+                        )
+                    if dups:
+                        self.store.update_duplicates(video_id, [d[0] for d in dups])
+                        dups_to_report = []
+                        for dup_id, match_count in dups:
+                            dup_video = self.store.get_video_by_id(dup_id)
+                            if dup_video:
+                                dups_to_report.append(dup_video.filename)
+                                log("duplicate",
+                                    f"Match found: {dup_video.filename} "
+                                    f"({match_count} matching timestamps)")
+                        duplicate_found = True
+                        log("duplicate",
+                            f"Found {len(dups_to_report)} duplicates: {dups_to_report}")
+                        log("duplicate", f"Current scene cuts: {scene_cuts}")
+
+                # Fingerprint evidence (north-star Hamming path): catches content
+                # the exact-timestamp rule misses, e.g. re-encodes at a different
+                # frame rate. Each QUERY frame credits its nearest corpus video
+                # at most once (blocks partition the query frames, so per-block
+                # accumulation never double-counts, and a corpus video full of
+                # near-identical frames can't inflate evidence); verdict once any
+                # video crosses fp_min_match.
+                if (
+                    cfg.match.use_fingerprint_evidence
+                    and not duplicate_found
+                    and self.corpus.num_fingerprints > 0
+                ):
+                    with self.timer.stage("fp-search"):
+                        block_hits = self.corpus.nearest_video_counts(
+                            fps, exclude_video_id=video_id
+                        )
+                    for vid, count in block_hits.items():
+                        fp_evidence[vid] = fp_evidence.get(vid, 0) + count
+                    strong = [
+                        (vid, total) for vid, total in fp_evidence.items()
+                        if total >= cfg.match.fp_min_match
+                    ]
+                    if strong:
+                        strong.sort(key=lambda vc: -vc[1])
+                        self.store.update_duplicates(video_id, [v for v, _ in strong])
+                        for dup_id, total in strong:
+                            dup_video = self.store.get_video_by_id(dup_id)
+                            if dup_video and dup_video.filename not in dups_to_report:
+                                dups_to_report.append(dup_video.filename)
+                                log("duplicate",
+                                    f"Match found: {dup_video.filename} "
+                                    f"({total} matching fingerprint frames)")
+                        duplicate_found = True
+                        log("duplicate",
+                            f"Found {len(dups_to_report)} duplicates via "
+                            f"fingerprints: {dups_to_report}")
+
+                progress = self._progress(current_frame, total_frames, scene_cuts)
+                now = time.time()
+                if (
+                    progress > last_progress
+                    or now - last_update_time > cfg.pipeline.update_throttle_s
+                    or new_cut
+                ):
+                    last_progress = progress
+                    last_update_time = now
+                    log("progress-update",
+                        f"{filename}: {progress*100:.2f}% "
+                        f"({current_frame}/{total_frames}) scene_cuts={len(scene_cuts)}")
+                    self.registry.update(
+                        analysis_key,
+                        progress=progress,
+                        scene_cuts=list(scene_cuts),
+                        **(
+                            {"duplicates": sorted(set(dups_to_report))}
+                            if dups_to_report
+                            else {}
+                        ),
                     )
-                if dups:
-                    self.store.update_duplicates(video_id, [d[0] for d in dups])
-                    dups_to_report = []
-                    for dup_id, match_count in dups:
-                        dup_video = self.store.get_video_by_id(dup_id)
-                        if dup_video:
-                            dups_to_report.append(dup_video.filename)
-                            log("duplicate",
-                                f"Match found: {dup_video.filename} "
-                                f"({match_count} matching timestamps)")
-                    duplicate_found = True
-                    log("duplicate",
-                        f"Found {len(dups_to_report)} duplicates: {dups_to_report}")
-                    log("duplicate", f"Current scene cuts: {scene_cuts}")
 
-            # Fingerprint evidence (north-star Hamming path): catches content
-            # the exact-timestamp rule misses, e.g. re-encodes at a different
-            # frame rate. Each QUERY frame credits its nearest corpus video
-            # at most once (blocks partition the query frames, so per-block
-            # accumulation never double-counts, and a corpus video full of
-            # near-identical frames can't inflate evidence); verdict once any
-            # video crosses fp_min_match.
-            if (
-                cfg.match.use_fingerprint_evidence
-                and not duplicate_found
-                and self.corpus.num_fingerprints > 0
-            ):
-                with self.timer.stage("fp-search"):
-                    block_hits = self.corpus.nearest_video_counts(
-                        fps, exclude_video_id=video_id
+                blocks_since_ckpt += 1
+                if (
+                    ckpt_key is not None
+                    and t == block_t
+                    and blocks_since_ckpt >= cfg.pipeline.checkpoint_every_blocks
+                ):
+                    from tvidz_tpu.pipeline.checkpoint import AnalysisCheckpoint
+
+                    blocks_since_ckpt = 0
+                    self.store.save_checkpoint(
+                        ckpt_key,
+                        AnalysisCheckpoint.capture(
+                            ckpt_key, current_frame, scene_cuts, all_fps, carry
+                        ).to_blob(),
                     )
-                for vid, count in block_hits.items():
-                    fp_evidence[vid] = fp_evidence.get(vid, 0) + count
-                strong = [
-                    (vid, total) for vid, total in fp_evidence.items()
-                    if total >= cfg.match.fp_min_match
-                ]
-                if strong:
-                    strong.sort(key=lambda vc: -vc[1])
-                    self.store.update_duplicates(video_id, [v for v, _ in strong])
-                    for dup_id, total in strong:
-                        dup_video = self.store.get_video_by_id(dup_id)
-                        if dup_video and dup_video.filename not in dups_to_report:
-                            dups_to_report.append(dup_video.filename)
-                            log("duplicate",
-                                f"Match found: {dup_video.filename} "
-                                f"({total} matching fingerprint frames)")
-                    duplicate_found = True
+
+                if duplicate_found and cfg.pipeline.early_exit:
+                    # Early termination — the analog of process.terminate()
+                    # (app.py:249-255): stop decoding, keep what we have.
                     log("duplicate",
-                        f"Found {len(dups_to_report)} duplicates via "
-                        f"fingerprints: {dups_to_report}")
+                        "decode loop terminated early due to duplicate detection.")
+                    self.registry.update(
+                        analysis_key,
+                        progress=progress,
+                        scene_cuts=list(scene_cuts),
+                        **(
+                            {"duplicates": sorted(set(dups_to_report))}
+                            if dups_to_report
+                            else {}
+                        ),
+                    )
+                    break
 
-            progress = self._progress(current_frame, total_frames, scene_cuts)
-            now = time.time()
-            if (
-                progress > last_progress
-                or now - last_update_time > cfg.pipeline.update_throttle_s
-                or new_cut
-            ):
-                last_progress = progress
-                last_update_time = now
-                log("progress-update",
-                    f"{filename}: {progress*100:.2f}% "
-                    f"({current_frame}/{total_frames}) scene_cuts={len(scene_cuts)}")
-                self.registry.update(
-                    analysis_key,
-                    progress=progress,
-                    scene_cuts=list(scene_cuts),
-                    **(
-                        {"duplicates": sorted(set(dups_to_report))}
-                        if dups_to_report
-                        else {}
-                    ),
-                )
-
-            blocks_since_ckpt += 1
-            if (
-                ckpt_key is not None
-                and t == block_t
-                and blocks_since_ckpt >= cfg.pipeline.checkpoint_every_blocks
-            ):
-                from tvidz_tpu.pipeline.checkpoint import AnalysisCheckpoint
-
-                blocks_since_ckpt = 0
-                self.store.save_checkpoint(
-                    ckpt_key,
-                    AnalysisCheckpoint.capture(
-                        ckpt_key, current_frame, scene_cuts, all_fps, carry
-                    ).to_blob(),
-                )
-
-            if duplicate_found and cfg.pipeline.early_exit:
-                # Early termination — the analog of process.terminate()
-                # (app.py:249-255): stop decoding, keep what we have.
-                log("duplicate",
-                    "decode loop terminated early due to duplicate detection.")
-                self.registry.update(
-                    analysis_key,
-                    progress=progress,
-                    scene_cuts=list(scene_cuts),
-                    **(
-                        {"duplicates": sorted(set(dups_to_report))}
-                        if dups_to_report
-                        else {}
-                    ),
-                )
-                break
-
-        if prefetcher is not None:
-            # Stop the decode-ahead worker promptly (early-exit paths leave
-            # the generator open until GC otherwise).
-            prefetcher.close()
+        finally:
+            if prefetcher is not None:
+                # Stop the decode-ahead worker promptly on every exit
+                # path (early-exit break, device/store exceptions).
+                prefetcher.close()
 
         # Persist artifacts: timestamps (final) + packed fingerprints — makes
         # re-analysis idempotent (checkpoint/resume story, SURVEY.md §5).

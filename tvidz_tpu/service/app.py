@@ -315,12 +315,13 @@ class InspectorApp:
             if not data:
                 return jsonify({"error": "empty body"}, 400)
             name = request.query.get("filename", "query.bin")
+            try:
+                top_k = int(request.query.get("top_k", "5"))
+            except ValueError:
+                return jsonify({"error": "top_k must be an integer"}, 400)
             import tempfile
 
-            import numpy as np
-
             from tvidz_tpu.models.fingerprint import FingerprintModel
-            from tvidz_tpu.decode import get_decoder
 
             suffix = os.path.splitext(name)[1] or ".bin"
             with tempfile.NamedTemporaryFile(
@@ -330,17 +331,9 @@ class InspectorApp:
                 tmp_path = f.name
             try:
                 model = FingerprintModel(cfg)
-                decoder = get_decoder(tmp_path)
-                luma_blocks, pts_blocks = [], []
-                for block in decoder.blocks(tmp_path, model.block_frames,
-                                            model.height, model.width):
-                    luma_blocks.append(block.luma)
-                    pts_blocks.append(block.pts)
-                if not luma_blocks:
+                cuts, fps = model.analyze_path(tmp_path)
+                if fps.shape[0] == 0:
                     return jsonify({"error": "no decodable frames"}, 400)
-                luma = np.concatenate(luma_blocks)
-                pts = np.concatenate(pts_blocks)
-                cuts, fps = model.analyze_array(luma, pts)
             except Exception as e:  # noqa: BLE001 — undecodable upload
                 return jsonify({"error": f"decode failed: {e}"}, 400)
             finally:
@@ -349,7 +342,6 @@ class InspectorApp:
                 except OSError:
                     pass
 
-            top_k = int(request.query.get("top_k", "5"))
             ts_matches = self.corpus.match_timestamps(
                 cuts, min_match=cfg.match.min_match,
                 tolerance=cfg.match.timestamp_tolerance,
@@ -361,7 +353,13 @@ class InspectorApp:
                 v = self.store.get_video_by_id(vid)
                 return v.filename if v else None
 
-            fp_sorted = sorted(fp_counts.items(), key=lambda vc: -vc[1])[:top_k]
+            # Same evidence floor the CLI/analyzer apply: single-frame hits
+            # are random 64-bit collisions at corpus scale, not matches.
+            fp_sorted = sorted(
+                ((v, c) for v, c in fp_counts.items()
+                 if c >= cfg.match.fp_min_match),
+                key=lambda vc: -vc[1],
+            )[:top_k]
             return jsonify({
                 "filename": name,
                 "frames": int(fps.shape[0]),
