@@ -54,7 +54,6 @@ def sse_frames(url: str, out: list, done: threading.Event) -> None:
 
 
 def main() -> int:
-    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
     from tvidz_tpu.decode.synthetic import synthetic_video
     from tvidz_tpu.decode import native
 
@@ -92,15 +91,22 @@ def main() -> int:
         h = requests.get(f"{BASE}/healthz").json()
         check("healthz", h.get("status") == "ok" and h.get("poller_alive"), h)
 
-        # Build uploads: MJPEG AVI if the native decoder is present, else y4m.
-        use_avi = native.available()
-        ext = "avi" if use_avi else "y4m"
+        # Build uploads: real H.264 MP4 when the native library is present
+        # (the realistic upload shape: inter frames, B-frame reordering),
+        # else dependency-free y4m.
+        use_native = native.available()
+        try:
+            use_encoder = use_native and hasattr(native._load(), "tvz_encode")
+        except Exception:  # noqa: BLE001
+            use_encoder = False
+        ext = "mp4" if use_encoder else "y4m"
         luma, pts = synthetic_video(num_frames=200, height=240, width=320,
                                     cut_frames=(60, 140), seed=21)
         expected_cuts = [round(pts[60], 6), round(pts[140], 6)]
         local1 = os.path.join(tempfile.gettempdir(), f"it-orig.{ext}")
-        if use_avi:
-            write_mjpeg_avi(local1, luma, fps=25.0)
+        if use_encoder:
+            native.encode_video(local1, luma, fps=25.0, codec="libx264",
+                                bit_rate=4_000_000)
         else:
             from tvidz_tpu.decode.y4m import write_y4m
 
@@ -131,11 +137,13 @@ def main() -> int:
               f"{final1.get('scene_cuts')} vs {expected_cuts}")
         check("upload1 no dups", final1.get("duplicates") == [])
 
-        # Upload #2: re-encoded copy under an epoch-prefixed name.
+        # Upload #2: re-encoded copy (different codec) under an
+        # epoch-prefixed name.
         name2 = f"{int(time.time()*1000)}-orig.{ext}"
         local2 = os.path.join(tempfile.gettempdir(), f"it-dup.{ext}")
-        if use_avi:
-            write_mjpeg_avi(local2, luma, fps=25.0, quality=80)
+        if use_encoder:
+            native.encode_video(local2, luma, fps=25.0, codec="mpeg4",
+                                bit_rate=3_000_000)
         else:
             shutil.copy(local1, local2)
         shutil.copy(local2, os.path.join(bucket_dir, name2))
