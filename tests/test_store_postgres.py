@@ -1,0 +1,54 @@
+"""Postgres store backend — exercised only where psycopg2 + a database are
+available (CI provides both via a postgres service container; the TPU image
+has neither, so these skip there)."""
+
+import os
+
+import numpy as np
+import pytest
+
+psycopg2 = pytest.importorskip("psycopg2")
+
+PG_URL = os.environ.get("TVIDZ_PG_TEST_URL")
+if not PG_URL:
+    pytest.skip("TVIDZ_PG_TEST_URL not set", allow_module_level=True)
+
+from tvidz_tpu.corpus.store import Store  # noqa: E402
+
+
+@pytest.fixture
+def store():
+    s = Store(PG_URL)
+    s.clear()
+    yield s
+    s.clear()
+    s.close()
+
+
+def test_pg_video_roundtrip(store):
+    v = store.add_video("pg.mp4")
+    got = store.get_video_by_id(v.id)
+    assert got.filename == "pg.mp4"
+    store.update_duplicates(v.id, [1, 2, 3])
+    assert store.get_video_by_id(v.id).duplicates == [1, 2, 3]
+
+
+def test_pg_timestamps_upsert_and_find(store):
+    v = store.add_video("a.mp4")
+    store.add_timestamps(v.id, [1.0, 2.0])
+    store.add_timestamps(v.id, [1.0, 2.0, 3.0])
+    assert store.get_timestamps(v.id) == [1.0, 2.0, 3.0]
+    assert store.find_duplicates([1.0, 2.0], min_match=2) == [(v.id, 2)]
+
+
+def test_pg_fingerprints_and_checkpoints(store):
+    v = store.add_video("f.mp4")
+    fp = np.arange(20, dtype=np.uint32).reshape(10, 2)
+    store.add_fingerprints(v.id, fp)
+    np.testing.assert_array_equal(store.get_fingerprints(v.id), fp)
+    store.save_checkpoint("sig1", b"\x01\x02\x03")
+    assert store.load_checkpoint("sig1") == b"\x01\x02\x03"
+    store.save_checkpoint("sig1", b"\x04")
+    assert store.load_checkpoint("sig1") == b"\x04"
+    store.delete_checkpoint("sig1")
+    assert store.load_checkpoint("sig1") is None
