@@ -1,0 +1,41 @@
+"""Experimental fused Pallas fingerprint kernel — interpret-mode parity.
+
+The kernel is bit-exact against the golden models under the Pallas
+interpreter (scene + hashes); real-TPU compilation is blocked by current
+Mosaic vector-layout restrictions (see the module docstring). These tests
+pin the semantics so a future lane-aligned rewrite starts from a verified
+baseline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tvidz_tpu.ops import golden
+from tvidz_tpu.ops.fused_pallas import _bitonic_sort_last, fingerprint_stream_pallas
+
+
+@pytest.fixture(autouse=True)
+def _cpu_only():
+    if jax.default_backend() == "tpu":
+        pytest.skip("experimental kernel: interpret-mode (CPU) only for now")
+
+
+def test_bitonic_sort_matches_numpy(rng):
+    x = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32))
+    got = np.asarray(_bitonic_sort_last(x))
+    np.testing.assert_array_equal(got, np.sort(np.asarray(x), axis=-1))
+
+
+def test_fused_kernel_parity(rng):
+    luma = rng.integers(0, 256, size=(256, 90, 160), dtype=np.uint8)
+    scores, fps = fingerprint_stream_pallas(jnp.asarray(luma), block_frames=128)
+    np.testing.assert_allclose(
+        np.asarray(scores), golden.scene_scores(luma), atol=1e-5
+    )
+    want_fp = np.stack([golden.phash(f) for f in luma])
+    # Coefficients within float noise of the median may flip (same tolerance
+    # as the XLA pHash parity tests).
+    ham = golden.hamming_matrix(np.asarray(fps), want_fp)
+    assert np.diag(ham).max() <= 2, np.diag(ham).max()
