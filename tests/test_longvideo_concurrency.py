@@ -69,6 +69,10 @@ def test_concurrent_same_filename_uploads(env):
     bug_analysis_report rationale): two simultaneous analyses of the same
     filename must not collide in the registry or corrupt each other."""
     analyzer, store, registry, bucket = env
+    # Concurrent analyses of the same content persist fingerprints/timestamps
+    # incrementally, so each may legitimately detect the other mid-flight;
+    # disable early exit so both produce their full cut lists deterministically.
+    analyzer.config.pipeline.early_exit = False
     write_synthetic_y4m(str(bucket / "same.y4m"), num_frames=150, height=72,
                         width=96, cut_frames=(40, 100), seed=8)
     results = [None, None]
