@@ -1,0 +1,76 @@
+"""Config env plumbing, logging modes, decoder selection fallbacks."""
+
+import importlib
+import json
+import logging
+
+import pytest
+
+
+def test_config_env_overrides(monkeypatch):
+    monkeypatch.setenv("TVIDZ_SCENE_THRESHOLD", "0.5")
+    monkeypatch.setenv("TVIDZ_MIN_MATCH", "7")
+    monkeypatch.setenv("TVIDZ_TS_TOLERANCE", "0.1")
+    monkeypatch.setenv("TVIDZ_HAMMING_THRESHOLD", "4")
+    monkeypatch.setenv("TVIDZ_S3_ENDPOINT", "http://aws:1234")
+    monkeypatch.setenv("TVIDZ_SQS_ENDPOINT", "http://sqs:5678")
+    monkeypatch.setenv("TVIDZ_HASH_ALGO", "phash256")
+
+    from tvidz_tpu.config import Config
+
+    cfg = Config()
+    assert cfg.scene.threshold == 0.5
+    assert cfg.match.min_match == 7
+    assert cfg.match.timestamp_tolerance == 0.1
+    assert cfg.match.hamming_threshold == 4
+    assert cfg.service.s3_endpoint == "http://aws:1234"
+    assert cfg.service.effective_sqs_endpoint == "http://sqs:5678"
+    assert cfg.hash.algorithm == "phash256"
+    assert cfg.hash.words == 8
+
+
+def test_sqs_endpoint_defaults_to_s3(monkeypatch):
+    monkeypatch.delenv("TVIDZ_SQS_ENDPOINT", raising=False)
+    monkeypatch.setenv("TVIDZ_S3_ENDPOINT", "http://onlyone:4566")
+    from tvidz_tpu.config import Config
+
+    cfg = Config()
+    assert cfg.service.effective_sqs_endpoint == "http://onlyone:4566"
+
+
+def test_store_url_env(monkeypatch):
+    monkeypatch.setenv("POSTGRES_URL", "postgresql://u:p@h/db")
+    from tvidz_tpu.config import Config
+
+    assert Config().store.url == "postgresql://u:p@h/db"
+
+
+def test_json_logging_mode(monkeypatch, capsys):
+    import tvidz_tpu.utils.logging as tlog
+
+    monkeypatch.setattr(tlog, "_FORMAT_JSON", True)
+    rec = logging.LogRecord("tvidz.x", logging.INFO, "f", 1, "hello %s",
+                            ("world",), None)
+    rec.tag = "demo"
+    out = tlog._TagFormatter().format(rec)
+    parsed = json.loads(out)
+    assert parsed["tag"] == "demo"
+    assert parsed["msg"] == "hello world"
+    assert parsed["level"] == "INFO"
+
+    monkeypatch.setattr(tlog, "_FORMAT_JSON", False)
+    assert tlog._TagFormatter().format(rec) == "[demo] hello world"
+
+
+def test_get_decoder_error_without_native(monkeypatch, tmp_path):
+    from tvidz_tpu.decode import base
+    from tvidz_tpu.decode.base import DecodeError, get_decoder
+    from tvidz_tpu.decode.y4m import Y4MDecoder
+
+    monkeypatch.setattr(base, "_native_available", lambda: False)
+    # .y4m always works
+    assert isinstance(get_decoder("x.y4m"), Y4MDecoder)
+    # no-extension default path falls back to Y4M
+    assert isinstance(get_decoder(None), Y4MDecoder)
+    with pytest.raises(DecodeError, match="native libav extension not built"):
+        get_decoder("x.mp4")
