@@ -1,28 +1,42 @@
-"""Experimental hand-fused Pallas fingerprint kernel.
+"""Hand-fused Pallas fingerprint kernel (scene scores + packed pHash).
 
-One kernel per 128-frame block computes BOTH pipeline outputs — FFmpeg-parity
-scene scores (VPU work) and packed 64-bit DCT pHash (MXU work) — with the
-frame block resident in VMEM and the scene carry (previous mafd) held in SMEM
-scratch across the sequential grid. Motivation (docs/kernels.md): the
-XLA-composed fused op executes the scene pass and the hash pass serially
-(measured exactly at the 1/(1/scene + 1/phash) composition bound); a single
-Mosaic kernel lets the compiler interleave VPU and MXU instructions and
-removes the inter-op HBM round trip.
+One kernel per 128-frame block computes BOTH pipeline outputs with the block
+resident in VMEM and the scene carry (previous mafd) in SMEM across the
+sequential grid. Motivation (docs/kernels.md): the XLA-composed op runs the
+scene pass (VPU) and the hash pass (MXU) serially — measured exactly at the
+composition bound — while a single Mosaic kernel lets the scheduler overlap
+the units and removes inter-op HBM traffic.
 
-Median uses a hand-built bitonic sorting network (Mosaic has no sort/top_k
-lowering); all exchanges are power-of-two reshapes + min/max selects.
+Mosaic's vector-layout rules reject small-trailing-dim reshapes, sort/top_k,
+unsigned reductions, uint8->f32 casts and dynamic_slice, so the kernel is
+built strictly 2-D:
 
-Status: EXPERIMENTAL, interpret-mode verified (bit-exact vs the golden
-models: scene scores to 6e-8, hashes identical). On real hardware the
-current Mosaic lowering rejects the (T, H, W) -> (T, H*W) vector shape cast
-("infer-vector-layout: unsupported shape cast"), and the small-trailing-dim
-reshapes a 64-wide bitonic needs hit the same restriction; other gaps found
-while building it: no sort/top_k lowering, no uint8->f32 cast (bridge via
-int32), no unsigned reductions (pack in int32 + bitcast), no dynamic_slice
-(use lax.slice). A hardware-compatible rewrite needs lane-aligned layouts
-throughout (e.g. (T, 128)-padded coefficient blocks); measured upside is
-bounded at ~1.9x (perfect VPU/MXU overlap of the 2.8M/3.4M component rates).
-The XLA composition in ops/fused.py remains the production path.
+- luma enters as a flat (T, H*W) view (host-side reshape);
+- the whole resize+DCT low block collapses into ONE matmul with a
+  precomputed (H*W, 64) operator O[(h,w), k] = (D P_h)[k//8, h] (D P_w)[k%8, w]
+  (1.8 MFLOP/frame vs 1.2 factored — worth it for the single MXU op);
+- the median is counting-based order statistics (no sort): rank via an
+  all-pairs <= compare, s_k = min{v : rank(v) >= k+1} — exact with ties;
+- bit packing is two exact f32 matmuls (each partial word < 2^16) combined
+  in int32 and bitcast to uint32.
+
+Parity: scene scores ~1e-7 vs golden. Hash parity is LOOSER than the
+factored path: the collapsed operator accumulates 14400 f32 terms per
+coefficient, flipping median-adjacent bits (measured bit-identical on TPU
+HIGHEST for the test input, up to ~15 bits on the CPU interpreter) —
+within duplicate-detection robustness but not within the framework's <=2
+bit parity bar. Tested in interpret mode and on the chip
+(tests/test_fused_pallas.py).
+
+Measured verdict (v5e-1): 757k frames/s vs the XLA composition's 1.4M —
+the collapsed (H*W, 64) operator costs ~1.5x the FLOPs of the factored
+two-stage form (1.84 vs 1.25 MFLOP/frame at 6-pass f32), and Mosaic
+schedules the scene (VPU) and hash (MXU) phases serially here just as XLA
+does, so the hoped-for unit overlap did not materialize. The XLA
+composition (ops/fused.py) therefore remains the production path; this
+kernel is kept as a verified baseline for a future factored-matmul
+Mosaic rewrite (needs an (H, T*W)-layout input to express the first
+contraction as a plain matmul).
 """
 
 from __future__ import annotations
@@ -38,105 +52,104 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tvidz_tpu.ops.dct import _dct_matrix_np
 from tvidz_tpu.ops.resize import _resize_matrices_np
-from tvidz_tpu.ops.scene import SceneCarry
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bitonic_sort_last(x: jnp.ndarray) -> jnp.ndarray:
-    """Ascending bitonic sort along the last axis (power-of-two length).
-    Only reshapes, iota, where, min/max — everything Mosaic lowers."""
-    t, n = x.shape
-    k = 2
-    while k <= n:
-        j = k // 2
-        while j >= 1:
-            xr = x.reshape(t, n // (2 * j), 2, j)
-            a = xr[:, :, 0, :]
-            b = xr[:, :, 1, :]
-            # Element index of the 'a' lane is g*(2j) + l; direction flips on
-            # bit k of that index. l < j <= k, so only the g*(2j) part matters.
-            g = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1) * (2 * j)
-            up = (g & k) == 0
-            lo = jnp.where(up, jnp.minimum(a, b), jnp.maximum(a, b))
-            hi = jnp.where(up, jnp.maximum(a, b), jnp.minimum(a, b))
-            x = jnp.stack([lo, hi], axis=2).reshape(t, n)
-            j //= 2
-        k *= 2
-    return x
+@functools.lru_cache(maxsize=8)
+def _hash_operator_np(h: int, w: int, dct_size: int, hash_size: int) -> np.ndarray:
+    """(H*W, hash_size²) f32: collapsed area-resize + DCT low-block operator."""
+    ph, pw = _resize_matrices_np(h, w, dct_size, dct_size)
+    d = _dct_matrix_np(dct_size)
+    left = (d @ ph)[:hash_size].astype(np.float64)    # (hs, H)
+    right = (d @ pw)[:hash_size].astype(np.float64)   # (hs, W)
+    # O[(hh, ww), (ki, kj)] = left[ki, hh] * right[kj, ww]
+    op = np.einsum("ih,jw->hwij", left, right).reshape(h * w,
+                                                       hash_size * hash_size)
+    return np.ascontiguousarray(op.astype(np.float32))
 
 
 def _fused_kernel(
-    luma_ref,      # (T, H, W) uint8 — current block
-    prev_ref,      # (1, H, W) uint8 — last frame of the previous block
-    left_ref,      # (S, H) f32 — D @ P_h
-    right_ref,     # (S, W) f32 — D @ P_w
+    x_ref,         # (T, H*W) uint8 — current block, flattened pixels
+    prev_ref,      # (8, H*W) uint8 — frames [iT-8, iT); row 7 = previous frame
+    op_ref,        # (H*W, 64) f32 — collapsed hash operator
     scores_ref,    # (1, T) f32 out
     fps_ref,       # (T, 2) uint32 out
     mafd_scratch,  # (1,) f32 SMEM — carried mafd across blocks
     *,
-    hash_size: int,
+    n_bits: int,
 ):
     pid = pl.program_id(0)
-    t, h, w = luma_ref.shape
+    t = x_ref.shape[0]
 
     @pl.when(pid == 0)
     def _init():
         mafd_scratch[0] = 0.0
 
-    # Mosaic has no direct uint8 -> f32 cast; widen via int32 first.
-    xf = luma_ref[:].astype(jnp.int32).astype(jnp.float32)  # (T, H, W)
+    # Mosaic has no direct uint8 -> f32 cast; widen via int32.
+    xf = x_ref[:].astype(jnp.int32).astype(jnp.float32)       # (T, HW)
 
     # ---- scene scores (VPU) ----
-    x2 = xf.reshape(t, h * w)
-    prev_row = prev_ref[:].astype(jnp.int32).astype(jnp.float32).reshape(1, h * w)
-    prev = jnp.concatenate([prev_row, x2[:-1]], axis=0)
-    mafd = jnp.mean(jnp.abs(x2 - prev), axis=1)            # (T,)
-    is_start = (pid == 0) & (jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0)
-                             .reshape(t) == 0)
+    # (an 8-row window because Mosaic requires dim(-2) blocks divisible by 8)
+    prev_row = prev_ref[7:8, :].astype(jnp.int32).astype(jnp.float32)
+    prev = jnp.concatenate([prev_row, xf[:-1]], axis=0)
+    mafd = jnp.mean(jnp.abs(xf - prev), axis=1)               # (T,)
+    is_start = (pid == 0) & (
+        jax.lax.broadcasted_iota(jnp.int32, (t, 1), 0).reshape(t) == 0
+    )
     mafd = jnp.where(is_start, 0.0, mafd)
     prev_mafd = jnp.concatenate([mafd_scratch[0].reshape(1), mafd[:-1]])
     diff = jnp.abs(mafd - prev_mafd)
     scores = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
     scores = jnp.where(is_start, 0.0, scores)
     scores_ref[:] = scores[None, :]
-    # mafd[-1] would lower to dynamic_slice (unsupported); use a static slice.
+    # (static slice: mafd[-1] would lower to unsupported dynamic_slice)
     mafd_scratch[0] = jnp.sum(jax.lax.slice(mafd, (t - 1,), (t,)))
 
     # ---- pHash (MXU + VPU) ----
-    # coeffs[t, s, r] = sum_{H,W} left[s,H] * x[t,H,W] * right[r,W]
-    y = jax.lax.dot_general(
-        xf, right_ref[:],
-        dimension_numbers=(((2,), (1,)), ((), ())),
+    low = jax.lax.dot_general(
+        xf, op_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )                                                      # (T, H, S)
-    z = jax.lax.dot_general(
-        y, left_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                      # (T, S_right, S_left)
-    # z[t, r, s] — take the low (hash, hash) block; transpose to (s, r) order
-    # to match golden (row-major over DCT rows).
-    low = z[:, :hash_size, :hash_size]                     # (T, r, s)
-    low = jnp.swapaxes(low, 1, 2).reshape(t, hash_size * hash_size)
-    srt = _bitonic_sort_last(low)
-    kmid = hash_size * hash_size // 2
-    med = (srt[:, kmid - 1] + srt[:, kmid]) * 0.5
-    # Pack in int32 (Mosaic lacks unsigned reductions); disjoint bit
-    # positions make the sum a bitwise OR, and the int32 bit pattern is the
-    # uint32 fingerprint verbatim.
-    bits = (low > med[:, None]).astype(jnp.int32)          # (T, 64)
-    words = bits.reshape(t, 2, 32)
-    shifts = (31 - jax.lax.broadcasted_iota(jnp.int32, (1, 1, 32), 2))
-    packed = jnp.sum(words << shifts, axis=-1, dtype=jnp.int32)
+    )                                                         # (T, 64)
+
+    # Median of 64 without sort: counting order statistics (exact with ties).
+    le = (low[:, None, :] <= low[:, :, None]).astype(jnp.float32)  # (T,64,64)
+    rank = jnp.sum(le, axis=-1)                               # (T, 64)
+    big = jnp.float32(3.4e38)
+    k = n_bits // 2
+    s_lo = jnp.min(jnp.where(rank >= k, low, big), axis=-1)       # order stat k
+    s_hi = jnp.min(jnp.where(rank >= k + 1, low, big), axis=-1)   # order stat k+1
+    med = (s_lo + s_hi) * 0.5
+    bits = (low > med[:, None]).astype(jnp.float32)           # (T, 64)
+
+    # Pack MSB-first into 2 uint32 words via two exact f32 matmuls (each
+    # partial sum < 2^16) — Mosaic lacks unsigned reductions and the
+    # (T, 64) -> (T, 2, 32) reshape.
+    j = jax.lax.broadcasted_iota(jnp.int32, (n_bits, 2), 0)
+    wrd = jax.lax.broadcasted_iota(jnp.int32, (n_bits, 2), 1)
+    m = j - wrd * 32
+    in_word = (m >= 0) & (m < 32)
+    p_hi = jnp.where(in_word & (m < 16),
+                     jnp.exp2((15 - m).astype(jnp.float32)), 0.0)
+    p_lo = jnp.where(in_word & (m >= 16),
+                     jnp.exp2((31 - m).astype(jnp.float32)), 0.0)
+    hi = jax.lax.dot_general(bits, p_hi, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    lo = jax.lax.dot_general(bits, p_lo, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    packed = hi.astype(jnp.int32) * 65536 + lo.astype(jnp.int32)
     fps_ref[:] = pltpu.bitcast(packed, jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("block_frames", "hash_size", "dct_size"))
+@functools.partial(
+    jax.jit, static_argnames=("block_frames", "hash_size", "dct_size")
+)
 def fingerprint_stream_pallas(
     luma: jnp.ndarray,          # (NTOT, H, W) uint8, NTOT % block_frames == 0
     block_frames: int = 128,
@@ -149,34 +162,32 @@ def fingerprint_stream_pallas(
     scores 0). For block i > 0 the previous frame comes from the input array
     itself via an overlapping BlockSpec view.
     """
+    assert hash_size * hash_size == 64, "pallas path is 64-bit pHash only"
     ntot, h, w = luma.shape
     assert ntot % block_frames == 0, (ntot, block_frames)
     nb = ntot // block_frames
-    ph, pw = _resize_matrices_np(h, w, dct_size, dct_size)
-    d = _dct_matrix_np(dct_size)
-    left = jnp.asarray(d @ ph)      # (S, H)
-    right = jnp.asarray(d @ pw)     # (S, W)
+    hw = h * w
+    x2d = luma.reshape(ntot, hw)
+    op = jnp.asarray(_hash_operator_np(h, w, dct_size, hash_size))
 
-    kernel = functools.partial(_fused_kernel, hash_size=hash_size)
+    kernel = functools.partial(_fused_kernel, n_bits=hash_size * hash_size)
     scores, fps = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block_frames, h, w), lambda i: (i, 0, 0),
+            pl.BlockSpec((block_frames, hw), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            # Last frame of the previous block (clamped to frame 0 for i=0;
-            # masked inside the kernel via the stream-start check).
             pl.BlockSpec(
-                (1, h, w),
-                lambda i: (jnp.maximum(i * block_frames - 1, 0), 0, 0),
+                (8, hw),
+                # Block units of 8 rows: window [iT-8, iT) whose last row is
+                # the previous block's final frame (clamped for i = 0;
+                # masked in-kernel via the stream-start check).
+                lambda i: (jnp.maximum(i * (block_frames // 8) - 1, 0), 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((dct_size, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dct_size, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hw, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            # (1, NTOT) row layout: a (1, T) block of an (nb, T) array trips
-            # the dim(-2) % 8 tiling rule on real hardware.
             pl.BlockSpec((1, block_frames), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((block_frames, 2), lambda i: (i, 0),
@@ -188,5 +199,5 @@ def fingerprint_stream_pallas(
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
         interpret=_interpret(),
-    )(luma, luma, left, right)
+    )(x2d, x2d, op)
     return scores.reshape(ntot), fps
