@@ -1,0 +1,87 @@
+"""N inspectors sharing one queue + one store — the reference's horizontal
+scaling design (docs/tvidz-detailed-guide.md:921-930, SURVEY.md §2): work
+distributes over SQS with at-least-once semantics; every upload is analyzed
+and verdicts land in the shared durable store regardless of which inspector
+handled it."""
+
+import json
+import os
+import time
+
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.service.app import create_app
+from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+
+def test_two_inspectors_one_queue(tmp_path):
+    sqs = FakeSQS()
+    s3 = FakeS3(str(tmp_path / "s3"))
+    store = Store(f"sqlite:///{tmp_path}/shared.db")
+
+    def make_inspector(n):
+        cfg = Config()
+        cfg.pipeline.block_frames = 64
+        cfg.pipeline.scene_height = 72
+        cfg.pipeline.scene_width = 96
+        cfg.pipeline.tmp_dir = str(tmp_path / f"work{n}")
+        cfg.service.sqs_idle_sleep_s = 0.02
+        os.makedirs(cfg.pipeline.tmp_dir)
+        return create_app(
+            config=cfg, store=store,
+            corpus=DeviceCorpus(ts_initial_capacity=16,
+                                fp_initial_capacity=2048, fp_block_n=256),
+            s3=s3, sqs=sqs,
+        )
+
+    sqs.create_queue("video-events")
+    s3.create_bucket("videos")
+    s3.configure_notification(sqs, "video-events")
+
+    a = make_inspector(0)
+    b = make_inspector(1)
+    a.start_poller()
+    b.start_poller()
+
+    names = []
+    for i in range(4):
+        path = str(tmp_path / f"v{i}.y4m")
+        write_synthetic_y4m(path, num_frames=100, height=72, width=96,
+                            cut_frames=(30 + 5 * i,), seed=10 + i)
+        name = f"clip{i}.y4m"
+        s3.put_file("videos", name, path)
+        names.append(name)
+
+    # Every upload must reach 'done' on SOME inspector; the shared store
+    # must hold all four videos with their timestamps.
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        done = 0
+        for name in names:
+            st = a.registry.lookup(name) or b.registry.lookup(name)
+            if st and st.get("status") == "done":
+                done += 1
+        if done == len(names):
+            break
+        time.sleep(0.1)
+    assert done == len(names), f"only {done}/{len(names)} analyses completed"
+
+    videos = store.all_videos()
+    filenames = sorted(v.filename for v in videos)
+    assert filenames == sorted(names)
+    for v in videos:
+        assert len(store.get_timestamps(v.id)) == 1
+        assert store.get_fingerprints(v.id).shape[0] == 100
+
+    # Work actually distributed (not guaranteed per-message, but with 4
+    # messages and 2 pollers both registries should be non-empty in
+    # practice; tolerate skew by only asserting combined coverage).
+    assert len(a.registry) + len(b.registry) >= len(names)
+
+    a.stop()
+    b.stop()
+    store.close()
