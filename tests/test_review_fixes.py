@@ -14,6 +14,8 @@ def test_mesh_corpus_reset_works():
     from tvidz_tpu.parallel.mesh import make_mesh
     from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
 
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
     mesh = make_mesh(8)
     mc = MeshCorpus(mesh, ts_initial_capacity=8, fp_initial_capacity=256,
                     fp_block_n=128)
@@ -142,6 +144,8 @@ def test_sharded_nearest_matches_single_chip(rng):
 
     import jax.numpy as jnp
 
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
     mesh = make_mesh(8)
     q = rng.integers(0, 2**32, size=(8, 2), dtype=np.uint32)
     corpus = rng.integers(0, 2**32, size=(512, 2), dtype=np.uint32)
