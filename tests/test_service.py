@@ -260,6 +260,32 @@ def test_search_fragment_route(app, client):
                        json_body={"filename": "ghost.y4m"}).status_code == 404
 
 
+def test_status_survives_restart(app, client, tmp_path):
+    """The reference returns 'pending' forever for pre-restart uploads
+    (in-memory results, app.py:28; SURVEY §3.4). We rebuild 'done' states
+    from the durable store at boot."""
+    app.start_poller()
+    first = _upload_and_wait(app, client, app.s3, "persist.y4m", seed=6,
+                             cut_frames=(50,))
+    assert first["status"] == "done"
+
+    # "Restart": a fresh InspectorApp over the same store.
+    app2 = create_app(
+        config=app.config, store=app.store,
+        corpus=DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                            fp_block_n=256),
+        s3=app.s3, sqs=app.sqs,
+    )
+    client2 = app2.wsgi.test_client()
+    d = client2.get("/status/persist.y4m").get_json()
+    assert d["status"] == "done"
+    assert d["scene_cuts"] == first["scene_cuts"]
+    assert d["total_cuts"] == 1
+    # Unknown files still pending.
+    assert client2.get("/status/ghost.y4m").get_json()["status"] == "pending"
+    app2.stop()
+
+
 def test_at_least_once_redelivery(app, client):
     """A message left in flight (not deleted) is redelivered and eventually
     processed — the at-least-once contract (app.py:476-479)."""

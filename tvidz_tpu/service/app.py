@@ -82,8 +82,42 @@ class InspectorApp:
         # Warm the device corpus from durable storage — unlike the reference,
         # verdict capability survives restarts (SURVEY.md §5 checkpoint gap).
         self.corpus.load(self.store)
+        # Rebuild 'done' analysis states for completed videos so /status and
+        # SSE keep answering after a restart (the reference returns 'pending'
+        # forever for pre-restart uploads, SURVEY.md §3.4 note).
+        self._restore_done_states()
 
         self.wsgi = self._build_routes()
+
+    def _restore_done_states(self, max_videos: int = 10_000) -> None:
+        videos = self.store.all_videos()
+        if len(videos) > max_videos:
+            log("restore", f"{len(videos)} videos in store; restoring only "
+                           f"the most recent {max_videos} states")
+            videos = videos[-max_videos:]
+        by_id = {v.id: v for v in videos}
+        restored = 0
+        for v in videos:
+            cuts = self.store.get_timestamps(v.id)
+            if not cuts:
+                continue
+            dup_names = sorted({
+                by_id[d].filename for d in v.duplicates if d in by_id
+            })
+            self.registry.finish(
+                f"restored_{v.id}_{v.filename}",
+                status="done",
+                scene_cuts=cuts,
+                progress=1.0,
+                total_cuts=len(cuts),
+                duplicates=dup_names,
+                original_filename=v.filename,
+                clean_filename=v.filename,
+            )
+            restored += 1
+        if restored:
+            log("restore", f"restored {restored} completed analysis states "
+                           "from the durable store")
 
     # -- analysis dispatch -------------------------------------------------------
 
