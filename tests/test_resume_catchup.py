@@ -1,0 +1,72 @@
+"""Resumed analyses must re-evaluate duplicates for restored evidence: a
+copy whose matching cuts/fingerprints all predate the crash still gets a
+verdict after resume."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+def test_duplicate_found_after_resume(tmp_path, monkeypatch):
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.checkpoint_every_blocks = 2
+    cfg.pipeline.download_retries = 1
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                          fp_block_n=256)
+    analyzer = Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+
+    # Original: both cuts in the first half of the video.
+    write_synthetic_y4m(str(bucket / "orig.y4m"), num_frames=320, height=72,
+                        width=96, cut_frames=(40, 90), seed=44)
+    r1 = analyzer.analyze("videos", "orig.y4m")
+    assert r1.status == "done" and r1.scene_cuts == [1.6, 3.6]
+
+    # Copy of the same content; crash it AFTER both cuts were seen (block 5
+    # of 10 = frame 160 > 90) but before completion.
+    shutil.copy(bucket / "orig.y4m", bucket / "777-orig.y4m")
+    from tvidz_tpu.decode.y4m import Y4MDecoder
+
+    real_blocks = Y4MDecoder.blocks
+
+    def dying_blocks(self, path, block_frames, height, width):
+        for i, blk in enumerate(real_blocks(self, path, block_frames, height, width)):
+            if i == 6:
+                raise RuntimeError("injected decode fault")
+            yield blk
+
+    # Disable dedup during the crashed run so ALL matching evidence is in
+    # the checkpoint, none in the live loop (worst case for resume).
+    monkeypatch.setattr(Y4MDecoder, "blocks", dying_blocks)
+    analyzer.config.match.min_match = 99
+    analyzer.config.match.use_fingerprint_evidence = False
+    r2 = analyzer.analyze("videos", "777-orig.y4m")
+    assert r2.status == "error"
+
+    # Heal + restore thresholds; resume must evaluate the RESTORED cuts.
+    monkeypatch.setattr(Y4MDecoder, "blocks", real_blocks)
+    analyzer.config.match.min_match = 2
+    analyzer.config.match.use_fingerprint_evidence = True
+    r3 = analyzer.analyze("videos", "777-orig.y4m")
+    assert r3.status == "done"
+    assert "orig.y4m" in r3.duplicates

@@ -219,6 +219,7 @@ class Analyzer:
         # (pipeline/checkpoint.py; the reference restarts from scratch).
         ckpt_key: Optional[str] = None
         resume_from = 0
+        resume_catchup = False
         blocks_since_ckpt = 0
         if cfg.pipeline.checkpoint_every_blocks > 0:
             from tvidz_tpu.pipeline.checkpoint import (
@@ -237,8 +238,13 @@ class Analyzer:
                         ckpt.content_sig == ckpt_key
                         and ckpt.frames_done % block_t == 0
                         and ckpt.carry_prev_frame.shape == (h, w)
+                        and (
+                            ckpt.fingerprints.size == 0
+                            or ckpt.fingerprints.shape[1] == cfg.hash.words
+                        )
                     ):
                         resume_from = ckpt.frames_done
+                        resume_catchup = True
                         scene_cuts = list(ckpt.scene_cuts)
                         if ckpt.fingerprints.shape[0]:
                             all_fps = [ckpt.fingerprints]
@@ -294,6 +300,26 @@ class Analyzer:
                     if not scene_cuts or ts != scene_cuts[-1]:
                         scene_cuts.append(ts)
                         new_cut = True
+
+                # A checkpoint-resumed analysis must re-evaluate duplicates
+                # for its RESTORED cuts/fingerprints once — otherwise a copy
+                # whose evidence all predates the crash is never matched.
+                if resume_catchup:
+                    resume_catchup = False
+                    if scene_cuts:
+                        new_cut = True
+                    if (
+                        cfg.match.use_fingerprint_evidence
+                        and self.corpus.num_fingerprints > 0
+                        and len(all_fps) > 1
+                    ):
+                        restored_fps = np.concatenate(all_fps[:-1])
+                        with self.timer.stage("fp-search"):
+                            hits = self.corpus.nearest_video_counts(
+                                restored_fps, exclude_video_id=video_id
+                            )
+                        for vid, count in hits.items():
+                            fp_evidence[vid] = fp_evidence.get(vid, 0) + count
 
                 if new_cut and not duplicate_found:
                     with self.timer.stage("dedup-search"):
