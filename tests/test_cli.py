@@ -51,6 +51,33 @@ def test_fingerprint_npz(videos, tmp_path, capsys):
     np.testing.assert_allclose(z["scene_cuts"], [1.6, 3.2])
 
 
+def test_ingest_directory(tmp_path, capsys):
+    from tvidz_tpu.decode.synthetic import synthetic_video
+
+    d = tmp_path / "corpus-src"
+    d.mkdir()
+    for i, seed in enumerate((1, 2)):
+        luma, _ = synthetic_video(num_frames=80, height=72, width=96,
+                                  cut_frames=(30,), seed=seed)
+        write_y4m(str(d / f"v{i}.y4m"), luma)
+    # a duplicate of v0 under another name
+    import shutil
+
+    shutil.copy(d / "v0.y4m", d / "v0-copy.y4m")
+    db = f"sqlite:///{tmp_path}/ing.db"
+    rc = main(["ingest", str(d), "--db", db, "--ext", "y4m"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert rc == 0
+    summary = lines[-1]
+    assert summary["ingested"] == 3
+    assert summary["corpus_videos"] == 3
+    # "v0-copy.y4m" sorts before "v0.y4m", so the ORIGINAL is the one that
+    # gets flagged, against the copy ingested first.
+    orig_line = next(l for l in lines if l.get("file") == "v0.y4m")
+    assert orig_line["duplicates"] == ["v0-copy.y4m"]
+
+
 def test_analyze_missing_file_exits_nonzero(videos, capsys):
     _, _, db = videos
     rc = main(["analyze", "/tmp/definitely-missing.y4m",

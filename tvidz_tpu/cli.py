@@ -101,6 +101,35 @@ def cmd_fingerprint(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Batch-build a corpus from a directory of videos."""
+    _platform_override()
+    analyzer, store, corpus = _local_session(args.db)
+    exts = tuple(e.strip().lstrip(".") for e in args.ext.split(","))
+    files = sorted(
+        f for f in os.listdir(args.directory)
+        if f.lower().endswith(tuple("." + e for e in exts))
+    )
+    results = []
+    for name in files:
+        res = analyzer.analyze(args.directory, name)
+        results.append({
+            "file": name,
+            "status": res.status,
+            "cuts": len(res.scene_cuts),
+            "duplicates": res.duplicates,
+            **({"error": res.error} if res.error else {}),
+        })
+        print(json.dumps(results[-1]), flush=True)
+    done = sum(1 for r in results if r["status"] == "done")
+    print(json.dumps({
+        "ingested": done, "failed": len(results) - done,
+        "corpus_videos": corpus.num_videos,
+        "corpus_fingerprints": corpus.num_fingerprints,
+    }))
+    return 0 if done == len(results) else 1
+
+
 def cmd_search(args) -> int:
     _platform_override()
     from tvidz_tpu.config import Config
@@ -177,6 +206,12 @@ def main(argv=None) -> int:
     p.add_argument("--db", default="sqlite:///tvidz.db")
     p.add_argument("--top-k", type=int, default=5)
 
+    p = sub.add_parser("ingest", help="batch-analyze a directory into the corpus")
+    p.add_argument("directory")
+    p.add_argument("--db", default="sqlite:///tvidz.db")
+    p.add_argument("--ext", default="mp4,avi,mkv,mov,mpg,y4m",
+                   help="comma-separated extensions to ingest")
+
     sub.add_parser("serve", help="run the inspector service "
                                  "(args pass through to the entrypoint)")
     sub.add_parser("bench", help="run the benchmark harness")
@@ -188,6 +223,8 @@ def main(argv=None) -> int:
         return cmd_fingerprint(args)
     if args.cmd == "search":
         return cmd_search(args)
+    if args.cmd == "ingest":
+        return cmd_ingest(args)
     if args.cmd == "serve":
         return cmd_serve(args, extra)
     if args.cmd == "bench":
