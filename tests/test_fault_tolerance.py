@@ -78,6 +78,10 @@ def test_malformed_sqs_message_not_deleted_blindly(tmp_path, monkeypatch):
         time.sleep(0.02)
     app.stop()
     assert seen == ["good.mp4"]
+    # Observability: counters reflect what happened.
+    m = app.wsgi.test_client().get("/metrics").get_json()["ingestion"]
+    assert m["processed"] == 1
+    assert m["malformed"] == 2
 
 
 def test_stage_timer_and_profiler_annotation(tmp_path, monkeypatch):

@@ -66,6 +66,7 @@ class InspectorApp:
         self.build_env = build_env or {}
         self._stop = threading.Event()
         self._poller_thread: Optional[threading.Thread] = None
+        self._poller_stats = {"processed": 0, "malformed": 0, "receive_errors": 0}
         # Flipped by the entrypoint once the accelerator is warm; in-process
         # embedders (tests) are considered ready immediately.
         self.device_ready = True
@@ -432,6 +433,7 @@ class InspectorApp:
                 "analyses_in_memory": len(self.registry),
                 "corpus_videos": self.corpus.num_videos,
                 "corpus_fingerprints": self.corpus.num_fingerprints,
+                "ingestion": dict(self._poller_stats),
             })
 
         return app
@@ -499,6 +501,7 @@ class InspectorApp:
                 )
             except Exception as e:  # noqa: BLE001
                 log("poll_sqs", f"receive error: {e}")
+                self._poller_stats["receive_errors"] += 1
                 time.sleep(cfg.sqs_idle_sleep_s)
                 continue
             for msg in messages:
@@ -512,8 +515,10 @@ class InspectorApp:
                     key = record["s3"]["object"]["key"]
                     self.start_analysis_thread(bucket, key)
                     processed_successfully = True
+                    self._poller_stats["processed"] += 1
                 except Exception as e:  # noqa: BLE001
                     log("poll_sqs", f"Error processing SQS message: {e}")
+                    self._poller_stats["malformed"] += 1
                 finally:
                     if processed_successfully:
                         self.sqs.delete(queue_url, msg["ReceiptHandle"])
