@@ -1,0 +1,223 @@
+"""Regression tests for the round-1 advisor findings (ADVICE.md)."""
+
+import json
+import os
+import shutil
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import write_synthetic_y4m
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+# -- ADVICE #1: ShardedCorpus truncation must keep the FIRST max_cuts --------
+
+
+def test_sharded_corpus_first_max_cuts_truncation():
+    from tvidz_tpu.parallel.mesh import make_mesh
+    from tvidz_tpu.parallel.sharded_search import ShardedCorpus
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    mesh = make_mesh(8)
+    sc = ShardedCorpus(mesh, max_cuts=16)
+    long_cuts = [float(i) for i in range(50)]  # > max_cuts
+    sc.load_timestamps([long_cuts], [1])
+    # An identically-truncated stored copy must share ALL its kept
+    # timestamps with the query (store keeps the FIRST 16; the query side
+    # must too, else zero overlap for >max_cuts videos).
+    hits = sc.match_timestamps(long_cuts, min_match=10)
+    assert hits == [(1, 16)]
+
+
+# -- ADVICE #2: resume catch-up when the crash followed the FINAL checkpoint --
+
+
+def test_resume_verdict_when_checkpoint_covers_whole_video(tmp_path, monkeypatch):
+    """Crash after the final checkpoint (length divisible by block_frames):
+    on resume every block is skipped as already-fingerprinted, so the
+    catch-up duplicate evaluation must run outside the block loop."""
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.checkpoint_every_blocks = 2
+    cfg.pipeline.download_retries = 1
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                          fp_block_n=256)
+    analyzer = Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+
+    # 320 frames = 10 blocks of 32; checkpoints at blocks 2,4,...,10 — the
+    # last one covers the entire video (frames_done == 320).
+    write_synthetic_y4m(str(bucket / "orig.y4m"), num_frames=320, height=72,
+                        width=96, cut_frames=(40, 90), seed=44)
+    r1 = analyzer.analyze("videos", "orig.y4m")
+    assert r1.status == "done" and r1.scene_cuts == [1.6, 3.6]
+
+    shutil.copy(bucket / "orig.y4m", bucket / "777-orig.y4m")
+    from tvidz_tpu.decode.y4m import Y4MDecoder
+
+    real_blocks = Y4MDecoder.blocks
+
+    def dying_after_last_block(self, path, block_frames, height, width):
+        yield from real_blocks(self, path, block_frames, height, width)
+        raise RuntimeError("injected fault after the final block")
+
+    # Disable dedup during the crashed run so ALL evidence is restored from
+    # the checkpoint and the resumed run skips EVERY block.
+    monkeypatch.setattr(Y4MDecoder, "blocks", dying_after_last_block)
+    analyzer.config.match.min_match = 99
+    analyzer.config.match.use_fingerprint_evidence = False
+    r2 = analyzer.analyze("videos", "777-orig.y4m")
+    assert r2.status == "error"
+    # The final checkpoint covers the whole video.
+    from tvidz_tpu.pipeline.checkpoint import AnalysisCheckpoint, content_signature
+
+    sig = content_signature(str(bucket / "777-orig.y4m"))
+    ckpt = AnalysisCheckpoint.from_blob(store.load_checkpoint(sig))
+    assert ckpt.frames_done == 320
+
+    monkeypatch.setattr(Y4MDecoder, "blocks", real_blocks)
+    analyzer.config.match.min_match = 2
+    analyzer.config.match.use_fingerprint_evidence = True
+    r3 = analyzer.analyze("videos", "777-orig.y4m")
+    assert r3.status == "done"
+    assert "orig.y4m" in r3.duplicates
+
+
+# -- ADVICE #3: PATH_INFO is decoded exactly once --------------------------------
+
+
+def test_percent_in_filename_over_real_server():
+    """A literal %xx sequence in a filename must survive one (and only one)
+    percent-decode through the real WSGI server."""
+    from tvidz_tpu.service.wsgi import App, jsonify, start_server_thread
+
+    app = App("t")
+
+    @app.route("/status/<filename>", methods=["GET"])
+    def status(request, filename):
+        return jsonify({"filename": filename})
+
+    server, _ = start_server_thread(app, "127.0.0.1", 0)
+    port = server.server_address[1]
+    try:
+        # Client-side encoding of the literal name 'report%20final.mp4'
+        # (the %% is percent-encoded to %25).
+        url = f"http://127.0.0.1:{port}/status/report%2520final.mp4"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            data = json.loads(resp.read())
+        assert data["filename"] == "report%20final.mp4"
+        # And a name with a space, encoded once.
+        url = f"http://127.0.0.1:{port}/status/my%20clip.mp4"
+        with urllib.request.urlopen(url, timeout=10) as resp:
+            data = json.loads(resp.read())
+        assert data["filename"] == "my clip.mp4"
+    finally:
+        server.shutdown()
+
+
+def test_test_client_matches_server_decoding():
+    """The in-process TestClient must present paths exactly as the real
+    server does (decoded once)."""
+    from tvidz_tpu.service.wsgi import App, jsonify
+
+    app = App("t")
+
+    @app.route("/status/<filename>", methods=["GET"])
+    def status(request, filename):
+        return jsonify({"filename": filename})
+
+    client = app.test_client()
+    # The client takes the decoded path (like Flask's test client).
+    r = client.get("/status/report%20final.mp4")
+    assert r.get_json()["filename"] == "report%20final.mp4"
+    r = client.get("/status/my clip.mp4")
+    assert r.get_json()["filename"] == "my clip.mp4"
+
+
+# -- ADVICE #4: CLI search uses the same evidence rule as the service -------
+
+
+def test_cli_search_counts_query_frames(tmp_path, capsys):
+    from tvidz_tpu.cli import main
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.decode.y4m import write_y4m
+
+    luma, _ = synthetic_video(num_frames=120, height=72, width=96,
+                              cut_frames=(40, 80), seed=41)
+    a = str(tmp_path / "a.y4m")
+    b = str(tmp_path / "b.y4m")
+    write_y4m(a, luma, fps=25.0)
+    write_y4m(b, luma, fps=30.0)
+    db = f"sqlite:///{tmp_path}/c.db"
+    assert main(["analyze", a, "--db", db, "--compact"]) == 0
+    capsys.readouterr()
+    assert main(["search", b, "--db", db]) == 0
+    data = json.loads(capsys.readouterr().out)
+    match = data["fingerprint_matches"][0]
+    assert match["filename"] == "a.y4m"
+    # Each QUERY frame credits a video at most once: the count can never
+    # exceed the number of query frames (120), which the old
+    # corpus-frame-counting rule could.
+    assert match["matching_frames"] <= 120
+
+
+# -- ADVICE #5: FakeS3 rejects keys escaping the bucket root ------------------
+
+
+def test_fake_s3_event_keys_are_url_encoded(tmp_path):
+    """Real S3 URL-encodes object keys in event notifications; the service
+    decodes with unquote_plus. The fake must emit encoded keys or names
+    containing '%'/'+'/' ' corrupt on the fake path (found live: an uploaded
+    'report%20final.y4m' was fetched back as 'report final.y4m' and the
+    download failed)."""
+    from tvidz_tpu.service.app import InspectorApp
+    from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+    s3 = FakeS3(str(tmp_path / "s3root"))
+    sqs = FakeSQS()
+    s3.create_bucket("videos")
+    s3.configure_notification(sqs, "events")
+    for key in ("report%20final.y4m", "my video.y4m", "a+b.y4m", "dir/x y.y4m"):
+        s3.put_object("videos", key, b"data")
+        msg = sqs.receive(sqs.get_queue_url("events"))[0]
+        event_key = json.loads(msg["Body"])["Records"][0]["s3"]["object"]["key"]
+        # Round-trip through the service's decoder recovers the exact key.
+        assert InspectorApp._decode_event_key(event_key) == key
+        sqs.delete(sqs.get_queue_url("events"), msg["ReceiptHandle"])
+
+
+def test_fake_s3_rejects_path_traversal(tmp_path):
+    from tvidz_tpu.service.fakes import FakeS3
+
+    secret = tmp_path / "secret.txt"
+    secret.write_bytes(b"top secret")
+    s3 = FakeS3(str(tmp_path / "s3root"))
+    s3.create_bucket("videos")
+    s3.put_object("videos", "ok.bin", b"fine")
+    # normal keys (including nested) still work
+    dst = str(tmp_path / "out.bin")
+    s3.download("videos", "ok.bin", dst)
+    assert open(dst, "rb").read() == b"fine"
+    # escaping keys are rejected on read and write
+    with pytest.raises((PermissionError, FileNotFoundError)):
+        s3.download("videos", "../../secret.txt", str(tmp_path / "stolen"))
+    with pytest.raises(PermissionError):
+        s3.put_object("videos", "../../../etc/evil", b"x")

@@ -144,7 +144,14 @@ def cmd_search(args) -> int:
         cuts, min_match=config.match.min_match,
         tolerance=config.match.timestamp_tolerance,
     )
-    fp_matches = corpus.search_fingerprints(fps, min_match=config.match.fp_min_match)
+    # Each QUERY frame credits its nearest corpus video at most once —
+    # mirrors the analyzer and /search/video (a corpus video of
+    # near-identical frames must not cross fp_min_match off one frame).
+    fp_counts = corpus.nearest_video_counts(fps)
+    fp_matches = sorted(
+        ((v, c) for v, c in fp_counts.items() if c >= config.match.fp_min_match),
+        key=lambda vc: -vc[1],
+    )
     frag = corpus.locate_fragment(fps, top_k=args.top_k)
 
     def resolve(vid):

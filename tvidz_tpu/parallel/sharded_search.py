@@ -253,7 +253,10 @@ class ShardedCorpus:
         if self.corpus_ts is None:
             return []
         q = np.full(self.max_cuts, np.nan, np.float32)
-        take = list(query_ts)[-self.max_cuts:]
+        # Keep the FIRST max_cuts — matching the store/DeviceCorpus
+        # truncation invariant, so an identically-truncated stored copy of
+        # a >max_cuts video still shares all its timestamps with the query.
+        take = list(query_ts)[: self.max_cuts]
         q[: len(take)] = take
         counts = np.asarray(
             sharded_timestamp_match(

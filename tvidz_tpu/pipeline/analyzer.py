@@ -255,6 +255,41 @@ class Analyzer:
                 except Exception as e:  # noqa: BLE001 — corrupt ckpt = restart
                     log("checkpoint", f"ignoring unreadable checkpoint: {e}")
 
+        # A checkpoint-resumed analysis must re-evaluate duplicates for its
+        # RESTORED cuts/fingerprints once, BEFORE the block loop: if the
+        # crash happened after the final checkpoint (video length divisible
+        # by block_frames), every block is skipped as already-fingerprinted,
+        # so an in-loop catch-up would never execute and the analysis would
+        # finish 'done' without a verdict.
+        if resume_catchup:
+            resume_catchup = False
+            if scene_cuts:
+                duplicate_found = self._apply_timestamp_duplicates(
+                    video_id, scene_cuts, dups_to_report
+                )
+            if (
+                cfg.match.use_fingerprint_evidence
+                and self.corpus.num_fingerprints > 0
+                and all_fps
+            ):
+                restored_fps = np.concatenate(all_fps)
+                with self.timer.stage("fp-search"):
+                    hits = self.corpus.nearest_video_counts(
+                        restored_fps, exclude_video_id=video_id
+                    )
+                for vid, count in hits.items():
+                    fp_evidence[vid] = fp_evidence.get(vid, 0) + count
+                if not duplicate_found:
+                    duplicate_found = self._apply_fp_duplicates(
+                        video_id, fp_evidence, dups_to_report
+                    )
+            if duplicate_found:
+                self.registry.update(
+                    analysis_key,
+                    scene_cuts=list(scene_cuts),
+                    duplicates=sorted(set(dups_to_report)),
+                )
+
         block_iter = decoder.blocks(local_path, block_t, h, w)
         prefetcher = None
         if cfg.pipeline.decode_prefetch_blocks > 0:
@@ -297,54 +332,18 @@ class Analyzer:
                 new_cut = False
                 for i in np.nonzero(scores > cfg.scene.threshold)[0]:
                     ts = round(float(block.pts[i]), 6)
-                    if not scene_cuts or ts != scene_cuts[-1]:
+                    if (
+                        not cfg.scene.dedupe_consecutive
+                        or not scene_cuts
+                        or ts != scene_cuts[-1]
+                    ):
                         scene_cuts.append(ts)
                         new_cut = True
 
-                # A checkpoint-resumed analysis must re-evaluate duplicates
-                # for its RESTORED cuts/fingerprints once — otherwise a copy
-                # whose evidence all predates the crash is never matched.
-                if resume_catchup:
-                    resume_catchup = False
-                    if scene_cuts:
-                        new_cut = True
-                    if (
-                        cfg.match.use_fingerprint_evidence
-                        and self.corpus.num_fingerprints > 0
-                        and len(all_fps) > 1
-                    ):
-                        restored_fps = np.concatenate(all_fps[:-1])
-                        with self.timer.stage("fp-search"):
-                            hits = self.corpus.nearest_video_counts(
-                                restored_fps, exclude_video_id=video_id
-                            )
-                        for vid, count in hits.items():
-                            fp_evidence[vid] = fp_evidence.get(vid, 0) + count
-
                 if new_cut and not duplicate_found:
-                    with self.timer.stage("dedup-search"):
-                        self.store.add_timestamps(video_id, scene_cuts)
-                        self.corpus.upsert_timestamps(video_id, scene_cuts)
-                        dups = self.corpus.match_timestamps(
-                            scene_cuts,
-                            min_match=cfg.match.min_match,
-                            tolerance=cfg.match.timestamp_tolerance,
-                            exclude_video_id=video_id,
-                        )
-                    if dups:
-                        self.store.update_duplicates(video_id, [d[0] for d in dups])
-                        dups_to_report = []
-                        for dup_id, match_count in dups:
-                            dup_video = self.store.get_video_by_id(dup_id)
-                            if dup_video:
-                                dups_to_report.append(dup_video.filename)
-                                log("duplicate",
-                                    f"Match found: {dup_video.filename} "
-                                    f"({match_count} matching timestamps)")
-                        duplicate_found = True
-                        log("duplicate",
-                            f"Found {len(dups_to_report)} duplicates: {dups_to_report}")
-                        log("duplicate", f"Current scene cuts: {scene_cuts}")
+                    duplicate_found = self._apply_timestamp_duplicates(
+                        video_id, scene_cuts, dups_to_report
+                    )
 
                 # Fingerprint evidence (north-star Hamming path): catches content
                 # the exact-timestamp rule misses, e.g. re-encodes at a different
@@ -364,24 +363,9 @@ class Analyzer:
                         )
                     for vid, count in block_hits.items():
                         fp_evidence[vid] = fp_evidence.get(vid, 0) + count
-                    strong = [
-                        (vid, total) for vid, total in fp_evidence.items()
-                        if total >= cfg.match.fp_min_match
-                    ]
-                    if strong:
-                        strong.sort(key=lambda vc: -vc[1])
-                        self.store.update_duplicates(video_id, [v for v, _ in strong])
-                        for dup_id, total in strong:
-                            dup_video = self.store.get_video_by_id(dup_id)
-                            if dup_video and dup_video.filename not in dups_to_report:
-                                dups_to_report.append(dup_video.filename)
-                                log("duplicate",
-                                    f"Match found: {dup_video.filename} "
-                                    f"({total} matching fingerprint frames)")
-                        duplicate_found = True
-                        log("duplicate",
-                            f"Found {len(dups_to_report)} duplicates via "
-                            f"fingerprints: {dups_to_report}")
+                    duplicate_found = self._apply_fp_duplicates(
+                        video_id, fp_evidence, dups_to_report
+                    )
 
                 progress = self._progress(current_frame, total_frames, scene_cuts)
                 now = time.time()
@@ -458,6 +442,63 @@ class Analyzer:
             self.store.delete_checkpoint(ckpt_key)
 
         return scene_cuts, dups_to_report
+
+    def _apply_timestamp_duplicates(
+        self, video_id: int, scene_cuts: List[float], dups_to_report: List[str]
+    ) -> bool:
+        """Persist the cuts, query the corpus, record any duplicates
+        (app.py:233-255 semantics). Returns True on a verdict."""
+        cfg = self.config
+        with self.timer.stage("dedup-search"):
+            self.store.add_timestamps(video_id, scene_cuts)
+            self.corpus.upsert_timestamps(video_id, scene_cuts)
+            dups = self.corpus.match_timestamps(
+                scene_cuts,
+                min_match=cfg.match.min_match,
+                tolerance=cfg.match.timestamp_tolerance,
+                exclude_video_id=video_id,
+            )
+        if not dups:
+            return False
+        self.store.update_duplicates(video_id, [d[0] for d in dups])
+        del dups_to_report[:]
+        for dup_id, match_count in dups:
+            dup_video = self.store.get_video_by_id(dup_id)
+            if dup_video:
+                dups_to_report.append(dup_video.filename)
+                log("duplicate",
+                    f"Match found: {dup_video.filename} "
+                    f"({match_count} matching timestamps)")
+        log("duplicate",
+            f"Found {len(dups_to_report)} duplicates: {dups_to_report}")
+        log("duplicate", f"Current scene cuts: {scene_cuts}")
+        return True
+
+    def _apply_fp_duplicates(
+        self, video_id: int, fp_evidence: dict, dups_to_report: List[str]
+    ) -> bool:
+        """Verdict once any video's accumulated fingerprint evidence crosses
+        fp_min_match. Returns True on a verdict."""
+        cfg = self.config
+        strong = [
+            (vid, total) for vid, total in fp_evidence.items()
+            if total >= cfg.match.fp_min_match
+        ]
+        if not strong:
+            return False
+        strong.sort(key=lambda vc: -vc[1])
+        self.store.update_duplicates(video_id, [v for v, _ in strong])
+        for dup_id, total in strong:
+            dup_video = self.store.get_video_by_id(dup_id)
+            if dup_video and dup_video.filename not in dups_to_report:
+                dups_to_report.append(dup_video.filename)
+                log("duplicate",
+                    f"Match found: {dup_video.filename} "
+                    f"({total} matching fingerprint frames)")
+        log("duplicate",
+            f"Found {len(dups_to_report)} duplicates via "
+            f"fingerprints: {dups_to_report}")
+        return True
 
     @staticmethod
     def _progress(current_frame: int, total_frames: int, cuts: List[float]) -> float:

@@ -13,6 +13,7 @@ import os
 import queue
 import shutil
 import threading
+import urllib.parse
 import uuid
 from typing import Dict, List, Optional
 
@@ -32,7 +33,14 @@ class FakeS3:
         self._notify_queue = queue_name
 
     def _path(self, bucket: str, key: str) -> str:
-        return os.path.join(self.root, bucket, key)
+        # Keys arrive from unauthenticated /notify and SQS events; reject
+        # any key that resolves outside the bucket root (e.g. '../../etc/..')
+        # so a crafted event can't read arbitrary host files.
+        bucket_root = os.path.realpath(os.path.join(self.root, bucket))
+        path = os.path.realpath(os.path.join(bucket_root, key))
+        if path != bucket_root and not path.startswith(bucket_root + os.sep):
+            raise PermissionError(f"key escapes bucket root: {key!r}")
+        return path
 
     def create_bucket(self, bucket: str) -> None:
         os.makedirs(os.path.join(self.root, bucket), exist_ok=True)
@@ -53,9 +61,15 @@ class FakeS3:
     def _emit_event(self, bucket: str, key: str) -> None:
         if self._notify_sqs is None:
             return
+        # Real S3 URL-encodes object keys in event notifications (space
+        # becomes '+', '%' becomes '%25'; '/' is kept) — the service decodes
+        # with unquote_plus (app.py _decode_event_key). Emitting the raw key
+        # here would corrupt names containing '%' or '+' on the fake path.
+        encoded_key = urllib.parse.quote_plus(key, safe="/")
         event = {
             "Records": [
-                {"s3": {"bucket": {"name": bucket}, "object": {"key": key}}}
+                {"s3": {"bucket": {"name": bucket},
+                        "object": {"key": encoded_key}}}
             ]
         }
         url = self._notify_sqs.get_or_create_queue(self._notify_queue)

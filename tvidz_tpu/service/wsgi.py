@@ -135,7 +135,17 @@ class App:
     # -- dispatch -------------------------------------------------------------
 
     def dispatch(self, request: Request) -> Response:
-        path = unquote(request.path)
+        # PATH_INFO arrives percent-decoded exactly once by the WSGI server
+        # (PEP 3333: as a latin-1 native string). Decoding again here would
+        # corrupt filenames containing literal %xx sequences ('report%20.mp4'
+        # would double-decode to 'report .mp4' and never match /status
+        # lookups). Recode latin-1 -> utf-8 like Flask so non-ASCII
+        # filenames round-trip.
+        path = request.path
+        try:
+            path = path.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            pass
         path_matched = False
         for pattern, methods, handler in self._routes:
             m = pattern.match(path)
@@ -219,7 +229,10 @@ class TestClient:
         path, _, query = path.partition("?")
         environ = {
             "REQUEST_METHOD": method.upper(),
-            "PATH_INFO": quote(path),
+            # Present PATH_INFO exactly as a WSGI server would: the client's
+            # percent-encoded path, decoded once, as a latin-1 native string
+            # (PEP 3333). quote-then-unquote(latin-1) == utf8->latin1 recode.
+            "PATH_INFO": unquote(quote(path), encoding="latin-1"),
             "QUERY_STRING": query,
             "CONTENT_LENGTH": str(len(body)),
             "CONTENT_TYPE": content_type or "",
