@@ -57,9 +57,16 @@ def main() -> int:
     from tvidz_tpu.decode.synthetic import synthetic_video
     from tvidz_tpu.decode import native
 
+    # --real-clients: run the service against the in-process MiniAWS HTTP
+    # emulator through the REAL S3/SQS clients (SigV4, presigned PUT, bucket
+    # notification) instead of the in-proc fakes — the LocalStack-shaped
+    # path the reference's compose stack uses.
+    real_clients = "--real-clients" in sys.argv[1:]
+
     fake_root = tempfile.mkdtemp(prefix="tvidz-it-s3-")
     os.environ.setdefault("BUILD_DATE", "integration")
     server = None
+    miniaws_server = None
     import subprocess
 
     env = {**os.environ, "TVIDZ_FAKE_S3_ROOT": fake_root}
@@ -68,10 +75,18 @@ def main() -> int:
     # (which can wedge the axon tunnel). Set TVIDZ_IT_TPU=1 to run on-chip.
     if os.environ.get("TVIDZ_IT_TPU", "") not in ("1", "true"):
         env.setdefault("TVIDZ_JAX_PLATFORM", "cpu")
+    if real_clients:
+        from tvidz_tpu.service.miniaws import start_miniaws
+
+        _, miniaws_server, aws_base = start_miniaws(fake_root)
+        print(f"[integration] MiniAWS (real-client mode) at {aws_base}")
+        service_args = ["--s3-endpoint", aws_base]
+    else:
+        service_args = ["--fake-aws"]
     server = subprocess.Popen(
         [
             sys.executable, "-m", "tvidz_tpu.service.entrypoint",
-            "--fake-aws", "--db", "sqlite:///:memory:",
+            *service_args, "--db", "sqlite:///:memory:",
             "--host", "127.0.0.1", "--port", str(PORT),
         ],
         cwd=ROOT,
@@ -115,7 +130,27 @@ def main() -> int:
         bucket_dir = os.path.join("/tmp/tvidz-fake-s3", "videos")
         os.makedirs(bucket_dir, exist_ok=True)
 
-        # Upload #1: SSE watcher first, then drop the object + notify.
+        def deliver(local_path: str, key: str) -> bool:
+            """Get the upload into S3 + the event path. Real-client mode:
+            presigned PUT (the reference frontend's flow, App.js:201-249) —
+            the S3 notification config installed by bootstrap() emits the
+            SQS event. Fake mode: drop the object + webhook /notify."""
+            if real_clients:
+                r = requests.get(f"{BASE}/upload-url/{key}", timeout=10)
+                if r.status_code != 200:
+                    return False
+                put = requests.put(r.json()["url"],
+                                   data=open(local_path, "rb").read(),
+                                   timeout=60)
+                return put.status_code == 200
+            shutil.copy(local_path, os.path.join(bucket_dir, key))
+            r = requests.post(f"{BASE}/notify", json={
+                "Records": [{"s3": {"bucket": {"name": "videos"},
+                                    "object": {"key": key}}}]
+            }, timeout=10)
+            return r.status_code == 200
+
+        # Upload #1: SSE watcher first, then deliver.
         frames1: list = []
         done1 = threading.Event()
         threading.Thread(
@@ -124,12 +159,7 @@ def main() -> int:
             daemon=True,
         ).start()
         time.sleep(0.3)
-        shutil.copy(local1, os.path.join(bucket_dir, f"orig.{ext}"))
-        r = requests.post(f"{BASE}/notify", json={
-            "Records": [{"s3": {"bucket": {"name": "videos"},
-                                "object": {"key": f"orig.{ext}"}}}]
-        })
-        check("notify accepted", r.status_code == 200, r.text)
+        check("upload1 delivered", deliver(local1, f"orig.{ext}"))
         check("sse terminated", done1.wait(timeout=120))
         final1 = frames1[-1] if frames1 else {}
         check("upload1 done", final1.get("status") == "done", final1)
@@ -146,12 +176,7 @@ def main() -> int:
                                 bit_rate=3_000_000)
         else:
             shutil.copy(local1, local2)
-        shutil.copy(local2, os.path.join(bucket_dir, name2))
-        r = requests.post(f"{BASE}/notify", json={
-            "Records": [{"s3": {"bucket": {"name": "videos"},
-                                "object": {"key": name2}}}]
-        })
-        check("notify2 accepted", r.status_code == 200)
+        check("upload2 delivered", deliver(local2, name2))
         verdict = {}
         deadline = time.time() + 120
         while time.time() < deadline:
@@ -180,6 +205,8 @@ def main() -> int:
             except subprocess.TimeoutExpired:
                 server.kill()
                 out, _ = server.communicate()
+        if miniaws_server is not None:
+            miniaws_server.shutdown()
         shutil.rmtree(fake_root, ignore_errors=True)
         shutil.rmtree("/tmp/tvidz-fake-s3", ignore_errors=True)
 

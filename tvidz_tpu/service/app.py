@@ -296,6 +296,22 @@ class InspectorApp:
             return jsonify({"status": "uploaded", "bucket": bucket, "key": key,
                             "bytes": len(data)})
 
+        @app.route("/upload-url/<key>", methods=["GET"])
+        def upload_url(request: Request, key: str):
+            """Presigned S3 PUT URL for browser-direct uploads — the
+            reference frontend's flow (App.js:201-207: getSignedUrl with
+            expiresIn 300) served from the backend so the browser needs no
+            AWS credentials. Requires bucket CORS (applied by bootstrap)."""
+            if self.s3 is None or not hasattr(self.s3, "presign_put"):
+                return jsonify(
+                    {"error": "presigned uploads need a real S3 client"}, 501
+                )
+            expires = int(request.query.get("expires_in", "300"))
+            url = self.s3.presign_put(cfg.service.s3_bucket, key,
+                                      expires_in=expires)
+            return jsonify({"url": url, "bucket": cfg.service.s3_bucket,
+                            "key": key, "expires_in": expires})
+
         @app.route("/search/fragment", methods=["POST"])
         def search_fragment(request: Request):
             """Partial-reuse search: locate a span of an analyzed video

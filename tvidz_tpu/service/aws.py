@@ -1,80 +1,195 @@
 """Minimal S3 + SQS clients over plain HTTP (no boto3).
 
 The reference talks to LocalStack with raw HTTP for downloads (app.py:163-172)
-and boto3 for SQS (app.py:419-425). Here both are small first-party clients
-on ``requests`` speaking the S3 REST API and the SQS query protocol — enough
-for LocalStack / real AWS with path-style addressing. Test doubles with the
-same interface live in service.fakes (the in-proc analog of LocalStack,
+and boto3 for SQS (app.py:419-425), and applies bucket CORS + the
+S3->SQS event notification from its entrypoint (entrypoint.sh:14-44). Here
+both are small first-party clients on ``requests`` speaking the S3 REST API
+and the SQS query protocol, SigV4-signed (service/sigv4.py) so they are
+valid against real AWS as well as LocalStack. Test doubles with the same
+interface live in service.fakes; an HTTP-level emulator that exercises THESE
+clients lives in service.miniaws (the in-proc analog of LocalStack,
 SURVEY.md §4).
 """
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import time
 import urllib.parse
 import xml.etree.ElementTree as ET
-from typing import Dict, List, Optional
+from typing import Dict, Iterable, List, Optional
 
 import requests
 
+from tvidz_tpu.service import sigv4
 from tvidz_tpu.utils import log
+
+_EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
 
 
 class S3Client:
-    """Path-style S3 over HTTP: GET/PUT objects, create bucket."""
+    """Path-style S3 over HTTP: objects, bucket create/CORS/notification,
+    SigV4 presigned PUT (the reference frontend's upload contract,
+    App.js:201-207)."""
 
-    def __init__(self, endpoint: str, timeout: float = 30.0):
+    def __init__(self, endpoint: str, timeout: float = 30.0,
+                 region: str = "us-east-1", access_key: str = "test",
+                 secret_key: str = "test"):
         self.endpoint = endpoint.rstrip("/")
         self.timeout = timeout
+        self.region = region
+        self.access_key = access_key
+        self.secret_key = secret_key
 
-    def _url(self, bucket: str, key: str = "") -> str:
+    def _url(self, bucket: str, key: str = "", subresource: str = "") -> str:
         path = f"/{bucket}"
         if key:
             path += "/" + urllib.parse.quote(key)
-        return self.endpoint + path
+        url = self.endpoint + path
+        if subresource:
+            url += f"?{subresource}"
+        return url
+
+    def _headers(self, method: str, url: str, body: bytes,
+                 extra: Optional[Dict[str, str]] = None) -> Dict[str, str]:
+        payload_hash = hashlib.sha256(body).hexdigest() if body else _EMPTY_SHA256
+        headers = dict(extra or {})
+        headers["x-amz-content-sha256"] = payload_hash
+        return sigv4.sign_headers(
+            method=method, url=url, body=body,
+            access_key=self.access_key, secret_key=self.secret_key,
+            region=self.region, service="s3", headers=headers,
+        )
+
+    # -- objects ---------------------------------------------------------------
 
     def download(self, bucket: str, key: str, local_path: str,
                  chunk_bytes: int = 8192) -> None:
         """Streamed download in small chunks (app.py:169-172)."""
-        r = requests.get(self._url(bucket, key), stream=True, timeout=self.timeout)
+        url = self._url(bucket, key)
+        r = requests.get(url, stream=True, timeout=self.timeout,
+                         headers=self._headers("GET", url, b""))
         r.raise_for_status()
         with open(local_path, "wb") as f:
             for chunk in r.iter_content(chunk_size=chunk_bytes):
                 f.write(chunk)
 
     def put_object(self, bucket: str, key: str, data: bytes) -> None:
-        r = requests.put(self._url(bucket, key), data=data, timeout=self.timeout)
+        url = self._url(bucket, key)
+        r = requests.put(url, data=data, timeout=self.timeout,
+                         headers=self._headers("PUT", url, data))
         r.raise_for_status()
 
+    def presign_put(self, bucket: str, key: str, expires_in: int = 300) -> str:
+        """SigV4 query-presigned PUT URL — lets browsers/XHR upload directly
+        to S3 with no credentials, exactly like the reference frontend
+        (App.js:201-207, expiresIn: 300)."""
+        return sigv4.presign_url(
+            method="PUT", endpoint=self.endpoint, bucket=bucket, key=key,
+            access_key=self.access_key, secret_key=self.secret_key,
+            region=self.region, expires_in=expires_in,
+        )
+
+    # -- bucket ----------------------------------------------------------------
+
     def create_bucket(self, bucket: str) -> None:
-        r = requests.put(self._url(bucket), timeout=self.timeout)
+        url = self._url(bucket)
+        r = requests.put(url, timeout=self.timeout,
+                         headers=self._headers("PUT", url, b""))
         if r.status_code not in (200, 409):  # 409 = already exists
             r.raise_for_status()
+
+    def put_bucket_cors(
+        self,
+        bucket: str,
+        allowed_origins: Iterable[str] = ("*",),
+        allowed_methods: Iterable[str] = ("GET", "PUT", "POST", "HEAD"),
+        allowed_headers: Iterable[str] = ("*",),
+        expose_headers: Iterable[str] = ("ETag",),
+    ) -> None:
+        """Apply the bucket CORS policy the reference entrypoint installs
+        (entrypoint.sh:14-28; cors.json) — required for the frontend's
+        browser-direct presigned PUT."""
+        rule = ET.Element("CORSRule")
+        for tag, values in (
+            ("AllowedOrigin", allowed_origins),
+            ("AllowedMethod", allowed_methods),
+            ("AllowedHeader", allowed_headers),
+            ("ExposeHeader", expose_headers),
+        ):
+            for v in values:
+                ET.SubElement(rule, tag).text = v
+        root = ET.Element("CORSConfiguration")
+        root.append(rule)
+        body = ET.tostring(root, encoding="utf-8")
+        url = self._url(bucket, subresource="cors")
+        # Real S3 requires Content-MD5 on put-bucket-cors.
+        md5 = base64.b64encode(hashlib.md5(body).digest()).decode("ascii")
+        r = requests.put(
+            url, data=body, timeout=self.timeout,
+            headers=self._headers("PUT", url, body, {"content-md5": md5}),
+        )
+        r.raise_for_status()
+
+    def put_bucket_notification(
+        self,
+        bucket: str,
+        queue_arn: str,
+        events: Iterable[str] = ("s3:ObjectCreated:*",),
+        config_id: str = "SendToSQS",
+    ) -> None:
+        """Wire s3:ObjectCreated:* -> SQS, the event path that triggers
+        analysis (entrypoint.sh:31-44; s3-event-config.json)."""
+        qc = ET.Element("QueueConfiguration")
+        ET.SubElement(qc, "Id").text = config_id
+        ET.SubElement(qc, "Queue").text = queue_arn
+        for e in events:
+            ET.SubElement(qc, "Event").text = e
+        root = ET.Element("NotificationConfiguration")
+        root.append(qc)
+        body = ET.tostring(root, encoding="utf-8")
+        url = self._url(bucket, subresource="notification")
+        r = requests.put(url, data=body, timeout=self.timeout,
+                         headers=self._headers("PUT", url, body))
+        r.raise_for_status()
+
+    def get_bucket_notification(self, bucket: str) -> str:
+        """Raw NotificationConfiguration XML (verification/debugging)."""
+        url = self._url(bucket, subresource="notification")
+        r = requests.get(url, timeout=self.timeout,
+                         headers=self._headers("GET", url, b""))
+        r.raise_for_status()
+        return r.text
 
 
 _SQS_NS = "{http://queue.amazonaws.com/doc/2012-11-05/}"
 
 
 class SQSClient:
-    """SQS query-protocol client (CreateQueue/GetQueueUrl/Receive/Delete/Send)."""
+    """SQS query-protocol client (CreateQueue/GetQueueUrl/GetQueueAttributes/
+    Receive/Delete/Send), SigV4 header-signed."""
 
     def __init__(self, endpoint: str, region: str = "us-east-1",
-                 timeout: float = 35.0):
+                 timeout: float = 35.0, access_key: str = "test",
+                 secret_key: str = "test"):
         self.endpoint = endpoint.rstrip("/")
         self.region = region
         self.timeout = timeout
+        self.access_key = access_key
+        self.secret_key = secret_key
 
     def _call(self, action: str, url: Optional[str] = None, **params) -> ET.Element:
         data = {"Action": action, "Version": "2012-11-05", **params}
-        headers = {
-            # LocalStack only needs a parseable SigV4 header, not a valid one.
-            "Authorization": (
-                "AWS4-HMAC-SHA256 Credential=test/20240101/"
-                f"{self.region}/sqs/aws4_request, "
-                "SignedHeaders=host, Signature=test"
-            )
-        }
-        r = requests.post(url or self.endpoint, data=data, headers=headers,
+        body = urllib.parse.urlencode(data).encode("utf-8")
+        target = url or self.endpoint
+        headers = sigv4.sign_headers(
+            method="POST", url=target, body=body,
+            access_key=self.access_key, secret_key=self.secret_key,
+            region=self.region, service="sqs",
+            headers={"content-type": "application/x-www-form-urlencoded"},
+        )
+        r = requests.post(target, data=body, headers=headers,
                           timeout=self.timeout)
         root = ET.fromstring(r.text)
         if r.status_code >= 300:
@@ -82,17 +197,32 @@ class SQSClient:
             raise SQSError(code or f"http {r.status_code}", r.text)
         return root
 
+    def _text(self, root: ET.Element, tag: str) -> Optional[str]:
+        return root.findtext(f".//{_SQS_NS}{tag}") or root.findtext(f".//{tag}")
+
     def get_queue_url(self, name: str) -> str:
         root = self._call("GetQueueUrl", QueueName=name)
-        url = root.findtext(f".//{_SQS_NS}QueueUrl") or root.findtext(".//QueueUrl")
+        url = self._text(root, "QueueUrl")
         if not url:
             raise SQSError("MalformedResponse", "no QueueUrl in response")
         return url
 
     def create_queue(self, name: str) -> str:
         root = self._call("CreateQueue", QueueName=name)
-        url = root.findtext(f".//{_SQS_NS}QueueUrl") or root.findtext(".//QueueUrl")
+        url = self._text(root, "QueueUrl")
         return url or self.get_queue_url(name)
+
+    def get_queue_arn(self, queue_url: str) -> str:
+        """QueueArn via GetQueueAttributes — needed to install the bucket
+        notification configuration."""
+        root = self._call(
+            "GetQueueAttributes", url=queue_url,
+            **{"AttributeName.1": "QueueArn"},
+        )
+        arn = self._text(root, "Value")
+        if not arn:
+            raise SQSError("MalformedResponse", "no QueueArn attribute")
+        return arn
 
     def get_or_create_queue(self, name: str, retries: int = 10,
                             wait_s: float = 2.0) -> Optional[str]:

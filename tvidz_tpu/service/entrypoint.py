@@ -40,11 +40,15 @@ def build_clients(config: Config, fake: bool, fake_root: str = "/tmp/tvidz-fake-
 
 
 def bootstrap(config: Config, s3, sqs, retries: int = 30, wait_s: float = 2.0) -> None:
-    """Block until the queue is creatable, then ensure the bucket exists —
-    entrypoint.sh:5-11 semantics."""
+    """Block until the queue is creatable, ensure the bucket exists, then
+    apply bucket CORS and the s3:ObjectCreated:* -> SQS notification —
+    the full entrypoint.sh:5-44 sequence. Without the notification config
+    an upload to the real stack produces no SQS event and analysis never
+    starts; without CORS the browser's presigned PUT is blocked."""
+    queue_url = None
     for attempt in range(retries):
         try:
-            sqs.create_queue(config.service.sqs_queue)
+            queue_url = sqs.create_queue(config.service.sqs_queue)
             break
         except Exception as e:  # noqa: BLE001
             log("entrypoint",
@@ -54,6 +58,29 @@ def bootstrap(config: Config, s3, sqs, retries: int = 30, wait_s: float = 2.0) -
         s3.create_bucket(config.service.s3_bucket)
     except Exception as e:  # noqa: BLE001
         log("entrypoint", f"bucket create failed (may already exist): {e}")
+    # Each step is idempotent and individually best-effort (the reference
+    # `|| true`s them, entrypoint.sh:28,44) — but failures are loud.
+    try:
+        s3.put_bucket_cors(config.service.s3_bucket)
+        log("entrypoint", f"bucket CORS applied to '{config.service.s3_bucket}'")
+    except Exception as e:  # noqa: BLE001
+        log("entrypoint", f"bucket CORS apply failed: {e}")
+    try:
+        queue_arn = None
+        if queue_url is not None:
+            try:
+                queue_arn = sqs.get_queue_arn(queue_url)
+            except Exception:  # noqa: BLE001 — emulators without attributes
+                pass
+        if queue_arn is None:
+            # LocalStack-convention fallback (s3-event-config.json).
+            queue_arn = (f"arn:aws:sqs:{config.service.aws_region}:"
+                         f"000000000000:{config.service.sqs_queue}")
+        s3.put_bucket_notification(config.service.s3_bucket, queue_arn)
+        log("entrypoint",
+            f"s3:ObjectCreated:* -> {queue_arn} notification applied")
+    except Exception as e:  # noqa: BLE001
+        log("entrypoint", f"bucket notification apply failed: {e}")
 
 
 def _warmup_device(config: Config) -> None:

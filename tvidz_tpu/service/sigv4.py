@@ -1,0 +1,237 @@
+"""First-party AWS Signature Version 4 signer.
+
+Two entry points:
+- ``sign_headers``: SigV4 header signing for query-protocol POSTs (SQS).
+- ``presign_url``: SigV4 query-string presigning for S3 object PUT/GET —
+  the server-side counterpart of the reference frontend's
+  ``getSignedUrl(PutObjectCommand)`` (App.js:201-207).
+
+Implements the algorithm from the AWS SigV4 specification; the test suite
+pins the two worked examples published in the AWS documentation (IAM
+ListUsers header signing; S3 GET presigning), so this signer is valid
+against real AWS, not only emulators.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+import hmac
+import urllib.parse
+from typing import Dict, Iterable, Mapping, Optional, Tuple
+
+__all__ = ["sign_headers", "presign_url", "validate_presigned", "signature_for"]
+
+
+def _sha256(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def _signing_key(secret: str, datestamp: str, region: str, service: str) -> bytes:
+    k = _hmac(("AWS4" + secret).encode("utf-8"), datestamp)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    return _hmac(k, "aws4_request")
+
+
+def _quote(s: str, safe: str = "-_.~") -> str:
+    """URI-encode per SigV4 rules (RFC 3986 unreserved set only)."""
+    return urllib.parse.quote(s, safe=safe)
+
+
+def _canonical_query(params: Mapping[str, str]) -> str:
+    pairs = sorted((_quote(k), _quote(str(v))) for k, v in params.items())
+    return "&".join(f"{k}={v}" for k, v in pairs)
+
+
+def _canonical_headers(headers: Mapping[str, str]) -> Tuple[str, str]:
+    items = sorted((k.lower().strip(), " ".join(str(v).split()))
+                   for k, v in headers.items())
+    canonical = "".join(f"{k}:{v}\n" for k, v in items)
+    signed = ";".join(k for k, _ in items)
+    return canonical, signed
+
+
+def signature_for(
+    *,
+    method: str,
+    canonical_uri: str,
+    query: Mapping[str, str],
+    headers: Mapping[str, str],
+    payload_hash: str,
+    secret_key: str,
+    amz_date: str,
+    region: str,
+    service: str,
+) -> str:
+    """The raw SigV4 signature hex digest for one request."""
+    canonical_headers, signed_headers = _canonical_headers(headers)
+    canonical_request = "\n".join([
+        method.upper(),
+        canonical_uri,
+        _canonical_query(query),
+        canonical_headers,
+        signed_headers,
+        payload_hash,
+    ])
+    datestamp = amz_date[:8]
+    scope = f"{datestamp}/{region}/{service}/aws4_request"
+    string_to_sign = "\n".join([
+        "AWS4-HMAC-SHA256",
+        amz_date,
+        scope,
+        _sha256(canonical_request.encode("utf-8")),
+    ])
+    key = _signing_key(secret_key, datestamp, region, service)
+    return hmac.new(key, string_to_sign.encode("utf-8"), hashlib.sha256).hexdigest()
+
+
+def _now_amz(now: Optional[datetime.datetime]) -> str:
+    dt = now or datetime.datetime.now(datetime.timezone.utc)
+    return dt.strftime("%Y%m%dT%H%M%SZ")
+
+
+def sign_headers(
+    *,
+    method: str,
+    url: str,
+    body: bytes,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    service: str,
+    headers: Optional[Dict[str, str]] = None,
+    now: Optional[datetime.datetime] = None,
+) -> Dict[str, str]:
+    """Return request headers incl. Authorization for a header-signed call
+    (used for the SQS query protocol)."""
+    parsed = urllib.parse.urlsplit(url)
+    amz_date = _now_amz(now)
+    out = dict(headers or {})
+    out["host"] = parsed.netloc
+    out["x-amz-date"] = amz_date
+    payload_hash = _sha256(body)
+    query = {
+        k: v[0] for k, v in urllib.parse.parse_qs(
+            parsed.query, keep_blank_values=True
+        ).items()
+    }
+    sig = signature_for(
+        method=method,
+        canonical_uri=parsed.path or "/",
+        query=query,
+        headers=out,
+        payload_hash=payload_hash,
+        secret_key=secret_key,
+        amz_date=amz_date,
+        region=region,
+        service=service,
+    )
+    _, signed_headers = _canonical_headers(out)
+    datestamp = amz_date[:8]
+    out["Authorization"] = (
+        "AWS4-HMAC-SHA256 "
+        f"Credential={access_key}/{datestamp}/{region}/{service}/aws4_request, "
+        f"SignedHeaders={signed_headers}, Signature={sig}"
+    )
+    del out["host"]  # requests/http.client set Host themselves
+    return out
+
+
+def presign_url(
+    *,
+    method: str,
+    endpoint: str,
+    bucket: str,
+    key: str,
+    access_key: str,
+    secret_key: str,
+    region: str,
+    expires_in: int = 300,
+    now: Optional[datetime.datetime] = None,
+) -> str:
+    """SigV4 query-presigned URL for a path-style S3 object request.
+
+    The payload is UNSIGNED-PAYLOAD (standard for browser/XHR uploads, and
+    what the reference frontend's SDK produces for its presigned PUT)."""
+    parsed = urllib.parse.urlsplit(endpoint.rstrip("/"))
+    canonical_uri = f"/{bucket}/{_quote(key, safe='-_.~/')}"
+    amz_date = _now_amz(now)
+    datestamp = amz_date[:8]
+    scope = f"{datestamp}/{region}/s3/aws4_request"
+    query = {
+        "X-Amz-Algorithm": "AWS4-HMAC-SHA256",
+        "X-Amz-Credential": f"{access_key}/{scope}",
+        "X-Amz-Date": amz_date,
+        "X-Amz-Expires": str(int(expires_in)),
+        "X-Amz-SignedHeaders": "host",
+    }
+    sig = signature_for(
+        method=method,
+        canonical_uri=canonical_uri,
+        query=query,
+        headers={"host": parsed.netloc},
+        payload_hash="UNSIGNED-PAYLOAD",
+        secret_key=secret_key,
+        amz_date=amz_date,
+        region=region,
+        service="s3",
+    )
+    qs = _canonical_query(query) + "&X-Amz-Signature=" + sig
+    return f"{parsed.scheme}://{parsed.netloc}{canonical_uri}?{qs}"
+
+
+def validate_presigned(
+    *,
+    method: str,
+    host: str,
+    path: str,
+    query: Mapping[str, str],
+    secret_key: str,
+    now: Optional[datetime.datetime] = None,
+) -> Tuple[bool, str]:
+    """Server-side check of a presigned request (used by the in-process AWS
+    emulator to validate our own signer the way real S3 would).
+
+    Returns (ok, reason)."""
+    required = ("X-Amz-Algorithm", "X-Amz-Credential", "X-Amz-Date",
+                "X-Amz-Expires", "X-Amz-SignedHeaders", "X-Amz-Signature")
+    for r in required:
+        if r not in query:
+            return False, f"missing {r}"
+    cred_parts = query["X-Amz-Credential"].split("/")
+    if len(cred_parts) != 5:
+        return False, "malformed credential"
+    _, datestamp, region, service, _ = cred_parts
+    amz_date = query["X-Amz-Date"]
+    if amz_date[:8] != datestamp:
+        return False, "credential date mismatch"
+    try:
+        issued = datetime.datetime.strptime(
+            amz_date, "%Y%m%dT%H%M%SZ"
+        ).replace(tzinfo=datetime.timezone.utc)
+        expires = int(query["X-Amz-Expires"])
+    except ValueError:
+        return False, "malformed date/expiry"
+    dt_now = now or datetime.datetime.now(datetime.timezone.utc)
+    if dt_now > issued + datetime.timedelta(seconds=expires):
+        return False, "expired"
+    unsigned = {k: v for k, v in query.items() if k != "X-Amz-Signature"}
+    expect = signature_for(
+        method=method,
+        canonical_uri=path,
+        query=unsigned,
+        headers={"host": host},
+        payload_hash="UNSIGNED-PAYLOAD",
+        secret_key=secret_key,
+        amz_date=amz_date,
+        region=region,
+        service=service,
+    )
+    if not hmac.compare_digest(expect, query["X-Amz-Signature"]):
+        return False, "signature mismatch"
+    return True, "ok"

@@ -39,8 +39,12 @@ class Request:
         self.environ = environ
         self.method = environ.get("REQUEST_METHOD", "GET").upper()
         self.path = environ.get("PATH_INFO", "/")
+        # keep_blank_values: S3-style subresources arrive as value-less
+        # query params (PUT /bucket?cors, ?notification).
         self.query = {
-            k: v[0] for k, v in parse_qs(environ.get("QUERY_STRING", "")).items()
+            k: v[0] for k, v in parse_qs(
+                environ.get("QUERY_STRING", ""), keep_blank_values=True
+            ).items()
         }
         self._body: Optional[bytes] = None
 
@@ -103,11 +107,17 @@ def jsonify(obj: Any, status: int = 200) -> Response:
     )
 
 
-_PARAM_RE = re.compile(r"<([a-zA-Z_][a-zA-Z0-9_]*)>")
+_PARAM_RE = re.compile(r"<(?:(path):)?([a-zA-Z_][a-zA-Z0-9_]*)>")
 
 
 def _compile_rule(rule: str) -> re.Pattern:
-    pattern = _PARAM_RE.sub(lambda m: f"(?P<{m.group(1)}>[^/]+)", rule)
+    # <name> matches one path segment; <path:name> matches across slashes
+    # (S3 object keys can contain '/').
+    def sub(m):
+        cls = ".+" if m.group(1) == "path" else "[^/]+"
+        return f"(?P<{m.group(2)}>{cls})"
+
+    pattern = _PARAM_RE.sub(sub, rule)
     return re.compile(f"^{pattern}$")
 
 
