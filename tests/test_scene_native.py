@@ -1,0 +1,200 @@
+"""Native-resolution scene parity (VERDICT round 1, missing #2).
+
+The reference scores scene change on FULL decoded frames
+(inspector/app.py:206 -> FFmpeg f_select.c); mean-abs-frame-diff is not
+invariant under area downscaling, so scoring on the downscaled luma can
+disagree on borderline cuts. The decoders now emit per-frame native-res
+mafd and the analyzer scores from it by default."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode import native
+from tvidz_tpu.decode.y4m import Y4MDecoder, write_y4m
+from tvidz_tpu.ops import golden
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+def _checkerboard_video(num_frames=96, h=144, w=192, cut_frame=48):
+    """Two segments of opposite-phase 1px checkerboards: enormous native
+    frame diff at the cut, exactly zero after 2x area downscal­ing (each 2x2
+    tile averages to 127.5 -> 128 in both phases)."""
+    i, j = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    phase0 = (((i + j) % 2) * 255).astype(np.uint8)
+    phase1 = 255 - phase0
+    luma = np.empty((num_frames, h, w), np.uint8)
+    luma[:cut_frame] = phase0
+    luma[cut_frame:] = phase1
+    return luma
+
+
+def _make_analyzer(tmp_path, cfg):
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket, exist_ok=True)
+    os.makedirs(cfg.pipeline.tmp_dir, exist_ok=True)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                          fp_block_n=256)
+    return Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg), bucket
+
+
+# -- decoder mafd parity with the golden model ------------------------------------
+
+
+def test_y4m_decoder_mafd_matches_golden(tmp_path, rng):
+    luma = rng.integers(0, 256, size=(40, 64, 96), dtype=np.uint8)
+    path = str(tmp_path / "v.y4m")
+    write_y4m(path, luma)
+    blocks = list(Y4MDecoder().blocks(path, 16, 32, 48))  # downscaled 2x
+    got = np.concatenate([b.mafd for b in blocks])
+    np.testing.assert_allclose(got, golden.scene_mafd(luma), rtol=1e-12)
+    # and block boundaries are invisible
+    one = list(Y4MDecoder().blocks(path, 1024, 32, 48))
+    np.testing.assert_allclose(np.concatenate([b.mafd for b in one]), got)
+
+
+@pytest.mark.skipif(not native.available(), reason="native decoder not built")
+def test_native_decoder_mafd_matches_golden(tmp_path, rng):
+    from tvidz_tpu.decode.native import NativeDecoder, encode_video
+
+    luma = rng.integers(0, 256, size=(48, 96, 128), dtype=np.uint8)
+    path = str(tmp_path / "v.mp4")
+    encode_video(path, luma, fps=25.0, codec="mpeg4", bit_rate=8_000_000)
+    # Decode at NATIVE resolution so the yielded luma IS the full-res plane
+    # the mafd must have been computed from.
+    blocks = list(NativeDecoder().blocks(path, 16, 96, 128))
+    decoded = np.concatenate([b.luma for b in blocks])
+    got = np.concatenate([b.mafd for b in blocks])
+    assert got.min() >= 0, "mpeg4 yuv420p must support native mafd"
+    np.testing.assert_allclose(got, golden.scene_mafd(decoded), rtol=1e-12)
+
+
+def test_scores_from_mafd_equals_golden_scores(rng):
+    from tvidz_tpu.ops.scene import scene_scores_from_mafd_block
+
+    luma = rng.integers(0, 256, size=(50, 24, 32), dtype=np.uint8)
+    want = golden.scene_scores(luma)
+    mafd = golden.scene_mafd(luma)
+    # streamed in uneven blocks
+    got, prev = [], 0.0
+    for s in (0, 7, 20, 33):
+        e = {0: 7, 7: 20, 20: 33, 33: 50}[s]
+        sc, prev = scene_scores_from_mafd_block(mafd[s:e], prev)
+        got.append(sc)
+    np.testing.assert_allclose(np.concatenate(got), want, atol=1e-6)
+    np.testing.assert_allclose(golden.scene_scores_from_mafd(mafd), want,
+                               atol=1e-7)
+
+
+# -- the divergence the native path exists to fix ---------------------------------
+
+
+def test_native_scoring_finds_cut_downscaling_misses(tmp_path):
+    luma = _checkerboard_video()
+    path = str(tmp_path / "checker.y4m")
+    write_y4m(path, luma, fps=25.0)
+
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72   # 2x area downscale of 144x192
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "w1")
+    cfg.pipeline.checkpoint_every_blocks = 0
+    cfg.match.use_fingerprint_evidence = False
+    analyzer, bucket = _make_analyzer(tmp_path, cfg)
+    shutil.copy(path, bucket / "checker.y4m")
+
+    # Native (default): the cut at frame 48 (pts 1.92) is found.
+    r = analyzer.analyze("videos", "checker.y4m")
+    assert r.status == "done"
+    assert r.scene_cuts == [1.92]
+
+    # Downscaled path: area averaging erases the diff entirely.
+    cfg2 = Config()
+    cfg2.scene.native_resolution = False
+    cfg2.pipeline.block_frames = 32
+    cfg2.pipeline.scene_height = 72
+    cfg2.pipeline.scene_width = 96
+    cfg2.pipeline.tmp_dir = str(tmp_path / "w2")
+    cfg2.pipeline.checkpoint_every_blocks = 0
+    cfg2.match.use_fingerprint_evidence = False
+    analyzer2, bucket2 = _make_analyzer(tmp_path, cfg2)
+    shutil.copy(path, bucket2 / "checker.y4m")
+    r2 = analyzer2.analyze("videos", "checker.y4m")
+    assert r2.status == "done"
+    assert r2.scene_cuts == []
+
+
+def test_model_analyze_path_agrees_with_analyzer(tmp_path):
+    """CLI/search (FingerprintModel.analyze_path) and the service analyzer
+    must produce identical cuts — exact-equality dedup depends on it."""
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    luma = _checkerboard_video()
+    path = str(tmp_path / "checker.y4m")
+    write_y4m(path, luma, fps=25.0)
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cuts, fps = FingerprintModel(cfg).analyze_path(path)
+    assert cuts == [1.92]
+    assert fps.shape[0] == 96
+
+
+# -- resume keeps the native recurrence exact -----------------------------------
+
+
+def test_native_scene_cuts_survive_crash_resume(tmp_path, monkeypatch):
+    """The skip/replay path must keep prev_mafd warm: cuts after resume ==
+    cuts of an uninterrupted run, on a genuinely downscaled video."""
+    from tvidz_tpu.decode.synthetic import synthetic_video
+
+    luma, _ = synthetic_video(num_frames=320, height=144, width=192,
+                              cut_frames=(40, 170), seed=3)
+    path = tmp_path / "v.y4m"
+    write_y4m(str(path), luma, fps=25.0)
+
+    def build(workdir):
+        cfg = Config()
+        cfg.pipeline.block_frames = 32
+        cfg.pipeline.scene_height = 72
+        cfg.pipeline.scene_width = 96
+        cfg.pipeline.tmp_dir = str(tmp_path / workdir)
+        cfg.pipeline.checkpoint_every_blocks = 2
+        cfg.match.use_fingerprint_evidence = False
+        return _make_analyzer(tmp_path, cfg)
+
+    analyzer, bucket = build("w-clean")
+    shutil.copy(path, bucket / "clean.y4m")
+    clean = analyzer.analyze("videos", "clean.y4m")
+    assert clean.status == "done" and len(clean.scene_cuts) == 2
+
+    real_blocks = Y4MDecoder.blocks
+
+    def dying_blocks(self, p, bf, h, w):
+        for i, blk in enumerate(real_blocks(self, p, bf, h, w)):
+            if i == 7:  # after the frame-192 checkpoint, past both cuts
+                raise RuntimeError("injected decode fault")
+            yield blk
+
+    analyzer2, bucket2 = build("w-crash")
+    shutil.copy(path, bucket2 / "crashy.y4m")
+    monkeypatch.setattr(Y4MDecoder, "blocks", dying_blocks)
+    r_crash = analyzer2.analyze("videos", "crashy.y4m")
+    assert r_crash.status == "error"
+    monkeypatch.setattr(Y4MDecoder, "blocks", real_blocks)
+    r_resumed = analyzer2.analyze("videos", "crashy.y4m")
+    assert r_resumed.status == "done"
+    assert r_resumed.scene_cuts == clean.scene_cuts

@@ -35,10 +35,19 @@ class SceneConfig:
     threshold: float = 0.3
     # Suppress consecutive duplicate cut timestamps (app.py:231).
     dedupe_consecutive: bool = True
+    # Score scene change from the decoder's NATIVE-resolution mafd (FFmpeg
+    # scores on full decoded frames, app.py:206 / f_select.c; mafd is not
+    # invariant under area downscaling). Falls back to the downscaled device
+    # path when the decoder can't provide mafd (stale native lib, exotic
+    # pixel formats).
+    native_resolution: bool = True
 
     @classmethod
     def from_env(cls) -> "SceneConfig":
-        return cls(threshold=_env("SCENE_THRESHOLD", 0.3, float))
+        return cls(
+            threshold=_env("SCENE_THRESHOLD", 0.3, float),
+            native_resolution=_env("SCENE_NATIVE", True, bool),
+        )
 
 
 @dataclasses.dataclass

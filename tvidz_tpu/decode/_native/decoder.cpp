@@ -12,6 +12,8 @@
 //   int    tvz_probe(path, ProbeResult*)            -> 0 ok / -1 error
 //   void*  tvz_open(path, out_h, out_w, flags)      -> handle / NULL
 //   int    tvz_read_block(h, max_frames, luma, pts) -> frames (0 EOF, <0 err)
+//   int    tvz_read_block2(h, max_frames, luma, pts, mafd) -> + native-res
+//          per-frame mean-abs-frame-diff (f_select.c scene semantics)
 //   void   tvz_close(handle)
 //   const char* tvz_last_error()                    -> thread-local message
 
@@ -25,6 +27,7 @@ extern "C" {
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -56,6 +59,16 @@ struct Handle {
   bool eof_sent = false;
   bool drained = false;
   bool pkt_pending = false;  // pkt holds an unsent packet (send was EAGAIN)
+  // Native-resolution scene state: previous decoded luma plane, for the
+  // per-frame mafd FFmpeg's select filter computes at decode resolution
+  // (f_select.c get_scene_score; the reference scores scene on full frames,
+  // inspector/app.py:206). -1 in the mafd output marks "unavailable"
+  // (non-8-bit or packed-RGB sources) — callers fall back to downscaled
+  // scoring.
+  uint8_t* prev_luma = nullptr;
+  int prev_w = 0;
+  int prev_h = 0;
+  bool mafd_supported = true;
 };
 
 void destroy(Handle* h) {
@@ -66,7 +79,46 @@ void destroy(Handle* h) {
   if (h->pkt) av_packet_free(&h->pkt);
   if (h->codec) avcodec_free_context(&h->codec);
   if (h->fmt) avformat_close_input(&h->fmt);
+  delete[] h->prev_luma;
   delete h;
+}
+
+// Mean abs diff of the full-resolution luma plane vs the previous frame —
+// FFmpeg f_select.c scene scoring operates on plane 0 at decode resolution.
+// Returns -1 when the pixel format has no 8-bit luma-like plane 0.
+double native_mafd(Handle* h, const AVFrame* frame) {
+  const AVPixFmtDescriptor* desc =
+      av_pix_fmt_desc_get((AVPixelFormat)frame->format);
+  if (!desc || (desc->flags & (AV_PIX_FMT_FLAG_RGB | AV_PIX_FMT_FLAG_PAL |
+                               AV_PIX_FMT_FLAG_BITSTREAM)) ||
+      desc->comp[0].depth != 8) {
+    h->mafd_supported = false;
+    return -1.0;
+  }
+  const int w = frame->width, fh = frame->height;
+  if (!h->prev_luma || h->prev_w != w || h->prev_h != fh) {
+    // First frame (or a mid-stream geometry change, which FFmpeg also
+    // scores 0): stash and report no difference.
+    delete[] h->prev_luma;
+    h->prev_luma = new uint8_t[(size_t)w * fh];
+    h->prev_w = w;
+    h->prev_h = fh;
+    for (int row = 0; row < fh; ++row)
+      memcpy(h->prev_luma + (size_t)row * w,
+             frame->data[0] + (size_t)row * frame->linesize[0], w);
+    return 0.0;
+  }
+  uint64_t sad = 0;
+  for (int row = 0; row < fh; ++row) {
+    const uint8_t* cur = frame->data[0] + (size_t)row * frame->linesize[0];
+    uint8_t* prev = h->prev_luma + (size_t)row * w;
+    for (int col = 0; col < w; ++col) {
+      int d = (int)cur[col] - (int)prev[col];
+      sad += (uint64_t)(d < 0 ? -d : d);
+    }
+    memcpy(prev, cur, w);  // stash while the row is hot in cache
+  }
+  return (double)sad / ((double)w * fh);
 }
 
 int open_input(const char* path, AVFormatContext** fmt, AVCodecContext** codec,
@@ -192,9 +244,11 @@ void* tvz_open(const char* path, int out_h, int out_w, int flags) {
 }
 
 // Returns number of frames written (0 = clean EOF), or <0 on error.
-// luma_out: max_frames * out_h * out_w bytes; pts_out: max_frames doubles.
-int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
-                   double* pts_out) {
+// luma_out: max_frames * out_h * out_w bytes; pts_out: max_frames doubles;
+// mafd_out (optional, may be NULL): max_frames doubles of native-resolution
+// mean-abs-frame-diff (-1 = unavailable for this pixel format).
+int tvz_read_block2(void* handle, int max_frames, uint8_t* luma_out,
+                    double* pts_out, double* mafd_out) {
   Handle* h = (Handle*)handle;
   if (!h) {
     set_error("null handle");
@@ -242,6 +296,10 @@ int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
             (h->fps > 0) ? h->frame_counter / h->fps : (double)h->frame_counter;
       } else {
         pts_out[produced] = pts * h->time_base;
+      }
+      if (mafd_out) {
+        mafd_out[produced] =
+            h->mafd_supported ? native_mafd(h, h->frame) : -1.0;
       }
       h->frame_counter++;
       produced++;
@@ -295,6 +353,12 @@ int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
     }
   }
   return produced;
+}
+
+// Back-compat shim (pre-mafd ABI).
+int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
+                   double* pts_out) {
+  return tvz_read_block2(handle, max_frames, luma_out, pts_out, nullptr);
 }
 
 void tvz_close(void* handle) { destroy((Handle*)handle); }

@@ -46,6 +46,12 @@ class FrameBlock:
     luma: np.ndarray        # (T, H, W) uint8 — target resolution
     pts: np.ndarray         # (T,) float64 seconds
     start_frame: int        # global index of luma[0]
+    # Native-resolution per-frame mean-abs-frame-diff (FFmpeg f_select.c
+    # scene semantics at DECODE resolution, like the reference's
+    # `select=gt(scene,0.3)` on full frames, app.py:206). None when the
+    # decoder can't provide it; entries of -1 mark unsupported pixel
+    # formats. The first frame of a stream is 0 by convention.
+    mafd: Optional[np.ndarray] = None   # (T,) float64
 
 
 class Decoder:

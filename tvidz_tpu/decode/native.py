@@ -55,6 +55,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_double),
     ]
     lib.tvz_read_block.restype = ctypes.c_int
+    # Newer ABI with native-resolution mafd; guard for stale builds like
+    # tvz_encode below.
+    if hasattr(lib, "tvz_read_block2"):
+        lib.tvz_read_block2.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.tvz_read_block2.restype = ctypes.c_int
     lib.tvz_close.argtypes = [ctypes.c_void_p]
     lib.tvz_close.restype = None
     lib.tvz_last_error.argtypes = []
@@ -143,21 +154,35 @@ class NativeDecoder(Decoder):
             raise DecodeError(f"open failed for {path}: {_err(lib)}")
         try:
             start = 0
+            has_mafd = hasattr(lib, "tvz_read_block2")
             luma = np.empty((block_frames, height, width), np.uint8)
             pts = np.empty((block_frames,), np.float64)
+            mafd = np.empty((block_frames,), np.float64)
             while True:
-                got = lib.tvz_read_block(
-                    handle,
-                    block_frames,
-                    luma.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                )
+                if has_mafd:
+                    got = lib.tvz_read_block2(
+                        handle,
+                        block_frames,
+                        luma.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                        mafd.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    )
+                else:
+                    got = lib.tvz_read_block(
+                        handle,
+                        block_frames,
+                        luma.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    )
                 if got < 0:
                     raise DecodeError(f"decode failed at frame {start}: {_err(lib)}")
                 if got == 0:
                     break
                 yield FrameBlock(
-                    luma=luma[:got].copy(), pts=pts[:got].copy(), start_frame=start
+                    luma=luma[:got].copy(),
+                    pts=pts[:got].copy(),
+                    start_frame=start,
+                    mafd=mafd[:got].copy() if has_mafd else None,
                 )
                 start += got
                 if got < block_frames:

@@ -103,6 +103,8 @@ class Y4MDecoder(Decoder):
             y_bytes = src_w * src_h
             frames = []
             pts = []
+            mafd = []
+            prev_native = None  # previous FULL-RES luma, for native-res mafd
             idx = 0
             start = 0
             while True:
@@ -115,6 +117,18 @@ class Y4MDecoder(Decoder):
                 if len(raw) < fb:
                     raise DecodeError(f"truncated frame {idx}")
                 y = np.frombuffer(raw, np.uint8, count=y_bytes).reshape(src_h, src_w)
+                # Native-resolution mafd (f_select.c semantics): the scene
+                # score must be computed at decode resolution like the
+                # reference's full-frame `select` filter, not on the
+                # downscaled block (averaging suppresses high-frequency diff
+                # energy). First frame: 0 by convention.
+                if prev_native is None:
+                    mafd.append(0.0)
+                else:
+                    mafd.append(float(np.mean(np.abs(
+                        y.astype(np.int16) - prev_native.astype(np.int16)
+                    ))))
+                prev_native = y
                 frames.append(y)
                 pts.append(idx / fps)
                 idx += 1
@@ -123,14 +137,16 @@ class Y4MDecoder(Decoder):
                         luma=_downscale_luma(np.stack(frames), height, width),
                         pts=np.asarray(pts, np.float64),
                         start_frame=start,
+                        mafd=np.asarray(mafd, np.float64),
                     )
                     start = idx
-                    frames, pts = [], []
+                    frames, pts, mafd = [], [], []
             if frames:
                 yield FrameBlock(
                     luma=_downscale_luma(np.stack(frames), height, width),
                     pts=np.asarray(pts, np.float64),
                     start_frame=start,
+                    mafd=np.asarray(mafd, np.float64),
                 )
 
 

@@ -136,6 +136,29 @@ def scene_scores(luma: np.ndarray) -> np.ndarray:
     return scores
 
 
+def scene_mafd(luma: np.ndarray) -> np.ndarray:
+    """Per-frame mean-abs-frame-diff for (T, H, W) uint8/float luma — the
+    raw quantity FFmpeg's select filter computes at decode resolution
+    (f_select.c get_scene_score). Frame 0 has no predecessor -> 0. This is
+    the spec for the decoders' native-resolution ``FrameBlock.mafd``."""
+    x = np.asarray(luma, dtype=np.float64)
+    t = x.shape[0]
+    out = np.zeros(t, dtype=np.float64)
+    for i in range(1, t):
+        out[i] = np.abs(x[i] - x[i - 1]).mean()
+    return out
+
+
+def scene_scores_from_mafd(mafd: np.ndarray) -> np.ndarray:
+    """scores from a precomputed mafd sequence (mafd[0] == 0 by the decoder
+    convention); equals scene_scores(luma) when mafd == scene_mafd(luma)."""
+    m = np.asarray(mafd, np.float64)
+    prev = np.concatenate([[0.0], m[:-1]])
+    scores = np.clip(np.minimum(m, np.abs(m - prev)) / 100.0, 0.0, 1.0)
+    scores[:1] = 0.0
+    return scores.astype(np.float32)
+
+
 def scene_cuts(luma: np.ndarray, pts: np.ndarray, threshold: float = 0.3) -> list:
     """Cut timestamps: pts of frames whose score strictly exceeds threshold,
     with consecutive duplicates suppressed (app.py:231)."""

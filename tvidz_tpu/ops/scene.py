@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 
 class SceneCarry(NamedTuple):
@@ -36,6 +37,28 @@ def initial_scene_carry(height: int, width: int) -> SceneCarry:
         prev_mafd=jnp.zeros((), jnp.float32),
         has_prev=jnp.zeros((), bool),
     )
+
+
+def scene_scores_from_mafd_block(
+    mafd: np.ndarray, prev_mafd: float
+) -> Tuple[np.ndarray, float]:
+    """Host-side streaming scorer over decoder-provided NATIVE-resolution
+    mafd values (FrameBlock.mafd) — the reference-faithful path: FFmpeg
+    scores scene change on full decoded frames (inspector/app.py:206,
+    f_select.c), and mean-abs-frame-diff is not invariant under area
+    downscaling, so borderline cuts from the downscaled device path can
+    deviate. Same recurrence as scene_scores_block, on scalars; T values per
+    block make device dispatch pointless.
+
+    Returns ((T,) float32 scores, mafd of the last frame for the next
+    block's prev_mafd). The decoder emits mafd[0] == 0 for the stream's
+    first frame, which reproduces FFmpeg's startup state (first score 0)
+    with prev_mafd initialized to 0.
+    """
+    m = np.asarray(mafd, np.float64)
+    prev = np.concatenate([[prev_mafd], m[:-1]])
+    scores = np.clip(np.minimum(m, np.abs(m - prev)) / 100.0, 0.0, 1.0)
+    return scores.astype(np.float32), float(m[-1]) if m.size else prev_mafd
 
 
 def scene_scores_block(
