@@ -93,16 +93,18 @@ def bench_fingerprint_throughput(block_frames: int = 256, n_blocks: int = 512,
         out = stream(data)
         _sync(*out)
         times.append(time.perf_counter() - t0)
-    # Best-of-N: tunnel RTT jitter contaminates the median; the minimum is
-    # the honest device throughput (standard for microbenchmarks).
-    dt = float(np.min(times))
-    frames_per_s = frames / dt
+    # Report BOTH statistics (VERDICT r1 weak #2): the median is the honest
+    # headline under tunnel RTT jitter; the minimum is the device ceiling
+    # (standard for microbenchmarks, reproducible on quiet links).
+    dt_med = float(np.median(times))
+    dt_best = float(np.min(times))
+    med_fps, best_fps = frames / dt_med, frames / dt_best
     _log(
-        f"fingerprint: {frames_per_s:,.0f} frames/s/chip "
-        f"({frames} frames/dispatch in {dt*1e3:.1f} ms, geometry {h}x{w}, "
-        f"{frames * h * w / dt / 1e9:.0f} GB/s luma)"
+        f"fingerprint: median {med_fps:,.0f} / best {best_fps:,.0f} "
+        f"frames/s/chip ({frames} frames/dispatch in {dt_med*1e3:.1f} ms "
+        f"median, geometry {h}x{w}, {frames * h * w / dt_med / 1e9:.0f} GB/s luma)"
     )
-    return frames_per_s
+    return med_fps, best_fps
 
 
 def bench_verdict_latency(corpus_n: int = 1 << 20, query_m: int = 128,
@@ -388,25 +390,30 @@ def main() -> None:
 
     _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     if cpu_fallback:
-        frames_per_s = bench_fingerprint_throughput(n_blocks=32, reps=2)
+        frames_per_s, best_fps = bench_fingerprint_throughput(n_blocks=32, reps=2)
     else:
-        frames_per_s = bench_fingerprint_throughput()
+        frames_per_s, best_fps = bench_fingerprint_throughput()
+    e2e_fps = None
     if not cpu_fallback:
         try:
             bench_reference_python_scan()
             bench_verdict_latency()
             bench_timestamp_match()
             bench_batched_clips()
-            bench_e2e_decode_hash()
+            e2e_fps = bench_e2e_decode_hash()
         except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
             _log(f"secondary benches failed: {e}")
 
-    print(json.dumps({
+    record = {
         "metric": "1080p_frames_fingerprinted_per_sec_per_chip",
-        "value": round(frames_per_s, 1),
+        "value": round(frames_per_s, 1),          # median of N dispatches
+        "best": round(best_fps, 1),               # min-time dispatch
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / 20000.0, 4),
-    }))
+    }
+    if e2e_fps:
+        record["e2e_decoded_frames_per_sec"] = round(e2e_fps, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

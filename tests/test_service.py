@@ -299,3 +299,52 @@ def test_at_least_once_redelivery(app, client):
     assert sqs.requeue_inflight() == 1
     msgs2 = sqs.receive(url)
     assert msgs2 and json.loads(msgs2[0]["Body"]) == event
+
+
+# -- round-2 resource-leak fixes ---------------------------------------------------
+
+
+def test_sse_pending_timeout_terminates_stream(tmp_path):
+    """A stream that never leaves 'pending' must terminate with an error
+    frame after sse_pending_timeout_s (reference leaks the thread forever)."""
+    cfg = Config()
+    cfg.pipeline.tmp_dir = str(tmp_path / "w")
+    cfg.service.sse_poll_s = 0.02
+    cfg.service.sse_pending_timeout_s = 0.3
+    os.makedirs(cfg.pipeline.tmp_dir)
+    inspector = create_app(
+        config=cfg, store=Store("sqlite:///:memory:"),
+        corpus=DeviceCorpus(), s3=FakeS3(str(tmp_path / "s3")), sqs=None,
+    )
+    try:
+        client = inspector.wsgi.test_client()
+        t0 = time.time()
+        frames = [
+            json.loads(chunk.decode()[6:].strip())
+            for chunk in client.stream("/status/stream/ghost.mp4")
+            if chunk.startswith(b"data: ")
+        ]
+        elapsed = time.time() - t0
+        assert frames[0] == {"status": "pending"}
+        assert frames[-1]["status"] == "error"
+        assert "ghost.mp4" in frames[-1]["error"]
+        assert elapsed < 5  # terminated by timeout, not by test teardown
+    finally:
+        inspector.stop()
+
+
+def test_registry_caps_finished_entries():
+    from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+    reg = AnalysisRegistry(max_entries=3)
+    for i in range(5):
+        reg.seed(f"k{i}", original_filename=f"f{i}", clean_filename=f"f{i}")
+        reg.finish(f"k{i}", status="done", original_filename=f"f{i}")
+    assert len(reg) == 3
+    assert reg.lookup("f4") is not None      # newest kept
+    assert reg.lookup("f0") is None          # oldest finished evicted
+    # in-flight analyses are never evicted, even over the cap
+    reg2 = AnalysisRegistry(max_entries=2)
+    for i in range(4):
+        reg2.seed(f"k{i}", original_filename=f"f{i}", clean_filename=f"f{i}")
+    assert len(reg2) == 4

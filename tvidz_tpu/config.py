@@ -146,6 +146,13 @@ class ServiceConfig:
     host: str = "0.0.0.0"
     port: int = 5000
     sse_poll_s: float = 0.2          # app.py:110
+    # Close SSE streams that never leave 'pending' after this many seconds
+    # (unknown filename / lost event — the reference leaks one server
+    # thread per abandoned client forever). 0 = never (reference parity).
+    sse_pending_timeout_s: float = 300.0
+    # Cap on in-memory analysis states; oldest FINISHED entries are evicted
+    # beyond this (the reference's analysis_results dict grows unboundedly).
+    max_analysis_results: int = 10_000
     s3_endpoint: str = "http://localstack:4566"   # app.py:163,422
     # Separate SQS endpoint (same-host default matches LocalStack; real AWS
     # deployments point this at the regional SQS endpoint).

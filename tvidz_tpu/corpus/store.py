@@ -119,13 +119,13 @@ class Store:
             self._backend = "postgres"
             try:
                 import psycopg2  # type: ignore
-            except ImportError as e:  # pragma: no cover - env without psycopg2
+            except ImportError as e:
                 raise RuntimeError(
                     "postgresql:// store URL requires psycopg2; use sqlite:/// "
                     "or install psycopg2"
                 ) from e
-            self._conn = psycopg2.connect(url)  # pragma: no cover
-            with self._lock, self._conn, self._conn.cursor() as cur:  # pragma: no cover
+            self._conn = psycopg2.connect(url)
+            with self._lock, self._conn, self._conn.cursor() as cur:
                 cur.execute(_PG_SCHEMA)
         else:
             raise ValueError(f"unsupported store URL: {url}")
@@ -162,7 +162,7 @@ class Store:
                     (filename, now.isoformat(), thumbnail_path),
                 )
                 vid = cur.lastrowid
-            else:  # pragma: no cover
+            else:
                 cur.execute(
                     f"INSERT INTO videos (filename, upload_time, thumbnail_path) "
                     f"VALUES ({ph}, {ph}, {ph}) RETURNING id",

@@ -21,9 +21,23 @@ class AnalysisRegistry:
     """Thread-safe registry of per-analysis state dicts, keyed by the
     race-proof analysis key (``{epoch}_{uuid8}_{filename}``, app.py:134-136)."""
 
-    def __init__(self) -> None:
+    def __init__(self, max_entries: int = 10_000) -> None:
         self._lock = threading.Lock()
         self._results: Dict[str, dict] = {}
+        self.max_entries = max_entries
+
+    def _evict_locked(self) -> None:
+        """Drop oldest FINISHED entries beyond the cap (the reference's
+        analysis_results dict grows without bound, app.py:28). In-flight
+        analyses are never evicted."""
+        if self.max_entries <= 0 or len(self._results) <= self.max_entries:
+            return
+        excess = len(self._results) - self.max_entries
+        for key in [
+            k for k, v in self._results.items()
+            if v.get("status") in ("done", "error")
+        ][:excess]:
+            del self._results[key]
 
     # -- write side (analyzer) ----------------------------------------------
 
@@ -38,6 +52,7 @@ class AnalysisRegistry:
                 "original_filename": original_filename,
                 "clean_filename": clean_filename,
             }
+            self._evict_locked()
 
     def remove(self, key: str) -> None:
         with self._lock:
@@ -53,6 +68,7 @@ class AnalysisRegistry:
         app.py:293-302 / 303-315)."""
         with self._lock:
             self._results[key] = fields
+            self._evict_locked()
 
     def get_existing_duplicates(self, key: str) -> List[str]:
         with self._lock:

@@ -60,7 +60,9 @@ class InspectorApp:
             words=self.config.hash.words,
             hamming_threshold=self.config.match.hamming_threshold,
         )
-        self.registry = AnalysisRegistry()
+        self.registry = AnalysisRegistry(
+            max_entries=self.config.service.max_analysis_results
+        )
         self.s3 = s3
         self.sqs = sqs
         self.build_env = build_env or {}
@@ -97,9 +99,12 @@ class InspectorApp:
                            f"the most recent {max_videos} states")
             videos = videos[-max_videos:]
         by_id = {v.id: v for v in videos}
+        # One query for every timestamp row — a per-video get_timestamps
+        # here was O(N) round-trips at every boot.
+        ts_by_video = dict(self.store.all_timestamps())
         restored = 0
         for v in videos:
-            cuts = self.store.get_timestamps(v.id)
+            cuts = ts_by_video.get(v.id)
             if not cuts:
                 continue
             dup_names = sorted({
@@ -461,13 +466,31 @@ class InspectorApp:
         (app.py:66-110): emit on any status/progress/cuts/duplicates change,
         poll every sse_poll_s, terminate after 'done'/'error'."""
         poll = self.config.service.sse_poll_s
+        pending_timeout = self.config.service.sse_pending_timeout_s
+        pending_since = time.time()
         last_status = last_progress = None
         last_cuts_len = last_dups_len = None
         while True:
             result = self.registry.lookup(filename)
             if not result:
                 status, progress, cuts_len, dups_len = "pending", 0.0, 0, 0
+                # A stream that never leaves 'pending' (unknown filename,
+                # lost event) would otherwise hold a handler thread forever
+                # — the reference leaks one Flask thread per abandoned
+                # client (app.py:66-110). 0 disables (reference parity).
+                if pending_timeout > 0 and time.time() - pending_since > pending_timeout:
+                    yield (
+                        "data: "
+                        + json.dumps({
+                            "status": "error",
+                            "error": f"no analysis for {filename} after "
+                                     f"{pending_timeout:.0f}s",
+                        })
+                        + "\n\n"
+                    )
+                    break
             else:
+                pending_since = time.time()
                 status = result.get("status")
                 progress = result.get("progress", 0.0)
                 cuts_len = len(result.get("scene_cuts", []))
