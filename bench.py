@@ -255,6 +255,45 @@ def bench_batched_clips(n_clips: int = 100, clip_frames: int = 128):
     return total / dt
 
 
+def bench_fragment_search(n_videos: int = 1024, frames_per_video: int = 1024,
+                          tq: int = 768, iters: int = 5):
+    """BASELINE config #3 at scale: locate a 30 s fragment (768 frames @
+    25fps) inside a 1k-video / ~1M-fingerprint corpus via the persistent
+    device alignment index. North-star: well under 1 s."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.align import fragment_search
+
+    rng = np.random.default_rng(7)
+    corpus = rng.integers(
+        0, 2**32, size=(n_videos, frames_per_video, 2), dtype=np.uint32
+    )
+    lens = np.full(n_videos, frames_per_video, np.int32)
+    target, start = min(123, n_videos - 1), 100
+    q = np.full((-(-tq // 64) * 64, 2), 0xFFFFFFFF, np.uint32)
+    q[:tq] = corpus[target, start : start + tq]
+    cand = jnp.asarray(corpus)       # persistent in production (DeviceCorpus)
+    lens_d = jnp.asarray(lens)
+    q_d = jnp.asarray(q)
+    offs, scores = fragment_search(q_d, jnp.int32(tq), cand, lens_d)
+    _sync(offs, scores)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        offs, scores = fragment_search(q_d, jnp.int32(tq), cand, lens_d)
+        _sync(offs, scores)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    best = int(np.argmax(np.asarray(scores)))
+    ok = best == target and int(np.asarray(offs)[best]) == start
+    _log(
+        f"fragment search: p50 {p50*1e3:.1f} ms — {tq}-frame fragment vs "
+        f"{n_videos:,} videos / {n_videos*frames_per_video:,} fingerprints "
+        f"(planted hit {'FOUND' if ok else 'MISSED'} at video {best})"
+    )
+    return p50
+
+
 def bench_e2e_decode_hash(num_frames: int = 120):
     """End-to-end host decode (1080p MJPEG) -> device fingerprint, stderr-only:
     the honest number including the host-side share of the work."""
@@ -394,12 +433,14 @@ def main() -> None:
     else:
         frames_per_s, best_fps = bench_fingerprint_throughput()
     e2e_fps = None
+    frag_p50 = None
     if not cpu_fallback:
         try:
             bench_reference_python_scan()
             bench_verdict_latency()
             bench_timestamp_match()
             bench_batched_clips()
+            frag_p50 = bench_fragment_search()
             e2e_fps = bench_e2e_decode_hash()
         except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
             _log(f"secondary benches failed: {e}")
@@ -413,6 +454,8 @@ def main() -> None:
     }
     if e2e_fps:
         record["e2e_decoded_frames_per_sec"] = round(e2e_fps, 1)
+    if frag_p50:
+        record["fragment_search_1m_p50_ms"] = round(frag_p50 * 1e3, 2)
     print(json.dumps(record))
 
 

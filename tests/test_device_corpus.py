@@ -76,3 +76,62 @@ def test_load_from_store(rng):
     assert c.num_fingerprints == 9
     assert c.match_timestamps([1.0, 2.0], min_match=2) == [(v1.id, 2)]
     s.close()
+
+
+# -- persistent alignment index (VERDICT r1 weak #3) -------------------------------
+
+
+def test_locate_fragment_persistent_index_no_rebuild(rng):
+    """The alignment index must be device-persistent: repeated queries reuse
+    the same device buffers (no per-call dense rebuild), and appends sync
+    incrementally (no full re-upload while capacity is unchanged)."""
+    c = DeviceCorpus(fp_initial_capacity=8192, fp_block_n=512,
+                     hamming_threshold=5)
+    for vid in range(8):
+        c.append_fingerprints(vid, rng.integers(0, 2**32, size=(100, 2),
+                                                dtype=np.uint32))
+    frag = c._fp[: c._fp_count][c._fp_vid[: c._fp_count] == 3][40:70]
+    hits = c.locate_fragment(frag, top_k=3)
+    assert hits[0][0] == 3 and hits[0][1] == 40 and hits[0][2] == 30
+    dev_before = c._al_dev
+    hits2 = c.locate_fragment(frag, top_k=3)
+    assert hits2 == hits
+    assert c._al_dev is dev_before           # untouched between queries
+    # Incremental append: same capacity -> dirty-row sync, not full resync.
+    c.append_fingerprints(3, rng.integers(0, 2**32, size=(50, 2),
+                                          dtype=np.uint32))
+    assert not c._al_full_resync
+    c.locate_fragment(frag, top_k=3)
+    assert not c._al_full_resync
+
+
+def test_locate_fragment_streamed_appends_concatenate(rng):
+    """Per-block appends to the same video must form one contiguous
+    sequence in the alignment index (time order preserved)."""
+    c = DeviceCorpus(hamming_threshold=5)
+    seq = rng.integers(0, 2**32, size=(150, 2), dtype=np.uint32)
+    for s in range(0, 150, 32):           # streamed like analyzer blocks
+        c.append_fingerprints(9, seq[s : s + 32])
+    c.append_fingerprints(10, rng.integers(0, 2**32, size=(80, 2),
+                                           dtype=np.uint32))
+    hits = c.locate_fragment(seq[90:130], top_k=2)
+    assert hits[0] == (9, 90, 40)
+
+
+def test_locate_fragment_growth_and_exclusion(rng):
+    """Capacity growth across the initial 64-video / 256-frame buckets, plus
+    exclude_video_id filtering."""
+    c = DeviceCorpus(fp_initial_capacity=65536, fp_block_n=1024,
+                     hamming_threshold=5)
+    n_videos = 70                          # > initial vcap 64
+    seqs = []
+    for vid in range(n_videos):
+        s = rng.integers(0, 2**32, size=(300, 2), dtype=np.uint32)  # > 256
+        seqs.append(s)
+        c.append_fingerprints(vid, s)
+    assert c._al_vcap >= 128 and c._al_tcap >= 512
+    frag = seqs[66][120:180]
+    hits = c.locate_fragment(frag, top_k=2)
+    assert hits[0] == (66, 120, 60)
+    hits_ex = c.locate_fragment(frag, top_k=2, exclude_video_id=66)
+    assert all(h[0] != 66 for h in hits_ex)
