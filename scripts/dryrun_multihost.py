@@ -1,0 +1,121 @@
+"""2-process multi-host (DCN) dryrun — SURVEY §7 step 6 / VERDICT r1 #5.
+
+Parent mode (no args): spawns 2 child OS processes, each a separate "host"
+with 4 virtual CPU devices, connected by jax.distributed + gloo TCP
+collectives — the multi-process analog of the 8-device single-process test
+mesh. Child mode (--child <pid> <port>): joins the cluster, builds the
+global (data, corpus) mesh with the corpus axis host-major across DCN,
+places its own corpus shard, and runs sharded timestamp + fingerprint
+search whose corpus-axis collectives cross the host boundary.
+
+Usage: python scripts/dryrun_multihost.py [--processes N]
+Exit 0 = every host verified identical, correct results.
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def child(process_id: int, num_processes: int, port: int) -> int:
+    import numpy as np
+
+    from tvidz_tpu.parallel.distributed import (
+        MultiHostShardedCorpus,
+        init_distributed,
+        make_multihost_mesh,
+    )
+
+    os.environ["TVIDZ_JAX_PLATFORM"] = "cpu"
+    assert init_distributed(
+        coordinator_address=f"127.0.0.1:{port}",
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    import jax
+
+    assert jax.process_count() == num_processes
+    mesh = make_multihost_mesh()
+    shape = dict(mesh.shape)
+    print(f"[host {process_id}] mesh {shape} over {jax.device_count()} devices",
+          flush=True)
+    assert shape["corpus"] % num_processes == 0
+
+    corpus = MultiHostShardedCorpus(mesh, max_cuts=16, hamming_threshold=5)
+
+    # Every host derives the same global corpus (the shared-store model)...
+    rng = np.random.default_rng(0)
+    rows = [
+        sorted(rng.uniform(0, 100, size=5).round(2).tolist()) for _ in range(20)
+    ]
+    rows[13] = [1.25, 7.5, 42.0, 77.0]
+    corpus.load_timestamps(rows, list(range(100, 120)))
+    fps = rng.integers(0, 2**32, size=(1000, 2), dtype=np.uint32)
+    fp_vids = np.repeat(np.arange(100, 120, dtype=np.int32), 50)
+    corpus.load_fingerprints(fps, fp_vids)
+
+    # ...and every host gets the same replicated verdicts back, with the
+    # evidence merge crossing DCN on the corpus axis.
+    hits = corpus.match_timestamps([1.25, 42.0, 77.0, 99.0], min_match=2)
+    assert hits == [(113, 3)], f"host {process_id}: {hits}"
+    q = fps[650:658]          # frames of video 113
+    nn = corpus.nearest_fingerprints(q, k=3)
+    assert len(nn) == 8
+    for m in range(8):
+        d0, idx0, vid0 = nn[m][0]
+        assert d0 == 0 and idx0 == 650 + m and vid0 == 113, (m, nn[m])
+
+    print(f"[host {process_id}] OK: sharded search verified "
+          f"(ts hits {hits}, nearest exact)", flush=True)
+    return 0
+
+
+def parent(num_processes: int = 2) -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {
+        **os.environ,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_PLATFORMS": "cpu",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--child", str(i),
+             str(num_processes), str(port)],
+            env=env, cwd=ROOT,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(num_processes)
+    ]
+    ok = True
+    for i, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+            ok = False
+        sys.stderr.write(out)
+        if p.returncode != 0 or f"[host {i}] OK" not in out:
+            ok = False
+    print("dryrun_multihost "
+          + ("OK: 2-host DCN corpus sharding verified" if ok else "FAILED"))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        i = sys.argv.index("--child")
+        sys.exit(child(int(sys.argv[i + 1]), int(sys.argv[i + 2]),
+                       int(sys.argv[i + 3])))
+    n = 2
+    if "--processes" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--processes") + 1])
+    sys.exit(parent(n))

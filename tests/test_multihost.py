@@ -1,0 +1,23 @@
+"""DCN multi-host dryrun (SURVEY §7 step 6): 2 OS processes, gloo TCP
+collectives, corpus sharded across the host boundary. Heavier than the
+in-process mesh tests (two cold jax imports on one CPU core), so just one
+end-to-end case."""
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_dcn_dryrun():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "dryrun_multihost.py")],
+        capture_output=True, text=True, timeout=580, cwd=ROOT,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS",)},  # children set their own device count
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multihost OK" in proc.stdout
+    assert "[host 0] OK" in proc.stderr
+    assert "[host 1] OK" in proc.stderr

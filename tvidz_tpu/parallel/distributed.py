@@ -1,0 +1,236 @@
+"""Multi-host (DCN) support — SURVEY.md §5 "DCN for multi-host corpus
+sharding", §7 step 6.
+
+Design (scaling-book recipe): one global mesh whose ``corpus`` axis is laid
+out HOST-MAJOR, so consecutive corpus shards within a host communicate over
+ICI and the host boundary is crossed only by the corpus axis's collectives —
+which in this framework are the tiny per-shard evidence vectors (match
+counts, min distances, top-k candidates: KBs), never corpus rows (GBs). The
+``data`` axis stays intra-host.
+
+    host 0                 host 1
+    [d0 d1 | d2 d3]   ++   [d0 d1 | d2 d3]      (data=2, local corpus=2)
+     corpus shards 0,1      corpus shards 2,3   -> global corpus axis = 4
+
+Corpus placement is process-local: each host materializes ONLY its own row
+range (``jax.make_array_from_process_local_data``), which is also the
+operational model — hosts share the durable Postgres store and each warms
+its shard from it (``MultiHostShardedCorpus.refresh_from_store``).
+
+Verified end-to-end without TPUs by ``scripts/dryrun_multihost.py``: two OS
+processes, gloo TCP collectives, 4 virtual CPU devices each — the
+multi-process analog of the 8-device single-process test mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from tvidz_tpu.utils import log
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize jax.distributed from args or TVIDZ_* / JAX env.
+
+    Returns True when multi-process mode was initialized. On the CPU
+    backend the gloo TCP collectives implementation is selected (the
+    cross-host transport for the virtual multi-host dryrun; TPU pods use
+    their native DCN transport).
+    """
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "TVIDZ_COORDINATOR"
+    )
+    if num_processes is None:
+        num_processes = int(os.environ.get("TVIDZ_NUM_PROCESSES", "0")) or None
+    if process_id is None:
+        pid_env = os.environ.get("TVIDZ_PROCESS_ID")
+        process_id = int(pid_env) if pid_env is not None else None
+    if not coordinator_address:
+        return False
+    platform = os.environ.get("TVIDZ_JAX_PLATFORM") or os.environ.get(
+        "JAX_PLATFORMS", ""
+    )
+    if "cpu" in platform:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    log("distributed",
+        f"process {jax.process_index()}/{jax.process_count()} up, "
+        f"{jax.local_device_count()} local / {jax.device_count()} global devices")
+    return True
+
+
+def make_multihost_mesh(
+    local_data: Optional[int] = None, local_corpus: Optional[int] = None
+):
+    """Global (data, corpus) mesh with the corpus axis host-major across DCN.
+
+    Per host, the local devices form a (local_data, local_corpus) block; the
+    global corpus axis concatenates the hosts' corpus sub-axes, so shard i
+    of the corpus lives entirely on host i // local_corpus and corpus-axis
+    collectives cross hosts only at block boundaries.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    by_host: dict = {}
+    for d in sorted(jax.devices(), key=lambda d: (d.process_index, d.id)):
+        by_host.setdefault(d.process_index, []).append(d)
+    n_local = len(next(iter(by_host.values())))
+    if any(len(v) != n_local for v in by_host.values()):
+        raise ValueError("uneven local device counts across hosts")
+    if local_data is None or local_corpus is None:
+        # Favor the corpus axis (the search dimension); data gets the rest.
+        local_corpus = local_corpus or _largest_pow2_leq(n_local)
+        while local_corpus > 1 and n_local % local_corpus:
+            local_corpus //= 2
+        local_data = local_data or n_local // local_corpus
+    if local_data * local_corpus != n_local:
+        raise ValueError(
+            f"local mesh {local_data}x{local_corpus} != {n_local} local devices"
+        )
+    blocks = [
+        np.array(devs).reshape(local_data, local_corpus)
+        for _, devs in sorted(by_host.items())
+    ]
+    grid = np.concatenate(blocks, axis=1)   # corpus axis host-major
+    from tvidz_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
+
+    return Mesh(grid, (DATA_AXIS, CORPUS_AXIS))
+
+
+def _largest_pow2_leq(n: int) -> int:
+    p = 1
+    while p * 2 <= n:
+        p *= 2
+    return p
+
+
+def place_process_local_rows(mesh, spec, local_rows: np.ndarray,
+                             global_shape: Tuple[int, ...]):
+    """Assemble a globally-sharded array from THIS process's row range —
+    the multi-host replacement for device_put(host_array, sharding), which
+    cannot address remote devices."""
+    import jax
+    from jax.sharding import NamedSharding
+
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), local_rows, global_shape
+    )
+
+
+class MultiHostShardedCorpus:
+    """Corpus search sharded across hosts over DCN.
+
+    Every host derives the same global padded layout (deterministic given
+    the shared store's rows) and materializes only its own shard; queries
+    are replicated and the existing shard_map kernels
+    (parallel.sharded_search) merge per-shard evidence with corpus-axis
+    collectives — the only cross-host traffic.
+    """
+
+    def __init__(self, mesh, max_cuts: int = 128, words: int = 2,
+                 hamming_threshold: int = 10):
+        import jax
+        from tvidz_tpu.parallel.sharded_search import ShardedCorpus
+
+        self.mesh = mesh
+        self._inner = ShardedCorpus(mesh, max_cuts=max_cuts, words=words)
+        self.hamming_threshold = hamming_threshold
+        self._process_index = jax.process_index()
+
+    # -- placement (process-local shards) ---------------------------------------
+
+    def load_timestamps(self, rows, video_ids) -> None:
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        n = max(len(rows), 1)
+        n_pad = inner._pad_rows(n, 8)
+        ts = np.full((n_pad, inner.max_cuts), np.nan, np.float32)
+        lens = np.zeros(n_pad, np.int32)
+        vids = np.full(n_pad, -1, np.int32)
+        for i, (row, vid) in enumerate(zip(rows, video_ids)):
+            row = list(row)[: inner.max_cuts]
+            ts[i, : len(row)] = row
+            lens[i] = len(row)
+            vids[i] = vid
+        lo, hi = self._local_range(n_pad)
+        inner.corpus_ts = place_process_local_rows(
+            self.mesh, P(CORPUS_AXIS, None), ts[lo:hi], ts.shape
+        )
+        inner.corpus_len = place_process_local_rows(
+            self.mesh, P(CORPUS_AXIS), lens[lo:hi], lens.shape
+        )
+        inner.video_ids = vids
+
+    def load_fingerprints(self, fp: np.ndarray, fp_video_ids: np.ndarray) -> None:
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        n = fp.shape[0]
+        n_pad = inner._pad_rows(max(n, 1), 128)
+        buf = np.full((n_pad, inner.words), 0xFFFFFFFF, np.uint32)
+        buf[:n] = fp
+        vids = np.full(n_pad, -1, np.int32)
+        vids[:n] = fp_video_ids
+        lo, hi = self._local_range(n_pad)
+        # Row-major (N, W), rows sharded — ShardedCorpus's fp layout.
+        inner.corpus_fp = place_process_local_rows(
+            self.mesh, P(CORPUS_AXIS, None), buf[lo:hi], buf.shape
+        )
+        inner.fp_video_ids = vids
+
+    def refresh_from_store(self, store) -> None:
+        """Warm this host's shard from the shared durable store — the
+        operational multi-host ingest model (hosts share Postgres; each
+        serves its shard)."""
+        rows = store.all_timestamps()
+        self.load_timestamps([ts for _, ts in rows], [v for v, _ in rows])
+        fps = store.all_fingerprints()
+        if fps:
+            flat = np.concatenate([f for _, f in fps])
+            vids = np.concatenate(
+                [np.full(f.shape[0], v, np.int32) for v, f in fps]
+            )
+            self.load_fingerprints(flat, vids)
+
+    def _local_range(self, n_pad: int) -> Tuple[int, int]:
+        """Row range owned by this host: corpus axis is host-major, so the
+        host owns a contiguous block of shards."""
+        import jax
+
+        n_hosts = jax.process_count()
+        per_host = n_pad // n_hosts
+        lo = self._process_index * per_host
+        return lo, lo + per_host
+
+    # -- queries (existing shard_map kernels; outputs replicated) ----------------
+
+    def match_timestamps(self, query_ts, min_match: int = 2,
+                         tolerance: float = 0.0,
+                         exclude_video_id=None):
+        return self._inner.match_timestamps(
+            query_ts, min_match=min_match, tolerance=tolerance,
+            exclude_video_id=exclude_video_id,
+        )
+
+    def nearest_fingerprints(self, query_fp: np.ndarray, k: int = 16):
+        return self._inner.nearest_fingerprints(query_fp, k=k)

@@ -50,13 +50,18 @@ def sharded_timestamp_match(
             hit = (q == c) & valid
         else:
             hit = (jnp.abs(q - c) <= tolerance) & valid
-        return jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+        counts = jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+        # Replicate the (tiny) count vector on-device: multi-host callers
+        # can't assemble a corpus-sharded output host-side, and this is the
+        # DCN contract — per-shard evidence crosses hosts, corpus rows never.
+        return jax.lax.all_gather(counts, CORPUS_AXIS, tiled=True)
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
-        out_specs=P(CORPUS_AXIS),
+        out_specs=P(),
+        check_vma=False,  # all_gather output IS replicated; tracker can't see it
     )
     return fn(query_ts, corpus_ts, corpus_len)
 
@@ -133,13 +138,16 @@ def sharded_frame_min(
         nb = nloc // blk
         w = c_t.shape[0]
         out = jax.lax.map(one, c_t.reshape(w, nb, blk).transpose(1, 0, 2))
-        return out.reshape(nloc)
+        # Replicated like sharded_timestamp_match: the (N,) int32 evidence
+        # vector is the only thing that crosses hosts.
+        return jax.lax.all_gather(out.reshape(nloc), CORPUS_AXIS, tiled=True)
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(None, CORPUS_AXIS)),
-        out_specs=P(CORPUS_AXIS),
+        out_specs=P(),
+        check_vma=False,  # all_gather output IS replicated; tracker can't see it
     )
     return fn(q, corpus_t)
 
@@ -220,6 +228,25 @@ class ShardedCorpus:
         m = multiple * self.n_shards
         return -(-n // m) * m
 
+    @staticmethod
+    def _to_host(x) -> np.ndarray:
+        """Fetch a replicated query result. Multi-process arrays refuse
+        np.asarray (remote shards); every local shard of a P() output holds
+        the full value, so read the first one."""
+        try:
+            return np.asarray(x)
+        except RuntimeError:
+            return np.asarray(x.addressable_shards[0].data)
+
+    def _replicate(self, arr):
+        """Place a host value replicated over the whole mesh. Multi-process
+        meshes can't use device_put for this: its same-value-everywhere
+        check compares with == and rejects NaN query padding (NaN != NaN)."""
+        a = np.asarray(arr)
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(self._rep, a, a.shape)
+        return jax.device_put(a, self._rep)
+
     def load_timestamps(self, rows, video_ids) -> None:
         """rows: list of float lists; video_ids: parallel list of ints."""
         n = max(len(rows), 1)
@@ -258,9 +285,9 @@ class ShardedCorpus:
         # a >max_cuts video still shares all its timestamps with the query.
         take = list(query_ts)[: self.max_cuts]
         q[: len(take)] = take
-        counts = np.asarray(
+        counts = self._to_host(
             sharded_timestamp_match(
-                jax.device_put(jnp.asarray(q), self._rep),
+                self._replicate(q),
                 self.corpus_ts, self.corpus_len, self.mesh, tolerance,
             )
         )
@@ -277,9 +304,9 @@ class ShardedCorpus:
     def nearest_fingerprints(self, query_fp: np.ndarray, k: int = 16):
         """[(distance, global_index, video_id)] x k per query row."""
         assert self.corpus_fp is not None
-        q = jax.device_put(jnp.asarray(query_fp, jnp.uint32), self._rep)
+        q = self._replicate(np.asarray(query_fp, np.uint32))
         d, idx = sharded_hamming_topk(q, self.corpus_fp, self.mesh, k=k)
-        d, idx = np.asarray(d), np.asarray(idx)
+        d, idx = self._to_host(d), self._to_host(idx)
         return [
             [(int(d[m, j]), int(idx[m, j]), int(self.fp_video_ids[idx[m, j]]))
              for j in range(d.shape[1])]

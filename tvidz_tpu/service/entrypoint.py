@@ -155,6 +155,14 @@ def main(argv=None) -> None:
 
     from tvidz_tpu.corpus.store import Store
 
+    # Multi-host: when TVIDZ_COORDINATOR (+ _NUM_PROCESSES/_PROCESS_ID) is
+    # set, join the jax.distributed cluster before first device use; --mesh
+    # then spans hosts with the corpus axis laid out host-major across DCN
+    # (parallel/distributed.py, docs/multihost.md).
+    from tvidz_tpu.parallel.distributed import init_distributed
+
+    multihost = init_distributed()
+
     corpus = None
     if args.mesh:
         import jax
@@ -166,6 +174,26 @@ def main(argv=None) -> None:
         if n < 2:
             log("entrypoint", f"--mesh requested but only {n} device; "
                               "falling back to single-chip corpus")
+        elif multihost:
+            # Streaming ingest into a host-spanning MeshCorpus would need
+            # every host to sync collectively per block; the supported
+            # multi-host component is MultiHostShardedCorpus (search over
+            # DCN with per-host shards warmed from the shared store — see
+            # docs/multihost.md and scripts/dryrun_multihost.py). Ingest
+            # stays on this host's local mesh.
+            n_local = jax.local_device_count()
+            log("entrypoint",
+                f"multi-host cluster joined ({jax.process_count()} hosts); "
+                f"ingest corpus uses the {n_local}-device local mesh, "
+                "cross-host search via MultiHostShardedCorpus")
+            if n_local >= 2:
+                mesh = make_mesh(n_local)
+                corpus = MeshCorpus(
+                    mesh,
+                    max_cuts=config.match.max_cuts,
+                    words=config.hash.words,
+                    hamming_threshold=config.match.hamming_threshold,
+                )
         else:
             mesh = make_mesh(n)
             corpus = MeshCorpus(
