@@ -1,0 +1,56 @@
+"""Multi-stream decode -> shared device dispatch (VERDICT r1 missing #4)."""
+
+import numpy as np
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.decode.y4m import write_y4m
+from tvidz_tpu.models.fingerprint import FingerprintModel
+from tvidz_tpu.pipeline.multistream import fingerprint_streams
+
+
+def _cfg():
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    return cfg
+
+
+def test_streams_match_single_stream_analysis(tmp_path):
+    """N concurrent streams must produce exactly the cuts/fingerprints the
+    single-stream path produces for each video — per-stream carries must
+    not leak across streams."""
+    cfg = _cfg()
+    model = FingerprintModel(cfg)
+    paths = []
+    for i, (frames, cuts) in enumerate(
+        [(96, (30, 60)), (160, (50,)), (64, (20, 40))]
+    ):
+        luma, _ = synthetic_video(num_frames=frames, height=72, width=96,
+                                  cut_frames=cuts, seed=20 + i)
+        p = str(tmp_path / f"v{i}.y4m")
+        write_y4m(p, luma, fps=25.0)
+        paths.append(p)
+
+    results, stats = fingerprint_streams(paths, model=model)
+    assert stats.streams == 3
+    assert stats.frames == 96 + 160 + 64
+    assert stats.wall_s > 0 and stats.device_s >= 0
+    for r in results:
+        assert r.error is None
+        want_cuts, want_fps = FingerprintModel(cfg).analyze_path(r.path)
+        assert r.scene_cuts == want_cuts
+        np.testing.assert_array_equal(r.fingerprints, want_fps)
+
+
+def test_streams_isolate_errors(tmp_path):
+    cfg = _cfg()
+    luma, _ = synthetic_video(num_frames=64, height=72, width=96,
+                              cut_frames=(20,), seed=5)
+    good = str(tmp_path / "good.y4m")
+    write_y4m(good, luma, fps=25.0)
+    bad = str(tmp_path / "missing.y4m")
+    results, _ = fingerprint_streams([good, bad], config=cfg)
+    assert results[0].error is None and results[0].frames == 64
+    assert results[1].error is not None and results[1].frames == 0
