@@ -114,3 +114,12 @@ def test_search_video_without_ingest(app, tmp_path):
     # error paths
     assert client.post("/search/video", data=b"").status_code == 400
     assert client.post("/search/video", data=b"garbage").status_code == 400
+
+
+def test_upload_url_501_on_fakes_enables_spa_fallback(app):
+    """The SPA probes /upload-url and falls back to the same-origin proxy
+    when the stack runs on the in-proc fakes (no presigner)."""
+    client = app.wsgi.test_client()
+    r = client.get("/upload-url/some-key.mp4")
+    assert r.status_code == 501
+    assert "presigned" in r.get_json()["error"]

@@ -213,6 +213,21 @@ class MiniAWS:
                     mimetype="application/xml")
             return Response(b"", status=400)
 
+        def _cors_headers(request: Request, bucket: str) -> Dict[str, str]:
+            """Real S3 echoes CORS headers on the actual object response
+            (not only the preflight) when the bucket CORS policy allows the
+            Origin — browsers block the XHR result otherwise."""
+            origin = request.environ.get("HTTP_ORIGIN")
+            if not origin or bucket not in self.cors:
+                return {}
+            root = ET.fromstring(self.cors[bucket])
+            origins = [e.text for e in root.iter()
+                       if e.tag.endswith("AllowedOrigin")]
+            if "*" not in origins and origin not in origins:
+                return {}
+            return {"Access-Control-Allow-Origin":
+                    "*" if "*" in origins else origin}
+
         @app.route("/<bucket>/<path:key>", methods=["PUT"])
         def put_object(request: Request, bucket: str, key: str):
             if "X-Amz-Signature" in request.query or "X-Amz-Algorithm" in request.query:
@@ -229,7 +244,8 @@ class MiniAWS:
                 self.s3.put_object(bucket, key, request.body)
             except PermissionError as e:
                 return Response(_escape(str(e)), status=403)
-            return Response(b"", headers={"ETag": '"miniaws"'})
+            return Response(b"", headers={"ETag": '"miniaws"',
+                                          **_cors_headers(request, bucket)})
 
         @app.route("/<bucket>/<path:key>", methods=["GET"])
         def get_object(request: Request, bucket: str, key: str):
