@@ -514,9 +514,9 @@ def main() -> None:
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / 20000.0, 4),
     }
-    if e2e_fps:
+    if e2e_fps is not None:
         record["e2e_decoded_frames_per_sec"] = round(e2e_fps, 1)
-    if frag_p50:
+    if frag_p50 is not None:
         record["fragment_search_1m_p50_ms"] = round(frag_p50 * 1e3, 2)
     if e2e_curve:
         record["e2e_streams_frames_per_sec"] = {

@@ -265,3 +265,64 @@ def test_e2e_presigned_upload_to_verdict(mini, tmp_path):
         assert st["duplicates"] == ["clip.y4m"]
     finally:
         app.stop()
+
+
+def test_strict_auth_accepts_signed_clients_rejects_unsigned(tmp_path):
+    """With strict_auth on (real-AWS behavior), every S3/SQS call from the
+    real clients must be SigV4-signed; bare requests are rejected — so a
+    client regressing to unsigned requests fails here, not on AWS."""
+    aws, server, base = start_miniaws(str(tmp_path / "aws"), strict_auth=True)
+    try:
+        s3 = S3Client(base)
+        sqs = SQSClient(base)
+        s3.create_bucket("videos")
+        s3.put_bucket_cors("videos")
+        s3.put_object("videos", "a.bin", b"x")
+        out = tmp_path / "a.bin"
+        s3.download("videos", "a.bin", str(out))
+        assert out.read_bytes() == b"x"
+        url = sqs.create_queue("q")
+        sqs.send(url, "hello")
+        msgs = sqs.receive(url, wait_s=0)
+        assert msgs and msgs[0]["Body"] == "hello"
+        # Unsigned requests are rejected on every surface.
+        assert requests.put(f"{base}/videos/b.bin", data=b"y",
+                            timeout=10).status_code == 403
+        assert requests.get(f"{base}/videos/a.bin", timeout=10).status_code == 403
+        assert requests.put(f"{base}/other-bucket", timeout=10).status_code == 403
+        r = requests.post(f"{base}/", data={"Action": "CreateQueue",
+                                            "QueueName": "evil"}, timeout=10)
+        assert r.status_code == 403
+        # Presigned PUT still works with no Authorization header (that IS
+        # the point of presigning).
+        put_url = s3.presign_put("videos", "c.bin")
+        assert requests.put(put_url, data=b"z", timeout=10).status_code == 200
+    finally:
+        server.shutdown()
+
+
+def test_presign_preserves_endpoint_path_prefix():
+    url = presign_url(
+        method="PUT", endpoint="http://gateway:8080/s3/proxy",
+        bucket="videos", key="clip.mp4",
+        access_key="AK", secret_key="SK", region="us-east-1")
+    assert url.startswith("http://gateway:8080/s3/proxy/videos/clip.mp4?")
+
+
+def test_upload_url_validates_expires(mini, tmp_path):
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+    from tvidz_tpu.corpus.store import Store
+    from tvidz_tpu.service.app import create_app
+
+    aws, base = mini
+    app = create_app(config=Config(), store=Store("sqlite:///:memory:"),
+                     corpus=DeviceCorpus(), s3=S3Client(base), sqs=None)
+    try:
+        client = app.wsgi.test_client()
+        assert client.get("/upload-url/k?expires_in=abc").status_code == 400
+        assert client.get("/upload-url/k?expires_in=0").status_code == 400
+        assert client.get("/upload-url/k?expires_in=9999999").status_code == 400
+        r = client.get("/upload-url/k?expires_in=60")
+        assert r.status_code == 200 and "X-Amz-Expires=60" in r.get_json()["url"]
+    finally:
+        app.stop()

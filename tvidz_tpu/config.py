@@ -175,6 +175,14 @@ class ServiceConfig:
             sqs_endpoint=_env("SQS_ENDPOINT", ""),
             s3_bucket=_env("S3_BUCKET", "videos"),
             sqs_queue=_env("SQS_QUEUE", "video-events"),
+            # Standard AWS env first (what real deployments set), LocalStack
+            # test creds as the fallback (docker-compose.yaml:53-55).
+            aws_region=os.environ.get(
+                "AWS_REGION",
+                os.environ.get("AWS_DEFAULT_REGION", "us-east-1"),
+            ),
+            aws_access_key=os.environ.get("AWS_ACCESS_KEY_ID", "test"),
+            aws_secret_key=os.environ.get("AWS_SECRET_ACCESS_KEY", "test"),
         )
 
     @property

@@ -112,34 +112,23 @@ class FingerprintModel:
         POST /search/video.
         """
         from tvidz_tpu.decode import get_decoder
-        from tvidz_tpu.ops.scene import scene_scores_from_mafd_block
+        from tvidz_tpu.ops.scene import NativeSceneScorer
 
         decoder = get_decoder(path)
         carry = self.init_carry()
         bt = self.block_frames
         cuts: List[float] = []
         fps_out: List[np.ndarray] = []
-        # Native-res scene scoring, same policy as pipeline/analyzer.py so
+        # Shared native-res scoring policy (ops/scene.NativeSceneScorer) so
         # CLI/search cuts agree exactly with the service's.
-        native_scene = self.config.scene.native_resolution
-        native_prev_mafd = 0.0
+        scorer = NativeSceneScorer(self.config.scene.native_resolution)
         for block in decoder.blocks(path, bt, self.height, self.width):
             t = block.luma.shape[0]
-            if native_scene and (
-                block.mafd is None or
-                (block.mafd.size and float(block.mafd.min()) < 0)
-            ):
-                native_scene = False
             buf = block.luma
             if t < bt:
                 buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
-            scores, fps, carry = self.forward(jnp.asarray(buf), carry)
-            if native_scene:
-                scores, native_prev_mafd = scene_scores_from_mafd_block(
-                    block.mafd, native_prev_mafd
-                )
-            else:
-                scores = np.asarray(scores)[:t]
+            scores_dev, fps, carry = self.forward(jnp.asarray(buf), carry)
+            scores = scorer.scores(block, scores_dev, t)
             fps_out.append(np.asarray(fps)[:t])
             for i in np.nonzero(scores > self.config.scene.threshold)[0]:
                 ts = round(float(block.pts[i]), 6)

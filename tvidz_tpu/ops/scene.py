@@ -61,6 +61,43 @@ def scene_scores_from_mafd_block(
     return scores.astype(np.float32), float(m[-1]) if m.size else prev_mafd
 
 
+class NativeSceneScorer:
+    """Per-stream policy for native-resolution scene scoring — THE single
+    implementation behind the analyzer, FingerprintModel.analyze_path and
+    the multi-stream dispatcher, so service/CLI/multistream cut timestamps
+    agree exactly (exact-equality dedup depends on it).
+
+    Scores come from the decoder's native-res mafd while available;
+    sticky-disables to the device's downscaled scores the first time a
+    block can't provide usable mafd (stale native lib, exotic pixel
+    format), so one video's score stream never mixes recurrences.
+    """
+
+    def __init__(self, enabled: bool):
+        self.active = enabled
+        self.prev_mafd = 0.0
+
+    def replay(self, block) -> None:
+        """Checkpoint-resume skip path: keep the recurrence warm without
+        scoring (no extra checkpoint state needed)."""
+        if block.mafd is not None and block.mafd.size:
+            self.prev_mafd = float(block.mafd[-1])
+
+    def scores(self, block, device_scores, t: int) -> np.ndarray:
+        """(t,) float32 scores for a processed block."""
+        if self.active and (
+            block.mafd is None
+            or (block.mafd.size and float(block.mafd.min()) < 0)
+        ):
+            self.active = False
+        if self.active:
+            sc, self.prev_mafd = scene_scores_from_mafd_block(
+                block.mafd, self.prev_mafd
+            )
+            return sc
+        return np.asarray(device_scores)[:t]
+
+
 def scene_scores_block(
     luma: jnp.ndarray, carry: SceneCarry
 ) -> Tuple[jnp.ndarray, SceneCarry]:

@@ -160,17 +160,10 @@ class MultiHostShardedCorpus:
         from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 
         inner = self._inner
-        n = max(len(rows), 1)
-        n_pad = inner._pad_rows(n, 8)
-        ts = np.full((n_pad, inner.max_cuts), np.nan, np.float32)
-        lens = np.zeros(n_pad, np.int32)
-        vids = np.full(n_pad, -1, np.int32)
-        for i, (row, vid) in enumerate(zip(rows, video_ids)):
-            row = list(row)[: inner.max_cuts]
-            ts[i, : len(row)] = row
-            lens[i] = len(row)
-            vids[i] = vid
-        lo, hi = self._local_range(n_pad)
+        # The ONE layout definition lives on ShardedCorpus; only the
+        # placement differs here (each host materializes its row range).
+        ts, lens, vids = inner.ts_layout(rows, video_ids)
+        lo, hi = self._local_range(ts.shape[0])
         inner.corpus_ts = place_process_local_rows(
             self.mesh, P(CORPUS_AXIS, None), ts[lo:hi], ts.shape
         )
@@ -185,14 +178,8 @@ class MultiHostShardedCorpus:
         from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 
         inner = self._inner
-        n = fp.shape[0]
-        n_pad = inner._pad_rows(max(n, 1), 128)
-        buf = np.full((n_pad, inner.words), 0xFFFFFFFF, np.uint32)
-        buf[:n] = fp
-        vids = np.full(n_pad, -1, np.int32)
-        vids[:n] = fp_video_ids
-        lo, hi = self._local_range(n_pad)
-        # Row-major (N, W), rows sharded — ShardedCorpus's fp layout.
+        buf, vids = inner.fp_layout(fp, fp_video_ids)
+        lo, hi = self._local_range(buf.shape[0])
         inner.corpus_fp = place_process_local_rows(
             self.mesh, P(CORPUS_AXIS, None), buf[lo:hi], buf.shape
         )

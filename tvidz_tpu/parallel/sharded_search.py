@@ -247,8 +247,11 @@ class ShardedCorpus:
             return jax.make_array_from_process_local_data(self._rep, a, a.shape)
         return jax.device_put(a, self._rep)
 
-    def load_timestamps(self, rows, video_ids) -> None:
-        """rows: list of float lists; video_ids: parallel list of ints."""
+    def ts_layout(self, rows, video_ids):
+        """Padded global timestamp layout (NaN fill, FIRST-max_cuts
+        truncation, -1 vid padding) — the ONE definition both the
+        single-process and multi-host (distributed.MultiHostShardedCorpus)
+        placements build from."""
         n = max(len(rows), 1)
         n_pad = self._pad_rows(n, 8)
         ts = np.full((n_pad, self.max_cuts), np.nan, np.float32)
@@ -259,17 +262,28 @@ class ShardedCorpus:
             ts[i, : len(row)] = row
             lens[i] = len(row)
             vids[i] = vid
-        self.corpus_ts = jax.device_put(ts, self._ts_sharding)
-        self.corpus_len = jax.device_put(lens, self._len_sharding)
-        self.video_ids = vids
+        return ts, lens, vids
 
-    def load_fingerprints(self, fp: np.ndarray, fp_video_ids: np.ndarray) -> None:
+    def fp_layout(self, fp: np.ndarray, fp_video_ids: np.ndarray):
+        """Padded global fingerprint layout (sentinel fill, 128-row
+        alignment for the Pallas scan) — shared like ts_layout."""
         n = fp.shape[0]
         n_pad = self._pad_rows(max(n, 1), 128)
         buf = np.full((n_pad, self.words), 0xFFFFFFFF, np.uint32)
         buf[:n] = fp
         vids = np.full(n_pad, -1, np.int32)
         vids[:n] = fp_video_ids
+        return buf, vids
+
+    def load_timestamps(self, rows, video_ids) -> None:
+        """rows: list of float lists; video_ids: parallel list of ints."""
+        ts, lens, vids = self.ts_layout(rows, video_ids)
+        self.corpus_ts = jax.device_put(ts, self._ts_sharding)
+        self.corpus_len = jax.device_put(lens, self._len_sharding)
+        self.video_ids = vids
+
+    def load_fingerprints(self, fp: np.ndarray, fp_video_ids: np.ndarray) -> None:
+        buf, vids = self.fp_layout(fp, fp_video_ids)
         self.corpus_fp = jax.device_put(buf, self._fp_sharding)
         self.fp_video_ids = vids
 

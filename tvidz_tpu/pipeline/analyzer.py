@@ -38,7 +38,7 @@ from tvidz_tpu.corpus.device_corpus import DeviceCorpus
 from tvidz_tpu.corpus.store import Store
 from tvidz_tpu.decode.base import DecodeError, get_decoder
 from tvidz_tpu.ops.fused import fingerprint_block, initial_fingerprint_carry
-from tvidz_tpu.ops.scene import scene_scores_from_mafd_block
+from tvidz_tpu.ops.scene import NativeSceneScorer
 from tvidz_tpu.pipeline.progress import AnalysisRegistry
 from tvidz_tpu.utils import StageTimer, log
 
@@ -215,12 +215,10 @@ class Analyzer:
         last_progress = 0.0
         last_update_time = time.time()
         current_frame = 0
-        # Native-resolution scene scoring state (reference-faithful path:
-        # FFmpeg scores on full decoded frames, app.py:206). Sticky-disabled
-        # if any block can't provide native mafd, so one video's score
-        # stream is never a mix of native and downscaled recurrences.
-        native_scene = cfg.scene.native_resolution
-        native_prev_mafd = 0.0
+        # Native-resolution scene scoring (reference-faithful path: FFmpeg
+        # scores on full decoded frames, app.py:206) — shared policy object,
+        # ops/scene.NativeSceneScorer.
+        scene_scorer = NativeSceneScorer(cfg.scene.native_resolution)
 
         # Resume from a prior interrupted run of the same content, if any
         # (pipeline/checkpoint.py; the reference restarts from scratch).
@@ -312,18 +310,10 @@ class Analyzer:
                 t = block.luma.shape[0]
                 if block.start_frame + t <= resume_from:
                     # Already fingerprinted in a previous run: replay decode
-                    # only — and keep the native scene recurrence warm so the
-                    # first processed block scores against the right
-                    # prev_mafd (no extra checkpoint state needed).
+                    # only — keeping the native scene recurrence warm.
                     current_frame = block.start_frame + t
-                    if block.mafd is not None and block.mafd.size:
-                        native_prev_mafd = float(block.mafd[-1])
+                    scene_scorer.replay(block)
                     continue
-                if native_scene and (
-                    block.mafd is None or
-                    (block.mafd.size and float(block.mafd.min()) < 0)
-                ):
-                    native_scene = False
                 luma = block.luma
                 if t < block_t:
                     # Pad to the static block shape; outputs beyond t are dropped.
@@ -336,15 +326,7 @@ class Analyzer:
                         dct_size=cfg.hash.dct_size, hash_size=cfg.hash.hash_size,
                         algorithm=cfg.hash.algorithm,
                     )
-                    if native_scene:
-                        # Reference-faithful: score at decode resolution
-                        # from the decoder's mafd; the fused op's downscaled
-                        # scores are superseded (its hashes are the output).
-                        scores, native_prev_mafd = scene_scores_from_mafd_block(
-                            block.mafd, native_prev_mafd
-                        )
-                    else:
-                        scores = np.asarray(scores_dev)[:t]
+                    scores = scene_scorer.scores(block, scores_dev, t)
                     fps = np.asarray(fps_dev)[:t]
                 all_fps.append(fps)
                 current_frame = block.start_frame + t

@@ -28,7 +28,7 @@ import numpy as np
 from tvidz_tpu.config import Config
 from tvidz_tpu.decode.base import get_decoder
 from tvidz_tpu.models.fingerprint import FingerprintModel
-from tvidz_tpu.ops.scene import scene_scores_from_mafd_block
+from tvidz_tpu.ops.scene import NativeSceneScorer
 
 
 @dataclasses.dataclass
@@ -59,8 +59,7 @@ class _Stream:
     def __init__(self, path: str, model: FingerprintModel, depth: int = 2):
         self.path = path
         self.carry = model.init_carry()
-        self.native_prev_mafd = 0.0
-        self.native_scene = model.config.scene.native_resolution
+        self.scorer = NativeSceneScorer(model.config.scene.native_resolution)
         self.cuts: List[float] = []
         self.fps_out: List[np.ndarray] = []
         self.frames = 0
@@ -124,15 +123,7 @@ def fingerprint_streams(
                 buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
             t0 = time.perf_counter()
             scores_dev, fps_dev, s.carry = model.forward(jnp.asarray(buf), s.carry)
-            if s.native_scene and block.mafd is not None and (
-                not block.mafd.size or float(block.mafd.min()) >= 0
-            ):
-                scores, s.native_prev_mafd = scene_scores_from_mafd_block(
-                    block.mafd, s.native_prev_mafd
-                )
-            else:
-                s.native_scene = False
-                scores = np.asarray(scores_dev)[:t]
+            scores = s.scorer.scores(block, scores_dev, t)
             fps = np.asarray(fps_dev)[:t]
             device_s += time.perf_counter() - t0
             s.fps_out.append(fps)

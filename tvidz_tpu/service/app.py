@@ -311,7 +311,14 @@ class InspectorApp:
                 return jsonify(
                     {"error": "presigned uploads need a real S3 client"}, 501
                 )
-            expires = int(request.query.get("expires_in", "300"))
+            try:
+                expires = int(request.query.get("expires_in", "300"))
+            except ValueError:
+                return jsonify({"error": "expires_in must be an integer"}, 400)
+            if not 1 <= expires <= 604800:  # real S3 caps presigns at 7 days
+                return jsonify(
+                    {"error": "expires_in must be in [1, 604800]"}, 400
+                )
             url = self.s3.presign_put(cfg.service.s3_bucket, key,
                                       expires_in=expires)
             return jsonify({"url": url, "bucket": cfg.service.s3_bucket,

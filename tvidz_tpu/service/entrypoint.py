@@ -32,10 +32,12 @@ def build_clients(config: Config, fake: bool, fake_root: str = "/tmp/tvidz-fake-
         return s3, sqs
     from tvidz_tpu.service.aws import S3Client, SQSClient
 
+    svc = config.service
     return (
-        S3Client(config.service.s3_endpoint),
-        SQSClient(config.service.effective_sqs_endpoint,
-                  config.service.aws_region),
+        S3Client(svc.s3_endpoint, region=svc.aws_region,
+                 access_key=svc.aws_access_key, secret_key=svc.aws_secret_key),
+        SQSClient(svc.effective_sqs_endpoint, svc.aws_region,
+                  access_key=svc.aws_access_key, secret_key=svc.aws_secret_key),
     )
 
 

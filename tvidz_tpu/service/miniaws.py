@@ -53,8 +53,10 @@ class MiniAWS:
         self.region = region
         self.secret_key = secret_key
         # strict_auth: presigned requests are ALWAYS validated; when strict,
-        # header-signed requests must carry a parseable SigV4 Authorization
-        # too (real-AWS behavior; LocalStack is lax).
+        # every non-presigned request (S3 object GET/PUT, bucket ops, SQS)
+        # must carry a SigV4 Authorization header too (real-AWS behavior;
+        # LocalStack is lax) — so a client regressing to unsigned requests
+        # fails in tests, not on AWS.
         self.strict_auth = strict_auth
         self.cors: Dict[str, str] = {}           # bucket -> raw XML
         self.notification: Dict[str, str] = {}   # bucket -> raw XML
@@ -73,6 +75,11 @@ class MiniAWS:
     def set_base_url(self, url: str) -> None:
         """Outward-facing endpoint (for queue URLs), set once served."""
         self._base_url = url.rstrip("/")
+
+    def _header_auth_ok(self, request: Request) -> bool:
+        return request.environ.get("HTTP_AUTHORIZATION", "").startswith(
+            "AWS4-HMAC-SHA256"
+        )
 
     def _validate_presign(self, request: Request, bucket: str, key: str):
         q = request.query
@@ -100,6 +107,11 @@ class MiniAWS:
     # -- SQS query protocol -------------------------------------------------------
 
     def _sqs_dispatch(self, request: Request, queue_name: Optional[str]) -> Response:
+        if self.strict_auth and not self._header_auth_ok(request):
+            return Response(_xml(
+                "ErrorResponse",
+                "<Error><Code>MissingAuthenticationToken</Code></Error>"),
+                status=403, mimetype="text/xml")
         form = {
             k: v[0] for k, v in urllib.parse.parse_qs(
                 request.body.decode("utf-8"), keep_blank_values=True
@@ -192,6 +204,8 @@ class MiniAWS:
 
         @app.route("/<bucket>", methods=["PUT", "GET"])
         def bucket_ops(request: Request, bucket: str):
+            if self.strict_auth and not self._header_auth_ok(request):
+                return Response(b"", status=403)
             if request.method == "PUT":
                 if "cors" in request.query:
                     self.cors[bucket] = request.body.decode("utf-8")
@@ -237,8 +251,7 @@ class MiniAWS:
                         f"<Error><Code>SignatureDoesNotMatch</Code>"
                         f"<Message>{_escape(reason)}</Message></Error>",
                         status=403, mimetype="application/xml")
-            elif self.strict_auth and not request.environ.get(
-                    "HTTP_AUTHORIZATION", "").startswith("AWS4-HMAC-SHA256"):
+            elif self.strict_auth and not self._header_auth_ok(request):
                 return Response(b"", status=403)
             try:
                 self.s3.put_object(bucket, key, request.body)
@@ -253,6 +266,8 @@ class MiniAWS:
                 ok, reason = self._validate_presign(request, bucket, key)
                 if not ok:
                     return Response(_escape(reason), status=403)
+            elif self.strict_auth and not self._header_auth_ok(request):
+                return Response(b"", status=403)
             try:
                 path = self.s3._path(bucket, key)
             except PermissionError as e:

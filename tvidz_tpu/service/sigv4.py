@@ -159,7 +159,11 @@ def presign_url(
     The payload is UNSIGNED-PAYLOAD (standard for browser/XHR uploads, and
     what the reference frontend's SDK produces for its presigned PUT)."""
     parsed = urllib.parse.urlsplit(endpoint.rstrip("/"))
-    canonical_uri = f"/{bucket}/{_quote(key, safe='-_.~/')}"
+    # Preserve any endpoint path prefix (reverse-proxy deployments like
+    # http://gateway/s3) — it is part of the signed canonical URI, and
+    # S3Client._url keeps it for header-signed requests too.
+    prefix = parsed.path.rstrip("/")
+    canonical_uri = f"{prefix}/{bucket}/{_quote(key, safe='-_.~/')}"
     amz_date = _now_amz(now)
     datestamp = amz_date[:8]
     scope = f"{datestamp}/{region}/s3/aws4_request"
