@@ -117,3 +117,29 @@ def test_batch_best_alignment(rng):
     assert int(offs[2]) == 30
     assert int(scores[2]) == tq
     assert int(scores[2]) > int(scores[0])
+
+
+def test_fragment_search_mxu_matches_xor(rng):
+    """The MXU formulation (pm1 matmul + identity-kernel conv) must produce
+    identical offsets/scores to the XOR+gather reference path."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.align import fragment_search, fragment_search_mxu
+
+    v, tc, w, tq = 64, 192, 2, 64
+    corpus = rng.integers(0, 2**32, size=(v, tc, w), dtype=np.uint32)
+    lens = rng.integers(10, tc + 1, size=v).astype(np.int32)
+    # Plant an exact fragment inside video 7 (within its valid length).
+    lens[7] = tc
+    q_real = 40
+    q = np.full((tq, w), 0xFFFFFFFF, np.uint32)
+    q[:q_real] = corpus[7, 30 : 30 + q_real]
+    args = (jnp.asarray(q), jnp.int32(q_real), jnp.asarray(corpus),
+            jnp.asarray(lens))
+    o1, s1 = fragment_search(*args, hamming_threshold=6, chunk=16)
+    o2, s2 = fragment_search_mxu(*args, hamming_threshold=6, chunk=16)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    best = int(np.argmax(np.asarray(s1)))
+    assert best == 7 and int(np.asarray(o1)[best]) == 30
+    assert int(np.asarray(s1)[best]) == q_real

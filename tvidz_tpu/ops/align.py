@@ -21,7 +21,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from tvidz_tpu.ops.hamming import hamming_matrix
+from tvidz_tpu.ops.hamming import (
+    hamming_matrix,
+    hamming_matrix_pm1,
+    unpack_bits_pm1,
+)
 
 
 def align_scores(
@@ -96,6 +100,64 @@ def fragment_search(
         match = ((h <= hamming_threshold) & col_valid & row_valid).astype(jnp.int32)
         gathered = jnp.take_along_axis(match, j_clip, axis=1)
         s = jnp.sum(jnp.where(j_valid, gathered, 0), axis=0)
+        o = jnp.argmax(s)
+        return o - (tq - 1), s[o]
+
+    def one_chunk(args):
+        c_fp, c_len = args
+        return jax.vmap(one)(c_fp, c_len)
+
+    offs, scores = jax.lax.map(
+        one_chunk,
+        (corpus_fp.reshape(v // chunk, chunk, tc, w),
+         corpus_len.reshape(v // chunk, chunk)),
+    )
+    return offs.reshape(v), scores.reshape(v)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hamming_threshold", "chunk")
+)
+def fragment_search_mxu(
+    q_fp: jnp.ndarray,          # (Tq_pad, W) query, rows >= q_len are padding
+    q_len: jnp.ndarray,         # () int32
+    corpus_fp: jnp.ndarray,     # (V, Tc, W)
+    corpus_len: jnp.ndarray,    # (V,)
+    hamming_threshold: int = 10,
+    chunk: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU formulation of fragment_search (identical outputs):
+
+    - Hamming via the ±1 matmul path (bits unpacked to bf16 ±1; sums of ≤64
+      ±1 terms are exact in f32 accumulation) — systolic-array work instead
+      of the VPU's broadcast XOR+popcount.
+    - Anti-diagonal sums via a convolution with a (Tq, Tq) IDENTITY kernel:
+      out[d] = sum_t match[t, d - (Tq-1) + t] is exactly cross-correlation
+      of the match image with eye(Tq) at width padding (Tq-1, Tq-1) — no
+      (Tq, O) gather, which TPUs execute element-at-a-time.
+
+    Raced against the XOR variant on hardware by bench.py; both are golden-
+    parity tested against each other and batch_best_alignment.
+    """
+    tq = q_fp.shape[0]
+    v, tc, w = corpus_fp.shape
+    assert v % chunk == 0, (v, chunk)
+    q_pm1 = unpack_bits_pm1(q_fp)                                  # (Tq, bits)
+    row_valid = jnp.arange(tq, dtype=jnp.int32)[:, None] < q_len
+    eye = jnp.eye(tq, dtype=jnp.float32)[None, None]               # (1,1,Tq,Tq)
+
+    def one(c_fp, c_len):
+        c_pm1 = unpack_bits_pm1(c_fp)                              # (Tc, bits)
+        h = hamming_matrix_pm1(q_pm1, c_pm1)                       # (Tq, Tc)
+        col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
+        match = ((h <= hamming_threshold) & col_valid & row_valid)
+        s = jax.lax.conv_general_dilated(
+            match.astype(jnp.float32)[None, None],                 # NCHW
+            eye,
+            window_strides=(1, 1),
+            padding=((0, 0), (tq - 1, tq - 1)),
+        )[0, 0, 0]                                                 # (O,)
+        s = s.astype(jnp.int32)
         o = jnp.argmax(s)
         return o - (tq - 1), s[o]
 
