@@ -60,6 +60,24 @@ def best_alignment(
     return o - (q_fp.shape[0] - 1), s[o]
 
 
+def _diag_scores(match: jnp.ndarray) -> jnp.ndarray:
+    """Anti-diagonal sums of an (m, n) match matrix without a gather.
+
+    scores[d] = sum_t match[t, d - (m-1) + t]. Gathers execute element-at-a-
+    time on TPU (measured 774 ms for the 1k-video/1M-fingerprint fragment
+    bench, gather-dominated); the same sums fall out of a pad-and-reshape
+    skew — reverse rows, right-pad each row by m, reinterpret the flat
+    buffer with stride n+m-1 — which is pure relayout + one reduction:
+        C[t, x] = flat[t*(n+m-1) + x] = rev[t, x - t] (zeros off-range)
+        scores[x] = sum_t rev[t, x - t] = sum_s match[s, x - (m-1) + s].
+    """
+    m, n = match.shape
+    rev = match[::-1]
+    b = jnp.pad(rev, ((0, 0), (0, m)))
+    c = b.reshape(-1)[: m * (n + m - 1)].reshape(m, n + m - 1)
+    return jnp.sum(c, axis=0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("hamming_threshold", "chunk")
 )
@@ -87,19 +105,12 @@ def fragment_search(
     v, tc, w = corpus_fp.shape
     assert v % chunk == 0, (v, chunk)
     row_valid = jnp.arange(tq, dtype=jnp.int32)[:, None] < q_len  # (Tq, 1)
-    rows = jnp.arange(tq, dtype=jnp.int32)[:, None]
-    n_off = tq + tc - 1
-    offs_idx = jnp.arange(n_off, dtype=jnp.int32)[None, :]
-    j = offs_idx - (tq - 1) + rows                                 # (Tq, O)
-    j_valid = (j >= 0) & (j < tc)
-    j_clip = jnp.clip(j, 0, tc - 1)
 
     def one(c_fp, c_len):
         h = hamming_matrix(q_fp, c_fp)                             # (Tq, Tc)
         col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
         match = ((h <= hamming_threshold) & col_valid & row_valid).astype(jnp.int32)
-        gathered = jnp.take_along_axis(match, j_clip, axis=1)
-        s = jnp.sum(jnp.where(j_valid, gathered, 0), axis=0)
+        s = _diag_scores(match)
         o = jnp.argmax(s)
         return o - (tq - 1), s[o]
 
