@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tvidz_tpu.ops.align import fragment_search
+from tvidz_tpu.ops.align import fragment_search, fragment_search_mxu
 from tvidz_tpu.ops.hamming import corpus_min_distance_t
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
 
@@ -440,7 +440,15 @@ class DeviceCorpus:
         q = np.full((tq_pad, self.words), _FP_SENTINEL, np.uint32)
         q[:tq] = np.asarray(query_fps, np.uint32)
         chunk = 32 if al_dev.shape[0] % 32 == 0 else al_dev.shape[0]
-        offs, scores = fragment_search(
+        # Backend-raced implementations (bench.py): the MXU pm1-matmul
+        # variant wins on TPU (234 vs 248 ms at 1k videos / 1M fps); the
+        # XOR+popcount variant wins off-TPU (CPU test meshes).
+        search = (
+            fragment_search_mxu
+            if jax.default_backend() == "tpu"
+            else fragment_search
+        )
+        offs, scores = search(
             jnp.asarray(q),
             jnp.int32(tq),
             al_dev,

@@ -72,10 +72,13 @@ def _diag_scores(match: jnp.ndarray) -> jnp.ndarray:
         scores[x] = sum_t rev[t, x - t] = sum_s match[s, x - (m-1) + s].
     """
     m, n = match.shape
-    rev = match[::-1]
+    # int8 staging: the skewed (m, n+m-1) intermediate is the kernel's
+    # memory-traffic bottleneck; 0/1 values need one byte, and the reduction
+    # accumulates in int32.
+    rev = match[::-1].astype(jnp.int8)
     b = jnp.pad(rev, ((0, 0), (0, m)))
     c = b.reshape(-1)[: m * (n + m - 1)].reshape(m, n + m - 1)
-    return jnp.sum(c, axis=0)
+    return jnp.sum(c, axis=0, dtype=jnp.int32)
 
 
 @functools.partial(
@@ -142,10 +145,10 @@ def fragment_search_mxu(
     - Hamming via the ±1 matmul path (bits unpacked to bf16 ±1; sums of ≤64
       ±1 terms are exact in f32 accumulation) — systolic-array work instead
       of the VPU's broadcast XOR+popcount.
-    - Anti-diagonal sums via a convolution with a (Tq, Tq) IDENTITY kernel:
-      out[d] = sum_t match[t, d - (Tq-1) + t] is exactly cross-correlation
-      of the match image with eye(Tq) at width padding (Tq-1, Tq-1) — no
-      (Tq, O) gather, which TPUs execute element-at-a-time.
+    - Anti-diagonal sums via the same pad-reshape skew as fragment_search
+      (an identity-kernel convolution was measured 12x SLOWER than even the
+      gather it replaced on v5e — 9.2 s vs 0.77 s at 1k x 1M — and was
+      dropped).
 
     Raced against the XOR variant on hardware by bench.py; both are golden-
     parity tested against each other and batch_best_alignment.
@@ -155,20 +158,13 @@ def fragment_search_mxu(
     assert v % chunk == 0, (v, chunk)
     q_pm1 = unpack_bits_pm1(q_fp)                                  # (Tq, bits)
     row_valid = jnp.arange(tq, dtype=jnp.int32)[:, None] < q_len
-    eye = jnp.eye(tq, dtype=jnp.float32)[None, None]               # (1,1,Tq,Tq)
 
     def one(c_fp, c_len):
         c_pm1 = unpack_bits_pm1(c_fp)                              # (Tc, bits)
         h = hamming_matrix_pm1(q_pm1, c_pm1)                       # (Tq, Tc)
         col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
-        match = ((h <= hamming_threshold) & col_valid & row_valid)
-        s = jax.lax.conv_general_dilated(
-            match.astype(jnp.float32)[None, None],                 # NCHW
-            eye,
-            window_strides=(1, 1),
-            padding=((0, 0), (tq - 1, tq - 1)),
-        )[0, 0, 0]                                                 # (O,)
-        s = s.astype(jnp.int32)
+        match = ((h <= hamming_threshold) & col_valid & row_valid).astype(jnp.int32)
+        s = _diag_scores(match)
         o = jnp.argmax(s)
         return o - (tq - 1), s[o]
 
