@@ -123,3 +123,43 @@ def test_upload_url_501_on_fakes_enables_spa_fallback(app):
     r = client.get("/upload-url/some-key.mp4")
     assert r.status_code == 501
     assert "presigned" in r.get_json()["error"]
+
+
+def test_thumbnail_captured_and_served(tmp_path):
+    """The analyzer populates videos.thumbnail_path (declared but never
+    written by the reference, db.py:17) and /thumbnails/<id> serves it."""
+    cfg = Config()
+    cfg.pipeline.block_frames = 64
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.thumbnail_dir = str(tmp_path / "thumbs")
+    os.makedirs(cfg.pipeline.tmp_dir)
+    sqs = FakeSQS()
+    s3 = FakeS3(str(tmp_path / "s3"))
+    sqs.create_queue(cfg.service.sqs_queue)
+    s3.create_bucket(cfg.service.s3_bucket)
+    inspector = create_app(
+        config=cfg, store=Store("sqlite:///:memory:"),
+        corpus=DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                            fp_block_n=256),
+        s3=s3, sqs=sqs,
+    )
+    try:
+        local = tmp_path / "v.y4m"
+        write_synthetic_y4m(str(local), num_frames=96, height=72, width=96,
+                            cut_frames=(30,), seed=2)
+        s3.put_file(cfg.service.s3_bucket, "v.y4m", str(local))
+        res = inspector.analyzer.analyze(cfg.service.s3_bucket, "v.y4m")
+        assert res.status == "done"
+        client = inspector.wsgi.test_client()
+        vids = client.get("/debug/videos").get_json()["videos"]
+        assert vids[0]["has_thumbnail"] is True
+        r = client.get(f"/thumbnails/{vids[0]['id']}")
+        assert r.status_code == 200
+        assert r.headers["Content-Type"] == "image/jpeg"
+        assert r.body_bytes()[:3] == b"\xff\xd8\xff"  # JPEG SOI
+        assert client.get("/thumbnails/9999").status_code == 404
+        assert client.get("/thumbnails/abc").status_code == 400
+    finally:
+        inspector.stop()

@@ -139,9 +139,10 @@ def test_pg_video_and_timestamp_paths(pg_store):
     assert s.find_duplicates([1.2, 5.7], min_match=2) == [(1, 2), (2, 2)]
 
     s.update_duplicates(v2.id, [v1.id])
+    s.update_thumbnail(v2.id, "/t2.jpg")
     got = s.get_video_by_id(v2.id)
     assert got.duplicates == [v1.id]
-    assert got.thumbnail_path == "/t.jpg"
+    assert got.thumbnail_path == "/t2.jpg"
     assert isinstance(got.upload_time, datetime.datetime)
     assert s.get_video_by_filename("a.mp4").id == v1.id
     assert [v.filename for v in s.all_videos()] == ["a.mp4", "b.mp4"]

@@ -137,6 +137,13 @@ class PipelineConfig:
     # Decode-ahead depth: host decodes N blocks ahead on a background thread
     # while the device works (pipeline/prefetch.py). 0 disables.
     decode_prefetch_blocks: int = 2
+    # Directory for per-video JPEG thumbnails ("" = off). The reference
+    # schema has videos.thumbnail_path but nothing ever writes it; the
+    # service enables this by default (entrypoint) and serves
+    # GET /thumbnails/<video_id>.
+    thumbnail_dir: str = dataclasses.field(
+        default_factory=lambda: _env("THUMBNAIL_DIR", "")
+    )
 
 
 @dataclasses.dataclass

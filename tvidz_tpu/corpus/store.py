@@ -190,6 +190,18 @@ class Store:
                 )
             self._conn.commit()
 
+    def update_thumbnail(self, video_id: int, thumbnail_path: str) -> None:
+        """Populate videos.thumbnail_path — the column the reference schema
+        declares (db.py:17) but never writes."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"UPDATE videos SET thumbnail_path = {ph} WHERE id = {ph}",
+                (thumbnail_path, video_id),
+            )
+            self._conn.commit()
+
     def update_duplicates(self, video_id: int, duplicate_ids: Sequence[int]) -> None:
         ph = self._ph()
         with self._lock:

@@ -219,6 +219,7 @@ class Analyzer:
         # scores on full decoded frames, app.py:206) — shared policy object,
         # ops/scene.NativeSceneScorer.
         scene_scorer = NativeSceneScorer(cfg.scene.native_resolution)
+        thumbnail_pending = bool(cfg.pipeline.thumbnail_dir)
 
         # Resume from a prior interrupted run of the same content, if any
         # (pipeline/checkpoint.py; the reference restarts from scratch).
@@ -314,6 +315,9 @@ class Analyzer:
                     current_frame = block.start_frame + t
                     scene_scorer.replay(block)
                     continue
+                if thumbnail_pending:
+                    thumbnail_pending = False
+                    self._write_thumbnail(video_id, block.luma[min(t - 1, t // 2)])
                 luma = block.luma
                 if t < block_t:
                     # Pad to the static block shape; outputs beyond t are dropped.
@@ -449,6 +453,28 @@ class Analyzer:
             self.store.delete_checkpoint(ckpt_key)
 
         return scene_cuts, dups_to_report
+
+    def _write_thumbnail(self, video_id: int, luma: np.ndarray) -> None:
+        """Best-effort JPEG thumbnail from an early decoded luma frame —
+        populates the reference's never-written videos.thumbnail_path."""
+        try:
+            import io
+
+            from PIL import Image
+
+            os.makedirs(self.config.pipeline.thumbnail_dir, exist_ok=True)
+            path = os.path.join(
+                self.config.pipeline.thumbnail_dir, f"{video_id}.jpg"
+            )
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(luma, np.uint8), mode="L").save(
+                buf, format="JPEG", quality=85
+            )
+            with open(path, "wb") as f:
+                f.write(buf.getvalue())
+            self.store.update_thumbnail(video_id, path)
+        except Exception as e:  # noqa: BLE001 — thumbnails never fail analysis
+            log("thumbnail", f"skipped for video {video_id}: {e}")
 
     def _apply_timestamp_duplicates(
         self, video_id: int, scene_cuts: List[float], dups_to_report: List[str]

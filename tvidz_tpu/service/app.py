@@ -224,8 +224,31 @@ class InspectorApp:
                     ),
                     "duplicates": video.duplicates,
                     "timestamps": self.store.get_timestamps(video.id),
+                    # extension field (old clients ignore it)
+                    "has_thumbnail": bool(
+                        video.thumbnail_path
+                        and os.path.exists(video.thumbnail_path)
+                    ),
                 })
             return jsonify({"videos": result, "count": len(result)})
+
+        @app.route("/thumbnails/<video_id>", methods=["GET"])
+        def thumbnail(request: Request, video_id: str):
+            """Serve the per-video JPEG thumbnail the analyzer captures
+            (populates the reference's never-written thumbnail_path)."""
+            try:
+                video = self.store.get_video_by_id(int(video_id))
+            except ValueError:
+                return jsonify({"error": "bad video id"}, 400)
+            if (
+                video is None
+                or not video.thumbnail_path
+                or not os.path.exists(video.thumbnail_path)
+            ):
+                return jsonify({"error": "no thumbnail"}, 404)
+            with open(video.thumbnail_path, "rb") as f:
+                return Response(f.read(), mimetype="image/jpeg",
+                                headers={"Cache-Control": "max-age=3600"})
 
         @app.route("/debug/create-test-video", methods=["POST"])
         def create_test_video(request: Request):

@@ -142,6 +142,9 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     config = Config()
+    # Thumbnails on by default in the service (library default is off).
+    if not config.pipeline.thumbnail_dir:
+        config.pipeline.thumbnail_dir = "/tmp/tvidz-thumbnails"
     if args.host:
         config.service.host = args.host
     if args.port:
