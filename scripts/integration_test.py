@@ -62,6 +62,9 @@ def main() -> int:
     # notification) instead of the in-proc fakes — the LocalStack-shaped
     # path the reference's compose stack uses.
     real_clients = "--real-clients" in sys.argv[1:]
+    # --mesh: run the service with the corpus sharded over 8 virtual CPU
+    # devices (the entrypoint's --mesh path end-to-end over sockets).
+    mesh_mode = "--mesh" in sys.argv[1:]
 
     fake_root = tempfile.mkdtemp(prefix="tvidz-it-s3-")
     os.environ.setdefault("BUILD_DATE", "integration")
@@ -75,6 +78,11 @@ def main() -> int:
     # (which can wedge the axon tunnel). Set TVIDZ_IT_TPU=1 to run on-chip.
     if os.environ.get("TVIDZ_IT_TPU", "") not in ("1", "true"):
         env.setdefault("TVIDZ_JAX_PLATFORM", "cpu")
+    if mesh_mode:
+        env["TVIDZ_JAX_PLATFORM"] = "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+        ).strip()
     if real_clients:
         from tvidz_tpu.service.miniaws import start_miniaws
 
@@ -83,6 +91,8 @@ def main() -> int:
         service_args = ["--s3-endpoint", aws_base]
     else:
         service_args = ["--fake-aws"]
+    if mesh_mode:
+        service_args.append("--mesh")
     server = subprocess.Popen(
         [
             sys.executable, "-m", "tvidz_tpu.service.entrypoint",
