@@ -1,0 +1,225 @@
+"""On-chip piecewise profile of fragment_search (docs/status.md round-3 #1).
+
+Times each stage of the 1k-video / 1M-fingerprint fragment search in
+isolation to find where the measured ~230 ms goes; the roofline estimate
+(hamming matmuls ~2 ms + skew traffic ~3 ms + reduce ~1 ms) says ~10x
+headroom should exist.  Run on the real chip (axon tunnel): sync via a
+host-pulled scalar, never block_until_ready.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tvidz_tpu.ops.hamming import (
+    hamming_matrix,
+    hamming_matrix_pm1,
+    unpack_bits_pm1,
+)
+
+N_VIDEOS = 1024
+TC = 1024
+TQ = 768
+CHUNK = 32
+THRESH = 10
+ITERS = 5
+
+
+def _sync(*arrs):
+    return float(jnp.sum(jnp.asarray([jnp.sum(a.astype(jnp.float32)) for a in arrs])))
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    _sync(*(out if isinstance(out, tuple) else (out,)))
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(*(out if isinstance(out, tuple) else (out,)))
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times)) * 1e3
+    print(f"{name:46s} p50 {p50:8.1f} ms   (min {min(times)*1e3:7.1f})")
+    return p50
+
+
+def chunked(per_video):
+    """lax.map over chunks of CHUNK videos, vmap inside — the production
+    iteration structure."""
+
+    @jax.jit
+    def run(q, qlen, corpus, lens):
+        def one_chunk(args):
+            c_fp, c_len = args
+            return jax.vmap(lambda c, l: per_video(q, qlen, c, l))(c_fp, c_len)
+
+        v, tc, w = corpus.shape
+        out = jax.lax.map(
+            one_chunk,
+            (corpus.reshape(v // CHUNK, CHUNK, tc, w),
+             lens.reshape(v // CHUNK, CHUNK)),
+        )
+        return jax.tree.map(lambda x: x.reshape(v, *x.shape[2:]), out)
+
+    return run
+
+
+def main():
+    rng = np.random.default_rng(7)
+    corpus = rng.integers(0, 2**32, size=(N_VIDEOS, TC, 2), dtype=np.uint32)
+    q = np.full((TQ, 2), 0xFFFFFFFF, np.uint32)
+    q[:TQ] = corpus[123, 100:100 + TQ]
+    cand = jnp.asarray(corpus)
+    lens_d = jnp.asarray(np.full(N_VIDEOS, TC, np.int32))
+    q_d = jnp.asarray(q)
+    qlen = jnp.int32(TQ)
+    print(f"devices: {jax.devices()}")
+    n_off = TQ + TC - 1
+
+    # --- stage isolation -------------------------------------------------
+    def ham_only(q, qlen, c_fp, c_len):
+        h = hamming_matrix(q, c_fp)
+        return jnp.sum(h, dtype=jnp.int32)
+
+    timeit("A  hamming (xor+popcount) only", chunked(ham_only), q_d, qlen, cand, lens_d)
+
+    q_pm1 = unpack_bits_pm1(q_d)
+
+    def ham_pm1_only(q, qlen, c_fp, c_len):
+        c_pm1 = unpack_bits_pm1(c_fp)
+        h = hamming_matrix_pm1(q_pm1, c_pm1)
+        return jnp.sum(h, dtype=jnp.int32)
+
+    timeit("B  hamming (pm1 matmul) only", chunked(ham_pm1_only), q_d, qlen, cand, lens_d)
+
+    row_valid_h = np.arange(TQ, dtype=np.int32)[:, None] < TQ
+
+    def thresh_colsum(q, qlen, c_fp, c_len):
+        h = hamming_matrix(q, c_fp)
+        col_valid = jnp.arange(TC, dtype=jnp.int32)[None, :] < c_len
+        match = ((h <= THRESH) & col_valid).astype(jnp.int32)
+        return jnp.sum(match, axis=0)  # (Tc,) — no skew
+
+    timeit("C  hamming+threshold+colsum (no skew)", chunked(thresh_colsum), q_d, qlen, cand, lens_d)
+
+    def full_skew(q, qlen, c_fp, c_len):
+        h = hamming_matrix(q, c_fp)
+        col_valid = jnp.arange(TC, dtype=jnp.int32)[None, :] < c_len
+        match = ((h <= THRESH) & col_valid).astype(jnp.int32)
+        m, n = match.shape
+        rev = match[::-1].astype(jnp.int8)
+        b = jnp.pad(rev, ((0, 0), (0, m)))
+        c = b.reshape(-1)[: m * (n + m - 1)].reshape(m, n + m - 1)
+        s = jnp.sum(c, axis=0, dtype=jnp.int32)
+        o = jnp.argmax(s)
+        return o - (m - 1), s[o]
+
+    timeit("D  full xor (production fragment_search)", chunked(full_skew), q_d, qlen, cand, lens_d)
+
+    def skew_noreverse(q, qlen, c_fp, c_len):
+        h = hamming_matrix(q, c_fp)
+        col_valid = jnp.arange(TC, dtype=jnp.int32)[None, :] < c_len
+        match = ((h <= THRESH) & col_valid).astype(jnp.int8)
+        m, n = match.shape
+        b = jnp.pad(match, ((0, 0), (0, m)))
+        c = b.reshape(-1)[: m * (n + m - 1)].reshape(m, n + m - 1)
+        s = jnp.sum(c, axis=0, dtype=jnp.int32)
+        o = jnp.argmax(s)
+        return o - (m - 1), s[o]
+
+    timeit("E  D minus the row-reverse (wrong answer)", chunked(skew_noreverse), q_d, qlen, cand, lens_d)
+
+    def skew_matmul_reduce(q, qlen, c_fp, c_len):
+        h = hamming_matrix(q, c_fp)
+        col_valid = jnp.arange(TC, dtype=jnp.int32)[None, :] < c_len
+        match = ((h <= THRESH) & col_valid).astype(jnp.int8)
+        m, n = match.shape
+        rev = match[::-1]
+        b = jnp.pad(rev, ((0, 0), (0, m)))
+        c = b.reshape(-1)[: m * (n + m - 1)].reshape(m, n + m - 1)
+        ones = jnp.ones((1, m), jnp.int8)
+        s = jax.lax.dot_general(
+            ones, c, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)[0]
+        o = jnp.argmax(s)
+        return o - (m - 1), s[o]
+
+    timeit("F  skew + int8 MXU matmul reduce", chunked(skew_matmul_reduce), q_d, qlen, cand, lens_d)
+
+    def full_bf16(q, qlen, c_fp, c_len):
+        h = hamming_matrix(q, c_fp)
+        col_valid = jnp.arange(TC, dtype=jnp.int32)[None, :] < c_len
+        match = ((h <= THRESH) & col_valid).astype(jnp.bfloat16)
+        m, n = match.shape
+        rev = match[::-1]
+        b = jnp.pad(rev, ((0, 0), (0, m)))
+        c = b.reshape(-1)[: m * (n + m - 1)].reshape(m, n + m - 1)
+        s = jnp.sum(c, axis=0, dtype=jnp.float32)
+        o = jnp.argmax(s)
+        return o - (m - 1), s[o].astype(jnp.int32)
+
+    timeit("G  D with bf16 skew + f32 reduce", chunked(full_bf16), q_d, qlen, cand, lens_d)
+
+    # --- batched (chunk-level) skew instead of per-video vmap -------------
+    @jax.jit
+    def batched_skew(q, qlen, corpus, lens):
+        def one_chunk(args):
+            c_fp, c_len = args                       # (CHUNK, TC, 2), (CHUNK,)
+            h = jax.vmap(lambda c: hamming_matrix(q, c))(c_fp)  # (CHUNK, TQ, TC)
+            col_valid = jnp.arange(TC, dtype=jnp.int32)[None, None, :] < c_len[:, None, None]
+            match = ((h <= THRESH) & col_valid).astype(jnp.int8)
+            m, n = TQ, TC
+            rev = match[:, ::-1, :]
+            b = jnp.pad(rev, ((0, 0), (0, 0), (0, m)))
+            c = b.reshape(CHUNK, -1)[:, : m * (n + m - 1)].reshape(CHUNK, m, n + m - 1)
+            s = jnp.sum(c, axis=1, dtype=jnp.int32)   # (CHUNK, n_off)
+            o = jnp.argmax(s, axis=1)
+            return o - (m - 1), jnp.take_along_axis(s, o[:, None], axis=1)[:, 0]
+
+        v, tc, w = corpus.shape
+        offs, scores = jax.lax.map(
+            one_chunk,
+            (corpus.reshape(v // CHUNK, CHUNK, tc, w),
+             lens.reshape(v // CHUNK, CHUNK)),
+        )
+        return offs.reshape(v), scores.reshape(v)
+
+    timeit("H  chunk-batched skew (one vmap level less)", batched_skew, q_d, qlen, cand, lens_d)
+
+    # --- pure skew cost on synthetic input ---------------------------------
+    match_all = jnp.asarray(
+        rng.integers(0, 2, size=(N_VIDEOS, TQ, TC), dtype=np.int8))
+
+    @jax.jit
+    def skew_only(mm):
+        def one_chunk(match):
+            m, n = TQ, TC
+            rev = match[:, ::-1, :]
+            b = jnp.pad(rev, ((0, 0), (0, 0), (0, m)))
+            c = b.reshape(CHUNK, -1)[:, : m * (n + m - 1)].reshape(CHUNK, m, n + m - 1)
+            return jnp.sum(c, axis=1, dtype=jnp.int32)
+
+        return jax.lax.map(
+            one_chunk, mm.reshape(N_VIDEOS // CHUNK, CHUNK, TQ, TC)
+        ).reshape(N_VIDEOS, n_off)
+
+    timeit("I  skew+reduce alone on precomputed match", skew_only, match_all)
+
+    @jax.jit
+    def reduce_only(mm):
+        def one_chunk(match):
+            return jnp.sum(match, axis=1, dtype=jnp.int32)
+        return jax.lax.map(
+            one_chunk, mm.reshape(N_VIDEOS // CHUNK, CHUNK, TQ, TC)
+        ).reshape(N_VIDEOS, TC)
+
+    timeit("J  plain axis-1 reduce on precomputed match", reduce_only, match_all)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Round 2 of the fragment-search diagonal-sum hunt.
+
+profile_fragment.py isolated the cost: the pad + flat-reshape skew
+(`_diag_scores`) is ~160-180 ms device at the 1k x 1M shape — XLA lowers
+the strided reinterpretation as a near-scalar copy (~20 GB/s effective vs
+819 GB/s HBM). Everything else (hamming, threshold, reduce) is free.
+
+Candidates here avoid the reshape entirely:
+  K  log-tree combine: reassociate scores = sum_t shift_t(rev[t]) into a
+     balanced tree — level l merges row pairs at STATIC shift 2^l (pad+add
+     only, no reshape); total work ~2mn adds.
+  L  fori_loop row accumulator with dynamic_update_slice.
+  M  row-blocked skew: 128-row blocks via the old pad-reshape, combined at
+     static offsets (smaller reshape intermediates).
+All are checked bit-identical to the production skew before timing.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+N_VIDEOS = 1024
+TC = 1024
+TQ = 768
+CHUNK = 32
+ITERS = 5
+N_OFF = TQ + TC - 1
+
+
+def _sync(*arrs):
+    return float(jnp.sum(jnp.asarray([jnp.sum(a.astype(jnp.float32)) for a in arrs])))
+
+
+def timeit(name, fn, *args):
+    out = fn(*args)
+    _sync(out)
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        _sync(out)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times)) * 1e3
+    print(f"{name:52s} p50 {p50:8.1f} ms   (min {min(times)*1e3:7.1f})", flush=True)
+    return out
+
+
+def mapped(per_chunk):
+    @jax.jit
+    def run(mm):
+        return jax.lax.map(
+            per_chunk, mm.reshape(N_VIDEOS // CHUNK, CHUNK, TQ, TC)
+        ).reshape(N_VIDEOS, -1)
+
+    return run
+
+
+# --- production baseline: pad + flat-reshape skew --------------------------
+def skew_chunk(match):  # (B, m, n) int8 -> (B, n+m-1) int32
+    m, n = TQ, TC
+    rev = match[:, ::-1, :]
+    b = jnp.pad(rev, ((0, 0), (0, 0), (0, m)))
+    c = b.reshape(CHUNK, -1)[:, : m * (n + m - 1)].reshape(CHUNK, m, n + m - 1)
+    return jnp.sum(c, axis=1, dtype=jnp.int32)
+
+
+# --- K: log-tree static-shift combine --------------------------------------
+def tree_chunk(match):  # (B, m, n) int8 -> (B, n+m-1) int32
+    x = match[:, ::-1, :]          # int8; level-l sums are <= 2^l
+    s = 1
+    while x.shape[1] > 1:
+        bsz, r, w = x.shape
+        if r % 2:
+            x = jnp.pad(x, ((0, 0), (0, 1), (0, 0)))
+            r += 1
+        pairs = x.reshape(bsz, r // 2, 2, w)
+        even, odd = pairs[:, :, 0, :], pairs[:, :, 1, :]
+        if s >= 64 and x.dtype == jnp.int8:   # next sums reach 2^7: widen
+            even = even.astype(jnp.int32)
+            odd = odd.astype(jnp.int32)
+        x = (jnp.pad(even, ((0, 0), (0, 0), (0, s)))
+             + jnp.pad(odd, ((0, 0), (0, 0), (s, 0))))
+        s *= 2
+    return x[:, 0, :N_OFF].astype(jnp.int32)
+
+
+# --- L: fori_loop row accumulator ------------------------------------------
+def fori_chunk(match):  # (B, m, n) -> (B, n+m-1) int32
+    m, n = TQ, TC
+    rev = match[:, ::-1, :].astype(jnp.int32)
+    padded = jnp.pad(rev, ((0, 0), (0, 0), (0, m - 1)))  # (B, m, n+m-1)
+
+    def body(t, acc):
+        row = jax.lax.dynamic_slice_in_dim(padded, t, 1, axis=1)[:, 0, :]
+        shifted = jax.lax.dynamic_slice_in_dim(
+            jnp.pad(row, ((0, 0), (m - 1, 0))), m - 1 - t, n + m - 1, axis=1
+        )
+        return acc + shifted
+
+    acc0 = jnp.zeros((CHUNK, n + m - 1), jnp.int32)
+    return jax.lax.fori_loop(0, m, body, acc0)
+
+
+# --- M: 128-row blocked pad-reshape skew, static combine --------------------
+def blocked_chunk(match):  # (B, m, n) int8 -> (B, n+m-1) int32
+    m, n = TQ, TC
+    blk = 128
+    nb = m // blk
+    rev = match[:, ::-1, :]
+    out = jnp.zeros((CHUNK, n + m - 1), jnp.int32)
+    for a in range(nb):
+        sub = rev[:, a * blk : (a + 1) * blk, :]            # rows shifted a*blk + i
+        b = jnp.pad(sub, ((0, 0), (0, 0), (0, blk)))
+        c = b.reshape(CHUNK, -1)[:, : blk * (n + blk - 1)].reshape(
+            CHUNK, blk, n + blk - 1
+        )
+        v = jnp.sum(c, axis=1, dtype=jnp.int32)             # width n+blk-1
+        out = out + jnp.pad(v, ((0, 0), (a * blk, m - blk - a * blk)))
+    return out
+
+
+def main():
+    rng = np.random.default_rng(7)
+    match_all = jnp.asarray(
+        rng.integers(0, 2, size=(N_VIDEOS, TQ, TC), dtype=np.int8))
+    print(f"devices: {jax.devices()}", flush=True)
+
+    ref = timeit("S  production pad-reshape skew (baseline)", mapped(skew_chunk), match_all)
+    for name, fn in (("K  log-tree static-shift combine", tree_chunk),
+                     ("L  fori_loop row accumulator", fori_chunk),
+                     ("M  128-row blocked skew + static combine", blocked_chunk)):
+        out = timeit(name, mapped(fn), match_all)
+        same = bool(jnp.all(out == ref))
+        print(f"   parity vs production: {'OK' if same else 'MISMATCH'}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

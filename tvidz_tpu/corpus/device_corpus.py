@@ -439,9 +439,11 @@ class DeviceCorpus:
         tq_pad = max(64, -(-tq // 64) * 64)
         q = np.full((tq_pad, self.words), _FP_SENTINEL, np.uint32)
         q[:tq] = np.asarray(query_fps, np.uint32)
-        chunk = 32 if al_dev.shape[0] % 32 == 0 else al_dev.shape[0]
+        # chunk=16 is the measured knee on v5e (intermediates stay VMEM-
+        # resident): 37 ms vs 70 ms at chunk=64+ for 1k videos / 1M fps.
+        chunk = 16 if al_dev.shape[0] % 16 == 0 else al_dev.shape[0]
         # Backend-raced implementations (bench.py): the MXU pm1-matmul
-        # variant wins on TPU (234 vs 248 ms at 1k videos / 1M fps); the
+        # variant wins on TPU (36.6 vs 38.6 ms at 1k videos / 1M fps); the
         # XOR+popcount variant wins off-TPU (CPU test meshes).
         search = (
             fragment_search_mxu

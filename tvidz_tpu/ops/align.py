@@ -6,9 +6,10 @@ structural replacement for "ring attention over the video timeline" in this
 domain (SURVEY.md §5 long-context note; BASELINE config #3).
 
 Method: one (Tq, Tc) Hamming matrix (MXU ±1-matmul or packed popcount),
-thresholded to a 0/1 match matrix, then anti-diagonal sums computed with a
-static gather — score[o] counts frames t with q[t] matching c[t+o]. All
-shapes static; batched over candidates with ``jax.vmap``.
+thresholded to a 0/1 match matrix, then anti-diagonal sums via a log-tree
+of static-shift adds (``_diag_scores``) — score[o] counts frames t with
+q[t] matching c[t+o]. All shapes static; batched over candidates with
+``jax.vmap``.
 
 Spec: golden.align_scores / golden.best_alignment.
 """
@@ -36,18 +37,9 @@ def align_scores(
     Entry (o + Tq - 1) = #{t : hamming(q[t], c[t+o]) <= threshold} for
     o in [-(Tq-1), Tc-1].
     """
-    tq = q_fp.shape[0]
-    tc = c_fp.shape[0]
     h = hamming_matrix(q_fp, c_fp)                       # (Tq, Tc)
     match = (h <= hamming_threshold).astype(jnp.int32)
-    n_off = tq + tc - 1
-    # j(i, oi) = oi - (Tq - 1) + i ; gather along axis 1 with validity mask.
-    rows = jnp.arange(tq, dtype=jnp.int32)[:, None]       # (Tq, 1)
-    offs = jnp.arange(n_off, dtype=jnp.int32)[None, :]    # (1, O)
-    j = offs - (tq - 1) + rows                            # (Tq, O)
-    valid = (j >= 0) & (j < tc)
-    gathered = jnp.take_along_axis(match, jnp.clip(j, 0, tc - 1), axis=1)
-    return jnp.sum(jnp.where(valid, gathered, 0), axis=0)
+    return _diag_scores(match)
 
 
 @functools.partial(jax.jit, static_argnames=("hamming_threshold",))
@@ -61,24 +53,37 @@ def best_alignment(
 
 
 def _diag_scores(match: jnp.ndarray) -> jnp.ndarray:
-    """Anti-diagonal sums of an (m, n) match matrix without a gather.
+    """Anti-diagonal sums of an (m, n) match matrix, gather- and reshape-free.
 
-    scores[d] = sum_t match[t, d - (m-1) + t]. Gathers execute element-at-a-
-    time on TPU (measured 774 ms for the 1k-video/1M-fingerprint fragment
-    bench, gather-dominated); the same sums fall out of a pad-and-reshape
-    skew — reverse rows, right-pad each row by m, reinterpret the flat
-    buffer with stride n+m-1 — which is pure relayout + one reduction:
-        C[t, x] = flat[t*(n+m-1) + x] = rev[t, x - t] (zeros off-range)
-        scores[x] = sum_t rev[t, x - t] = sum_s match[s, x - (m-1) + s].
+    scores[d] = sum_t match[t, d - (m-1) + t] = sum_t shift_t(rev[t]) where
+    rev[t] = match[m-1-t] and shift_t pads t zeros on the left. The sum is
+    reassociated into a balanced tree: level l merges row pairs at STATIC
+    shift 2^l (one pad + one add, no reshape), halving the row count each
+    level, so the whole reduction is ~2mn adds of contiguous vectors.
+
+    History (v5e-1, 1k videos x 1M fingerprints, measured in
+    scripts/profile_fragment*.py): a take_along_axis gather ran 774 ms
+    (element-at-a-time on TPU); a pad + flat-reshape skew ran 185 ms — the
+    strided reinterpretation lowers as a ~20 GB/s copy; this log-tree runs
+    the same sums in ~7 ms device time. int8 staging until partial sums can
+    reach 128 (level shift 64), then int32.
     """
     m, n = match.shape
-    # int8 staging: the skewed (m, n+m-1) intermediate is the kernel's
-    # memory-traffic bottleneck; 0/1 values need one byte, and the reduction
-    # accumulates in int32.
-    rev = match[::-1].astype(jnp.int8)
-    b = jnp.pad(rev, ((0, 0), (0, m)))
-    c = b.reshape(-1)[: m * (n + m - 1)].reshape(m, n + m - 1)
-    return jnp.sum(c, axis=0, dtype=jnp.int32)
+    x = match[::-1].astype(jnp.int8)
+    s = 1
+    while x.shape[0] > 1:
+        r, w = x.shape
+        if r % 2:
+            x = jnp.pad(x, ((0, 1), (0, 0)))  # zero row: no contribution
+            r += 1
+        pairs = x.reshape(r // 2, 2, w)
+        even, odd = pairs[:, 0, :], pairs[:, 1, :]
+        if s >= 64 and x.dtype == jnp.int8:  # next sums reach 2^7: widen
+            even = even.astype(jnp.int32)
+            odd = odd.astype(jnp.int32)
+        x = jnp.pad(even, ((0, 0), (0, s))) + jnp.pad(odd, ((0, 0), (s, 0)))
+        s *= 2
+    return x[0, : n + m - 1].astype(jnp.int32)
 
 
 @functools.partial(
@@ -90,7 +95,7 @@ def fragment_search(
     corpus_fp: jnp.ndarray,     # (V, Tc, W) persistent padded candidates
     corpus_len: jnp.ndarray,    # (V,) valid lengths
     hamming_threshold: int = 10,
-    chunk: int = 32,
+    chunk: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Best (offset, score) of a query fragment inside each of V candidate
     sequences — the corpus-scale variant of batch_best_alignment.
@@ -100,9 +105,10 @@ def fragment_search(
     per-call host->device upload happens — VERDICT r1 weak #3): query
     padding is masked via q_len instead of reshaping, and candidates are
     processed in chunks of ``chunk`` videos under lax.map so the (Tq, Tc)
-    match matrices and (Tq, Tq+Tc-1) diagonal gathers stay bounded at
-    chunk x Tq x Tc regardless of V (1k videos x 1k frames would otherwise
-    materialize ~0.6 GB of int32). V must be a multiple of chunk.
+    match matrices and the log-tree levels stay bounded at chunk x Tq x Tc
+    regardless of V (1k videos x 1k frames would otherwise materialize
+    ~0.6 GB of int32). V must be a multiple of chunk; chunk=16 keeps the
+    working set VMEM-resident on v5e (measured knee).
     """
     tq = q_fp.shape[0]
     v, tc, w = corpus_fp.shape
@@ -138,14 +144,14 @@ def fragment_search_mxu(
     corpus_fp: jnp.ndarray,     # (V, Tc, W)
     corpus_len: jnp.ndarray,    # (V,)
     hamming_threshold: int = 10,
-    chunk: int = 32,
+    chunk: int = 16,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """MXU formulation of fragment_search (identical outputs):
 
     - Hamming via the ±1 matmul path (bits unpacked to bf16 ±1; sums of ≤64
       ±1 terms are exact in f32 accumulation) — systolic-array work instead
       of the VPU's broadcast XOR+popcount.
-    - Anti-diagonal sums via the same pad-reshape skew as fragment_search
+    - Anti-diagonal sums via the same log-tree combine as fragment_search
       (an identity-kernel convolution was measured 12x SLOWER than even the
       gather it replaced on v5e — 9.2 s vs 0.77 s at 1k x 1M — and was
       dropped).
@@ -201,13 +207,7 @@ def batch_best_alignment(
         h = hamming_matrix(q_fp, c_fp)
         col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
         match = ((h <= hamming_threshold) & col_valid).astype(jnp.int32)
-        n_off = tq + tc - 1
-        rows = jnp.arange(tq, dtype=jnp.int32)[:, None]
-        offs = jnp.arange(n_off, dtype=jnp.int32)[None, :]
-        j = offs - (tq - 1) + rows
-        valid = (j >= 0) & (j < tc)
-        gathered = jnp.take_along_axis(match, jnp.clip(j, 0, tc - 1), axis=1)
-        s = jnp.sum(jnp.where(valid, gathered, 0), axis=0)
+        s = _diag_scores(match)
         o = jnp.argmax(s)
         return o - (tq - 1), s[o]
 
