@@ -55,10 +55,10 @@ def child(process_id: int, num_processes: int, port: int) -> int:
         sorted(rng.uniform(0, 100, size=5).round(2).tolist()) for _ in range(20)
     ]
     rows[13] = [1.25, 7.5, 42.0, 77.0]
-    corpus.load_timestamps(rows, list(range(100, 120)))
+    corpus.load_timestamps(rows, list(range(100, 120)), min_rows=64)
     fps = rng.integers(0, 2**32, size=(1000, 2), dtype=np.uint32)
     fp_vids = np.repeat(np.arange(100, 120, dtype=np.int32), 50)
-    corpus.load_fingerprints(fps, fp_vids)
+    corpus.load_fingerprints(fps, fp_vids, min_rows=4096)
 
     # ...and every host gets the same replicated verdicts back, with the
     # evidence merge crossing DCN on the corpus axis.
@@ -71,8 +71,34 @@ def child(process_id: int, num_processes: int, port: int) -> int:
         d0, idx0, vid0 = nn[m][0]
         assert d0 == 0 and idx0 == 650 + m and vid0 == 113, (m, nn[m])
 
+    # Collective streaming ingest: each host in turn plays the analyzing
+    # process; only the payload crosses DCN (corpus-axis psum), the other
+    # host contributes zeros and gets the rows into its shards device-side.
+    new_fp0 = rng.integers(1, 2**32 - 1, size=(40, 2), dtype=np.uint32)
+    corpus.append_video(
+        500, ts=[3.5, 8.25, 60.0] if process_id == 0 else None,
+        fps=new_fp0 if process_id == 0 else None,
+        n_ts=3, n_fp=40, src_process=0,
+    )
+    new_fp1 = rng.integers(1, 2**32 - 1, size=(24, 2), dtype=np.uint32)
+    corpus.append_video(
+        501, ts=[9.75, 14.5] if process_id == 1 else None,
+        fps=new_fp1 if process_id == 1 else None,
+        n_ts=2, n_fp=24, src_process=1,
+    )
+    hits2 = corpus.match_timestamps([3.5, 60.0], min_match=2)
+    assert hits2 == [(500, 2)], f"host {process_id}: {hits2}"
+    hits3 = corpus.match_timestamps([9.75, 14.5], min_match=2)
+    assert hits3 == [(501, 2)], f"host {process_id}: {hits3}"
+    # Both hosts drew the same rng stream, so both can verify both payloads.
+    for q_new, vid in ((new_fp0[:4], 500), (new_fp1[:4], 501)):
+        nn2 = corpus.nearest_fingerprints(q_new, k=1)
+        for m in range(4):
+            d0, _, vid0 = nn2[m][0]
+            assert d0 == 0 and vid0 == vid, (m, vid, nn2[m])
+
     print(f"[host {process_id}] OK: sharded search verified "
-          f"(ts hits {hits}, nearest exact)", flush=True)
+          f"(ts hits {hits}, nearest exact, collective append x2)", flush=True)
     return 0
 
 

@@ -1,0 +1,99 @@
+"""Collective streaming ingest for the multi-host corpus
+(MultiHostShardedCorpus.append_video): device-side psum broadcast + masked
+in-place shard update, replacing the O(corpus) refresh_from_store per
+ingest. Single-process here (the 8-device mesh); the true 2-process DCN
+path is exercised by scripts/dryrun_multihost.py / test_multihost.py."""
+
+import jax
+import numpy as np
+import pytest
+
+from tvidz_tpu.parallel.distributed import MultiHostShardedCorpus
+from tvidz_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh (1 real chip here)")
+    return make_mesh(8)
+
+
+@pytest.fixture()
+def corpus(mesh):
+    c = MultiHostShardedCorpus(mesh, max_cuts=16)
+    c.load_timestamps([[1.0, 2.0, 3.0]], [100], min_rows=64)
+    fp0 = np.arange(20, dtype=np.uint32).reshape(10, 2)
+    c.load_fingerprints(fp0, np.full(10, 100, np.int32), min_rows=2048)
+    return c
+
+
+def test_append_timestamps_matches_load(corpus):
+    corpus.append_video(200, ts=[5.5, 7.25, 9.0], src_process=0)
+    hits = corpus.match_timestamps([5.5, 9.0, 42.0], min_match=2)
+    assert hits == [(200, 2)]
+    # The pre-existing row is untouched.
+    assert corpus.match_timestamps([1.0, 2.0], min_match=2) == [(100, 2)]
+
+
+def test_append_timestamps_upsert_same_video(corpus):
+    corpus.append_video(200, ts=[5.5, 7.25, 9.0], src_process=0)
+    corpus.append_video(200, ts=[11.0, 13.0], src_process=0)  # re-analysis
+    assert corpus.match_timestamps([11.0, 13.0], min_match=2) == [(200, 2)]
+    # Old row content replaced, including length (no stale tail).
+    assert corpus.match_timestamps([5.5, 9.0], min_match=2) == []
+    assert corpus._ts_rows == 2  # upsert did not claim a new row
+
+
+def test_append_fingerprints_searchable(corpus):
+    rng = np.random.default_rng(3)
+    new = rng.integers(1, 2**32 - 1, size=(130, 2), dtype=np.uint32)
+    corpus.append_video(300, fps=new, src_process=0)  # spans a 128 pad bucket
+    nn = corpus.nearest_fingerprints(new[:4], k=1)
+    for m in range(4):
+        d0, idx0, vid0 = nn[m][0]
+        assert d0 == 0 and vid0 == 300, (m, nn[m])
+    # Earlier fingerprints still intact.
+    nn0 = corpus.nearest_fingerprints(
+        np.arange(4, dtype=np.uint32).reshape(2, 2), k=1)
+    assert nn0[0][0][0] == 0 and nn0[0][0][2] == 100
+
+
+def test_append_accumulates_many_videos(corpus):
+    rng = np.random.default_rng(4)
+    rows = {}
+    for vid in range(500, 510):
+        ts = sorted(rng.uniform(0, 100, size=4).round(2).tolist())
+        fps = rng.integers(1, 2**32 - 1, size=(16, 2), dtype=np.uint32)
+        corpus.append_video(vid, ts=ts, fps=fps, src_process=0)
+        rows[vid] = (ts, fps)
+    for vid, (ts, fps) in rows.items():
+        assert corpus.match_timestamps(ts[:2], min_match=2)[0][0] == vid
+        nn = corpus.nearest_fingerprints(fps[:2], k=1)
+        assert nn[0][0][0] == 0 and nn[0][0][2] == vid
+
+
+def test_append_capacity_errors(mesh):
+    c = MultiHostShardedCorpus(mesh, max_cuts=16)
+    c.load_timestamps([[1.0]], [1])  # minimal capacity
+    fp0 = np.ones((1, 2), np.uint32)
+    c.load_fingerprints(fp0, np.array([1], np.int32))
+    cap_ts = c._inner.corpus_ts.shape[0]
+    for vid in range(2, cap_ts + 1):
+        c.append_video(vid, ts=[float(vid)], src_process=0)
+    with pytest.raises(RuntimeError, match="capacity"):
+        c.append_video(9999, ts=[1.0], src_process=0)
+    cap_fp = c._inner.corpus_fp.shape[0]
+    with pytest.raises(RuntimeError, match="capacity"):
+        c.append_video(9999, fps=np.ones((cap_fp, 2), np.uint32),
+                       src_process=0)
+
+
+def test_append_requires_metadata_only_on_nonsource(corpus):
+    """Non-source processes pass counts, not payloads — single-process can't
+    exercise two roles, but the metadata-only call shape must be accepted
+    when this process IS the source (payload wins, counts validated)."""
+    corpus.append_video(700, ts=[1.5, 2.5], n_ts=2,
+                        fps=np.ones((3, 2), np.uint32), n_fp=3,
+                        src_process=0)
+    assert corpus.match_timestamps([1.5, 2.5], min_match=2)[0][0] == 700

@@ -140,6 +140,14 @@ class MultiHostShardedCorpus:
     are replicated and the existing shard_map kernels
     (parallel.sharded_search) merge per-shard evidence with corpus-axis
     collectives — the only cross-host traffic.
+
+    Streaming ingest has a COLLECTIVE path (``append_video``): instead of
+    every host re-reading the store and re-placing its whole shard
+    (``refresh_from_store``, O(corpus) per ingest), the analyzing host
+    contributes the new rows to a corpus-axis ``psum`` broadcast (all other
+    hosts contribute zeros) and every shard applies a masked in-place update
+    to donated buffers — per ingest, only the payload (KBs) crosses DCN and
+    nothing crosses host<->device.
     """
 
     def __init__(self, mesh, max_cuts: int = 128, words: int = 2,
@@ -151,10 +159,14 @@ class MultiHostShardedCorpus:
         self._inner = ShardedCorpus(mesh, max_cuts=max_cuts, words=words)
         self.hamming_threshold = hamming_threshold
         self._process_index = jax.process_index()
+        self._ts_rows = 0      # used rows (capacity = inner.corpus_ts.shape[0])
+        self._fp_count = 0     # used fingerprint rows
+        self._append_ts_jit = None
+        self._append_fp_jit = None
 
     # -- placement (process-local shards) ---------------------------------------
 
-    def load_timestamps(self, rows, video_ids) -> None:
+    def load_timestamps(self, rows, video_ids, min_rows: int = 0) -> None:
         from jax.sharding import PartitionSpec as P
 
         from tvidz_tpu.parallel.mesh import CORPUS_AXIS
@@ -162,7 +174,7 @@ class MultiHostShardedCorpus:
         inner = self._inner
         # The ONE layout definition lives on ShardedCorpus; only the
         # placement differs here (each host materializes its row range).
-        ts, lens, vids = inner.ts_layout(rows, video_ids)
+        ts, lens, vids = inner.ts_layout(rows, video_ids, min_rows=min_rows)
         lo, hi = self._local_range(ts.shape[0])
         inner.corpus_ts = place_process_local_rows(
             self.mesh, P(CORPUS_AXIS, None), ts[lo:hi], ts.shape
@@ -171,19 +183,22 @@ class MultiHostShardedCorpus:
             self.mesh, P(CORPUS_AXIS), lens[lo:hi], lens.shape
         )
         inner.video_ids = vids
+        self._ts_rows = len(rows)
 
-    def load_fingerprints(self, fp: np.ndarray, fp_video_ids: np.ndarray) -> None:
+    def load_fingerprints(self, fp: np.ndarray, fp_video_ids: np.ndarray,
+                          min_rows: int = 0) -> None:
         from jax.sharding import PartitionSpec as P
 
         from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 
         inner = self._inner
-        buf, vids = inner.fp_layout(fp, fp_video_ids)
+        buf, vids = inner.fp_layout(fp, fp_video_ids, min_rows=min_rows)
         lo, hi = self._local_range(buf.shape[0])
         inner.corpus_fp = place_process_local_rows(
             self.mesh, P(CORPUS_AXIS, None), buf[lo:hi], buf.shape
         )
         inner.fp_video_ids = vids
+        self._fp_count = fp.shape[0]
 
     def refresh_from_store(self, store) -> None:
         """Warm this host's shard from the shared durable store — the
@@ -198,6 +213,180 @@ class MultiHostShardedCorpus:
                 [np.full(f.shape[0], v, np.int32) for v, f in fps]
             )
             self.load_fingerprints(flat, vids)
+
+    # -- collective streaming ingest (device-side append over DCN) ---------------
+
+    def append_video(self, video_id: int, ts=None, fps=None, *,
+                     src_process: int = 0, n_ts: Optional[int] = None,
+                     n_fp: Optional[int] = None) -> None:
+        """Collective ingest of one analyzed video — ALL processes must call
+        this with the same (video_id, n_ts, n_fp, src_process); only the
+        analyzing process passes the payload (ts / fps), everyone else None.
+
+        The tiny metadata triple is host-knowledge every process already has
+        from the ingest event (SQS fan-out / store row); the actual rows are
+        broadcast device-side by a corpus-axis psum (non-source shards
+        contribute zeros) and each shard applies a masked in-place update to
+        its donated buffer. Per ingest, cross-host traffic is O(payload)
+        over DCN and there is no store round-trip and no O(corpus) reload
+        (contrast refresh_from_store).
+
+        Timestamps upsert by video_id (reference add_timestamps semantics);
+        fingerprints append at the tail. Raises if capacity is exhausted —
+        pre-size with load_*(min_rows=...).
+        """
+        is_src = self._process_index == src_process
+        if is_src:
+            if ts is not None:
+                ts = list(ts)[: self._inner.max_cuts]
+                if n_ts is None:
+                    n_ts = len(ts)
+                assert n_ts == len(ts), (n_ts, len(ts))
+            if fps is not None:
+                fps = np.asarray(fps, np.uint32)
+                if n_fp is None:
+                    n_fp = fps.shape[0]
+                assert n_fp == fps.shape[0], (n_fp, fps.shape)
+        n_ts = int(n_ts or 0)
+        n_fp = int(n_fp or 0)
+        if n_ts:
+            self._append_timestamps(video_id, ts if is_src else None, n_ts)
+        if n_fp:
+            self._append_fingerprints(video_id, fps if is_src else None, n_fp)
+
+    def _contrib(self, payload: Optional[np.ndarray], shape, dtype):
+        """Place a corpus-sharded contribution array: the source process's
+        FIRST local shard holds the payload, every other shard zeros."""
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        lo, hi = self._local_range(shape[0])
+        local = np.zeros((hi - lo,) + tuple(shape[1:]), dtype)
+        if payload is not None:
+            local[: payload.shape[0]] = payload
+        return place_process_local_rows(
+            self.mesh, P(CORPUS_AXIS, *([None] * (len(shape) - 1))),
+            local, tuple(shape),
+        )
+
+    def _append_timestamps(self, video_id: int, ts, n_ts: int) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        if inner.corpus_ts is None:
+            raise RuntimeError("load_timestamps(min_rows=...) first")
+        cap = inner.corpus_ts.shape[0]
+        # Upsert: reuse the video's existing row, else claim the next one.
+        existing = np.nonzero(inner.video_ids[: self._ts_rows] == video_id)[0]
+        row = int(existing[0]) if existing.size else self._ts_rows
+        if row >= cap:
+            raise RuntimeError(
+                f"timestamp capacity {cap} exhausted; reload with min_rows")
+
+        max_cuts = inner.max_cuts
+        payload = None
+        if ts is not None:
+            payload = np.zeros((1, max_cuts), np.float32)  # zero-pad: psum-safe
+            payload[0, :n_ts] = ts[:n_ts]
+        n_shards = inner.n_shards
+        contrib = self._contrib(payload, (n_shards, max_cuts), np.float32)
+        scal = inner._replicate(np.asarray([row, n_ts], np.int32))
+
+        if self._append_ts_jit is None:
+            def local(u, s, c_ts, c_len):
+                ts_row = jax.lax.psum(u[0], CORPUS_AXIS)        # (max_cuts,)
+                row_i, len_i = s[0], s[1]
+                nloc = c_ts.shape[0]
+                base = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * nloc
+                gi = base + jnp.arange(nloc, dtype=jnp.int32)
+                new_row = jnp.where(
+                    jnp.arange(max_cuts, dtype=jnp.int32) < len_i,
+                    ts_row, jnp.nan,
+                )
+                is_row = gi == row_i
+                return (
+                    jnp.where(is_row[:, None], new_row[None, :], c_ts),
+                    jnp.where(is_row, len_i, c_len),
+                )
+
+            fn = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(CORPUS_AXIS, None), P(),
+                          P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+                out_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+                check_vma=False,
+            )
+            self._append_ts_jit = jax.jit(fn, donate_argnums=(2, 3))
+
+        inner.corpus_ts, inner.corpus_len = self._append_ts_jit(
+            contrib, scal, inner.corpus_ts, inner.corpus_len
+        )
+        inner.video_ids[row] = video_id
+        if row == self._ts_rows:
+            self._ts_rows += 1
+
+    def _append_fingerprints(self, video_id: int, fps, n_fp: int) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        if inner.corpus_fp is None:
+            raise RuntimeError("load_fingerprints(min_rows=...) first")
+        cap = inner.corpus_fp.shape[0]
+        start = self._fp_count
+        if start + n_fp > cap:
+            raise RuntimeError(
+                f"fingerprint capacity {cap} exhausted "
+                f"({start}+{n_fp}); reload with min_rows")
+
+        words = inner.words
+        fp_pad = -(-n_fp // 128) * 128  # static buckets bound recompiles
+        payload = None
+        if fps is not None:
+            payload = np.zeros((fp_pad, words), np.uint32)
+            payload[:n_fp] = fps
+        n_shards = inner.n_shards
+        contrib = self._contrib(
+            payload, (n_shards * fp_pad, words), np.uint32)
+        scal = inner._replicate(np.asarray([start, n_fp], np.int32))
+
+        key = fp_pad
+        if self._append_fp_jit is None:
+            self._append_fp_jit = {}
+        if key not in self._append_fp_jit:
+            def local(u, s, c_fp):
+                rows = jax.lax.psum(u, CORPUS_AXIS)             # (fp_pad, W)
+                start_i, n_i = s[0], s[1]
+                nloc = c_fp.shape[0]
+                base = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * nloc
+                gi = base + jnp.arange(nloc, dtype=jnp.int32)
+                take = (gi >= start_i) & (gi < start_i + n_i)
+                src = jnp.clip(gi - start_i, 0, rows.shape[0] - 1)
+                return jnp.where(take[:, None], rows[src], c_fp)
+
+            fn = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(CORPUS_AXIS, None), P(), P(CORPUS_AXIS, None)),
+                out_specs=P(CORPUS_AXIS, None),
+                check_vma=False,
+            )
+            self._append_fp_jit[key] = jax.jit(fn, donate_argnums=(2,))
+
+        inner.corpus_fp = self._append_fp_jit[key](
+            contrib, scal, inner.corpus_fp
+        )
+        inner.fp_video_ids[start : start + n_fp] = video_id
+        self._fp_count += n_fp
 
     def _local_range(self, n_pad: int) -> Tuple[int, int]:
         """Row range owned by this host: corpus axis is host-major, so the

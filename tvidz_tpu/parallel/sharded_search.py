@@ -247,12 +247,13 @@ class ShardedCorpus:
             return jax.make_array_from_process_local_data(self._rep, a, a.shape)
         return jax.device_put(a, self._rep)
 
-    def ts_layout(self, rows, video_ids):
+    def ts_layout(self, rows, video_ids, min_rows: int = 0):
         """Padded global timestamp layout (NaN fill, FIRST-max_cuts
         truncation, -1 vid padding) — the ONE definition both the
         single-process and multi-host (distributed.MultiHostShardedCorpus)
-        placements build from."""
-        n = max(len(rows), 1)
+        placements build from. ``min_rows`` reserves slack capacity for
+        collective appends."""
+        n = max(len(rows), 1, min_rows)
         n_pad = self._pad_rows(n, 8)
         ts = np.full((n_pad, self.max_cuts), np.nan, np.float32)
         lens = np.zeros(n_pad, np.int32)
@@ -264,11 +265,12 @@ class ShardedCorpus:
             vids[i] = vid
         return ts, lens, vids
 
-    def fp_layout(self, fp: np.ndarray, fp_video_ids: np.ndarray):
+    def fp_layout(self, fp: np.ndarray, fp_video_ids: np.ndarray,
+                  min_rows: int = 0):
         """Padded global fingerprint layout (sentinel fill, 128-row
         alignment for the Pallas scan) — shared like ts_layout."""
         n = fp.shape[0]
-        n_pad = self._pad_rows(max(n, 1), 128)
+        n_pad = self._pad_rows(max(n, 1, min_rows), 128)
         buf = np.full((n_pad, self.words), 0xFFFFFFFF, np.uint32)
         buf[:n] = fp
         vids = np.full(n_pad, -1, np.int32)
