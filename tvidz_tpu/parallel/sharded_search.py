@@ -204,6 +204,53 @@ def sharded_nearest(
     return fn(q, corpus_t)
 
 
+def sharded_fragment_search(
+    q_fp: jnp.ndarray,         # (Tq_pad, W) uint32 — replicated
+    q_len: jnp.ndarray,        # () int32 — replicated
+    corpus_fp: jnp.ndarray,    # (V, Tc, W) alignment index — sharded over V
+    corpus_len: jnp.ndarray,   # (V,) int32 — sharded over V
+    mesh: Mesh,
+    hamming_threshold: int = 10,
+    chunk: int = 16,
+    use_mxu: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fragment localization across a video-sharded alignment index — the
+    mesh variant of ops.align.fragment_search (BASELINE config #3 at pod
+    scale): each shard scans its local videos with the shared fragment_core
+    (hamming -> threshold -> log-tree diagonal sums), and only the (V,)
+    best-offset / best-score evidence vectors cross the corpus axis
+    (all_gather; outputs REPLICATED per the sharded-output invariant —
+    multi-host callers read them locally).
+
+    ``chunk`` must divide the PER-SHARD video count. ``use_mxu`` defaults to
+    the backend-raced choice (pm1-matmul on TPU, XOR+popcount elsewhere).
+    """
+    from tvidz_tpu.ops.align import fragment_core
+
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+
+    def local(q, ql, c_fp, c_len):
+        offs, scores = fragment_core(
+            q, ql[0], c_fp, c_len, hamming_threshold, chunk, use_mxu
+        )
+        return (
+            jax.lax.all_gather(offs, CORPUS_AXIS, tiled=True),
+            jax.lax.all_gather(scores, CORPUS_AXIS, tiled=True),
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(CORPUS_AXIS, None, None), P(CORPUS_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,  # all_gather output IS replicated
+    )
+    # q_len rides as a (1,) vector: shard_map wants array leaves.
+    return fn(q_fp, jnp.asarray(q_len, jnp.int32).reshape(1),
+              corpus_fp, corpus_len)
+
+
 class ShardedCorpus:
     """Host-side wrapper placing corpus arrays with corpus-axis shardings and
     issuing sharded queries. The multi-chip sibling of DeviceCorpus (same
