@@ -57,13 +57,45 @@ def test_y4m_luma_bit_exact(native, tmp_path):
 
 
 def test_downscale_matches_python_decoder(native, tmp_path):
+    """Integral scale factors take the integer box-filter path: BIT-exact
+    with the Python decoder's area average (half-even rounding), so both
+    decoders hash identically."""
     path = str(tmp_path / "d.y4m")
     write_synthetic_y4m(path, num_frames=8, height=96, width=128, seed=4)
     nat = np.concatenate(
         [b.luma for b in native.NativeDecoder().blocks(path, 8, 48, 64)]
     )
     py = np.concatenate([b.luma for b in Y4MDecoder().blocks(path, 8, 48, 64)])
-    # sws AREA vs exact area-average: allow small rounding differences.
+    np.testing.assert_array_equal(nat, py)
+
+
+def test_fast_scale_off_falls_back_to_swscale(native, tmp_path, monkeypatch):
+    """TVIDZ_FAST_SCALE=0 forces the sws AREA path; its rounding may differ
+    from the exact box average by at most 1 LSB per pixel."""
+    path = str(tmp_path / "fs.y4m")
+    write_synthetic_y4m(path, num_frames=8, height=96, width=128, seed=4)
+    box = np.concatenate(
+        [b.luma for b in native.NativeDecoder().blocks(path, 8, 48, 64)]
+    )
+    monkeypatch.setenv("TVIDZ_FAST_SCALE", "0")
+    sws = np.concatenate(
+        [b.luma for b in native.NativeDecoder().blocks(path, 8, 48, 64)]
+    )
+    d = np.abs(box.astype(int) - sws.astype(int))
+    assert d.max() <= 1
+    assert d.mean() < 0.5
+
+
+def test_non_integral_scale_uses_swscale(native, tmp_path):
+    """Non-integral ratios can't take the box path; the sws fallback still
+    tracks the Python decoder's exact area average closely."""
+    path = str(tmp_path / "ni.y4m")
+    write_synthetic_y4m(path, num_frames=6, height=96, width=128, seed=5)
+    nat = np.concatenate(
+        [b.luma for b in native.NativeDecoder().blocks(path, 6, 36, 48)]
+    )
+    py = np.concatenate([b.luma for b in Y4MDecoder().blocks(path, 6, 36, 48)])
+    assert nat.shape == py.shape == (6, 36, 48)
     assert np.abs(nat.astype(int) - py.astype(int)).mean() < 2.0
 
 
