@@ -48,17 +48,18 @@ def _sync(*arrays) -> float:
 
 
 def bench_fingerprint_throughput(block_frames: int = 256, n_blocks: int = 512,
-                                 reps: int = 5):
+                                 reps: int = 5, loops: int = 8):
     """Single-dispatch streaming throughput: one jitted lax.scan consumes
     n_blocks luma blocks (threading the scene carry exactly like production
-    streaming) and returns small accumulators. Data is generated on-device;
-    one dispatch + one sync per rep amortizes the ~25 ms tunnel RTT."""
+    streaming) and returns small accumulators; an outer fori_loop repeats
+    the scan ``loops`` times inside the SAME dispatch so the tunnel RTT
+    (25-50 ms depending on the window — measured by scaling the work 4x:
+    time fits RTT + loops x 27.8 ms at these shapes) is amortized without
+    growing the on-device buffer. Data is generated on-device."""
     import jax
     import jax.numpy as jnp
 
-    from tvidz_tpu.ops.fused import initial_fingerprint_carry
-    from tvidz_tpu.ops.phash import phash_batched
-    from tvidz_tpu.ops.scene import scene_scores_block
+    from tvidz_tpu.ops.fused import fingerprint_block, initial_fingerprint_carry
 
     h, w = 90, 160
 
@@ -74,19 +75,33 @@ def bench_fingerprint_throughput(block_frames: int = 256, n_blocks: int = 512,
 
     @jax.jit
     def stream(blocks):
+        # The REAL production op (ops/fused.fingerprint_block), not a
+        # re-composition: calling scene + hash separately on the uint8 tile
+        # casts the frame twice and measures 1.7x slower than the fused
+        # single-cast program the pipeline actually runs
+        # (scripts/profile_fingerprint.py, variant H).
         def step(carry, tile):
-            scores, new_carry = scene_scores_block(tile, carry)
-            fps = phash_batched(tile)
+            scores, fps, new_carry = fingerprint_block(tile, carry)
             return new_carry, (jnp.sum(scores), jnp.sum(fps[:, 0] ^ fps[:, 1]))
 
-        carry0 = initial_fingerprint_carry(h, w).scene
-        _, (s_acc, f_acc) = jax.lax.scan(step, carry0, blocks)
-        return jnp.sum(s_acc), jnp.sum(f_acc)
+        def one_pass(_, acc):
+            # Thread the streaming carry ACROSS passes: with a fresh carry
+            # every pass the passes are identical pure computations and
+            # XLA CSEs them into one (measured: 4 passes ran FASTER than 1).
+            s0, f0, carry = acc
+            carry, (s_acc, f_acc) = jax.lax.scan(step, carry, blocks)
+            return s0 + jnp.sum(s_acc), f0 + jnp.sum(f_acc), carry
+
+        s, f, _ = jax.lax.fori_loop(
+            0, loops, one_pass,
+            (jnp.float32(0), jnp.uint32(0), initial_fingerprint_carry(h, w)),
+        )
+        return s, f
 
     out = stream(data)  # compile
     _sync(*out)
 
-    frames = n_blocks * block_frames
+    frames = n_blocks * block_frames * loops
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()

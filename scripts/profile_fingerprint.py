@@ -1,0 +1,143 @@
+"""Stage isolation for the fused fingerprint op (the 1.5M frames/s headline).
+
+The operator pre-slice (phash.py: (D P)[:h]) cut the DCT matmul FLOPs 5x
+with no headline change — so the hash stage is not MXU-FLOP-bound. This
+times each stage in the production streaming harness (lax.scan over
+256-frame blocks, on-device data, one sync per rep) to find the real bound.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tvidz_tpu.ops.dct import dct_matrix
+from tvidz_tpu.ops.fused import initial_fingerprint_carry
+from tvidz_tpu.ops.phash import _pack_bits_u32
+from tvidz_tpu.ops.resize import resize_matrices
+from tvidz_tpu.ops.scene import scene_scores_block
+
+H, W = 90, 160
+BLOCK = 256
+NBLOCKS = 512
+REPS = 5
+FRAMES = BLOCK * NBLOCKS
+
+
+def _sync(*arrs):
+    return float(jnp.sum(jnp.asarray([jnp.sum(a.astype(jnp.float32)) for a in arrs])))
+
+
+def run(name, step_fn):
+    @jax.jit
+    def make_data(key):
+        bits = jax.random.randint(
+            key, (NBLOCKS, BLOCK, H, W), 0, 256, dtype=jnp.int32)
+        return bits.astype(jnp.uint8)
+
+    data = make_data(jax.random.PRNGKey(0))
+    _sync(data[0, 0, 0, :8])
+
+    @jax.jit
+    def stream(blocks):
+        def step(carry, tile):
+            acc, new_carry = step_fn(tile, carry)
+            return new_carry, acc
+
+        carry0 = initial_fingerprint_carry(H, W).scene
+        _, accs = jax.lax.scan(step, carry0, blocks)
+        return jax.tree.map(jnp.sum, accs)
+
+    out = stream(data)
+    _sync(*jax.tree.leaves(out))
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = stream(data)
+        _sync(*jax.tree.leaves(out))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    print(f"{name:44s} {FRAMES/med/1e6:6.2f} M frames/s  ({med*1e3:6.1f} ms)",
+          flush=True)
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    ph, pw = resize_matrices(H, W, 32, 32)
+    d = dct_matrix(32)
+    left8 = jnp.asarray((d @ ph)[:8])        # (8, H)
+    right8 = jnp.asarray((d @ pw)[:8])       # (8, W)
+    left32 = jnp.asarray(d @ ph)
+    right32 = jnp.asarray(d @ pw)
+    HI = jax.lax.Precision.HIGHEST
+
+    def coeffs_of(x, l, r):
+        return jnp.einsum("sH,tHW,rW->tsr", l, x, r,
+                          preferred_element_type=jnp.float32, precision=HI)
+
+    def scene_only(tile, carry):
+        scores, c = scene_scores_block(tile.astype(jnp.float32), carry)
+        return (jnp.sum(scores),), c
+
+    def dct_only(tile, carry):
+        low = coeffs_of(tile.astype(jnp.float32), left8, right8)
+        return (jnp.sum(low),), carry
+
+    def dct32_only(tile, carry):
+        low = coeffs_of(tile.astype(jnp.float32), left32, right32)
+        return (jnp.sum(low),), carry
+
+    def phash_sort(tile, carry):
+        low = coeffs_of(tile.astype(jnp.float32), left8, right8).reshape(-1, 64)
+        srt = jnp.sort(low, axis=-1)
+        med = (srt[:, 31] + srt[:, 32]) * 0.5
+        bits = (low > med[:, None]).astype(jnp.int32)
+        fps = _pack_bits_u32(bits)
+        return (jnp.sum(fps[:, 0] ^ fps[:, 1]),), carry
+
+    def phash_topk(tile, carry):
+        low = coeffs_of(tile.astype(jnp.float32), left8, right8).reshape(-1, 64)
+        top, _ = jax.lax.top_k(low, 33)
+        med = (top[:, 31] + top[:, 32]) * 0.5
+        bits = (low > med[:, None]).astype(jnp.int32)
+        fps = _pack_bits_u32(bits)
+        return (jnp.sum(fps[:, 0] ^ fps[:, 1]),), carry
+
+    def phash_nomedian(tile, carry):
+        low = coeffs_of(tile.astype(jnp.float32), left8, right8).reshape(-1, 64)
+        bits = (low > 0).astype(jnp.int32)
+        fps = _pack_bits_u32(bits)
+        return (jnp.sum(fps[:, 0] ^ fps[:, 1]),), carry
+
+    def phash_nopack(tile, carry):
+        low = coeffs_of(tile.astype(jnp.float32), left8, right8).reshape(-1, 64)
+        srt = jnp.sort(low, axis=-1)
+        med = (srt[:, 31] + srt[:, 32]) * 0.5
+        bits = (low > med[:, None]).astype(jnp.int32)
+        return (jnp.sum(bits),), carry
+
+    def full(tile, carry):
+        xf = tile.astype(jnp.float32)
+        scores, c = scene_scores_block(xf, carry)
+        low = coeffs_of(xf, left8, right8).reshape(-1, 64)
+        srt = jnp.sort(low, axis=-1)
+        med = (srt[:, 31] + srt[:, 32]) * 0.5
+        bits = (low > med[:, None]).astype(jnp.int32)
+        fps = _pack_bits_u32(bits)
+        return (jnp.sum(scores), jnp.sum(fps[:, 0] ^ fps[:, 1])), c
+
+    run("A scene only", scene_only)
+    run("B dct coeffs only (sliced 8-row ops)", dct_only)
+    run("C dct coeffs only (full 32x32)", dct32_only)
+    run("D phash sliced + sort median + pack", phash_sort)
+    run("E phash sliced + top_k median + pack", phash_topk)
+    run("F phash sliced, no median (thr 0) + pack", phash_nomedian)
+    run("G phash sliced + sort median, no pack", phash_nopack)
+    run("H full composition (production)", full)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,16 +52,20 @@ def phash_bits_batched(
     x = luma.astype(jnp.float32)
     # Fold resize and DCT into single per-side operators: (D @ P_h), (D @ P_w).
     # coeffs = D (P_h X P_w^T) D^T = (D P_h) X (D P_w)^T — two matmuls total.
-    left = d @ ph       # (S, H)
-    right = d @ pw      # (S, W)
+    # Only the low (hash_size, hash_size) coefficient block feeds the hash,
+    # so slice the OPERATORS to their first hash_size rows instead of
+    # computing the full (S, S) DCT and slicing the result — each retained
+    # element is the identical dot product (bit-exact, golden-pinned), at
+    # (S/hash_size)x fewer MXU FLOPs on the fingerprint hot path.
+    left = (d @ ph)[:hash_size]       # (h, H)
+    right = (d @ pw)[:hash_size]      # (h, W)
     # HIGHEST precision: coefficients are thresholded at their median, so
     # bf16 MXU noise would flip hash bits nondeterministically.
-    coeffs = jnp.einsum(
+    low = jnp.einsum(
         "sH,tHW,rW->tsr", left, x, right,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )
-    low = coeffs[:, :hash_size, :hash_size].reshape(t, hash_size * hash_size)
+    ).reshape(t, hash_size * hash_size)
     # Median of an even count = mean of the two middle order statistics
     # (matches np.median in the golden model).
     srt = jnp.sort(low, axis=-1)

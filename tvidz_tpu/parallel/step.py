@@ -25,9 +25,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from tvidz_tpu.ops.fused import initial_fingerprint_carry
-from tvidz_tpu.ops.scene import SceneCarry, scene_scores_block
-from tvidz_tpu.ops.phash import phash_batched
+from tvidz_tpu.ops.fused import (
+    FingerprintCarry,
+    fingerprint_block,
+    initial_fingerprint_carry,
+)
 from tvidz_tpu.ops.hamming import hamming_matrix
 from tvidz_tpu.parallel.mesh import CORPUS_AXIS, DATA_AXIS
 
@@ -42,12 +44,14 @@ class StepOutput(NamedTuple):
 def _clip_fingerprint(clip: jnp.ndarray, h: int, w: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(NT, T, H, W) tiles -> ((NT*T,) scores, (NT*T, W) fingerprints) via scan."""
 
-    def tile_step(carry: SceneCarry, tile):
-        scores, new_carry = scene_scores_block(tile, carry)
-        fps = phash_batched(tile)
+    def tile_step(carry: FingerprintCarry, tile):
+        # The fused production op — one uint8->f32 cast feeding both the
+        # scene diff and the hash matmuls (composing the stages separately
+        # measures 1.7x slower; scripts/profile_fingerprint.py).
+        scores, fps, new_carry = fingerprint_block(tile, carry)
         return new_carry, (scores, fps)
 
-    carry0 = initial_fingerprint_carry(h, w).scene
+    carry0 = initial_fingerprint_carry(h, w)
     _, (scores, fps) = jax.lax.scan(tile_step, carry0, clip)
     nt, t = scores.shape
     return scores.reshape(nt * t), fps.reshape(nt * t, -1)
