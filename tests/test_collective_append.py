@@ -97,3 +97,26 @@ def test_append_requires_metadata_only_on_nonsource(corpus):
                         fps=np.ones((3, 2), np.uint32), n_fp=3,
                         src_process=0)
     assert corpus.match_timestamps([1.5, 2.5], min_match=2)[0][0] == 700
+
+
+def test_append_truncates_first_max_cuts(mesh):
+    """>max_cuts videos truncate to the FIRST max_cuts (store invariant) —
+    previously this raised on the source and would have deadlocked a
+    multi-host collective (code-review finding)."""
+    c = MultiHostShardedCorpus(mesh, max_cuts=16)
+    c.load_timestamps([[1.0]], [1], min_rows=16)
+    long_ts = [float(i) for i in range(40)]  # 40 cuts > max_cuts=16
+    c.append_video(900, ts=long_ts, src_process=0)
+    # First 16 kept: matching on early cuts works...
+    assert c.match_timestamps([0.0, 5.0], min_match=2)[0][0] == 900
+    # ...cuts beyond max_cuts were dropped.
+    assert c.match_timestamps([20.0, 30.0], min_match=2) == []
+
+
+def test_append_payload_guards(corpus):
+    with pytest.raises(ValueError, match="must supply ts"):
+        corpus.append_video(901, n_ts=3, src_process=0)
+    with pytest.raises(ValueError, match="must supply fps"):
+        corpus.append_video(902, n_fp=8, src_process=0)
+    with pytest.raises(ValueError, match="only the analyzing process"):
+        corpus.append_video(903, ts=[1.0, 2.0], src_process=1)

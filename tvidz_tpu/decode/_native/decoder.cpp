@@ -73,7 +73,11 @@ struct Handle {
   bool mafd_supported = true;
   // Downscale path: -1 undecided, 0 swscale, 1 integer box filter (exact
   // area average when the scale factors are integral — see box_downscale).
+  // Revalidated whenever the decoded geometry/format changes mid-stream
+  // (h264 SPS change): a stale box decision could divide by zero; a stale
+  // sws context would read the wrong geometry.
   int scale_mode = -1;
+  int scale_w = 0, scale_h = 0, scale_fmt = -1;
   std::vector<uint16_t> colsum;
 };
 
@@ -166,9 +170,12 @@ void box_downscale(Handle* h, const AVFrame* f, uint8_t* out) {
   }
 }
 
-// Box filter applicability: plane 0 must be straight 8-bit luma (the same
-// precondition native_mafd checks) and the geometry must divide evenly.
-// TVIDZ_FAST_SCALE=0 forces the swscale path (used by parity tests).
+// Box filter applicability: plane 0 must be straight 8-bit PLANAR luma
+// (comp[0].step == 1 rejects packed layouts like yuyv422, where data[0]
+// interleaves chroma — averaging those bytes would silently corrupt the
+// output; native_mafd has the same blind spot covered by the step check
+// being applied before scale_mode is chosen) and the geometry must divide
+// evenly. TVIDZ_FAST_SCALE=0 forces the swscale path (parity tests).
 bool can_box_downscale(const Handle* h, const AVFrame* f) {
   const char* env = getenv("TVIDZ_FAST_SCALE");
   if (env && env[0] == '0') return false;
@@ -176,7 +183,8 @@ bool can_box_downscale(const Handle* h, const AVFrame* f) {
       av_pix_fmt_desc_get((AVPixelFormat)f->format);
   if (!desc || (desc->flags & (AV_PIX_FMT_FLAG_RGB | AV_PIX_FMT_FLAG_PAL |
                                AV_PIX_FMT_FLAG_BITSTREAM)) ||
-      desc->comp[0].depth != 8) {
+      desc->comp[0].depth != 8 || desc->comp[0].plane != 0 ||
+      desc->comp[0].step != 1 || desc->comp[0].offset != 0) {
     return false;
   }
   return f->width >= h->out_w && f->height >= h->out_h &&
@@ -322,8 +330,17 @@ int tvz_read_block2(void* handle, int max_frames, uint8_t* luma_out,
   while (produced < max_frames && !h->drained) {
     int rc = avcodec_receive_frame(h->codec, h->frame);
     if (rc == 0) {
-      if (h->scale_mode < 0)
+      if (h->scale_mode < 0 || h->frame->width != h->scale_w ||
+          h->frame->height != h->scale_h || h->frame->format != h->scale_fmt) {
         h->scale_mode = can_box_downscale(h, h->frame) ? 1 : 0;
+        h->scale_w = h->frame->width;
+        h->scale_h = h->frame->height;
+        h->scale_fmt = h->frame->format;
+        if (h->sws) {  // geometry changed: rebuild lazily below
+          sws_freeContext(h->sws);
+          h->sws = nullptr;
+        }
+      }
       if (h->scale_mode == 1) {
         box_downscale(h, h->frame, luma_out + (size_t)produced * frame_bytes);
       } else {

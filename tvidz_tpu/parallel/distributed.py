@@ -234,20 +234,39 @@ class MultiHostShardedCorpus:
         Timestamps upsert by video_id (reference add_timestamps semantics);
         fingerprints append at the tail. Raises if capacity is exhausted —
         pre-size with load_*(min_rows=...).
+
+        n_ts is the video's FULL cut count (what the ingest event carries);
+        every process clamps it to max_cuts identically, preserving the
+        FIRST-max_cuts truncation invariant without a collective mismatch.
         """
         is_src = self._process_index == src_process
+        if not is_src and (ts is not None or fps is not None):
+            raise ValueError(
+                f"process {self._process_index} passed a payload but "
+                f"src_process={src_process}; only the analyzing process "
+                "may supply ts/fps (others pass the counts only)")
         if is_src:
             if ts is not None:
-                ts = list(ts)[: self._inner.max_cuts]
+                full = list(ts)
                 if n_ts is None:
-                    n_ts = len(ts)
-                assert n_ts == len(ts), (n_ts, len(ts))
+                    n_ts = len(full)
+                if n_ts != len(full):
+                    raise ValueError(f"n_ts={n_ts} != len(ts)={len(full)}")
+                ts = full[: self._inner.max_cuts]
             if fps is not None:
                 fps = np.asarray(fps, np.uint32)
                 if n_fp is None:
                     n_fp = fps.shape[0]
-                assert n_fp == fps.shape[0], (n_fp, fps.shape)
-        n_ts = int(n_ts or 0)
+                if n_fp != fps.shape[0]:
+                    raise ValueError(f"n_fp={n_fp} != fps rows {fps.shape[0]}")
+            # A zero payload would psum to an all-zero row and commit it
+            # with a valid video_id — corruption, not an error. Refuse.
+            if n_ts and ts is None:
+                raise ValueError("source process must supply ts when n_ts > 0")
+            if n_fp and fps is None:
+                raise ValueError("source process must supply fps when n_fp > 0")
+        # FIRST-max_cuts truncation, clamped identically on every process.
+        n_ts = min(int(n_ts or 0), self._inner.max_cuts)
         n_fp = int(n_fp or 0)
         if n_ts:
             self._append_timestamps(video_id, ts if is_src else None, n_ts)

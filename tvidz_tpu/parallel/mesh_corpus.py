@@ -83,36 +83,42 @@ class MeshCorpus(DeviceCorpus):
             host.shape, sharding, bufs
         )
 
+    def _sync_row_sharded(self, rows_dev, len_dev, rows_host, len_host,
+                          rows_sharding, dirty_rows, full_resync):
+        """Shared sync for a row-sharded (cap, ...) table + its (cap,)
+        length vector: full placement after growth, else dirty-shard
+        reassembly. Used by the timestamp and alignment indices."""
+        if full_resync or rows_dev is None:
+            return (self._put(rows_host, rows_sharding),
+                    self._put(len_host, self._len_sharding))
+        if dirty_rows:
+            rows_per_shard = rows_host.shape[0] // self.n_shards
+            dirty = {r // rows_per_shard for r in dirty_rows}
+
+            def shard_of(host_arr):
+                def get(index):
+                    lo = index[0].start or 0
+                    return lo // rows_per_shard, np.ascontiguousarray(
+                        host_arr[lo : lo + rows_per_shard]
+                    )
+                return get
+
+            rows_dev = self._reassemble(
+                rows_dev, rows_host, rows_sharding, dirty,
+                shard_of(rows_host),
+            )
+            len_dev = self._reassemble(
+                len_dev, len_host, self._len_sharding, dirty,
+                shard_of(len_host),
+            )
+        return rows_dev, len_dev
+
     def _sync_ts(self) -> None:
-        if self._ts_full_resync or self._ts_dev is None:
-            self._ts_dev = self._put(self._ts, self._ts_sharding)
-            self._ts_len_dev = self._put(self._ts_len, self._len_sharding)
-            self._ts_full_resync = False
-        elif self._ts_dirty_rows:
-            rows_per_shard = self._ts_cap // self.n_shards
-            dirty = {r // rows_per_shard for r in self._ts_dirty_rows}
-
-            def shard_of_ts(index):
-                lo = index[0].start or 0
-                k = lo // rows_per_shard
-                return k, np.ascontiguousarray(
-                    self._ts[lo : lo + rows_per_shard]
-                )
-
-            def shard_of_len(index):
-                lo = index[0].start or 0
-                k = lo // rows_per_shard
-                return k, np.ascontiguousarray(
-                    self._ts_len[lo : lo + rows_per_shard]
-                )
-
-            self._ts_dev = self._reassemble(
-                self._ts_dev, self._ts, self._ts_sharding, dirty, shard_of_ts
-            )
-            self._ts_len_dev = self._reassemble(
-                self._ts_len_dev, self._ts_len, self._len_sharding, dirty,
-                shard_of_len,
-            )
+        self._ts_dev, self._ts_len_dev = self._sync_row_sharded(
+            self._ts_dev, self._ts_len_dev, self._ts, self._ts_len,
+            self._ts_sharding, self._ts_dirty_rows, self._ts_full_resync,
+        )
+        self._ts_full_resync = False
         self._ts_dirty_rows.clear()
 
     def _sync_fp(self) -> None:
@@ -142,35 +148,11 @@ class MeshCorpus(DeviceCorpus):
         self._fp_synced_count = self._fp_count
 
     def _sync_al(self) -> None:
-        if self._al_full_resync or self._al_dev is None:
-            self._al_dev = self._put(self._al, self._al_sharding)
-            self._al_len_dev = self._put(self._al_len, self._len_sharding)
-            self._al_full_resync = False
-        elif self._al_dirty:
-            rows_per_shard = self._al_vcap // self.n_shards
-            dirty = {r // rows_per_shard for r in self._al_dirty}
-
-            def shard_of_al(index):
-                lo = index[0].start or 0
-                k = lo // rows_per_shard
-                return k, np.ascontiguousarray(
-                    self._al[lo : lo + rows_per_shard]
-                )
-
-            def shard_of_len(index):
-                lo = index[0].start or 0
-                k = lo // rows_per_shard
-                return k, np.ascontiguousarray(
-                    self._al_len[lo : lo + rows_per_shard]
-                )
-
-            self._al_dev = self._reassemble(
-                self._al_dev, self._al, self._al_sharding, dirty, shard_of_al
-            )
-            self._al_len_dev = self._reassemble(
-                self._al_len_dev, self._al_len, self._len_sharding, dirty,
-                shard_of_len,
-            )
+        self._al_dev, self._al_len_dev = self._sync_row_sharded(
+            self._al_dev, self._al_len_dev, self._al, self._al_len,
+            self._al_sharding, self._al_dirty, self._al_full_resync,
+        )
+        self._al_full_resync = False
         self._al_dirty.clear()
 
     # -- sharded query kernels ------------------------------------------------------
