@@ -93,6 +93,12 @@ def main() -> int:
         service_args = ["--fake-aws"]
     if mesh_mode:
         service_args.append("--mesh")
+    # Server logs go to a FILE, not a PIPE: an undrained pipe fills at
+    # ~64KB and blocks the server mid-request (observed as a boot-wait
+    # deadlock in the soak test, which shares this structure).
+    server_log_path = os.path.join(tempfile.gettempdir(),
+                                   "tvidz-integration-server.log")
+    server_log = open(server_log_path, "w")
     server = subprocess.Popen(
         [
             sys.executable, "-m", "tvidz_tpu.service.entrypoint",
@@ -101,7 +107,7 @@ def main() -> int:
         ],
         cwd=ROOT,
         env=env,
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        stdout=server_log, stderr=subprocess.STDOUT, text=True,
     )
     failures = []
 
@@ -224,10 +230,11 @@ def main() -> int:
         if server:
             server.terminate()
             try:
-                out, _ = server.communicate(timeout=10)
+                server.wait(timeout=10)
             except subprocess.TimeoutExpired:
                 server.kill()
-                out, _ = server.communicate()
+                server.wait()
+            server_log.close()
         if miniaws_server is not None:
             miniaws_server.shutdown()
         shutil.rmtree(fake_root, ignore_errors=True)
@@ -235,6 +242,9 @@ def main() -> int:
 
     if failures:
         print(f"[integration] FAILED: {failures}")
+        with open(server_log_path) as f:
+            tail = f.readlines()[-60:]
+        print("[integration] server log tail:\n" + "".join(tail))
         return 1
     print("[integration] ALL CHECKS PASSED")
     return 0

@@ -1,0 +1,231 @@
+"""Sustained-ingest soak test: N videos through the full socket service.
+
+What it checks beyond the integration test's 2-upload flow:
+- every analysis completes under continuous concurrent ingest (4 in flight);
+- duplicate verdicts stay correct at corpus scale (every 5th upload is a
+  re-encoded copy of an earlier one and must name it);
+- the in-memory analysis registry stays bounded (max_analysis_results LRU)
+  and process RSS stops growing once warm — no per-upload leak;
+- reports the sustained ingest rate.
+
+Usage: python scripts/soak_test.py [--videos N]  (CPU platform; ~2 min)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+import requests
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+PORT = int(os.environ.get("TVIDZ_SOAK_PORT", "5099"))
+BASE = f"http://127.0.0.1:{PORT}"
+MAX_RESULTS = 24
+
+
+def rss_mb(pid: int) -> float:
+    with open(f"/proc/{pid}/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def main() -> int:
+    from tvidz_tpu.decode import synthetic_video
+    from tvidz_tpu.decode.y4m import write_y4m
+
+    n_videos = 40
+    if "--videos" in sys.argv:
+        n_videos = int(sys.argv[sys.argv.index("--videos") + 1])
+
+    bucket_dir = os.path.join("/tmp/tvidz-fake-s3", "videos")
+    os.makedirs(bucket_dir, exist_ok=True)
+    env = {
+        **os.environ,
+        "TVIDZ_JAX_PLATFORM": "cpu",
+        "TVIDZ_MAX_ANALYSIS_RESULTS": str(MAX_RESULTS),
+    }
+    # Server logs go to a FILE: a PIPE nobody drains fills at ~64KB and
+    # blocks the server mid-request (observed as a healthz-wait deadlock).
+    server_log = open("/tmp/tvidz-soak-server.log", "w")
+    server = subprocess.Popen(
+        [sys.executable, "-m", "tvidz_tpu.service.entrypoint", "--fake-aws",
+         "--db", "sqlite:///:memory:", "--host", "127.0.0.1",
+         "--port", str(PORT)],
+        cwd=ROOT, env=env,
+        stdout=server_log, stderr=subprocess.STDOUT, text=True,
+    )
+    failures: list = []
+
+    def check(name, cond, detail=""):
+        print(f"[soak] {'PASS' if cond else 'FAIL'}: {name} {detail}",
+              flush=True)
+        if not cond:
+            failures.append(name)
+
+    try:
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            try:
+                if requests.get(f"{BASE}/healthz", timeout=2).json().get(
+                        "status") == "ok":
+                    break
+            except (requests.RequestException, ValueError):
+                pass
+            time.sleep(0.5)
+        else:
+            raise TimeoutError("service never became healthy")
+
+        # Build the uploads up front: every 5th is a copy of an earlier
+        # original (same luma, new container timeline) and must dedup.
+        names, expect_dup_of = [], {}
+        originals: list = []
+        rng = np.random.default_rng(9)
+        for i in range(n_videos):
+            name = f"soak-{i:03d}.y4m"
+            path = os.path.join(tempfile.gettempdir(), name)
+            if i % 5 == 4 and originals:
+                src_i = int(rng.integers(0, len(originals)))
+                luma = originals[src_i][1]
+                expect_dup_of[name] = originals[src_i][0]
+            else:
+                # Disjoint per-video cut windows: no two originals share a
+                # cut pts PAIR, so exact-equality dedup can't legitimately
+                # cross-fire (random draws collide: with 30+ videos picking
+                # 3 cuts from 80 frames, some pair shares >= 2 cuts with
+                # high probability — those ARE duplicates by the system's
+                # definition, which made the first version of this test
+                # flag its own design as false positives).
+                base = 10 + 4 * len(originals)
+                cuts = (base, base + 1, base + 2)
+                luma, _ = synthetic_video(
+                    num_frames=200, height=240, width=320,
+                    cut_frames=cuts, seed=1000 + i,
+                )
+                originals.append((name, luma))
+            write_y4m(path, luma, fps=25.0)
+            names.append((name, path))
+
+        t0 = time.time()
+        sem = threading.Semaphore(4)      # 4 uploads in flight
+        errors: list = []
+
+        def upload(name, path):
+            # A copy must not race its original: if both are in flight at
+            # once, the original's cuts may not be committed when the copy
+            # scans the corpus (reference-parity at-least-once semantics —
+            # concurrent same-content uploads can both see no duplicate).
+            want = expect_dup_of.get(name)
+            if want is not None:
+                while want not in results:
+                    time.sleep(0.25)
+            with sem:
+                try:
+                    import shutil
+
+                    shutil.copy(path, os.path.join(bucket_dir, name))
+                    r = requests.post(f"{BASE}/notify", json={
+                        "Records": [{"s3": {"bucket": {"name": "videos"},
+                                            "object": {"key": name}}}]
+                    }, timeout=10)
+                    if r.status_code != 200:
+                        errors.append((name, r.status_code))
+                        return
+                    while True:
+                        # Generous timeout + retry: with 4 concurrent
+                        # analyses on a 1-core host the GIL can starve a
+                        # poll response past a tight deadline.
+                        try:
+                            s = requests.get(f"{BASE}/status/{name}",
+                                             timeout=30).json()
+                        except requests.RequestException:
+                            time.sleep(1.0)
+                            continue
+                        if s.get("status") in ("done", "error"):
+                            results[name] = s
+                            return
+                        time.sleep(0.25)
+                except Exception as e:  # noqa: BLE001
+                    errors.append((name, repr(e)))
+
+        results: dict = {}
+        rss_mid = None
+        threads = []
+        for k, (name, path) in enumerate(names):
+            t = threading.Thread(target=upload, args=(name, path))
+            t.start()
+            threads.append(t)
+            if k == n_videos // 3:
+                for tt in threads:
+                    tt.join()
+                rss_mid = rss_mb(server.pid)
+        for t in threads:
+            t.join(timeout=600)
+        dt = time.time() - t0
+
+        check("no transport errors", not errors, errors[:3])
+        check("all analyses finished", len(results) == n_videos,
+              f"{len(results)}/{n_videos}")
+        bad = [n for n, s in results.items() if s.get("status") != "done"]
+        check("all done (no errors)", not bad, bad[:3])
+
+        dup_ok, dup_bad = 0, []
+        for name, want in expect_dup_of.items():
+            got = results.get(name, {}).get("duplicates", [])
+            if want in got:
+                dup_ok += 1
+            else:
+                dup_bad.append((name, want, got))
+        check(f"duplicate verdicts ({dup_ok}/{len(expect_dup_of)})",
+              not dup_bad, dup_bad[:3])
+        fresh = [n for n in results if n not in expect_dup_of]
+        false_pos = [n for n in fresh if results[n].get("duplicates")]
+        check("no false duplicates on originals", not false_pos,
+              false_pos[:3])
+
+        dbg = requests.get(f"{BASE}/debug/analysis-results", timeout=10).json()
+        held = len(dbg) if isinstance(dbg, list) else len(dbg.get(
+            "results", dbg))
+        check(f"registry LRU bounded (<= {MAX_RESULTS + 4})",
+              held <= MAX_RESULTS + 4, held)
+
+        rss_end = rss_mb(server.pid)
+        growth = rss_end - (rss_mid or rss_end)
+        check("RSS bounded after warmup (< 200 MB growth)",
+              growth < 200.0, f"{rss_mid:.0f} -> {rss_end:.0f} MB")
+
+        rate = n_videos / dt
+        print(f"[soak] sustained ingest: {n_videos} videos "
+              f"({n_videos * 100} frames) in {dt:.1f} s = "
+              f"{rate:.2f} videos/s, 4-way concurrent", flush=True)
+    finally:
+        server.terminate()
+        try:
+            server.wait(timeout=20)
+        except subprocess.TimeoutExpired:
+            server.kill()
+            server.wait()
+        server_log.close()
+        import shutil
+
+        shutil.rmtree("/tmp/tvidz-fake-s3", ignore_errors=True)
+
+    if failures:
+        print(f"[soak] FAILED: {failures}")
+        return 1
+    print("[soak] ALL CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

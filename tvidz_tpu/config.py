@@ -178,10 +178,16 @@ class ServiceConfig:
         return cls(
             host=_env("HOST", "0.0.0.0"),
             port=_env("PORT", 5000, int),
+            sse_poll_s=_env("SSE_POLL_S", 0.2, float),
+            sse_pending_timeout_s=_env("SSE_PENDING_TIMEOUT_S", 300.0, float),
+            max_analysis_results=_env("MAX_ANALYSIS_RESULTS", 10_000, int),
             s3_endpoint=_env("S3_ENDPOINT", "http://localstack:4566"),
             sqs_endpoint=_env("SQS_ENDPOINT", ""),
             s3_bucket=_env("S3_BUCKET", "videos"),
             sqs_queue=_env("SQS_QUEUE", "video-events"),
+            sqs_wait_s=_env("SQS_WAIT_S", 10, int),
+            sqs_idle_sleep_s=_env("SQS_IDLE_SLEEP_S", 1.0, float),
+            sqs_create_retries=_env("SQS_CREATE_RETRIES", 10, int),
             # Standard AWS env first (what real deployments set), LocalStack
             # test creds as the fallback (docker-compose.yaml:53-55).
             aws_region=os.environ.get(
