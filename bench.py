@@ -522,6 +522,8 @@ def main() -> None:
         try:
             bench_reference_python_scan()
             bench_verdict_latency()
+            # Scale margin: the same scan at 16x the north-star corpus.
+            bench_verdict_latency(corpus_n=1 << 24, iters=3, chain_k=10)
             bench_timestamp_match()
             bench_batched_clips()
             frag_p50 = bench_fragment_search()
