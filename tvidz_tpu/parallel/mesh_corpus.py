@@ -147,13 +147,13 @@ class MeshCorpus(DeviceCorpus):
             )
         self._fp_synced_count = self._fp_count
 
-    def _sync_al(self) -> None:
-        self._al_dev, self._al_len_dev = self._sync_row_sharded(
-            self._al_dev, self._al_len_dev, self._al, self._al_len,
-            self._al_sharding, self._al_dirty, self._al_full_resync,
+    def _sync_al_bucket(self, bu) -> None:
+        bu.dev, bu.len_dev = self._sync_row_sharded(
+            bu.dev, bu.len_dev, bu.buf, bu.len,
+            self._al_sharding, bu.dirty, bu.full_resync,
         )
-        self._al_full_resync = False
-        self._al_dirty.clear()
+        bu.full_resync = False
+        bu.dirty.clear()
 
     # -- sharded query kernels ------------------------------------------------------
 
