@@ -508,9 +508,16 @@ class DeviceCorpus:
         q = np.full((tq_pad, self.words), _FP_SENTINEL, np.uint32)
         q[:tq] = np.asarray(query_fps, np.uint32)
         q_dev, tq_dev = jnp.asarray(q), jnp.int32(tq)
+        # Dispatch every bucket BEFORE pulling any result: jax dispatch is
+        # async, so the per-bucket device work and host round-trips overlap
+        # instead of paying one serial RTT per bucket.
+        pending = [
+            (self._fragment_query(q_dev, tq_dev, dev, len_dev, thr),
+             vids, count)
+            for dev, len_dev, vids, count in views
+        ]
         all_vids, all_offs, all_scores = [], [], []
-        for dev, len_dev, vids, count in views:
-            offs, scores = self._fragment_query(q_dev, tq_dev, dev, len_dev, thr)
+        for (offs, scores), vids, count in pending:
             offs = np.asarray(offs)[:count]
             scores = np.asarray(scores)[:count]
             keep = vids >= 0
