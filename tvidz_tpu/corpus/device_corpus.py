@@ -264,7 +264,8 @@ class DeviceCorpus:
         else:
             seq = np.ascontiguousarray(fp)
         need = seq.shape[0]
-        bu = self._al_ensure_bucket(self._al_bucket_for(need))
+        b = self._al_bucket_for(need)
+        bu = self._al_ensure_bucket(b)
         if bu.count == bu.vcap:
             bu.grow()
         row = bu.count
@@ -273,7 +274,7 @@ class DeviceCorpus:
         bu.len[row] = need
         bu.vid[row] = video_id
         bu.dirty.add(row)
-        self._al_row[video_id] = (self._al_buckets.index(bu), row)
+        self._al_row[video_id] = (b, row)
 
     def _grow_fp(self) -> None:
         add = self._fp_cap
@@ -452,6 +453,12 @@ class DeviceCorpus:
                     out[vid] = out.get(vid, 0) + 1
         return out
 
+    def _place_fragment_query(self, q: np.ndarray):
+        """Place the padded query once per locate_fragment call — the mesh
+        override replicates it over all devices so the per-bucket dispatch
+        loop doesn't pay one broadcast per bucket."""
+        return jnp.asarray(q)
+
     def _fragment_query(self, q, q_len, al_dev, len_dev, thr):
         """Run the alignment scan — overridden by MeshCorpus with the
         corpus-sharded shard_map variant.
@@ -507,7 +514,7 @@ class DeviceCorpus:
         tq_pad = max(64, -(-tq // 64) * 64)
         q = np.full((tq_pad, self.words), _FP_SENTINEL, np.uint32)
         q[:tq] = np.asarray(query_fps, np.uint32)
-        q_dev, tq_dev = jnp.asarray(q), jnp.int32(tq)
+        q_dev, tq_dev = self._place_fragment_query(q), jnp.int32(tq)
         # Dispatch every bucket BEFORE pulling any result: jax dispatch is
         # async, so the per-bucket device work and host round-trips overlap
         # instead of paying one serial RTT per bucket.

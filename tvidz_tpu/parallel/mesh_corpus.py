@@ -170,10 +170,12 @@ class MeshCorpus(DeviceCorpus):
         q = jax.device_put(q, self._rep)
         return sharded_nearest(q, fp_dev, self.mesh, block_n=self._fp_block_n)
 
+    def _place_fragment_query(self, q):
+        return jax.device_put(q, self._rep)
+
     def _fragment_query(self, q, q_len, al_dev, len_dev, thr):
         local_v = al_dev.shape[0] // self.n_shards
         chunk = 16 if local_v % 16 == 0 else local_v
-        q = jax.device_put(q, self._rep)
         return sharded_fragment_search(
             q, q_len, al_dev, len_dev, self.mesh,
             hamming_threshold=thr, chunk=chunk,
