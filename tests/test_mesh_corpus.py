@@ -195,3 +195,36 @@ def test_locate_fragment_parity_and_sharded_sync(mesh, rng):
     assert 0 < delta <= (one_al_shard + one_len_shard) * replicas, delta
     whole_index = bu.buf.nbytes
     assert delta < whole_index, (delta, whole_index)
+
+
+def test_locate_fragments_batch_2d_parallel(mesh, rng):
+    """Batch fragment search runs one 2D-parallel dispatch per bucket
+    (queries over the data axis x videos over the corpus axis) and matches
+    per-query locate_fragment exactly — including mixed-length buckets,
+    per-query exclusions, and a query count that doesn't divide the data
+    axis."""
+    mc = _mk(mesh, hamming_threshold=5)
+    seqs = {}
+    for vid in range(1, 6):
+        seqs[vid] = rng.integers(1, 2**32 - 1, size=(96, 2), dtype=np.uint32)
+        mc.append_fingerprints(vid, seqs[vid])
+    seqs[9] = rng.integers(1, 2**32 - 1, size=(700, 2), dtype=np.uint32)
+    mc.append_fingerprints(9, seqs[9])     # lands in a larger bucket
+
+    queries = [seqs[2][10:60], seqs[9][300:420], seqs[4][5:40]]
+    excl = [None, None, 4]
+    batch = mc.locate_fragments(queries, top_k=3, exclude_video_ids=excl)
+    single = [mc.locate_fragment(q, top_k=3, exclude_video_id=e)
+              for q, e in zip(queries, excl)]
+    assert batch == single
+    assert batch[0][0] == (2, 10, 50)
+    assert batch[1][0] == (9, 300, 120)
+    assert all(h[0] != 4 for h in batch[2])
+
+    # DeviceCorpus base (serial) gives the same answers.
+    dc = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=256,
+                      fp_block_n=128, hamming_threshold=5)
+    for vid, s in seqs.items():
+        dc.append_fingerprints(vid, s)
+    assert dc.locate_fragments(queries, top_k=3,
+                               exclude_video_ids=excl) == batch

@@ -536,5 +536,29 @@ class DeviceCorpus:
         vids = np.concatenate(all_vids)
         offs = np.concatenate(all_offs)
         scores = np.concatenate(all_scores)
+        # Zero-score rows are not matches (their argmax offset is an
+        # artifact of query padding width) — drop rather than pad top_k.
+        real = scores > 0
+        vids, offs, scores = vids[real], offs[real], scores[real]
         order = np.argsort(-scores, kind="stable")[:top_k]
         return [(int(vids[i]), int(offs[i]), int(scores[i])) for i in order]
+
+    def locate_fragments(
+        self,
+        query_fps_list: Sequence[np.ndarray],
+        top_k: int = 5,
+        hamming_threshold: Optional[int] = None,
+        exclude_video_ids: Optional[Sequence[Optional[int]]] = None,
+    ) -> List[List[Tuple[int, int, int]]]:
+        """Batch fragment localization: one result list per query fragment.
+
+        Base implementation runs the queries serially; MeshCorpus overrides
+        with a single 2D-parallel dispatch (queries sharded over the data
+        axis x alignment buckets sharded over the corpus axis)."""
+        excl = exclude_video_ids or [None] * len(query_fps_list)
+        return [
+            self.locate_fragment(q, top_k=top_k,
+                                 hamming_threshold=hamming_threshold,
+                                 exclude_video_id=e)
+            for q, e in zip(query_fps_list, excl)
+        ]

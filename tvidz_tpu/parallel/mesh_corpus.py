@@ -180,3 +180,77 @@ class MeshCorpus(DeviceCorpus):
             q, q_len, al_dev, len_dev, self.mesh,
             hamming_threshold=thr, chunk=chunk,
         )
+
+    def locate_fragments(self, query_fps_list, top_k=5,
+                         hamming_threshold=None, exclude_video_ids=None):
+        """Batch fragment localization in ONE dispatch per alignment
+        bucket, using both mesh axes at once: the query batch shards over
+        ``data`` while each bucket's videos shard over ``corpus`` — every
+        device scans its (Q/data, V/corpus) tile
+        (sharded_fragment_search_batch)."""
+        from tvidz_tpu.parallel.mesh import DATA_AXIS
+        from tvidz_tpu.parallel.sharded_search import (
+            sharded_fragment_search_batch,
+        )
+
+        qn = len(query_fps_list)
+        if qn == 0:
+            return []
+        thr = (self.hamming_threshold if hamming_threshold is None
+               else hamming_threshold)
+        excl = exclude_video_ids or [None] * qn
+        with self._lock:
+            if not self._al_row:
+                return [[] for _ in range(qn)]
+            views = []
+            for bu in self._al_buckets:
+                if bu is None or bu.count == 0:
+                    continue
+                self._sync_al_bucket(bu)
+                views.append((bu.dev, bu.len_dev, bu.vid[: bu.count].copy(),
+                              bu.count))
+        tq_max = max(int(q.shape[0]) for q in query_fps_list)
+        tq_pad = max(64, -(-tq_max // 64) * 64)
+        data_n = self.mesh.shape[DATA_AXIS]
+        q_pad = -(-qn // data_n) * data_n
+        from tvidz_tpu.corpus.device_corpus import _FP_SENTINEL
+
+        qbuf = np.full((q_pad, tq_pad, self.words), _FP_SENTINEL, np.uint32)
+        qlens = np.zeros(q_pad, np.int32)
+        for i, q in enumerate(query_fps_list):
+            qbuf[i, : q.shape[0]] = np.asarray(q, np.uint32)
+            qlens[i] = q.shape[0]
+        q_sh = NamedSharding(self.mesh, P("data", None, None))
+        ql_sh = NamedSharding(self.mesh, P("data"))
+        q_dev = jax.device_put(qbuf, q_sh)
+        ql_dev = jax.device_put(qlens, ql_sh)
+        pending = []
+        for dev, len_dev, vids, count in views:
+            local_v = dev.shape[0] // self.n_shards
+            chunk = 16 if local_v % 16 == 0 else local_v
+            pending.append((sharded_fragment_search_batch(
+                q_dev, ql_dev, dev, len_dev, self.mesh,
+                hamming_threshold=thr, chunk=chunk,
+            ), vids, count))
+        out: list = [[] for _ in range(qn)]
+        per_q: list = [([], [], []) for _ in range(qn)]
+        for (offs, scores), vids, count in pending:
+            offs = np.asarray(offs)[:qn, :count]
+            scores = np.asarray(scores)[:qn, :count]
+            for i in range(qn):
+                keep = vids >= 0
+                if excl[i] is not None:
+                    keep = keep & (vids != excl[i])
+                per_q[i][0].append(vids[keep])
+                per_q[i][1].append(offs[i][keep])
+                per_q[i][2].append(scores[i][keep])
+        for i in range(qn):
+            vids = np.concatenate(per_q[i][0])
+            offs = np.concatenate(per_q[i][1])
+            scores = np.concatenate(per_q[i][2])
+            real = scores > 0          # padding-artifact rows are not matches
+            vids, offs, scores = vids[real], offs[real], scores[real]
+            order = np.argsort(-scores, kind="stable")[:top_k]
+            out[i] = [(int(vids[j]), int(offs[j]), int(scores[j]))
+                      for j in order]
+        return out

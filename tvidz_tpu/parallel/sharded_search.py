@@ -251,6 +251,61 @@ def sharded_fragment_search(
               corpus_fp, corpus_len)
 
 
+def sharded_fragment_search_batch(
+    q_fp: jnp.ndarray,         # (Q, Tq_pad, W) uint32 — sharded over Q (data)
+    q_len: jnp.ndarray,        # (Q,) int32 — sharded over Q
+    corpus_fp: jnp.ndarray,    # (V, Tc, W) alignment index — sharded over V
+    corpus_len: jnp.ndarray,   # (V,) int32 — sharded over V
+    mesh: Mesh,
+    hamming_threshold: int = 10,
+    chunk: int = 16,
+    use_mxu: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch fragment localization using BOTH mesh axes at once: queries
+    shard over ``data``, the alignment index over ``corpus``, so each
+    device scans its (Q/data, V/corpus) tile — the full 2D SPMD shape of
+    the mesh (bulk partial-reuse audits: locate every fragment of a batch
+    in one dispatch).
+
+    Returns replicated (Q, V) offsets and (Q, V) scores. Q must divide by
+    the data axis, V by the corpus axis; ``chunk`` must divide the
+    per-shard V.
+    """
+    from tvidz_tpu.parallel.mesh import DATA_AXIS
+    from tvidz_tpu.ops.align import fragment_core
+
+    if use_mxu is None:
+        use_mxu = jax.default_backend() == "tpu"
+
+    def local(qs, qls, c_fp, c_len):
+        def one(q, ql):
+            return fragment_core(
+                q, ql, c_fp, c_len, hamming_threshold, chunk, use_mxu
+            )
+
+        offs, scores = jax.vmap(one)(qs, qls)       # (Qloc, Vloc) each
+        # Merge the 2D tiles: corpus-axis gather completes each query's
+        # row, data-axis gather completes the query batch; both outputs
+        # replicate (the sharded-output invariant).
+        offs = jax.lax.all_gather(offs, CORPUS_AXIS, axis=1, tiled=True)
+        scores = jax.lax.all_gather(scores, CORPUS_AXIS, axis=1, tiled=True)
+        offs = jax.lax.all_gather(offs, DATA_AXIS, axis=0, tiled=True)
+        scores = jax.lax.all_gather(scores, DATA_AXIS, axis=0, tiled=True)
+        return offs, scores
+
+    from tvidz_tpu.parallel.mesh import DATA_AXIS as _DA
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(_DA, None, None), P(_DA),
+                  P(CORPUS_AXIS, None, None), P(CORPUS_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,  # all_gather outputs ARE replicated
+    )
+    return fn(q_fp, q_len, corpus_fp, corpus_len)
+
+
 class ShardedCorpus:
     """Host-side wrapper placing corpus arrays with corpus-axis shardings and
     issuing sharded queries. The multi-chip sibling of DeviceCorpus (same
