@@ -216,6 +216,22 @@ def main() -> int:
               bool(fmatches) and fmatches[0]["filename"] == f"orig.{ext}"
               and fmatches[0]["match_count"] >= 30,
               fmatches[:1])
+        # Batch variant: two spans in one request, first must agree with
+        # the single route (in --mesh mode this is the 2D-parallel path).
+        fb = requests.post(f"{BASE}/search/fragments", json={
+            "queries": [
+                {"filename": f"orig.{ext}", "start_frame": 70,
+                 "num_frames": 40},
+                {"filename": f"orig.{ext}", "start_frame": 20,
+                 "num_frames": 30},
+            ], "top_k": 3}, timeout=120)
+        check("fragment batch http", fb.status_code == 200, fb.status_code)
+        fres = fb.json().get("results", []) if fb.status_code == 200 else []
+        check("fragment batch agrees",
+              len(fres) == 2 and fres[0]["matches"] == fmatches
+              and fres[1]["matches"]
+              and fres[1]["matches"][0]["filename"] == f"orig.{ext}",
+              [r["matches"][:1] for r in fres])
 
         dbg = requests.get(f"{BASE}/debug/videos").json()
         check("debug videos", dbg.get("count") == 2, dbg.get("count"))

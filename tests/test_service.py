@@ -260,6 +260,46 @@ def test_search_fragment_route(app, client):
                        json_body={"filename": "ghost.y4m"}).status_code == 404
 
 
+def test_search_fragments_batch_route(app, client):
+    """Batch partial-reuse route: one request, one result list per query,
+    identical to the single route's answers."""
+    app.start_poller()
+    s3 = app.s3
+    app.config.pipeline.early_exit = False
+    first = _upload_and_wait(app, client, s3, "bat-src.y4m", seed=44,
+                             cut_frames=(60,))
+    assert first["status"] == "done"
+    second = _upload_and_wait(app, client, s3, "777-bat-src.y4m", seed=44,
+                              cut_frames=(60,))
+    assert second["status"] == "done"
+    r = client.post("/search/fragments", json_body={
+        "queries": [
+            {"filename": "bat-src.y4m", "start_frame": 100, "num_frames": 40},
+            {"filename": "bat-src.y4m", "start_frame": 70, "num_frames": 30},
+        ],
+        "top_k": 2,
+    })
+    assert r.status_code == 200
+    results = r.get_json()["results"]
+    assert len(results) == 2
+    for spec, res in zip((100, 70), results):
+        assert res["query"]["start_frame"] == spec
+        assert res["matches"], res
+        assert res["matches"][0]["filename"] == "bat-src.y4m"
+        assert res["matches"][0]["match_count"] >= 25
+    # Batch answers match the single route.
+    single = client.post("/search/fragment", json_body={
+        "filename": "bat-src.y4m", "start_frame": 100, "num_frames": 40,
+        "top_k": 2,
+    }).get_json()
+    assert results[0]["matches"] == single["matches"]
+
+    # error paths
+    assert client.post("/search/fragments", json_body={}).status_code == 400
+    assert client.post("/search/fragments", json_body={
+        "queries": [{"filename": "ghost.y4m"}]}).status_code == 404
+
+
 def test_status_survives_restart(app, client, tmp_path):
     """The reference returns 'pending' forever for pre-restart uploads
     (in-memory results, app.py:28; SURVEY §3.4). We rebuild 'done' states

@@ -391,6 +391,64 @@ class InspectorApp:
                                       "num_frames": int(frag.shape[0])},
                             "matches": resolved})
 
+        @app.route("/search/fragments", methods=["POST"])
+        def search_fragments(request: Request):
+            """Batch partial-reuse search: locate several spans in one
+            request. Body: {"queries": [{"filename": ..., "start_frame":
+            int, "num_frames": int, "exclude_self": bool}, ...],
+            "top_k": int}. On a mesh service this runs 2D-parallel
+            (queries over the data axis x corpus videos over the corpus
+            axis, MeshCorpus.locate_fragments)."""
+            body = request.get_json(silent=True) or {}
+            queries = body.get("queries")
+            if not isinstance(queries, list) or not queries:
+                return jsonify({"error": "queries list required"}, 400)
+            try:
+                top_k = int(body.get("top_k", 5))
+            except (TypeError, ValueError):
+                return jsonify({"error": "top_k must be an integer"}, 400)
+            frags, excls, metas = [], [], []
+            for spec in queries:
+                filename = (spec or {}).get("filename")
+                if not filename:
+                    return jsonify({"error": "filename required"}, 400)
+                video = self.store.get_video_by_filename(filename)
+                if video is None:
+                    return jsonify(
+                        {"error": f"unknown video {filename}"}, 404)
+                fps = self.store.get_fingerprints(video.id)
+                if fps is None or fps.shape[0] == 0:
+                    return jsonify(
+                        {"error": f"no fingerprints for {filename}"}, 404)
+                start = int(spec.get("start_frame", 0))
+                num = int(spec.get("num_frames", min(64, fps.shape[0])))
+                frag = fps[start : start + num]
+                if frag.shape[0] == 0:
+                    return jsonify({"error": "empty fragment span"}, 400)
+                frags.append(frag)
+                excls.append(
+                    video.id if spec.get("exclude_self", True) else None)
+                metas.append((filename, start, int(frag.shape[0])))
+            batch = self.corpus.locate_fragments(
+                frags, top_k=top_k, exclude_video_ids=excls)
+            out = []
+            for (filename, start, nf), hits in zip(metas, batch):
+                resolved = []
+                for vid, offset, score in hits:
+                    v = self.store.get_video_by_id(vid)
+                    resolved.append({
+                        "video_id": vid,
+                        "filename": v.filename if v else None,
+                        "offset_frames": offset,
+                        "match_count": score,
+                        "fragment_frames": nf,
+                    })
+                out.append({"query": {"filename": filename,
+                                      "start_frame": start,
+                                      "num_frames": nf},
+                            "matches": resolved})
+            return jsonify({"results": out})
+
         @app.route("/search/video", methods=["POST"])
         def search_video(request: Request):
             """Query-without-ingest: POST a raw video body, get verdicts
