@@ -143,3 +143,33 @@ def test_fragment_search_mxu_matches_xor(rng):
     best = int(np.argmax(np.asarray(s1)))
     assert best == 7 and int(np.asarray(o1)[best]) == 30
     assert int(np.asarray(s1)[best]) == q_real
+
+
+def test_diag_scores_property_vs_naive(rng):
+    """The log-tree static-shift combine must equal the naive anti-diagonal
+    sum for every shape class: odd/even row counts, single row, row counts
+    crossing the int8->int32 widening boundary (partial sums reach 128 at
+    tree shift 64), and all-ones worst-case accumulation."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.align import _diag_scores
+
+    def naive(match):
+        m, n = match.shape
+        out = np.zeros(n + m - 1, np.int64)
+        for t in range(m):
+            for c in range(n):
+                out[c - t + m - 1] += match[t, c]
+        return out
+
+    shapes = [(1, 5), (2, 3), (3, 7), (63, 17), (64, 16), (65, 33),
+              (127, 5), (128, 9), (129, 40), (200, 130)]
+    for m, n in shapes:
+        match = (rng.random((m, n)) < 0.5).astype(np.int32)
+        got = np.asarray(_diag_scores(jnp.asarray(match)))
+        np.testing.assert_array_equal(got, naive(match), err_msg=f"{(m, n)}")
+    # All ones: every partial sum at its maximum (overflow probe).
+    for m in (64, 127, 128, 200, 300):
+        ones = np.ones((m, 64), np.int32)
+        got = np.asarray(_diag_scores(jnp.asarray(ones)))
+        np.testing.assert_array_equal(got, naive(ones), err_msg=f"ones {m}")

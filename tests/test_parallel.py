@@ -132,3 +132,37 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_fragment_search_batch_matches_core(mesh, rng):
+    """Kernel-level parity: the 2D (data x corpus) batch search equals
+    fragment_core run per query on the unsharded index."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.align import fragment_core
+    from tvidz_tpu.parallel.sharded_search import (
+        sharded_fragment_search_batch,
+    )
+
+    v, tc, tq_pad = 8, 64, 64
+    corpus = rng.integers(1, 2**32 - 1, size=(v, tc, 2), dtype=np.uint32)
+    lens = rng.integers(16, tc + 1, size=v).astype(np.int32)
+    qs = np.full((4, tq_pad, 2), 0xFFFFFFFF, np.uint32)
+    qlens = np.asarray([30, 20, 40, 12], np.int32)
+    for i, ln in enumerate(qlens):
+        src = int(rng.integers(0, v))
+        qs[i, :ln] = corpus[src, : int(ln)]
+    with mesh:
+        offs, scores = sharded_fragment_search_batch(
+            jnp.asarray(qs), jnp.asarray(qlens), jnp.asarray(corpus),
+            jnp.asarray(lens), mesh, hamming_threshold=5, chunk=2,
+        )
+    offs, scores = np.asarray(offs), np.asarray(scores)
+    assert offs.shape == scores.shape == (4, v)
+    for i in range(4):
+        o_ref, s_ref = fragment_core(
+            jnp.asarray(qs[i]), jnp.int32(qlens[i]), jnp.asarray(corpus),
+            jnp.asarray(lens), 5, 2, use_mxu=False,
+        )
+        np.testing.assert_array_equal(offs[i], np.asarray(o_ref))
+        np.testing.assert_array_equal(scores[i], np.asarray(s_ref))
