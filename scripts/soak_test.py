@@ -8,7 +8,7 @@ What it checks beyond the integration test's 2-upload flow:
   and process RSS stops growing once warm — no per-upload leak;
 - reports the sustained ingest rate.
 
-Usage: python scripts/soak_test.py [--videos N]  (CPU platform; ~2 min)
+Usage: python scripts/soak_test.py [--videos N] [--mesh]  (CPU; ~2 min)
 """
 
 from __future__ import annotations
@@ -47,6 +47,11 @@ def main() -> int:
     n_videos = 40
     if "--videos" in sys.argv:
         n_videos = int(sys.argv[sys.argv.index("--videos") + 1])
+    # --mesh: sustained ingest against the sharded-corpus service (8
+    # virtual CPU devices; slower per video on 1 host core, so fewer).
+    mesh_mode = "--mesh" in sys.argv
+    if mesh_mode and "--videos" not in sys.argv:
+        n_videos = 20
 
     bucket_dir = os.path.join("/tmp/tvidz-fake-s3", "videos")
     os.makedirs(bucket_dir, exist_ok=True)
@@ -55,11 +60,16 @@ def main() -> int:
         "TVIDZ_JAX_PLATFORM": "cpu",
         "TVIDZ_MAX_ANALYSIS_RESULTS": str(MAX_RESULTS),
     }
+    if mesh_mode:
+        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                            + " --xla_force_host_platform_device_count=8"
+                            ).strip()
     # Server logs go to a FILE: a PIPE nobody drains fills at ~64KB and
     # blocks the server mid-request (observed as a healthz-wait deadlock).
     server_log = open("/tmp/tvidz-soak-server.log", "w")
     server = subprocess.Popen(
         [sys.executable, "-m", "tvidz_tpu.service.entrypoint", "--fake-aws",
+         *(["--mesh"] if mesh_mode else []),
          "--db", "sqlite:///:memory:", "--host", "127.0.0.1",
          "--port", str(PORT)],
         cwd=ROOT, env=env,
