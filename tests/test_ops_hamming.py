@@ -60,3 +60,31 @@ def test_corpus_min_distance_finds_planted_duplicate(rng):
     _, q_min, q_arg = corpus_min_distance(jnp.asarray(q), jnp.asarray(c), block_n=bn)
     assert int(q_min[3]) == 0
     assert int(q_arg[3]) == 777
+
+
+def test_corpus_min_distance_pads_arbitrary_sizes(rng):
+    """The convenience wrapper must accept corpora/queries of ANY size
+    (internal padding), and padding must never bias results — pads are
+    duplicates of row 0, since hamming space has no 'infinitely far' value
+    (a sentinel like all-ones is CLOSE to a mostly-ones query)."""
+    from tvidz_tpu.ops import golden
+    from tvidz_tpu.ops.hamming import corpus_min_distance, corpus_nearest
+
+    corpus = rng.integers(0, 2**32, size=(3000, 2), dtype=np.uint32)
+    # A mostly-ones query: nearest to an all-ones sentinel pad if one existed.
+    q = np.vstack([
+        np.full((1, 2), 0xFFFFFFFE, np.uint32),
+        rng.integers(0, 2**32, size=(4, 2), dtype=np.uint32),
+    ])  # M=5: not a multiple of 8 either
+    frame_min, q_min, q_arg = corpus_min_distance(
+        jnp.asarray(q), jnp.asarray(corpus))
+    d = golden.hamming_matrix(q, corpus)
+    np.testing.assert_array_equal(np.asarray(q_min), d.min(axis=1))
+    np.testing.assert_array_equal(np.asarray(frame_min), d.min(axis=0))
+    # argmin distance must equal the min (ties may pick any argmin).
+    got_arg = np.asarray(q_arg)
+    assert got_arg.shape == (5,)
+    for i in range(5):
+        assert d[i, got_arg[i]] == d[i].min()
+    qm, qa = corpus_nearest(jnp.asarray(q), jnp.asarray(corpus))
+    np.testing.assert_array_equal(np.asarray(qm), d.min(axis=1))

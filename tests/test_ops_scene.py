@@ -52,3 +52,26 @@ def test_first_frame_scores_zero(rng):
     carry = initial_scene_carry(24, 32)
     got, _ = scene_scores_block(jnp.asarray(video), carry)
     assert float(got[0]) == 0.0
+
+
+def test_padded_short_midstream_block_keeps_carry_exact(rng):
+    """Callers pad short blocks by repeating the last frame; the carry must
+    reflect the last REAL frame, or the pad rows' mafd=0 poisons the next
+    block's first score (review finding: 0.874 spurious cut vs golden
+    0.018). Processing [4 real + 4 pad] then [8 real] must equal golden on
+    the unpadded stream."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops import golden
+    from tvidz_tpu.ops.scene import initial_scene_carry, scene_scores_block
+
+    frames = rng.integers(0, 256, size=(12, 24, 32), dtype=np.uint8)
+    want = golden.scene_scores(frames)
+
+    carry = initial_scene_carry(24, 32)
+    first = np.concatenate([frames[:4], np.repeat(frames[3:4], 4, axis=0)])
+    s1, carry = scene_scores_block(jnp.asarray(first), carry,
+                                   valid_t=jnp.int32(4))
+    s2, _ = scene_scores_block(jnp.asarray(frames[4:12]), carry)
+    got = np.concatenate([np.asarray(s1)[:4], np.asarray(s2)])
+    np.testing.assert_allclose(got, want, atol=1e-5)

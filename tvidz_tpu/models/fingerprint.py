@@ -49,11 +49,13 @@ class FingerprintModel:
         return initial_fingerprint_carry(self.height, self.width)
 
     def forward(
-        self, luma_block: jnp.ndarray, carry: FingerprintCarry
+        self, luma_block: jnp.ndarray, carry: FingerprintCarry,
+        valid_t=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, FingerprintCarry]:
         return fingerprint_block(
             luma_block, carry, dct_size=self.dct_size,
             hash_size=self.hash_size, algorithm=self.algorithm,
+            valid_t=valid_t,
         )
 
     def example_inputs(self) -> Tuple[jnp.ndarray, FingerprintCarry]:
@@ -127,7 +129,9 @@ class FingerprintModel:
             buf = block.luma
             if t < bt:
                 buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
-            scores_dev, fps, carry = self.forward(jnp.asarray(buf), carry)
+            scores_dev, fps, carry = self.forward(
+                jnp.asarray(buf), carry,
+                valid_t=jnp.int32(t) if t < bt else None)
             scores = scorer.scores(block, scores_dev, t)
             fps_out.append(np.asarray(fps)[:t])
             for i in np.nonzero(scores > self.config.scene.threshold)[0]:

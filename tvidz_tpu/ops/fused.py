@@ -42,16 +42,19 @@ def fingerprint_block(
     dct_size: int = 32,
     hash_size: int = 8,
     algorithm: str = "phash",
+    valid_t=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, FingerprintCarry]:
     """Returns (scores (T,) f32, fingerprints (T, words) uint32, new carry).
 
     ``algorithm`` selects the fingerprint family (ops/hashes.HASH_REGISTRY:
     ahash / dhash / phash / phash256); "phash" honors dct_size/hash_size.
+    ``valid_t`` (dynamic int32): real frame count of a padded short block —
+    keeps the scene carry on the last REAL frame (see scene_scores_block).
     """
     # Convert uint8 -> f32 once; both consumers treat f32 input as a no-op
     # cast, so the frame is widened a single time per block.
     xf = luma.astype(jnp.float32)
-    scores, scene_carry = scene_scores_block(xf, carry.scene)
+    scores, scene_carry = scene_scores_block(xf, carry.scene, valid_t=valid_t)
     if algorithm == "phash":
         fps = phash_batched(xf, dct_size=dct_size, hash_size=hash_size)
     else:

@@ -165,6 +165,10 @@ def fingerprint_stream_pallas(
     assert hash_size * hash_size == 64, "pallas path is 64-bit pHash only"
     ntot, h, w = luma.shape
     assert ntot % block_frames == 0, (ntot, block_frames)
+    # The prev-window BlockSpec index map addresses blocks in 8-row units
+    # (i * (block_frames // 8) - 1); a non-multiple-of-8 block size would
+    # SILENTLY mis-score every block-boundary frame (verified), not error.
+    assert block_frames % 8 == 0, block_frames
     nb = ntot // block_frames
     hw = h * w
     x2d = luma.reshape(ntot, hw)

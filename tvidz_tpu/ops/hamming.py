@@ -179,9 +179,38 @@ def corpus_min_distance(
     q: jnp.ndarray, corpus: jnp.ndarray, block_n: int = 2048
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Row-major (N, W) convenience wrapper over corpus_min_distance_t.
-    Callers holding a long-lived corpus should store it transposed and call
-    corpus_min_distance_t directly to avoid the per-call transpose."""
-    return corpus_min_distance_t(q, jnp.transpose(corpus), block_n=block_n)
+
+    Unlike the production-path _t variant (which demands pre-padded
+    layouts), this pads arbitrary N to the block multiple and M to the
+    8-row sublane multiple with 0xFFFFFFFF sentinels internally and slices
+    the outputs back — the convenience path must not assert on arbitrary
+    corpora. Callers holding a long-lived corpus should store it transposed
+    and call corpus_min_distance_t directly to avoid the per-call transpose
+    and padding."""
+    n, w = corpus.shape
+    if n == 0:
+        raise ValueError("empty corpus")
+    m = q.shape[0]
+    blk = min(block_n, max(128, -(-n // 128) * 128))
+    n_pad = -(-n // blk) * blk
+    m_pad = -(-m // 8) * 8
+    if n_pad != n:
+        # Pad with DUPLICATES of row 0, not sentinels: hamming space has no
+        # 'infinitely far' value (any constant is near its complements), but
+        # a duplicate of a real row can never change any query's minimum.
+        corpus = jnp.concatenate(
+            [corpus, jnp.broadcast_to(corpus[0], (n_pad - n, w))], axis=0)
+    if m_pad != m:
+        q = jnp.concatenate(
+            [q, jnp.broadcast_to(q[0] if m else jnp.zeros(w, jnp.uint32),
+                                 (m_pad - m, w))], axis=0)
+    frame_min, q_min, q_arg = corpus_min_distance_t(
+        q, jnp.transpose(corpus), block_n=blk
+    )
+    # An argmin that landed on a pad duplicate maps back to row 0 (same
+    # distance by construction).
+    q_arg = jnp.where(q_arg >= n, 0, q_arg)
+    return frame_min[:n], q_min[:m], q_arg[:m]
 
 
 def corpus_nearest(

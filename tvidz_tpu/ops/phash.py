@@ -16,9 +16,10 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from tvidz_tpu.ops.dct import dct_matrix
-from tvidz_tpu.ops.resize import resize_matrices
+from tvidz_tpu.ops.dct import _dct_matrix_np
+from tvidz_tpu.ops.resize import _resize_matrices_np
 
 
 def _pack_bits_u32(bits: jnp.ndarray) -> jnp.ndarray:
@@ -47,18 +48,26 @@ def phash_bits_batched(
     if hash_size > dct_size:
         raise ValueError(f"hash_size {hash_size} > dct_size {dct_size}")
     t, h, w = luma.shape
-    ph, pw = resize_matrices(h, w, dct_size, dct_size)
-    d = dct_matrix(dct_size)
+    ph, pw = _resize_matrices_np(h, w, dct_size, dct_size)
+    d = _dct_matrix_np(dct_size)
     x = luma.astype(jnp.float32)
     # Fold resize and DCT into single per-side operators: (D @ P_h), (D @ P_w).
     # coeffs = D (P_h X P_w^T) D^T = (D P_h) X (D P_w)^T — two matmuls total.
+    # The fold runs HOST-SIDE in float64: as a traced device matmul it
+    # would run at Precision.DEFAULT (bf16 passes whenever XLA doesn't
+    # constant-fold it), perturbing the operator by ~1e-3 relative and
+    # flipping median-adjacent hash bits — the exact failure mode the
+    # HIGHEST annotation below guards against (CLAUDE.md invariant).
     # Only the low (hash_size, hash_size) coefficient block feeds the hash,
     # so slice the OPERATORS to their first hash_size rows instead of
     # computing the full (S, S) DCT and slicing the result — each retained
-    # element is the identical dot product (bit-exact, golden-pinned), at
-    # (S/hash_size)x fewer MXU FLOPs on the fingerprint hot path.
-    left = (d @ ph)[:hash_size]       # (h, H)
-    right = (d @ pw)[:hash_size]      # (h, W)
+    # element is the identical dot product at (S/hash_size)x fewer MXU
+    # FLOPs on the fingerprint hot path.
+    d64 = np.asarray(d, np.float64)
+    left = jnp.asarray((d64 @ np.asarray(ph, np.float64))[:hash_size],
+                       jnp.float32)   # (h, H)
+    right = jnp.asarray((d64 @ np.asarray(pw, np.float64))[:hash_size],
+                        jnp.float32)  # (h, W)
     # HIGHEST precision: coefficients are thresholded at their median, so
     # bf16 MXU noise would flip hash bits nondeterministically.
     low = jnp.einsum(

@@ -99,7 +99,7 @@ class NativeSceneScorer:
 
 
 def scene_scores_block(
-    luma: jnp.ndarray, carry: SceneCarry
+    luma: jnp.ndarray, carry: SceneCarry, valid_t=None
 ) -> Tuple[jnp.ndarray, SceneCarry]:
     """Score one (T, H, W) block of luma frames.
 
@@ -107,6 +107,14 @@ def scene_scores_block(
     frame 0 is differenced against the zero-filled carry frame — that mafd is
     meaningless, so both its score and its contribution to frame 1's
     ``prev_mafd`` are masked to 0, which is exactly FFmpeg's startup state.
+
+    ``valid_t`` (dynamic int32, optional): number of REAL frames when the
+    block was padded to the static shape (callers repeat the last frame).
+    The carry then reflects frame valid_t-1, NOT the last pad row — pad
+    rows have mafd 0 (they duplicate their predecessor), and carrying that
+    0 into the next block would score a spurious cut at its first frame
+    (measured 0.874 vs golden 0.018). Scores at positions >= valid_t are
+    meaningless and must be dropped by the caller either way.
     """
     t = luma.shape[0]
     # Flatten pixels before the shifted concat: concatenating along axis 0 of
@@ -121,9 +129,14 @@ def scene_scores_block(
     diff = jnp.abs(mafd - prev_mafd)
     scores = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
     scores = jnp.where(is_stream_start, 0.0, scores)
+    if valid_t is None:
+        last_frame, last_mafd = x[-1], mafd[-1]
+    else:
+        idx = jnp.asarray(valid_t, jnp.int32) - 1
+        last_frame, last_mafd = x[idx], mafd[idx]
     new_carry = SceneCarry(
-        prev_frame=luma[-1].astype(jnp.float32),
-        prev_mafd=mafd[-1],
+        prev_frame=last_frame.reshape(luma.shape[1:]),
+        prev_mafd=last_mafd,
         has_prev=jnp.ones((), bool),
     )
     return scores, new_carry

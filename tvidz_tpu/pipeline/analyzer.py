@@ -329,6 +329,9 @@ class Analyzer:
                         jnp.asarray(luma), carry,
                         dct_size=cfg.hash.dct_size, hash_size=cfg.hash.hash_size,
                         algorithm=cfg.hash.algorithm,
+                        # Keep the scene carry on the last REAL frame of a
+                        # padded short block (ops/scene.py valid_t).
+                        valid_t=jnp.int32(t) if t < block_t else None,
                     )
                     scores = scene_scorer.scores(block, scores_dev, t)
                     fps = np.asarray(fps_dev)[:t]

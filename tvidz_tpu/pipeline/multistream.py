@@ -122,7 +122,9 @@ def fingerprint_streams(
             if t < bt:
                 buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
             t0 = time.perf_counter()
-            scores_dev, fps_dev, s.carry = model.forward(jnp.asarray(buf), s.carry)
+            scores_dev, fps_dev, s.carry = model.forward(
+                jnp.asarray(buf), s.carry,
+                valid_t=jnp.int32(t) if t < bt else None)
             scores = s.scorer.scores(block, scores_dev, t)
             fps = np.asarray(fps_dev)[:t]
             device_s += time.perf_counter() - t0
