@@ -121,18 +121,16 @@ def test_incremental_sync_transfer_is_bounded(rng):
     q = mc._fp[:8].copy()
     mc.nearest_video_counts(q)
 
-    # Incremental: one dirty ts row + one appended fp block.
-    # Corpus shards are replicated across the mesh's data axis: a dirty
-    # shard re-uploads once per replica device.
-    replicas = jax.device_count() // n_shards
+    # Incremental: one dirty ts row + one appended fp block. A dirty shard
+    # crosses host->device once; data-axis replicas get D2D copies.
     base = mc.sync_bytes_transferred
     mc.upsert_timestamps(3, [100.0, 101.0])
     mc.match_timestamps([100.0, 101.0], min_match=2)
     ts_shard_bytes = (mc._ts_cap // n_shards) * mc.max_cuts * 4
     len_shard_bytes = (mc._ts_cap // n_shards) * 4
     delta = mc.sync_bytes_transferred - base
-    assert delta <= replicas * (ts_shard_bytes + len_shard_bytes)
-    assert delta < replicas * mc._ts.nbytes  # less than a full re-upload
+    assert delta <= ts_shard_bytes + len_shard_bytes
+    assert delta < mc._ts.nbytes  # less than a full re-upload
 
     base = mc.sync_bytes_transferred
     mc.append_fingerprints(99, rng.integers(0, 2**32, size=(64, 2),
@@ -142,9 +140,9 @@ def test_incremental_sync_transfer_is_bounded(rng):
     assert counts.get(99, 0) == 8          # new columns ARE visible
     fp_shard_bytes = (mc._fp_cap // n_shards) * mc.words * 4
     delta = mc.sync_bytes_transferred - base
-    # <= (straddle allowance of 2 shards) x replicas
-    assert 0 < delta <= 2 * replicas * fp_shard_bytes
-    assert delta < replicas * mc._fp.nbytes
+    # <= straddle allowance of 2 shards, one host upload each
+    assert 0 < delta <= 2 * fp_shard_bytes
+    assert delta < mc._fp.nbytes
 
     # Results identical to a fresh full placement.
     mc2 = MeshCorpus(mesh, ts_initial_capacity=64, fp_initial_capacity=8192,
@@ -189,10 +187,9 @@ def test_locate_fragment_parity_and_sharded_sync(mesh, rng):
     rows_per_shard = bu.vcap // mc.n_shards
     one_al_shard = rows_per_shard * bu.tcap * mc.words * 4
     one_len_shard = rows_per_shard * 4
-    # Each corpus shard is replicated across the data axis: one upload per
-    # data replica, still O(one shard), never O(corpus).
-    replicas = int(np.prod(mesh.devices.shape)) // mc.n_shards
-    assert 0 < delta <= (one_al_shard + one_len_shard) * replicas, delta
+    # Each dirty shard crosses host->device ONCE; data-axis replicas get
+    # device-to-device copies that don't count as host upload bytes.
+    assert 0 < delta <= one_al_shard + one_len_shard, delta
     whole_index = bu.buf.nbytes
     assert delta < whole_index, (delta, whole_index)
 

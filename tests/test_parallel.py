@@ -166,3 +166,68 @@ def test_sharded_fragment_search_batch_matches_core(mesh, rng):
         )
         np.testing.assert_array_equal(offs[i], np.asarray(o_ref))
         np.testing.assert_array_equal(scores[i], np.asarray(s_ref))
+
+
+def test_sharded_nearest_fingerprints_drops_padding(mesh, rng):
+    """A small corpus padded to the shard multiple must not return sentinel
+    (video_id -1) rows from top-k — all-ones padding is CLOSE to a
+    mostly-ones query (review finding)."""
+    from tvidz_tpu.parallel.sharded_search import ShardedCorpus
+
+    sc = ShardedCorpus(mesh, max_cuts=8)
+    fps = rng.integers(0, 2**32, size=(6, 2), dtype=np.uint32)
+    with mesh:
+        sc.load_fingerprints(fps, np.arange(6, dtype=np.int32))
+        q = np.full((1, 2), 0xFFFFFFF0, np.uint32)   # near the sentinel
+        nn = sc.nearest_fingerprints(q, k=16)
+    assert nn[0], "should still return the real rows"
+    assert all(vid >= 0 for _, _, vid in nn[0]), nn[0]
+    assert all(idx < 6 for _, idx, _ in nn[0]), nn[0]
+
+
+def test_multichip_step_rounds_pts_to_analyzer_boundary(mesh, rng):
+    """Cut timestamps extracted device-side must match a corpus built from
+    the analyzer's 6-decimal-rounded values under EXACT equality (review
+    finding: raw f32 pts like 1/3 never matched round(1/3, 6))."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.parallel.step import (
+        multichip_analysis_step,
+        place_step_inputs,
+    )
+
+    b, nt, t, h, w = 2, 2, 8, 24, 32
+    rng2 = np.random.default_rng(0)
+    clips = rng2.integers(0, 256, size=(b, nt, t, h, w), dtype=np.uint8)
+    # Non-terminating pts (30000/1001 fps timeline).
+    pts = np.tile(np.arange(nt * t, dtype=np.float32) * (1001 / 30000.0),
+                  (b, 1))
+    # mafd crafted so frames 3 and 7 are cuts (mafd jumps over 30 -> >0.3).
+    mafd = np.full((b, nt * t), 1.0, np.float32)
+    mafd[:, 3] = 80.0
+    mafd[:, 7] = 60.0
+    # Corpus row stores the ANALYZER-rounded timestamps of those cuts.
+    expect = [round(float(pts[0, 3]), 6), round(float(pts[0, 7]), 6)]
+    n_rows = 8 * mesh.shape["corpus"]
+    corpus_ts = np.full((n_rows, 16), np.nan, np.float32)
+    corpus_ts[0, :2] = expect
+    corpus_len = np.zeros(n_rows, np.int32)
+    corpus_len[0] = 2
+    corpus_fp = rng2.integers(0, 2**32,
+                              size=(128 * mesh.shape["corpus"], 2),
+                              dtype=np.uint32)
+    with mesh:
+        args = place_step_inputs(mesh, clips, pts, corpus_ts, corpus_len,
+                                 corpus_fp)
+        out = multichip_analysis_step(
+            *args, mesh=mesh, max_cuts=8,
+            mafd=jnp.asarray(mafd))
+        counts = np.asarray(out.ts_counts)
+    assert counts[0, 0] == 2, counts[:, :2]   # both rounded cuts matched
+
+    # The mafd path reproduces golden f_select scores exactly.
+    from tvidz_tpu.ops import golden
+    prev = np.concatenate([[0.0], mafd[0, :-1]])
+    want = np.clip(np.minimum(mafd[0], np.abs(mafd[0] - prev)) / 100, 0, 1)
+    want[0] = 0.0
+    np.testing.assert_allclose(np.asarray(out.scores)[0], want, atol=1e-6)

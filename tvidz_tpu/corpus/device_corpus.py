@@ -372,11 +372,13 @@ class DeviceCorpus:
         counts = np.asarray(
             self._ts_counts(jnp.asarray(q), ts_dev, len_dev, tolerance)
         )[:count_n]
-        out = []
-        for i in range(count_n):
-            if counts[i] >= min_match and vids[i] != exclude_video_id:
-                out.append((int(vids[i]), int(counts[i])))
-        return out
+        # Vectorized post-filter: a Python row loop would dominate the ~ms
+        # device verdict at 100k+ stored videos.
+        keep = counts >= min_match
+        if exclude_video_id is not None:
+            keep &= vids != exclude_video_id
+        idx = np.nonzero(keep)[0]
+        return [(int(vids[i]), int(counts[i])) for i in idx]
 
     def search_fingerprints(
         self, query: np.ndarray, min_match: int = 2,

@@ -21,6 +21,27 @@ import jax
 import jax.numpy as jnp
 
 
+def match_counts_block(query_ts: jnp.ndarray, c_ts: jnp.ndarray,
+                       c_len: jnp.ndarray, tolerance: float) -> jnp.ndarray:
+    """Traceable count body shared by the single-chip blocked scan and the
+    shard_map variant (parallel.sharded_search.sharded_timestamp_match) —
+    ONE definition so a semantics change (e.g. tolerance handling) cannot
+    make the two paths diverge. (B,) int32: per corpus row, how many query
+    timestamps appear in it (NaN query padding never matches)."""
+    max_cuts = c_ts.shape[1]
+    q = query_ts[None, :, None]             # (1, K, 1)
+    c = c_ts[:, None, :]                    # (B, 1, MAX)
+    valid = (
+        jnp.arange(max_cuts, dtype=jnp.int32)[None, None, :]
+        < c_len[:, None, None]
+    )
+    if tolerance <= 0.0:
+        hit = (q == c) & valid
+    else:
+        hit = (jnp.abs(q - c) <= tolerance) & valid
+    return jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "tolerance"))
 def timestamp_match_counts(
     query_ts: jnp.ndarray,     # (K,) float32, padded entries = NaN
@@ -31,21 +52,10 @@ def timestamp_match_counts(
 ) -> jnp.ndarray:
     """(N,) int32 match counts. NaN query entries never match (query padding)."""
     n, max_cuts = corpus_ts.shape
-    k = query_ts.shape[0]
 
     def block_counts(args):
         c_ts, c_len = args                      # (B, MAX), (B,)
-        q = query_ts[None, :, None]             # (1, K, 1)
-        c = c_ts[:, None, :]                    # (B, 1, MAX)
-        valid = (
-            jnp.arange(max_cuts, dtype=jnp.int32)[None, None, :]
-            < c_len[:, None, None]
-        )
-        if tolerance <= 0.0:
-            hit = (q == c) & valid
-        else:
-            hit = (jnp.abs(q - c) <= tolerance) & valid
-        return jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+        return match_counts_block(query_ts, c_ts, c_len, tolerance)
 
     if n <= block_n:
         return block_counts((corpus_ts, corpus_len))

@@ -93,6 +93,10 @@ def make_multihost_mesh(
     if any(len(v) != n_local for v in by_host.values()):
         raise ValueError("uneven local device counts across hosts")
     if local_data is None or local_corpus is None:
+        if local_corpus is not None and n_local % local_corpus:
+            raise ValueError(
+                f"local_corpus={local_corpus} does not divide the "
+                f"{n_local} local devices")
         # Favor the corpus axis (the search dimension); data gets the rest.
         local_corpus = local_corpus or _largest_pow2_leq(n_local)
         while local_corpus > 1 and n_local % local_corpus:
@@ -196,6 +200,9 @@ class MultiHostShardedCorpus:
         lo, hi = self._local_range(buf.shape[0])
         inner.corpus_fp = place_process_local_rows(
             self.mesh, P(CORPUS_AXIS, None), buf[lo:hi], buf.shape
+        )
+        inner.corpus_fp_valid = place_process_local_rows(
+            self.mesh, P(CORPUS_AXIS), (vids >= 0)[lo:hi], (buf.shape[0],)
         )
         inner.fp_video_ids = vids
         self._fp_count = fp.shape[0]
@@ -383,7 +390,7 @@ class MultiHostShardedCorpus:
         if self._append_fp_jit is None:
             self._append_fp_jit = {}
         if key not in self._append_fp_jit:
-            def local(u, s, c_fp):
+            def local(u, s, c_fp, c_valid):
                 rows = jax.lax.psum(u, CORPUS_AXIS)             # (fp_pad, W)
                 start_i, n_i = s[0], s[1]
                 nloc = c_fp.shape[0]
@@ -391,18 +398,20 @@ class MultiHostShardedCorpus:
                 gi = base + jnp.arange(nloc, dtype=jnp.int32)
                 take = (gi >= start_i) & (gi < start_i + n_i)
                 src = jnp.clip(gi - start_i, 0, rows.shape[0] - 1)
-                return jnp.where(take[:, None], rows[src], c_fp)
+                return (jnp.where(take[:, None], rows[src], c_fp),
+                        c_valid | take)
 
             fn = shard_map(
                 local, mesh=self.mesh,
-                in_specs=(P(CORPUS_AXIS, None), P(), P(CORPUS_AXIS, None)),
-                out_specs=P(CORPUS_AXIS, None),
+                in_specs=(P(CORPUS_AXIS, None), P(),
+                          P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+                out_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
                 check_vma=False,
             )
-            self._append_fp_jit[key] = jax.jit(fn, donate_argnums=(2,))
+            self._append_fp_jit[key] = jax.jit(fn, donate_argnums=(2, 3))
 
-        inner.corpus_fp = self._append_fp_jit[key](
-            contrib, scal, inner.corpus_fp
+        inner.corpus_fp, inner.corpus_fp_valid = self._append_fp_jit[key](
+            contrib, scal, inner.corpus_fp, inner.corpus_fp_valid
         )
         inner.fp_video_ids[start : start + n_fp] = video_id
         self._fp_count += n_fp

@@ -44,8 +44,13 @@ def make_mesh(
     n_devices: Optional[int] = None,
     data_size: Optional[int] = None,
     corpus_size: Optional[int] = None,
+    devices=None,
 ) -> Mesh:
-    devices = jax.devices()
+    # ``devices`` defaults to the GLOBAL list; a multi-host caller building
+    # a process-local mesh must pass jax.local_devices() — slicing the
+    # global list would hand every host process 0's (non-addressable)
+    # devices and device_put onto the mesh would fail on hosts > 0.
+    devices = list(devices) if devices is not None else jax.devices()
     n = n_devices or len(devices)
     if data_size and corpus_size:
         shape = (data_size, corpus_size)

@@ -71,14 +71,23 @@ class MeshCorpus(DeviceCorpus):
     def _reassemble(self, current, host, sharding, dirty_shards, shard_of):
         """Rebuild a sharded global array replacing only dirty shards.
 
-        shard_of(index) -> (shard ordinal, host slice for that shard)."""
+        shard_of(index) -> (shard ordinal, host slice for that shard).
+        Corpus shards are replicated across the data axis; each dirty shard
+        crosses host->device ONCE, and the other replicas receive a
+        device-to-device copy of that buffer (ICI on TPU) instead of a
+        second host upload."""
+        uploaded = {}
         bufs = []
         for sh in current.addressable_shards:
             k, host_slice = shard_of(sh.index)
-            if k in dirty_shards:
-                bufs.append(self._put(host_slice, sh.device))
-            else:
+            if k not in dirty_shards:
                 bufs.append(sh.data)
+            elif k in uploaded:
+                bufs.append(jax.device_put(uploaded[k], sh.device))
+            else:
+                buf = self._put(host_slice, sh.device)
+                uploaded[k] = buf
+                bufs.append(buf)
         return jax.make_array_from_single_device_arrays(
             host.shape, sharding, bufs
         )

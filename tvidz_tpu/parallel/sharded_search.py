@@ -28,6 +28,10 @@ from jax import shard_map
 from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 from tvidz_tpu.ops.hamming import hamming_matrix
 
+# Distance assigned to masked (padding) rows in top-k queries; any
+# result at or above this is not a real neighbor.
+_TOPK_INVALID = 1 << 20
+
 
 def sharded_timestamp_match(
     query_ts: jnp.ndarray,     # (K,) float32, NaN-padded — replicated
@@ -38,19 +42,10 @@ def sharded_timestamp_match(
 ) -> jnp.ndarray:
     """(N,) int32 match counts; N must divide evenly by the corpus axis."""
 
+    from tvidz_tpu.ops.timestamps import match_counts_block
+
     def local(query, c_ts, c_len):
-        max_cuts = c_ts.shape[1]
-        q = query[None, :, None]
-        c = c_ts[:, None, :]
-        valid = (
-            jnp.arange(max_cuts, dtype=jnp.int32)[None, None, :]
-            < c_len[:, None, None]
-        )
-        if tolerance <= 0.0:
-            hit = (q == c) & valid
-        else:
-            hit = (jnp.abs(q - c) <= tolerance) & valid
-        counts = jnp.sum(jnp.any(hit, axis=-1), axis=-1).astype(jnp.int32)
+        counts = match_counts_block(query, c_ts, c_len, tolerance)
         # Replicate the (tiny) count vector on-device: multi-host callers
         # can't assemble a corpus-sharded output host-side, and this is the
         # DCN contract — per-shard evidence crosses hosts, corpus rows never.
@@ -71,20 +66,27 @@ def sharded_hamming_topk(
     corpus_fp: jnp.ndarray,    # (N, W) uint32 — sharded over corpus axis
     mesh: Mesh,
     k: int = 16,
+    valid: Optional[jnp.ndarray] = None,   # (N,) bool — sharded over corpus
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Global top-k nearest corpus fingerprints per query.
 
     Returns (distances (M, k) int32 ascending, indices (M, k) int32 global).
+    ``valid`` masks padding rows to an impossible distance (hamming space
+    has no 'far' sentinel value: an all-ones pad row sits at distance
+    64 - popcount(q), which OUTRANKS real rows for ones-heavy queries) —
+    entries with distance >= _TOPK_INVALID are padding.
     """
     n = corpus_fp.shape[0]
     n_shards = mesh.shape[CORPUS_AXIS]
     local_n = n // n_shards
     k = min(k, n)  # can't return more neighbors than corpus rows
 
-    def local(q, c):
+    def local(q, c, *mask):
         # c: (local_n, W). Per-shard distances + local top-k (negate for
         # top_k's max semantics).
         d = hamming_matrix(q, c)                                   # (M, local_n)
+        if mask:
+            d = jnp.where(mask[0][None, :], d, _TOPK_INVALID)
         k_local = min(k, local_n)
         neg, idx = jax.lax.top_k(-d, k_local)                      # (M, k_local)
         shard = jax.lax.axis_index(CORPUS_AXIS)
@@ -99,14 +101,19 @@ def sharded_hamming_topk(
         best_idx = jnp.take_along_axis(cat_idx, best_pos, axis=1)
         return -best_neg, best_idx
 
+    in_specs = [P(), P(CORPUS_AXIS, None)]
+    args = [query_fp, corpus_fp]
+    if valid is not None:
+        in_specs.append(P(CORPUS_AXIS))
+        args.append(valid)
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(CORPUS_AXIS, None)),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(query_fp, corpus_fp)
+    return fn(*args)
 
 
 def sharded_frame_min(
@@ -119,7 +126,8 @@ def sharded_frame_min(
 
     The sharded counterpart of ops.hamming.corpus_min_distance_t's frame_min
     output: each shard scans its local corpus columns (blocked to bound the
-    broadcast working set); the output stays sharded over the corpus axis.
+    broadcast working set); the evidence vector is then all_gathered so the
+    OUTPUT IS REPLICATED (multi-host callers read it locally).
     """
 
     def local(qq, c_t):
@@ -324,6 +332,7 @@ class ShardedCorpus:
         self.corpus_len = None
         self.video_ids = None
         self.corpus_fp = None
+        self.corpus_fp_valid = None
         self.fp_video_ids = None
 
     def _pad_rows(self, n: int, multiple: int) -> int:
@@ -389,6 +398,7 @@ class ShardedCorpus:
     def load_fingerprints(self, fp: np.ndarray, fp_video_ids: np.ndarray) -> None:
         buf, vids = self.fp_layout(fp, fp_video_ids)
         self.corpus_fp = jax.device_put(buf, self._fp_sharding)
+        self.corpus_fp_valid = jax.device_put(vids >= 0, self._len_sharding)
         self.fp_video_ids = vids
 
     def match_timestamps(
@@ -420,13 +430,23 @@ class ShardedCorpus:
         return out
 
     def nearest_fingerprints(self, query_fp: np.ndarray, k: int = 16):
-        """[(distance, global_index, video_id)] x k per query row."""
+        """[(distance, global_index, video_id)] x <=k per query row.
+
+        Sentinel padding rows (video_id -1) are dropped from the top-k:
+        all-ones padding sits at distance 64 - popcount(q) from a real
+        query — close enough to outrank real rows on small corpora — so
+        without the filter the API returns garbage (-1) entries."""
         assert self.corpus_fp is not None
         q = self._replicate(np.asarray(query_fp, np.uint32))
-        d, idx = sharded_hamming_topk(q, self.corpus_fp, self.mesh, k=k)
+        d, idx = sharded_hamming_topk(
+            q, self.corpus_fp, self.mesh, k=k,
+            valid=getattr(self, "corpus_fp_valid", None),
+        )
         d, idx = self._to_host(d), self._to_host(idx)
         return [
             [(int(d[m, j]), int(idx[m, j]), int(self.fp_video_ids[idx[m, j]]))
-             for j in range(d.shape[1])]
+             for j in range(d.shape[1])
+             if d[m, j] < _TOPK_INVALID
+             and self.fp_video_ids[idx[m, j]] >= 0]
             for m in range(d.shape[0])
         ]

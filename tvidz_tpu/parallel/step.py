@@ -61,19 +61,27 @@ def _extract_cut_ts(scores: jnp.ndarray, pts: jnp.ndarray, threshold: float,
                     max_cuts: int) -> jnp.ndarray:
     """Device-side cut timestamp extraction: pts of the first max_cuts frames
     whose score exceeds threshold, NaN-padded (static shapes; the device
-    analog of the analyzer's host loop)."""
+    analog of the analyzer's host loop).
+
+    pts are rounded to 6 decimals like the analyzer boundary
+    (pipeline/analyzer.py; CLAUDE.md invariant) — the corpus stores rounded
+    values and matching is EXACT equality, so raw float pts would silently
+    never match analyzer-ingested videos. f32 round(x*1e6)/1e6 lands on the
+    same representable value as float64 round(x, 6) for video timelines
+    (|pts| < 8s at 1e-6: both are correctly-rounded to nearest f32)."""
     total = scores.shape[0]
     is_cut = scores > threshold
     order = jnp.where(is_cut, jnp.arange(total), total)
     picked = jnp.sort(order)[:max_cuts]
     valid = picked < total
-    ts = jnp.where(valid, pts[jnp.clip(picked, 0, total - 1)], jnp.nan)
+    pts_r = jnp.round(pts * 1e6) / jnp.float32(1e6)
+    ts = jnp.where(valid, pts_r[jnp.clip(picked, 0, total - 1)], jnp.nan)
     return ts
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "threshold", "max_cuts", "tile_h", "tile_w"),
+    static_argnames=("mesh", "threshold", "max_cuts"),
 )
 def multichip_analysis_step(
     clips: jnp.ndarray,        # (B, NT, T, H, W) uint8 — sharded over data
@@ -84,13 +92,29 @@ def multichip_analysis_step(
     mesh: Mesh,
     threshold: float = 0.3,
     max_cuts: int = 32,
-    tile_h: int = 0,
-    tile_w: int = 0,
+    mafd: jnp.ndarray = None,  # optional (B, NT*T) f32 — native-res mafd
 ) -> StepOutput:
-    b = clips.shape[0]
+    """One SPMD program: dp batch of clips x scanned time tiles x sharded
+    corpus match.
+
+    Scene scoring policy: when the caller has decoder-provided NATIVE-
+    resolution mafd (the NativeSceneScorer policy every host surface uses),
+    pass it as ``mafd`` and scores are computed from its recurrence
+    device-side — cut timestamps then agree exactly with the analyzer/CLI.
+    Without it, scores fall back to the device downscaled-luma path (the
+    same fallback those surfaces use when mafd is unavailable)."""
     h, w = clips.shape[-2], clips.shape[-1]
 
     scores, fps = jax.vmap(lambda c: _clip_fingerprint(c, h, w))(clips)
+    if mafd is not None:
+        # FFmpeg f_select recurrence on the provided mafd sequence
+        # (prev_mafd starts 0; frame 0 scores 0) — golden.scene_scores
+        # semantics, vectorized over the batch.
+        prev = jnp.concatenate(
+            [jnp.zeros((mafd.shape[0], 1), jnp.float32), mafd[:, :-1]], axis=1)
+        sc = jnp.clip(
+            jnp.minimum(mafd, jnp.abs(mafd - prev)) / 100.0, 0.0, 1.0)
+        scores = sc.at[:, 0].set(0.0)
 
     # Per-clip cut timestamps (device-side, padded static shape).
     cut_ts = jax.vmap(
@@ -122,7 +146,6 @@ def multichip_analysis_step(
 
 def place_step_inputs(mesh: Mesh, clips, pts, corpus_ts, corpus_len, corpus_fp):
     """device_put each input with its step sharding."""
-    data_s = NamedSharding(mesh, P(DATA_AXIS))
     corpus_rows = NamedSharding(mesh, P(CORPUS_AXIS))
     return (
         jax.device_put(clips, NamedSharding(mesh, P(DATA_AXIS, None, None, None, None))),

@@ -192,7 +192,7 @@ def main(argv=None) -> None:
                 f"ingest corpus uses the {n_local}-device local mesh, "
                 "cross-host search via MultiHostShardedCorpus")
             if n_local >= 2:
-                mesh = make_mesh(n_local)
+                mesh = make_mesh(n_local, devices=jax.local_devices())
                 corpus = MeshCorpus(
                     mesh,
                     max_cuts=config.match.max_cuts,
