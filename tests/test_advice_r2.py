@@ -89,7 +89,8 @@ def test_resume_verdict_when_checkpoint_covers_whole_video(tmp_path, monkeypatch
     # The final checkpoint covers the whole video.
     from tvidz_tpu.pipeline.checkpoint import AnalysisCheckpoint, content_signature
 
-    sig = content_signature(str(bucket / "777-orig.y4m"))
+    # Checkpoint key = clean logical name + content signature.
+    sig = f"orig.y4m:{content_signature(str(bucket / '777-orig.y4m'))}"
     ckpt = AnalysisCheckpoint.from_blob(store.load_checkpoint(sig))
     assert ckpt.frames_done == 320
 

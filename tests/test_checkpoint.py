@@ -101,7 +101,9 @@ def test_interrupted_analysis_resumes_bit_identical(env, monkeypatch):
     assert res1.status == "error"
     # A checkpoint must exist (4 full blocks = 128 frames at every=2).
     local = str(bucket / "long.y4m")
-    sig = content_signature(local)
+    # Key = clean logical name + content signature (stable across a crash
+    # and its re-upload; disambiguates same-content concurrent uploads).
+    sig = f"long.y4m:{content_signature(local)}"
     blob = store.load_checkpoint(sig)
     assert blob is not None
     ckpt = AnalysisCheckpoint.from_blob(blob)
@@ -125,3 +127,40 @@ def test_checkpoint_disabled(env):
                         width=96, cut_frames=(50,), seed=2)
     res = analyzer.analyze("videos", "v.y4m")
     assert res.status == "done"
+
+
+def test_resume_does_not_match_its_own_crashed_attempt(env, monkeypatch):
+    """A crashed run persists partial timestamps under its video row; the
+    resume runs under a NEW row and previously 'found' the orphan as an
+    exact duplicate of itself (review finding). Resume must supersede the
+    orphaned row: verdict clean, one video row for the file."""
+    analyzer, store, bucket = env
+    from tvidz_tpu.decode import write_synthetic_y4m
+    from tvidz_tpu.decode.y4m import Y4MDecoder
+
+    # >= 2 cuts BEFORE the crash point so the orphan row is matchable
+    # (min_match=2), crash after the 6th block (192 frames) with a
+    # checkpoint at block 6 (every=2).
+    write_synthetic_y4m(str(bucket / "solo.y4m"), num_frames=256, height=72,
+                        width=96, cut_frames=(40, 90, 230), seed=12)
+    real_blocks = Y4MDecoder.blocks
+
+    def dying_blocks(self, path, block_frames, height, width):
+        for i, blk in enumerate(
+                real_blocks(self, path, block_frames, height, width)):
+            if i == 6:
+                raise RuntimeError("injected decode fault")
+            yield blk
+
+    monkeypatch.setattr(Y4MDecoder, "blocks", dying_blocks)
+    res1 = analyzer.analyze("videos", "solo.y4m")
+    assert res1.status == "error"
+    assert len(store.get_timestamps(res1.video_id) or []) >= 2  # orphan row
+
+    monkeypatch.setattr(Y4MDecoder, "blocks", real_blocks)
+    res2 = analyzer.analyze("videos", "solo.y4m")
+    assert res2.status == "done"
+    assert res2.duplicates == [], "matched its own crashed attempt"
+    # The orphaned row was superseded: one row remains for the file.
+    rows = [v for v, _ in store.all_timestamps()]
+    assert rows == [res2.video_id], rows

@@ -54,3 +54,48 @@ def test_streams_isolate_errors(tmp_path):
     results, _ = fingerprint_streams([good, bad], config=cfg)
     assert results[0].error is None and results[0].frames == 64
     assert results[1].error is not None and results[1].frames == 0
+
+
+def test_dispatch_failure_does_not_leak_decoder_threads(tmp_path, monkeypatch):
+    """If the device forward raises mid-run, every decoder thread must be
+    unblocked and retired (they were stuck in q.put forever, holding libav
+    handles — review finding)."""
+    import threading
+    import time as _time
+
+    import pytest
+
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.decode import write_synthetic_y4m
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+    from tvidz_tpu.pipeline import multistream as ms
+
+    cfg = Config()
+    cfg.pipeline.block_frames = 16
+    cfg.pipeline.scene_height = 48
+    cfg.pipeline.scene_width = 64
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.y4m")
+        write_synthetic_y4m(p, num_frames=200, height=48, width=64,
+                            cut_frames=(50,), seed=i)
+        paths.append(p)
+
+    model = FingerprintModel(cfg)
+    calls = {"n": 0}
+    real_forward = model.forward
+
+    def dying_forward(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 4:
+            raise RuntimeError("injected device fault")
+        return real_forward(*a, **kw)
+
+    monkeypatch.setattr(model, "forward", dying_forward)
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="injected device fault"):
+        ms.fingerprint_streams(paths, model=model)
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before, "decoder threads leaked"

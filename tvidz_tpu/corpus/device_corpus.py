@@ -175,6 +175,31 @@ class DeviceCorpus:
                     f"skipped {skipped} stored fingerprint rows with word "
                     f"width != {self.words} (hash algorithm changed?)")
 
+    def remove_video(self, video_id: int) -> None:
+        """Tombstone every trace of a video: timestamp row (len 0, vid -1),
+        fingerprint frames (vid -1 — every evidence path filters vid >= 0),
+        and its alignment row. Row slots are reclaimed only by reset().
+        Used when checkpoint resume supersedes a crashed attempt's row."""
+        with self._lock:
+            row = self._vid_to_row.pop(video_id, None)
+            if row is not None:
+                self._ts[row, :] = np.nan
+                self._ts_len[row] = 0
+                self._ts_vid[row] = -1
+                self._ts_dirty_rows.append(row)
+            frames = np.nonzero(
+                self._fp_vid[: self._fp_count] == video_id)[0]
+            if frames.size:
+                self._fp_vid[frames] = -1
+            loc = self._al_row.pop(video_id, None)
+            if loc is not None:
+                b, r = loc
+                bu = self._al_buckets[b]
+                bu.buf[r] = _FP_SENTINEL
+                bu.len[r] = 0
+                bu.vid[r] = -1
+                bu.dirty.add(r)
+
     def upsert_timestamps(self, video_id: int, timestamps: Sequence[float]) -> None:
         with self._lock:
             self._upsert_ts_locked(video_id, timestamps)

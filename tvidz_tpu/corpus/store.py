@@ -341,6 +341,23 @@ class Store:
             out.append((int(vid), arr.copy()))
         return out
 
+    def delete_video(self, video_id: int) -> None:
+        """Remove a video row and all its evidence (timestamps,
+        fingerprints). Used by checkpoint resume to supersede a crashed
+        attempt's orphaned partial row — which would otherwise match the
+        resumed analysis as an exact duplicate of itself."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"DELETE FROM video_timestamps WHERE video_id = {ph}",
+                (video_id,))
+            cur.execute(
+                f"DELETE FROM video_fingerprints WHERE video_id = {ph}",
+                (video_id,))
+            cur.execute(f"DELETE FROM videos WHERE id = {ph}", (video_id,))
+            self._conn.commit()
+
     # -- analysis checkpoints (SURVEY.md §5 checkpoint/resume mandate) ----------
 
     def save_checkpoint(self, logical_key: str, blob: bytes) -> None:

@@ -99,9 +99,14 @@ void destroy(Handle* h) {
 double native_mafd(Handle* h, const AVFrame* frame) {
   const AVPixFmtDescriptor* desc =
       av_pix_fmt_desc_get((AVPixelFormat)frame->format);
+  // Same planarity requirements as can_box_downscale: packed 8-bit
+  // layouts (yuyv422) interleave chroma in data[0], so a contiguous read
+  // would compute mafd over half-luma/half-chroma garbage instead of
+  // reporting -1 (callers then correctly fall back to downscaled scoring).
   if (!desc || (desc->flags & (AV_PIX_FMT_FLAG_RGB | AV_PIX_FMT_FLAG_PAL |
                                AV_PIX_FMT_FLAG_BITSTREAM)) ||
-      desc->comp[0].depth != 8) {
+      desc->comp[0].depth != 8 || desc->comp[0].plane != 0 ||
+      desc->comp[0].step != 1 || desc->comp[0].offset != 0) {
     h->mafd_supported = false;
     return -1.0;
   }
@@ -173,8 +178,7 @@ void box_downscale(Handle* h, const AVFrame* f, uint8_t* out) {
 // Box filter applicability: plane 0 must be straight 8-bit PLANAR luma
 // (comp[0].step == 1 rejects packed layouts like yuyv422, where data[0]
 // interleaves chroma — averaging those bytes would silently corrupt the
-// output; native_mafd has the same blind spot covered by the step check
-// being applied before scale_mode is chosen) and the geometry must divide
+// output; native_mafd applies the same check) and the geometry must divide
 // evenly. TVIDZ_FAST_SCALE=0 forces the swscale path (parity tests).
 bool can_box_downscale(const Handle* h, const AVFrame* f) {
   const char* env = getenv("TVIDZ_FAST_SCALE");

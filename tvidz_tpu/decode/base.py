@@ -89,7 +89,7 @@ def get_decoder(path: Optional[str] = None) -> Decoder:
         from tvidz_tpu.decode.native import NativeDecoder
 
         return NativeDecoder()
-    if path is None or path.endswith(".y4m"):
+    if path is None:  # .y4m paths already returned above
         from tvidz_tpu.decode.y4m import Y4MDecoder
 
         return Y4MDecoder()

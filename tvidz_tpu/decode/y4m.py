@@ -97,7 +97,6 @@ class Y4MDecoder(Decoder):
     ) -> Iterator[FrameBlock]:
         with open(path, "rb") as f:
             header = f.readline()
-            src_w, src_h, fps, cs = None, None, None, None
             src_w, src_h, fps, cs = _parse_header(header)
             fb = _frame_bytes(src_w, src_h, cs)
             y_bytes = src_w * src_h

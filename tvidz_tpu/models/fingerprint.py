@@ -136,7 +136,8 @@ class FingerprintModel:
             fps_out.append(np.asarray(fps)[:t])
             for i in np.nonzero(scores > self.config.scene.threshold)[0]:
                 ts = round(float(block.pts[i]), 6)
-                if not cuts or ts != cuts[-1]:
+                if (not cuts or not self.config.scene.dedupe_consecutive
+                        or ts != cuts[-1]):
                     cuts.append(ts)
         words = self.config.hash.words
         fps_all = (
@@ -163,6 +164,7 @@ class FingerprintModel:
             fps_out.append(np.asarray(fps)[:n])
             for i in np.nonzero(scores > self.config.scene.threshold)[0]:
                 ts = round(float(pts[s + i]), 6)
-                if not cuts or ts != cuts[-1]:
+                if (not cuts or not self.config.scene.dedupe_consecutive
+                        or ts != cuts[-1]):
                     cuts.append(ts)
         return cuts, np.concatenate(fps_out)

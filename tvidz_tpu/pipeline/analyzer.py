@@ -127,7 +127,8 @@ class Analyzer:
             total_frames = info.nb_frames
             log("frame-count", f"Total frames detected: {total_frames}")
             scene_cuts, dups_to_report = self._stream_analyze(
-                local_path, analysis_key, filename, video_id, total_frames
+                local_path, analysis_key, filename, video_id, total_frames,
+                clean_filename=original_filename,
             )
             status = "done"
             self.registry.finish(
@@ -199,6 +200,7 @@ class Analyzer:
         filename: str,
         video_id: int,
         total_frames: int,
+        clean_filename: Optional[str] = None,
     ) -> Tuple[List[float], List[str]]:
         cfg = self.config
         block_t = cfg.pipeline.block_frames
@@ -233,7 +235,13 @@ class Analyzer:
                 content_signature,
             )
 
-            ckpt_key = content_signature(local_path)
+            # Keyed by the CLEAN logical name + content: the name keeps
+            # two concurrent different-named uploads of identical bytes
+            # from splicing each other's progress, while staying stable
+            # across a crash and its re-upload (epoch prefixes differ per
+            # attempt, the clean name and content don't).
+            logical = clean_filename or filename
+            ckpt_key = f"{logical}:{content_signature(local_path)}"
             blob = self.store.load_checkpoint(ckpt_key)
             if blob is not None:
                 try:
@@ -251,6 +259,16 @@ class Analyzer:
                     ):
                         resume_from = ckpt.frames_done
                         resume_catchup = True
+                        # Supersede the crashed attempt's orphaned partial
+                        # row: its timestamps are an exact copy of what this
+                        # analysis will re-store, so leaving it would report
+                        # the video as a duplicate OF ITSELF at catch-up.
+                        old_vid = ckpt.video_id
+                        if old_vid is not None and old_vid != video_id:
+                            self.store.delete_video(old_vid)
+                            self.corpus.remove_video(old_vid)
+                            log("checkpoint",
+                                f"superseded crashed attempt row {old_vid}")
                         scene_cuts = list(ckpt.scene_cuts)
                         if ckpt.fingerprints.shape[0]:
                             all_fps = [ckpt.fingerprints]
@@ -309,15 +327,18 @@ class Analyzer:
         try:
             for block in block_iter:
                 t = block.luma.shape[0]
+                if thumbnail_pending:
+                    # Before the resume-skip: a crash after the FINAL
+                    # checkpoint replays every block, and the new video row
+                    # would otherwise never get a thumbnail.
+                    thumbnail_pending = False
+                    self._write_thumbnail(video_id, block.luma[min(t - 1, t // 2)])
                 if block.start_frame + t <= resume_from:
                     # Already fingerprinted in a previous run: replay decode
                     # only — keeping the native scene recurrence warm.
                     current_frame = block.start_frame + t
                     scene_scorer.replay(block)
                     continue
-                if thumbnail_pending:
-                    thumbnail_pending = False
-                    self._write_thumbnail(video_id, block.luma[min(t - 1, t // 2)])
                 luma = block.luma
                 if t < block_t:
                     # Pad to the static block shape; outputs beyond t are dropped.
@@ -416,7 +437,8 @@ class Analyzer:
                     self.store.save_checkpoint(
                         ckpt_key,
                         AnalysisCheckpoint.capture(
-                            ckpt_key, current_frame, scene_cuts, all_fps, carry
+                            ckpt_key, current_frame, scene_cuts, all_fps,
+                            carry, video_id=video_id,
                         ).to_blob(),
                     )
 

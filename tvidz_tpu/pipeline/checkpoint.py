@@ -28,12 +28,19 @@ from tvidz_tpu.ops.scene import SceneCarry
 
 
 def content_signature(path: str) -> str:
-    """Cheap identity for a downloaded file: size + head/tail sample hash."""
+    """Cheap identity for a downloaded file: size + head/middle/tail sample
+    hash. The middle sample matters: fixed-size recordings can share a
+    container preamble and trailer (identical head+tail) while differing in
+    content — a head/tail-only signature would splice one video's restored
+    state into the other's analysis."""
     size = os.path.getsize(path)
     h = hashlib.sha256()
     h.update(str(size).encode())
     with open(path, "rb") as f:
         h.update(f.read(65536))
+        if size > 131072:
+            f.seek(size // 2)
+            h.update(f.read(65536))
         if size > 65536:
             # Overlap with the head is fine; what matters is covering the tail.
             f.seek(-min(65536, size), os.SEEK_END)
@@ -50,6 +57,11 @@ class AnalysisCheckpoint:
     carry_prev_frame: np.ndarray      # (H, W) float32
     carry_prev_mafd: float
     carry_has_prev: bool
+    # Video row id of the attempt that WROTE this checkpoint: a crashed
+    # attempt leaves an orphaned partial timestamps row in the store, and a
+    # resume under a new video_id would otherwise "find" it as an exact
+    # duplicate of itself. None in pre-field blobs (clean-restart era).
+    video_id: Optional[int] = None
 
     def to_blob(self) -> bytes:
         buf = io.BytesIO()
@@ -61,6 +73,7 @@ class AnalysisCheckpoint:
             "frame_shape": list(self.carry_prev_frame.shape),
             "prev_mafd": float(self.carry_prev_mafd),
             "has_prev": bool(self.carry_has_prev),
+            "video_id": self.video_id,
         }
         mb = json.dumps(meta).encode()
         buf.write(struct.pack("<I", len(mb)))
@@ -89,6 +102,7 @@ class AnalysisCheckpoint:
             carry_prev_frame=frame,
             carry_prev_mafd=float(meta["prev_mafd"]),
             carry_has_prev=bool(meta["has_prev"]),
+            video_id=meta.get("video_id"),
         )
 
     def restore_carry(self) -> FingerprintCarry:
@@ -110,6 +124,7 @@ class AnalysisCheckpoint:
         scene_cuts: List[float],
         fingerprints: List[np.ndarray],
         carry: FingerprintCarry,
+        video_id: Optional[int] = None,
     ) -> "AnalysisCheckpoint":
         fp = (
             np.concatenate(fingerprints)
@@ -124,4 +139,5 @@ class AnalysisCheckpoint:
             carry_prev_frame=np.asarray(carry.scene.prev_frame, np.float32),
             carry_prev_mafd=float(np.asarray(carry.scene.prev_mafd)),
             carry_has_prev=bool(np.asarray(carry.scene.has_prev)),
+            video_id=video_id,
         )

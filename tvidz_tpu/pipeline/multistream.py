@@ -66,6 +66,7 @@ class _Stream:
         self.error: Optional[str] = None
         self.done = False
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.stopped = False
         self._model = model
         self._thread = threading.Thread(target=self._decode, daemon=True)
         self._thread.start()
@@ -75,10 +76,34 @@ class _Stream:
         try:
             dec = get_decoder(self.path)
             for block in dec.blocks(self.path, m.block_frames, m.height, m.width):
-                self.q.put(block)
+                # Bounded put with a stop check: if the dispatch loop dies
+                # (device error), an unconditional q.put would block this
+                # thread forever, leaking it and its libav handle.
+                while not self.stopped:
+                    try:
+                        self.q.put(block, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if self.stopped:
+                    return
         except Exception as e:  # noqa: BLE001 — surfaced per-stream
             self.error = str(e)
-        self.q.put(None)
+        while not self.stopped:
+            try:
+                self.q.put(None, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
+    def stop(self) -> None:
+        """Unblock and retire the decoder thread (dispatch-loop failure
+        path); the generator's GeneratorExit closes the libav handle."""
+        self.stopped = True
+        try:
+            self.q.get_nowait()       # make room so a pending put returns
+        except queue.Empty:
+            pass
 
 
 def fingerprint_streams(
@@ -96,6 +121,7 @@ def fingerprint_streams(
     model = model or FingerprintModel(config or Config())
     bt = model.block_frames
     threshold = model.config.scene.threshold
+    dedupe_consecutive = model.config.scene.dedupe_consecutive
     streams: Dict[int, _Stream] = {
         i: _Stream(p, model, depth=queue_depth) for i, p in enumerate(paths)
     }
@@ -104,41 +130,49 @@ def fingerprint_streams(
     device_s = 0.0
     t_start = time.perf_counter()
 
-    while live:
-        progressed = False
-        for i in sorted(live):
-            s = streams[i]
-            try:
-                block = s.q.get_nowait()
-            except queue.Empty:
-                continue
-            progressed = True
-            if block is None:
-                s.done = True
-                live.discard(i)
-                continue
-            t = block.luma.shape[0]
-            buf = block.luma
-            if t < bt:
-                buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
-            t0 = time.perf_counter()
-            scores_dev, fps_dev, s.carry = model.forward(
-                jnp.asarray(buf), s.carry,
-                valid_t=jnp.int32(t) if t < bt else None)
-            scores = s.scorer.scores(block, scores_dev, t)
-            fps = np.asarray(fps_dev)[:t]
-            device_s += time.perf_counter() - t0
-            s.fps_out.append(fps)
-            for k in np.nonzero(scores[:t] > threshold)[0]:
-                ts = round(float(block.pts[k]), 6)
-                if not s.cuts or ts != s.cuts[-1]:
-                    s.cuts.append(ts)
-            s.frames += t
-        if not progressed:
-            # Every live stream is still decoding: the chip is starved.
-            t0 = time.perf_counter()
-            time.sleep(0.001)
-            starved_s += time.perf_counter() - t0
+    try:
+        while live:
+            progressed = False
+            for i in sorted(live):
+                s = streams[i]
+                try:
+                    block = s.q.get_nowait()
+                except queue.Empty:
+                    continue
+                progressed = True
+                if block is None:
+                    s.done = True
+                    live.discard(i)
+                    continue
+                t = block.luma.shape[0]
+                buf = block.luma
+                if t < bt:
+                    buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
+                t0 = time.perf_counter()
+                scores_dev, fps_dev, s.carry = model.forward(
+                    jnp.asarray(buf), s.carry,
+                    valid_t=jnp.int32(t) if t < bt else None)
+                scores = s.scorer.scores(block, scores_dev, t)
+                fps = np.asarray(fps_dev)[:t]
+                device_s += time.perf_counter() - t0
+                s.fps_out.append(fps)
+                for k in np.nonzero(scores[:t] > threshold)[0]:
+                    ts = round(float(block.pts[k]), 6)
+                    if (not s.cuts or not dedupe_consecutive
+                            or ts != s.cuts[-1]):
+                        s.cuts.append(ts)
+                s.frames += t
+            if not progressed:
+                # Every live stream is still decoding: the chip is starved.
+                t0 = time.perf_counter()
+                time.sleep(0.001)
+                starved_s += time.perf_counter() - t0
+    finally:
+        # A dispatch failure (device error mid-forward) must not leave
+        # N decoder threads blocked in q.put forever, holding their
+        # libav handles for the life of the process.
+        for s in streams.values():
+            s.stop()
 
     wall = time.perf_counter() - t_start
     words = model.config.hash.words
