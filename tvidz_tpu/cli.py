@@ -19,11 +19,9 @@ import sys
 
 
 def _platform_override() -> None:
-    platform = os.environ.get("TVIDZ_JAX_PLATFORM")
-    if platform:
-        import jax
+    from tvidz_tpu.utils import platform_override
 
-        jax.config.update("jax_platforms", platform)
+    platform_override()
 
 
 def _local_session(db_url: str):

@@ -46,6 +46,7 @@ class SceneConfig:
     def from_env(cls) -> "SceneConfig":
         return cls(
             threshold=_env("SCENE_THRESHOLD", 0.3, float),
+            dedupe_consecutive=_env("DEDUPE_CONSECUTIVE", True, bool),
             native_resolution=_env("SCENE_NATIVE", True, bool),
         )
 
@@ -63,6 +64,13 @@ class HashConfig:
     algorithm: str = dataclasses.field(
         default_factory=lambda: _env("HASH_ALGO", "phash")
     )
+
+    @classmethod
+    def from_env(cls) -> "HashConfig":
+        return cls(
+            dct_size=_env("DCT_SIZE", 32, int),
+            hash_size=_env("HASH_SIZE", 8, int),
+        )
 
     @property
     def bits(self) -> int:
@@ -108,6 +116,10 @@ class MatchConfig:
             min_match=_env("MIN_MATCH", 2, int),
             timestamp_tolerance=_env("TS_TOLERANCE", 0.0, float),
             hamming_threshold=_env("HAMMING_THRESHOLD", 10, int),
+            use_fingerprint_evidence=_env("USE_FP_EVIDENCE", True, bool),
+            fp_min_match=_env("FP_MIN_MATCH", 25, int),
+            max_cuts=_env("MAX_CUTS", 128, int),
+            top_k=_env("TOP_K", 16, int),
         )
 
 
@@ -144,6 +156,22 @@ class PipelineConfig:
     thumbnail_dir: str = dataclasses.field(
         default_factory=lambda: _env("THUMBNAIL_DIR", "")
     )
+
+    @classmethod
+    def from_env(cls) -> "PipelineConfig":
+        return cls(
+            block_frames=_env("BLOCK_FRAMES", 128, int),
+            scene_height=_env("SCENE_HEIGHT", 90, int),
+            scene_width=_env("SCENE_WIDTH", 160, int),
+            update_throttle_s=_env("UPDATE_THROTTLE_S", 0.3, float),
+            early_exit=_env("EARLY_EXIT", True, bool),
+            download_retries=_env("DOWNLOAD_RETRIES", 5, int),
+            download_retry_wait_s=_env("DOWNLOAD_RETRY_WAIT_S", 1.0, float),
+            download_chunk_bytes=_env("DOWNLOAD_CHUNK_BYTES", 8192, int),
+            tmp_dir=_env("TMP_DIR", "/tmp"),
+            checkpoint_every_blocks=_env("CHECKPOINT_EVERY_BLOCKS", 8, int),
+            decode_prefetch_blocks=_env("DECODE_PREFETCH_BLOCKS", 2, int),
+        )
 
 
 @dataclasses.dataclass
@@ -231,9 +259,10 @@ class MeshConfig:
 @dataclasses.dataclass
 class Config:
     scene: SceneConfig = dataclasses.field(default_factory=SceneConfig.from_env)
-    hash: HashConfig = dataclasses.field(default_factory=HashConfig)
+    hash: HashConfig = dataclasses.field(default_factory=HashConfig.from_env)
     match: MatchConfig = dataclasses.field(default_factory=MatchConfig.from_env)
-    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    pipeline: PipelineConfig = dataclasses.field(
+        default_factory=PipelineConfig.from_env)
     service: ServiceConfig = dataclasses.field(default_factory=ServiceConfig.from_env)
     store: StoreConfig = dataclasses.field(default_factory=StoreConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

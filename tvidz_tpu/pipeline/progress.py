@@ -78,12 +78,25 @@ class AnalysisRegistry:
 
     def lookup(self, filename: str) -> Optional[dict]:
         """Exact-key match first, then scan for original_filename — the
-        reference's /status resolution order (app.py:75-84)."""
+        reference's /status resolution order (app.py:75-84). A third pass
+        matches RESTORED (post-restart) entries by clean name: the store
+        only holds the clean filename, so a frontend polling with its
+        epoch-prefixed upload name ('1723-test.mp4') would otherwise sit at
+        'pending' forever after a restart. Restricted to restored_ keys so
+        live same-named uploads keep the reference's exact resolution."""
         with self._lock:
             if filename in self._results:
                 return dict(self._results[filename])
             for data in self._results.values():
                 if isinstance(data, dict) and data.get("original_filename") == filename:
+                    return dict(data)
+            from tvidz_tpu.pipeline.analyzer import extract_filenames
+
+            _, clean = extract_filenames(filename)
+            for key, data in self._results.items():
+                if (str(key).startswith("restored_")
+                        and isinstance(data, dict)
+                        and data.get("clean_filename") == clean):
                     return dict(data)
         return None
 

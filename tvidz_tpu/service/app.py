@@ -69,9 +69,12 @@ class InspectorApp:
         self._stop = threading.Event()
         self._poller_thread: Optional[threading.Thread] = None
         self._poller_stats = {"processed": 0, "malformed": 0, "receive_errors": 0}
-        # Flipped by the entrypoint once the accelerator is warm; in-process
-        # embedders (tests) are considered ready immediately.
-        self.device_ready = True
+        # Set by the entrypoint once the accelerator is warm; in-process
+        # embedders (tests) are considered ready immediately. Worker threads
+        # that would first-touch the device concurrently with the main
+        # thread's warmup (the documented tunnel-wedge hazard) wait on this.
+        self._device_ready_evt = threading.Event()
+        self._device_ready_evt.set()
 
         def fetcher(bucket: str, key: str, local_path: str) -> None:
             if self.s3 is None:
@@ -125,6 +128,17 @@ class InspectorApp:
             log("restore", f"restored {restored} completed analysis states "
                            "from the durable store")
 
+    @property
+    def device_ready(self) -> bool:
+        return self._device_ready_evt.is_set()
+
+    @device_ready.setter
+    def device_ready(self, value: bool) -> None:
+        if value:
+            self._device_ready_evt.set()
+        else:
+            self._device_ready_evt.clear()
+
     # -- analysis dispatch -------------------------------------------------------
 
     @staticmethod
@@ -134,11 +148,18 @@ class InspectorApp:
         the raw key through and fails on such names (SURVEY quirk not kept)."""
         return urllib.parse.unquote_plus(key)
 
-    def start_analysis_thread(self, bucket: str, key: str) -> threading.Thread:
-        """Thread-per-upload, like app.py:43,472."""
+    def start_analysis_thread(self, bucket: str, key: str,
+                              decode_key: bool = True) -> threading.Thread:
+        """Thread-per-upload, like app.py:43,472.
+
+        ``decode_key=False`` for keys that never crossed an S3 event wire
+        (the direct-dispatch /upload path): those are already decoded by
+        WSGI, and a second unquote_plus would corrupt names containing '+'
+        or '%' sequences."""
         t = threading.Thread(
             target=self._run_analysis,
-            args=(bucket, self._decode_event_key(key)),
+            args=(bucket,
+                  self._decode_event_key(key) if decode_key else key),
             daemon=True,
         )
         t.start()
@@ -146,6 +167,12 @@ class InspectorApp:
 
     def _run_analysis(self, bucket: str, key: str) -> None:
         try:
+            # Don't first-touch the accelerator while the entrypoint's main
+            # thread is still warming it (concurrent first-touch wedges the
+            # TPU tunnel); events accepted during warmup start right after.
+            while not self._device_ready_evt.wait(timeout=1.0):
+                if self._stop.is_set():
+                    return
             self.analyzer.analyze(bucket, key)
         except Exception as e:  # noqa: BLE001 — worker threads never die loudly
             log("analysis", f"unhandled analysis error for {key}: {e}")
@@ -215,6 +242,9 @@ class InspectorApp:
         @app.route("/debug/videos", methods=["GET"])
         def debug_videos(request: Request):
             result = []
+            # One query for all timestamp rows (a per-video get_timestamps
+            # was N+1 round-trips at 10k videos, like _restore_done_states).
+            ts_by_video = dict(self.store.all_timestamps())
             for video in self.store.all_videos():
                 result.append({
                     "id": video.id,
@@ -223,7 +253,7 @@ class InspectorApp:
                         video.upload_time.isoformat() if video.upload_time else None
                     ),
                     "duplicates": video.duplicates,
-                    "timestamps": self.store.get_timestamps(video.id),
+                    "timestamps": ts_by_video.get(video.id, []),
                     # extension field (old clients ignore it)
                     "has_thumbnail": bool(
                         video.thumbnail_path
@@ -320,7 +350,9 @@ class InspectorApp:
             bucket = cfg.service.s3_bucket
             self.s3.put_object(bucket, key, data)
             if self.sqs is None:
-                self.start_analysis_thread(bucket, key)
+                # WSGI already decoded this path param; it never crossed an
+                # S3 event wire, so don't decode it a second time.
+                self.start_analysis_thread(bucket, key, decode_key=False)
             return jsonify({"status": "uploaded", "bucket": bucket, "key": key,
                             "bytes": len(data)})
 
@@ -354,6 +386,8 @@ class InspectorApp:
             {"filename": <analyzed video>, "start_frame": int,
              "num_frames": int, "top_k": int} — uses the stored fingerprint
             sequence of `filename` as the query fragment."""
+            if not self.device_ready:
+                return jsonify({"error": "service warming up"}, 503)
             body = request.get_json(silent=True) or {}
             filename = body.get("filename")
             if not filename:
@@ -364,14 +398,23 @@ class InspectorApp:
             fps = self.store.get_fingerprints(video.id)
             if fps is None or fps.shape[0] == 0:
                 return jsonify({"error": f"no fingerprints for {filename}"}, 404)
-            start = int(body.get("start_frame", 0))
-            num = int(body.get("num_frames", min(64, fps.shape[0])))
+            try:
+                start = int(body.get("start_frame", 0))
+                num = int(body.get("num_frames", min(64, fps.shape[0])))
+                top_k_v = int(body.get("top_k", 5))
+            except (TypeError, ValueError):
+                return jsonify(
+                    {"error": "start_frame/num_frames/top_k must be integers"},
+                    400)
+            if start < 0 or num <= 0:
+                return jsonify(
+                    {"error": "start_frame must be >= 0, num_frames > 0"}, 400)
             frag = fps[start : start + num]
             if frag.shape[0] == 0:
                 return jsonify({"error": "empty fragment span"}, 400)
             hits = self.corpus.locate_fragment(
                 frag,
-                top_k=int(body.get("top_k", 5)),
+                top_k=top_k_v,
                 exclude_video_id=(
                     video.id if body.get("exclude_self", True) else None
                 ),
@@ -399,6 +442,8 @@ class InspectorApp:
             "top_k": int}. On a mesh service this runs 2D-parallel
             (queries over the data axis x corpus videos over the corpus
             axis, MeshCorpus.locate_fragments)."""
+            if not self.device_ready:
+                return jsonify({"error": "service warming up"}, 503)
             body = request.get_json(silent=True) or {}
             queries = body.get("queries")
             if not isinstance(queries, list) or not queries:
@@ -420,8 +465,17 @@ class InspectorApp:
                 if fps is None or fps.shape[0] == 0:
                     return jsonify(
                         {"error": f"no fingerprints for {filename}"}, 404)
-                start = int(spec.get("start_frame", 0))
-                num = int(spec.get("num_frames", min(64, fps.shape[0])))
+                try:
+                    start = int(spec.get("start_frame", 0))
+                    num = int(spec.get("num_frames", min(64, fps.shape[0])))
+                except (TypeError, ValueError):
+                    return jsonify(
+                        {"error": "start_frame/num_frames must be integers"},
+                        400)
+                if start < 0 or num <= 0:
+                    return jsonify(
+                        {"error": "start_frame must be >= 0, num_frames > 0"},
+                        400)
                 frag = fps[start : start + num]
                 if frag.shape[0] == 0:
                     return jsonify({"error": "empty fragment span"}, 400)
@@ -455,6 +509,8 @@ class InspectorApp:
             against the corpus without adding the video to it (the service
             counterpart of `python -m tvidz_tpu search`). Query params:
             ?filename=<name>&top_k=N."""
+            if not self.device_ready:
+                return jsonify({"error": "service warming up"}, 503)
             data = request.body
             if not data:
                 return jsonify({"error": "empty body"}, 400)
@@ -648,7 +704,13 @@ class InspectorApp:
                     self._poller_stats["malformed"] += 1
                 finally:
                     if processed_successfully:
-                        self.sqs.delete(queue_url, msg["ReceiptHandle"])
+                        try:
+                            self.sqs.delete(queue_url, msg["ReceiptHandle"])
+                        except Exception as e:  # noqa: BLE001
+                            # At-least-once: a failed delete redelivers the
+                            # message later; it must NOT kill the poller.
+                            log("poll_sqs", f"delete failed (will redeliver): {e}")
+                            self._poller_stats["receive_errors"] += 1
             self._stop.wait(cfg.sqs_idle_sleep_s)
 
 

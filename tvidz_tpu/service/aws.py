@@ -191,11 +191,22 @@ class SQSClient:
         )
         r = requests.post(target, data=body, headers=headers,
                           timeout=self.timeout)
-        root = ET.fromstring(r.text)
+        # Parse AFTER the status check: a proxy's HTML 502 body would raise
+        # ParseError — which no caller's retry loop catches — instead of
+        # the SQSError the transient-error handling expects.
         if r.status_code >= 300:
-            code = root.findtext(f".//{_SQS_NS}Code") or root.findtext(".//Code")
-            raise SQSError(code or f"http {r.status_code}", r.text)
-        return root
+            code = None
+            try:
+                root = ET.fromstring(r.text)
+                code = (root.findtext(f".//{_SQS_NS}Code")
+                        or root.findtext(".//Code"))
+            except ET.ParseError:
+                pass
+            raise SQSError(code or f"http {r.status_code}", r.text[:500])
+        try:
+            return ET.fromstring(r.text)
+        except ET.ParseError as e:
+            raise SQSError("unparseable response", f"{e}: {r.text[:500]}")
 
     def _text(self, root: ET.Element, tag: str) -> Optional[str]:
         return root.findtext(f".//{_SQS_NS}{tag}") or root.findtext(f".//{tag}")

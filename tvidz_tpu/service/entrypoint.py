@@ -118,15 +118,10 @@ def _warmup_device(config: Config) -> None:
 
 
 def main(argv=None) -> None:
-    # Dev/off-TPU override (the image's import hook ignores JAX_PLATFORMS,
-    # so this must go through jax.config after import).
-    import os
+    # Dev/off-TPU override (one implementation, shared with the CLI).
+    from tvidz_tpu.utils import platform_override
 
-    platform = os.environ.get("TVIDZ_JAX_PLATFORM")
-    if platform:
-        import jax
-
-        jax.config.update("jax_platforms", platform)
+    platform_override()
 
     parser = argparse.ArgumentParser(description="tvidz_tpu inspector service")
     parser.add_argument("--host", default=None)

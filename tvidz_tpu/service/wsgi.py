@@ -173,6 +173,12 @@ class App:
                 )
             return self._finalize(self._coerce(rv))
         if path_matched:
+            if request.method == "OPTIONS":
+                # Flask-parity: the reference auto-answers CORS preflight
+                # with 200 for every route (only the SSE route has an
+                # explicit handler). A 405 here would make browsers block
+                # every cross-origin POST.
+                return self._finalize(Response("", status=200))
             return self._finalize(jsonify({"error": "method not allowed"}, 405))
         return self._finalize(jsonify({"error": "not found"}, 404))
 

@@ -2,3 +2,16 @@ from tvidz_tpu.utils.logging import get_logger, log
 from tvidz_tpu.utils.timing import StageTimer, trace_stage
 
 __all__ = ["get_logger", "log", "StageTimer", "trace_stage"]
+
+
+def platform_override() -> None:
+    """Apply TVIDZ_JAX_PLATFORM via jax.config: the image's import hook
+    ignores the JAX_PLATFORMS env var, so the override must go through
+    jax.config after import. The ONE implementation for CLI + entrypoint."""
+    import os
+
+    platform = os.environ.get("TVIDZ_JAX_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
