@@ -323,7 +323,23 @@ def test_status_survives_restart(app, client, tmp_path):
     assert d["total_cuts"] == 1
     # Unknown files still pending.
     assert client2.get("/status/ghost.y4m").get_json()["status"] == "pending"
+    # The frontend polls with its EPOCH-PREFIXED upload name (App.js:95);
+    # the store only holds the clean name — restored entries must still
+    # answer (clean-name fallback, restricted to restored_ keys).
+    d2 = client2.get("/status/1723456789-persist.y4m").get_json()
+    assert d2["status"] == "done"
+    assert d2["scene_cuts"] == first["scene_cuts"]
     app2.stop()
+
+
+def test_options_preflight_on_every_route(app, client):
+    """Flask-parity: the reference auto-answers CORS preflight with 200 on
+    every route; a 405 would make browsers block cross-origin POSTs."""
+    for path in ("/notify", "/admin/clear-db", "/debug/create-test-video",
+                 "/search/fragment", "/status/x.mp4"):
+        r = client.options(path)
+        assert r.status_code == 200, (path, r.status_code)
+        assert r.headers.get("Access-Control-Allow-Origin") == "*", path
 
 
 def test_at_least_once_redelivery(app, client):
