@@ -512,7 +512,8 @@ def main() -> None:
 
     _log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     if cpu_fallback:
-        frames_per_s, best_fps = bench_fingerprint_throughput(n_blocks=32, reps=2)
+        frames_per_s, best_fps = bench_fingerprint_throughput(
+            n_blocks=32, reps=2, loops=1)  # 1-core CPU: keep under the cap
     else:
         frames_per_s, best_fps = bench_fingerprint_throughput()
     e2e_fps = None
