@@ -103,6 +103,40 @@ class FingerprintModel:
             fps = get_hash_fn(self.algorithm)(flat)
         return scores, fps.reshape(b, t, -1)
 
+    def process_block(self, block, carry, scorer, last_cut=None):
+        """THE one per-block path every streaming surface shares: pad the
+        short block to the static shape (carry kept on the last REAL frame
+        via valid_t), run the fused op, score through the given
+        NativeSceneScorer policy, slice fps to the real frame count, and
+        extract cut timestamps (threshold, 6-decimal rounding,
+        consecutive-dedupe honoring config). Keeping analyzer / CLI /
+        multistream / array paths on one implementation is what stops cut
+        timestamps forking between surfaces (exact-equality dedup).
+
+        block needs .luma (t, H, W), .pts (t,), .mafd (optional).
+        Returns (fps (t, W) np.uint32, new_carry, new_cuts, t);
+        ``last_cut`` is the previous cut for cross-block dedupe.
+        """
+        t = block.luma.shape[0]
+        bt = self.block_frames
+        buf = block.luma
+        if t < bt:
+            buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, axis=0)])
+        scores_dev, fps_dev, carry = self.forward(
+            jnp.asarray(buf), carry,
+            valid_t=jnp.int32(t) if t < bt else None)
+        scores = scorer.scores(block, scores_dev, t)
+        fps = np.asarray(fps_dev)[:t]
+        cuts: List[float] = []
+        dedupe = self.config.scene.dedupe_consecutive
+        thr = self.config.scene.threshold
+        for i in np.nonzero(scores[:t] > thr)[0]:
+            ts = round(float(block.pts[i]), 6)
+            prev = cuts[-1] if cuts else last_cut
+            if not dedupe or prev is None or ts != prev:
+                cuts.append(ts)
+        return fps, carry, cuts, t
+
     # -- whole-array convenience (tests, bench) --------------------------------------
 
     def analyze_path(self, path: str) -> Tuple[List[float], np.ndarray]:
@@ -125,20 +159,10 @@ class FingerprintModel:
         # CLI/search cuts agree exactly with the service's.
         scorer = NativeSceneScorer(self.config.scene.native_resolution)
         for block in decoder.blocks(path, bt, self.height, self.width):
-            t = block.luma.shape[0]
-            buf = block.luma
-            if t < bt:
-                buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
-            scores_dev, fps, carry = self.forward(
-                jnp.asarray(buf), carry,
-                valid_t=jnp.int32(t) if t < bt else None)
-            scores = scorer.scores(block, scores_dev, t)
-            fps_out.append(np.asarray(fps)[:t])
-            for i in np.nonzero(scores > self.config.scene.threshold)[0]:
-                ts = round(float(block.pts[i]), 6)
-                if (not cuts or not self.config.scene.dedupe_consecutive
-                        or ts != cuts[-1]):
-                    cuts.append(ts)
+            fps, carry, new_cuts, _t = self.process_block(
+                block, carry, scorer, last_cut=cuts[-1] if cuts else None)
+            fps_out.append(fps)
+            cuts.extend(new_cuts)
         words = self.config.hash.words
         fps_all = (
             np.concatenate(fps_out) if fps_out else np.zeros((0, words), np.uint32)
@@ -149,22 +173,21 @@ class FingerprintModel:
         self, luma: np.ndarray, pts: np.ndarray
     ) -> Tuple[List[float], np.ndarray]:
         """Host-streamed analysis of (T, H, W) luma: (cut timestamps, fps)."""
+        import types
+
+        from tvidz_tpu.ops.scene import NativeSceneScorer
+
         carry = self.init_carry()
         t = luma.shape[0]
         bt = self.block_frames
         cuts: List[float] = []
         fps_out = []
+        scorer = NativeSceneScorer(False)   # arrays have no decoder mafd
         for s in range(0, t, bt):
-            block = luma[s : s + bt]
-            n = block.shape[0]
-            if n < bt:
-                block = np.concatenate([block, np.repeat(block[-1:], bt - n, 0)])
-            scores, fps, carry = self.forward(jnp.asarray(block), carry)
-            scores = np.asarray(scores)[:n]
-            fps_out.append(np.asarray(fps)[:n])
-            for i in np.nonzero(scores > self.config.scene.threshold)[0]:
-                ts = round(float(pts[s + i]), 6)
-                if (not cuts or not self.config.scene.dedupe_consecutive
-                        or ts != cuts[-1]):
-                    cuts.append(ts)
+            block = types.SimpleNamespace(
+                luma=luma[s : s + bt], pts=pts[s : s + bt], mafd=None)
+            fps, carry, new_cuts, _n = self.process_block(
+                block, carry, scorer, last_cut=cuts[-1] if cuts else None)
+            fps_out.append(fps)
+            cuts.extend(new_cuts)
         return cuts, np.concatenate(fps_out)

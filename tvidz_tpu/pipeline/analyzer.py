@@ -30,14 +30,13 @@ import time
 import uuid
 from typing import Callable, List, Optional, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from tvidz_tpu.config import Config
 from tvidz_tpu.corpus.device_corpus import DeviceCorpus
 from tvidz_tpu.corpus.store import Store
 from tvidz_tpu.decode.base import DecodeError, get_decoder
-from tvidz_tpu.ops.fused import fingerprint_block, initial_fingerprint_carry
+from tvidz_tpu.ops.fused import initial_fingerprint_carry
 from tvidz_tpu.ops.scene import NativeSceneScorer
 from tvidz_tpu.pipeline.progress import AnalysisRegistry
 from tvidz_tpu.utils import StageTimer, log
@@ -89,6 +88,11 @@ class Analyzer:
         self.fetcher = fetcher
         self.config = config or Config()
         self.timer = StageTimer()
+        # The ONE per-block implementation (process_block) shared with
+        # CLI/search/multistream lives on the model.
+        from tvidz_tpu.models.fingerprint import FingerprintModel
+
+        self._model = FingerprintModel(self.config)
 
     # -- public ----------------------------------------------------------------
 
@@ -339,41 +343,21 @@ class Analyzer:
                     current_frame = block.start_frame + t
                     scene_scorer.replay(block)
                     continue
-                luma = block.luma
-                if t < block_t:
-                    # Pad to the static block shape; outputs beyond t are dropped.
-                    luma = np.concatenate(
-                        [luma, np.repeat(luma[-1:], block_t - t, axis=0)]
-                    )
                 with self.timer.stage("fingerprint"):
-                    scores_dev, fps_dev, carry = fingerprint_block(
-                        jnp.asarray(luma), carry,
-                        dct_size=cfg.hash.dct_size, hash_size=cfg.hash.hash_size,
-                        algorithm=cfg.hash.algorithm,
-                        # Keep the scene carry on the last REAL frame of a
-                        # padded short block (ops/scene.py valid_t).
-                        valid_t=jnp.int32(t) if t < block_t else None,
+                    # THE shared per-block path (FingerprintModel.
+                    # process_block): pad + valid_t carry + scorer policy +
+                    # cut extraction (threshold, 6-decimal rounding,
+                    # consecutive dedupe) — one implementation across
+                    # analyzer/CLI/multistream so cut timestamps can't fork
+                    # between surfaces.
+                    fps, carry, new_cuts, t = self._model.process_block(
+                        block, carry, scene_scorer,
+                        last_cut=scene_cuts[-1] if scene_cuts else None,
                     )
-                    scores = scene_scorer.scores(block, scores_dev, t)
-                    fps = np.asarray(fps_dev)[:t]
                 all_fps.append(fps)
                 current_frame = block.start_frame + t
-
-                # Host-side cut extraction (threshold + consecutive dedupe,
-                # app.py:228-231). Timestamps are rounded to microseconds: the
-                # reference got this implicitly by parsing showinfo's printed
-                # pts_time text; without it, container-dependent float artifacts
-                # (e.g. 140 * (1/25) vs 140/25.0) break exact-equality matching.
-                new_cut = False
-                for i in np.nonzero(scores > cfg.scene.threshold)[0]:
-                    ts = round(float(block.pts[i]), 6)
-                    if (
-                        not cfg.scene.dedupe_consecutive
-                        or not scene_cuts
-                        or ts != scene_cuts[-1]
-                    ):
-                        scene_cuts.append(ts)
-                        new_cut = True
+                scene_cuts.extend(new_cuts)
+                new_cut = bool(new_cuts)
 
                 if new_cut and not duplicate_found:
                     duplicate_found = self._apply_timestamp_duplicates(

@@ -119,9 +119,6 @@ def fingerprint_streams(
     carry, and accounts decode-starved vs device time.
     """
     model = model or FingerprintModel(config or Config())
-    bt = model.block_frames
-    threshold = model.config.scene.threshold
-    dedupe_consecutive = model.config.scene.dedupe_consecutive
     streams: Dict[int, _Stream] = {
         i: _Stream(p, model, depth=queue_depth) for i, p in enumerate(paths)
     }
@@ -144,23 +141,13 @@ def fingerprint_streams(
                     s.done = True
                     live.discard(i)
                     continue
-                t = block.luma.shape[0]
-                buf = block.luma
-                if t < bt:
-                    buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
                 t0 = time.perf_counter()
-                scores_dev, fps_dev, s.carry = model.forward(
-                    jnp.asarray(buf), s.carry,
-                    valid_t=jnp.int32(t) if t < bt else None)
-                scores = s.scorer.scores(block, scores_dev, t)
-                fps = np.asarray(fps_dev)[:t]
+                fps, s.carry, new_cuts, t = model.process_block(
+                    block, s.carry, s.scorer,
+                    last_cut=s.cuts[-1] if s.cuts else None)
                 device_s += time.perf_counter() - t0
                 s.fps_out.append(fps)
-                for k in np.nonzero(scores[:t] > threshold)[0]:
-                    ts = round(float(block.pts[k]), 6)
-                    if (not s.cuts or not dedupe_consecutive
-                            or ts != s.cuts[-1]):
-                        s.cuts.append(ts)
+                s.cuts.extend(new_cuts)
                 s.frames += t
             if not progressed:
                 # Every live stream is still decoding: the chip is starved.
