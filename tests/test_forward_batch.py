@@ -23,3 +23,33 @@ def test_forward_batch_matches_streaming(rng):
         np.testing.assert_array_equal(np.asarray(fps_b[i]), np.asarray(f))
         np.testing.assert_allclose(np.asarray(s), golden.scene_scores(clips[i]),
                                    atol=1e-5)
+
+
+def test_forward_batch_not_stale_after_attribute_change(rng):
+    """forward_batch must respect the model's CURRENT hash parameters —
+    jitting the method with static self hashed the mutable model by
+    identity and silently replayed the stale trace after mutation
+    (review finding, reproduced)."""
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    clips = rng.integers(0, 256, size=(2, 8, 24, 32), dtype=np.uint8)
+    m = FingerprintModel(Config())
+    _, fps_phash = m.forward_batch(jnp.asarray(clips))
+    m.algorithm = "ahash"
+    _, fps_ahash = m.forward_batch(jnp.asarray(clips))
+    fresh = FingerprintModel(Config())
+    fresh.algorithm = "ahash"
+    _, fps_fresh = fresh.forward_batch(jnp.asarray(clips))
+    np.testing.assert_array_equal(np.asarray(fps_ahash), np.asarray(fps_fresh))
+    assert not np.array_equal(np.asarray(fps_ahash), np.asarray(fps_phash))
+
+
+def test_empty_inputs_are_clean_noops():
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    m = FingerprintModel(Config())
+    cuts, fps = m.analyze_array(np.zeros((0, 24, 32), np.uint8),
+                                np.zeros(0, np.float32))
+    assert cuts == [] and fps.shape == (0, m.config.hash.words)

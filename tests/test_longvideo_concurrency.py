@@ -38,9 +38,10 @@ def test_long_stream_blocks_bounded_memory(rng):
     cuts, fps = model.analyze_array(luma, pts)
     assert cuts == [pts[c] for c in cut_frames]
     assert fps.shape == (t_total, 2)
-    # Scene parity on a long stream (blocks x carry == whole video).
+    # Scene parity on a long stream (blocks x carry == whole video); the
+    # golden spec now rounds at the analyzer boundary itself.
     want = golden.scene_cuts(luma, pts, threshold=cfg.scene.threshold)
-    assert cuts == [round(w, 6) for w in want]
+    assert cuts == want
 
 
 @pytest.fixture

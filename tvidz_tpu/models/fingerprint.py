@@ -66,42 +66,20 @@ class FingerprintModel:
 
     # -- batched API (data-parallel over clips) ------------------------------------
 
-    @functools.partial(jax.jit, static_argnums=0)
     def forward_batch(
         self, clips: jnp.ndarray
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """(B, T, H, W) -> ((B, T) scores, (B, T, words) fingerprints).
 
-        Each clip is an independent stream, so scene scores reduce to
-        intra-clip shifted diffs on a flat (B*T, H*W) layout — no carry, no
-        per-clip concatenate (the vmapped-carry form measured ~7x slower).
-        Hashing is the same batched op over all B*T frames.
-        """
-        b, t, h, w = clips.shape
-        flat = clips.reshape(b * t, h, w)
-
-        x = clips.reshape(b, t, h * w).astype(jnp.float32)
-        mafd = jnp.zeros((b, t), jnp.float32)
-        mafd = mafd.at[:, 1:].set(
-            jnp.mean(jnp.abs(x[:, 1:] - x[:, :-1]), axis=2)
+        Dispatches to a module-level jit keyed by the EXPLICIT static
+        hash parameters: jitting the method with static self hashed the
+        mutable model by identity, so attribute changes after the first
+        call were silently ignored (stale trace), every instance paid its
+        own 30-80 s on-chip recompile, and the jit cache pinned instances
+        alive."""
+        return _forward_batch_impl(
+            clips, self.algorithm, self.dct_size, self.hash_size
         )
-        prev_mafd = jnp.concatenate(
-            [jnp.zeros((b, 1), jnp.float32), mafd[:, :-1]], axis=1
-        )
-        diff = jnp.abs(mafd - prev_mafd)
-        scores = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
-        scores = scores.at[:, 0].set(0.0)
-
-        if self.algorithm == "phash":
-            from tvidz_tpu.ops.phash import phash_batched
-
-            fps = phash_batched(flat, dct_size=self.dct_size,
-                                hash_size=self.hash_size)
-        else:
-            from tvidz_tpu.ops.hashes import get_hash_fn
-
-            fps = get_hash_fn(self.algorithm)(flat)
-        return scores, fps.reshape(b, t, -1)
 
     def process_block(self, block, carry, scorer, last_cut=None):
         """THE one per-block path every streaming surface shares: pad the
@@ -118,6 +96,12 @@ class FingerprintModel:
         ``last_cut`` is the previous cut for cross-block dedupe.
         """
         t = block.luma.shape[0]
+        if t == 0:
+            # A zero-frame block (decoder edge case) is a no-op: padding an
+            # empty slice would stay empty and the fused op would fail with
+            # an opaque shape error deep in scene_scores_block.
+            return (np.zeros((0, self.config.hash.words), np.uint32),
+                    carry, [], 0)
         bt = self.block_frames
         buf = block.luma
         if t < bt:
@@ -190,4 +174,43 @@ class FingerprintModel:
                 block, carry, scorer, last_cut=cuts[-1] if cuts else None)
             fps_out.append(fps)
             cuts.extend(new_cuts)
-        return cuts, np.concatenate(fps_out)
+        words = self.config.hash.words
+        return cuts, (np.concatenate(fps_out) if fps_out
+                      else np.zeros((0, words), np.uint32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("algorithm", "dct_size", "hash_size")
+)
+def _forward_batch_impl(
+    clips: jnp.ndarray, algorithm: str, dct_size: int, hash_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batched clip fingerprinting. Each clip is an independent stream, so
+    scene scores reduce to intra-clip shifted diffs on a flat (B*T, H*W)
+    layout — no carry, no per-clip concatenate (the vmapped-carry form
+    measured ~7x slower). Hashing is the same batched op over all B*T
+    frames."""
+    b, t, h, w = clips.shape
+    flat = clips.reshape(b * t, h, w)
+
+    x = clips.reshape(b, t, h * w).astype(jnp.float32)
+    mafd = jnp.zeros((b, t), jnp.float32)
+    mafd = mafd.at[:, 1:].set(
+        jnp.mean(jnp.abs(x[:, 1:] - x[:, :-1]), axis=2)
+    )
+    prev_mafd = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.float32), mafd[:, :-1]], axis=1
+    )
+    diff = jnp.abs(mafd - prev_mafd)
+    scores = jnp.clip(jnp.minimum(mafd, diff) / 100.0, 0.0, 1.0)
+    scores = scores.at[:, 0].set(0.0)
+
+    if algorithm == "phash":
+        from tvidz_tpu.ops.phash import phash_batched
+
+        fps = phash_batched(flat, dct_size=dct_size, hash_size=hash_size)
+    else:
+        from tvidz_tpu.ops.hashes import get_hash_fn
+
+        fps = get_hash_fn(algorithm)(flat)
+    return scores, fps.reshape(b, t, -1)

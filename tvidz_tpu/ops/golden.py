@@ -161,12 +161,15 @@ def scene_scores_from_mafd(mafd: np.ndarray) -> np.ndarray:
 
 def scene_cuts(luma: np.ndarray, pts: np.ndarray, threshold: float = 0.3) -> list:
     """Cut timestamps: pts of frames whose score strictly exceeds threshold,
-    with consecutive duplicates suppressed (app.py:231)."""
+    ROUNDED TO 6 DECIMALS (the analyzer-boundary invariant: exact-equality
+    dedup must be container-independent, so the spec rounds exactly where
+    the implementation does), with consecutive duplicates suppressed
+    (app.py:231)."""
     scores = scene_scores(luma)
     cuts: list = []
     for t in range(luma.shape[0]):
         if scores[t] > threshold:
-            ts = float(pts[t])
+            ts = round(float(pts[t]), 6)
             if not cuts or ts != cuts[-1]:
                 cuts.append(ts)
     return cuts
