@@ -37,14 +37,10 @@ def _log(msg: str) -> None:
 
 
 def _sync(*arrays) -> float:
-    """Force device completion: reduce to scalars on device, pull to host.
-    (block_until_ready is unreliable over the axon tunnel.)"""
-    import jax.numpy as jnp
+    """Force device completion (tunnel-safe scalar pull) — shared impl."""
+    from tvidz_tpu.utils import device_sync
 
-    total = 0.0
-    for a in arrays:
-        total += float(jnp.sum(a.astype(jnp.float32) if a.dtype != jnp.float32 else a))
-    return total
+    return device_sync(*arrays)
 
 
 def bench_fingerprint_throughput(block_frames: int = 256, n_blocks: int = 512,
@@ -353,11 +349,12 @@ def bench_e2e_decode_hash(num_frames: int = 120):
     carry = model.init_carry()
     frames = 0
     acc = None
-    pf = BlockPrefetcher(
-        dec.blocks(path, 64, model.height, model.width),
-        depth=cfg.pipeline.decode_prefetch_blocks or 2,
-    )
-    for block in pf:
+    # Honor an explicit 0 (prefetch disabled) like the analyzer does; only
+    # substitute the default when the field is genuinely unset.
+    depth = cfg.pipeline.decode_prefetch_blocks
+    blocks_iter = dec.blocks(path, 64, model.height, model.width)
+    pf = BlockPrefetcher(blocks_iter, depth=depth) if depth > 0 else None
+    for block in (pf if pf is not None else blocks_iter):
         t = block.luma.shape[0]
         buf = block.luma
         if t < 64:
@@ -477,7 +474,11 @@ def supervise() -> None:
             time.sleep(240)
             continue
         attempted += 1
-        line = run_child(["--direct"], timeout=1200)
+        # Generous allowance: a fresh child recompiles every kernel shape
+        # (30-80 s each across ~10 sections) before measuring; killing a
+        # healthy-but-slow child mid-TPU-op would wedge the tunnel and turn
+        # a slow success into a CPU-fallback headline.
+        line = run_child(["--direct"], timeout=2400)
         if line:
             print(line)
             return

@@ -119,7 +119,7 @@ def main() -> int:
 
     try:
         wait_http(f"{BASE}/healthz")
-        h = requests.get(f"{BASE}/healthz").json()
+        h = requests.get(f"{BASE}/healthz", timeout=10).json()
         check("healthz", h.get("status") == "ok" and h.get("poller_alive"), h)
 
         # Build uploads: real H.264 MP4 when the native library is present
@@ -143,7 +143,7 @@ def main() -> int:
 
             write_y4m(local1, luma, fps=25.0)
 
-        bucket_dir = os.path.join("/tmp/tvidz-fake-s3", "videos")
+        bucket_dir = os.path.join(fake_root, "videos")
         os.makedirs(bucket_dir, exist_ok=True)
 
         def deliver(local_path: str, key: str) -> bool:
@@ -196,7 +196,7 @@ def main() -> int:
         verdict = {}
         deadline = time.time() + 120
         while time.time() < deadline:
-            verdict = requests.get(f"{BASE}/status/{name2}").json()
+            verdict = requests.get(f"{BASE}/status/{name2}", timeout=30).json()
             if verdict.get("status") in ("done", "error"):
                 break
             time.sleep(0.3)
@@ -233,14 +233,14 @@ def main() -> int:
               and fres[1]["matches"][0]["filename"] == f"orig.{ext}",
               [r["matches"][:1] for r in fres])
 
-        dbg = requests.get(f"{BASE}/debug/videos").json()
+        dbg = requests.get(f"{BASE}/debug/videos", timeout=30).json()
         check("debug videos", dbg.get("count") == 2, dbg.get("count"))
         check("clear-db",
-              requests.post(f"{BASE}/admin/clear-db").json().get("status")
+              requests.post(f"{BASE}/admin/clear-db", timeout=30).json().get("status")
               == "cleared")
-        dbg = requests.get(f"{BASE}/debug/videos").json()
+        dbg = requests.get(f"{BASE}/debug/videos", timeout=30).json()
         check("cleared", dbg.get("count") == 0)
-        m = requests.get(f"{BASE}/metrics").json()
+        m = requests.get(f"{BASE}/metrics", timeout=30).json()
         check("metrics", "stage_timings" in m)
     finally:
         if server:
@@ -254,7 +254,6 @@ def main() -> int:
         if miniaws_server is not None:
             miniaws_server.shutdown()
         shutil.rmtree(fake_root, ignore_errors=True)
-        shutil.rmtree("/tmp/tvidz-fake-s3", ignore_errors=True)
 
     if failures:
         print(f"[integration] FAILED: {failures}")

@@ -31,7 +31,9 @@ ITERS = 5
 
 
 def _sync(*arrs):
-    return float(jnp.sum(jnp.asarray([jnp.sum(a.astype(jnp.float32)) for a in arrs])))
+    from tvidz_tpu.utils import device_sync
+
+    return device_sync(*arrs)
 
 
 def timeit(name, fn, *args):

@@ -68,6 +68,11 @@ def cuts_from_stream(path, scene_h, scene_w, threshold=0.3):
 
     down_luma = []
     for block in dec.blocks(path, 128, scene_h, scene_w):
+        if block.mafd is None:
+            # Stale native build without tvz_read_block2: no native-res
+            # mafd for this stream — skip the fixture instead of crashing.
+            raise RuntimeError(
+                "decoder provides no native mafd (stale native build?)")
         sc, prev_nm = scene_scores_from_mafd_block(block.mafd, prev_nm)
         for i in np.nonzero(sc > threshold)[0]:
             ts = round(float(block.pts[i]), 6)

@@ -3,7 +3,8 @@
 What it checks beyond the integration test's 2-upload flow:
 - every analysis completes under continuous concurrent ingest (4 in flight);
 - duplicate verdicts stay correct at corpus scale (every 5th upload is a
-  re-encoded copy of an earlier one and must name it);
+  byte-identical copy of an earlier one and must name it; cross-CODEC
+  dedup is integration_test.py's job — y4m is raw);
 - the in-memory analysis registry stays bounded (max_analysis_results LRU)
   and process RSS stops growing once warm — no per-upload leak;
 - reports the sustained ingest rate.
@@ -96,8 +97,8 @@ def main() -> int:
         else:
             raise TimeoutError("service never became healthy")
 
-        # Build the uploads up front: every 5th is a copy of an earlier
-        # original (same luma, new container timeline) and must dedup.
+        # Build the uploads up front: every 5th is a byte-identical copy
+        # of an earlier original and must dedup.
         names, expect_dup_of = [], {}
         originals: list = []          # (name, path) — lumas are not retained
         rng = np.random.default_rng(9)
@@ -161,7 +162,11 @@ def main() -> int:
                     if r.status_code != 200:
                         errors.append((name, r.status_code))
                         return
+                    poll_deadline = time.time() + 600
                     while True:
+                        if time.time() > poll_deadline:
+                            errors.append((name, "status poll deadline"))
+                            return
                         # Generous timeout + retry: with 4 concurrent
                         # analyses on a 1-core host the GIL can starve a
                         # poll response past a tight deadline.
@@ -215,8 +220,7 @@ def main() -> int:
               false_pos[:3])
 
         dbg = requests.get(f"{BASE}/debug/analysis-results", timeout=10).json()
-        held = len(dbg) if isinstance(dbg, list) else len(dbg.get(
-            "results", dbg))
+        held = int(dbg["count"])   # {"analysis_results": ..., "count": N}
         check(f"registry LRU bounded (<= {MAX_RESULTS + 4})",
               held <= MAX_RESULTS + 4, held)
 
@@ -234,6 +238,7 @@ def main() -> int:
             _sh.copy(originals[j % len(originals)][1],
                      os.path.join(tempfile.gettempdir(), nm))
             upload(nm, os.path.join(tempfile.gettempdir(), nm))
+        check("probe uploads clean", not errors, errors[:3])
         rss_end = rss_mb(server.pid)
         growth = rss_end - rss_steady
         check(f"steady-state RSS flat (< 10 MB/upload over {probe_n})",

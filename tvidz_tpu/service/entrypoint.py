@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 from tvidz_tpu.config import Config
@@ -20,7 +21,11 @@ from tvidz_tpu.service.app import create_app
 from tvidz_tpu.utils import log
 
 
-def build_clients(config: Config, fake: bool, fake_root: str = "/tmp/tvidz-fake-s3"):
+def build_clients(config: Config, fake: bool, fake_root: str = None):
+    if fake_root is None:
+        # Test harnesses isolate fake-S3 state per run via this env var
+        # (concurrent integration + soak runs must not share one bucket dir).
+        fake_root = os.environ.get("TVIDZ_FAKE_S3_ROOT", "/tmp/tvidz-fake-s3")
     if fake:
         from tvidz_tpu.service.fakes import FakeS3, FakeSQS
 

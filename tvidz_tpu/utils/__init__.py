@@ -15,3 +15,17 @@ def platform_override() -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+
+def device_sync(*arrays) -> float:
+    """Force device completion by pulling a scalar reduction to host — the
+    axon-tunnel-safe sync (jax.block_until_ready does not actually wait on
+    that transport). ONE implementation for bench.py and the profiling
+    scripts."""
+    import jax.numpy as jnp
+
+    total = 0.0
+    for a in arrays:
+        total += float(jnp.sum(
+            a.astype(jnp.float32) if a.dtype != jnp.float32 else a))
+    return total
