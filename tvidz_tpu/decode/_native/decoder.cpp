@@ -14,8 +14,25 @@
 //   int    tvz_read_block(h, max_frames, luma, pts) -> frames (0 EOF, <0 err)
 //   int    tvz_read_block2(h, max_frames, luma, pts, mafd) -> + native-res
 //          per-frame mean-abs-frame-diff (f_select.c scene semantics)
+//   int    tvz_lowres(handle)                       -> active lowres level
 //   void   tvz_close(handle)
 //   const char* tvz_last_error()                    -> thread-local message
+//
+// tvz_open flags (VERDICT r2 #1 — exhaust the per-core decode budget):
+//   TVZ_FLAG_NO_GRAY (1): do NOT set AV_CODEC_FLAG_GRAY. By default the
+//     decoder requests grayscale-only decode — this pipeline reads plane 0
+//     exclusively, so skipping chroma IDCT/deblock is free throughput on
+//     codecs that honor the flag (and a no-op where ffmpeg was built
+//     without --enable-gray).
+//   TVZ_FLAG_LOWRES (2): pick the highest avcodec `lowres` level the
+//     decoder supports that still decodes at >= the requested output
+//     geometry (MJPEG/mpeg1/2 decode 1/2..1/8-scale directly in the DCT
+//     domain, skipping most IDCT work). Decoded pixels then differ from a
+//     full-resolution decode -> hashes/cut scores are NOT bit-comparable
+//     with non-lowres analyses, and native-resolution mafd is reported
+//     unavailable (callers fall back to downscaled scene scoring). Fast
+//     mode is therefore an explicit per-deployment choice
+//     (PipelineConfig.decode_lowres), never a silent default.
 
 #include <cstdint>
 #include <cstdio>

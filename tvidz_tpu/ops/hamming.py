@@ -182,15 +182,21 @@ def corpus_min_distance(
 
     Unlike the production-path _t variant (which demands pre-padded
     layouts), this pads arbitrary N to the block multiple and M to the
-    8-row sublane multiple with 0xFFFFFFFF sentinels internally and slices
-    the outputs back — the convenience path must not assert on arbitrary
-    corpora. Callers holding a long-lived corpus should store it transposed
-    and call corpus_min_distance_t directly to avoid the per-call transpose
-    and padding."""
+    8-row sublane multiple with DUPLICATES of corpus row 0 / q[0] internally
+    (hamming space has no 'infinitely far' sentinel — any constant is near
+    its complements — but a duplicate of a real row can never change a
+    minimum) and slices the outputs back — the convenience path must not
+    assert on arbitrary corpora. Callers holding a long-lived corpus should
+    store it transposed and call corpus_min_distance_t directly to avoid
+    the per-call transpose and padding."""
     n, w = corpus.shape
     if n == 0:
         raise ValueError("empty corpus")
     m = q.shape[0]
+    if m == 0:
+        # frame_min would be computed against a phantom all-zero query;
+        # meaningless — fail like the empty-corpus case.
+        raise ValueError("empty query")
     blk = min(block_n, max(128, -(-n // 128) * 128))
     n_pad = -(-n // blk) * blk
     m_pad = -(-m // 8) * 8
@@ -202,8 +208,7 @@ def corpus_min_distance(
             [corpus, jnp.broadcast_to(corpus[0], (n_pad - n, w))], axis=0)
     if m_pad != m:
         q = jnp.concatenate(
-            [q, jnp.broadcast_to(q[0] if m else jnp.zeros(w, jnp.uint32),
-                                 (m_pad - m, w))], axis=0)
+            [q, jnp.broadcast_to(q[0], (m_pad - m, w))], axis=0)
     frame_min, q_min, q_arg = corpus_min_distance_t(
         q, jnp.transpose(corpus), block_n=blk
     )

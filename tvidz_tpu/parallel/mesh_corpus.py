@@ -136,25 +136,32 @@ class MeshCorpus(DeviceCorpus):
                 np.ascontiguousarray(self._fp.T), self._fp_sharding
             )
             self._fp_full_resync = False
-        elif self._fp_synced_count < self._fp_count:
-            # Appended columns [synced, count) live in the trailing shards.
+        else:
+            # Appended columns [synced, count) live in the trailing shards;
+            # in-place tombstone sentinels (_fp_dirty_cols, remove_video)
+            # can land in any shard.
             cols_per_shard = self._fp_cap // self.n_shards
-            dirty = set(
-                range(self._fp_synced_count // cols_per_shard,
-                      (self._fp_count - 1) // cols_per_shard + 1)
-            )
-
-            def shard_of_fp(index):
-                lo = index[1].start or 0
-                k = lo // cols_per_shard
-                return k, np.ascontiguousarray(
-                    self._fp[lo : lo + cols_per_shard].T
+            dirty = set()
+            if self._fp_synced_count < self._fp_count:
+                dirty.update(
+                    range(self._fp_synced_count // cols_per_shard,
+                          (self._fp_count - 1) // cols_per_shard + 1)
                 )
+            dirty.update(c // cols_per_shard for c in self._fp_dirty_cols)
+            if dirty:
+                def shard_of_fp(index):
+                    lo = index[1].start or 0
+                    k = lo // cols_per_shard
+                    return k, np.ascontiguousarray(
+                        self._fp[lo : lo + cols_per_shard].T
+                    )
 
-            self._fp_dev = self._reassemble(
-                self._fp_dev, self._fp.T, self._fp_sharding, dirty, shard_of_fp
-            )
+                self._fp_dev = self._reassemble(
+                    self._fp_dev, self._fp.T, self._fp_sharding, dirty,
+                    shard_of_fp,
+                )
         self._fp_synced_count = self._fp_count
+        self._fp_dirty_cols.clear()
 
     def _sync_al_bucket(self, bu) -> None:
         bu.dev, bu.len_dev = self._sync_row_sharded(

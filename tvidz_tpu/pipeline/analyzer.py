@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 import time
 import uuid
 from typing import Callable, List, Optional, Tuple
@@ -88,6 +89,12 @@ class Analyzer:
         self.fetcher = fetcher
         self.config = config or Config()
         self.timer = StageTimer()
+        # Video ids with an analysis currently in flight in this process —
+        # checkpoint resume must never supersede (delete_video/remove_video)
+        # a LIVE attempt's row (ADVICE r2: two concurrent same-name
+        # same-content uploads share ckpt_key).
+        self._active_lock = threading.Lock()
+        self._active_vids: set = set()
         # The ONE per-block implementation (process_block) shared with
         # CLI/search/multistream lives on the model.
         from tvidz_tpu.models.fingerprint import FingerprintModel
@@ -117,6 +124,8 @@ class Analyzer:
         log("analysis-triggered", f"Starting analysis for {filename}")
         video = self.store.add_video(original_filename)
         video_id = video.id
+        with self._active_lock:
+            self._active_vids.add(video_id)
         self.registry.seed(analysis_key, original_filename=filename,
                            clean_filename=original_filename)
         log("analysis-start",
@@ -160,6 +169,8 @@ class Analyzer:
             )
             dups_to_report = existing_duplicates
         finally:
+            with self._active_lock:
+                self._active_vids.discard(video_id)
             if os.path.exists(local_path):
                 try:
                     os.remove(local_path)
@@ -261,25 +272,38 @@ class Analyzer:
                             or ckpt.fingerprints.shape[1] == cfg.hash.words
                         )
                     ):
-                        resume_from = ckpt.frames_done
-                        resume_catchup = True
-                        # Supersede the crashed attempt's orphaned partial
-                        # row: its timestamps are an exact copy of what this
-                        # analysis will re-store, so leaving it would report
-                        # the video as a duplicate OF ITSELF at catch-up.
                         old_vid = ckpt.video_id
-                        if old_vid is not None and old_vid != video_id:
-                            self.store.delete_video(old_vid)
-                            self.corpus.remove_video(old_vid)
+                        with self._active_lock:
+                            old_vid_live = old_vid in self._active_vids
+                        if old_vid_live:
+                            # The checkpoint belongs to a CONCURRENT
+                            # analysis still running in this process (two
+                            # same-name same-content uploads share
+                            # ckpt_key). Superseding would delete its live
+                            # row mid-analysis and strand its store writes
+                            # — restart cleanly instead (ADVICE r2).
                             log("checkpoint",
-                                f"superseded crashed attempt row {old_vid}")
-                        scene_cuts = list(ckpt.scene_cuts)
-                        if ckpt.fingerprints.shape[0]:
-                            all_fps = [ckpt.fingerprints]
-                        carry = ckpt.restore_carry()
-                        log("checkpoint",
-                            f"resuming {filename} at frame {resume_from} "
-                            f"({len(scene_cuts)} cuts so far)")
+                                f"not resuming: attempt {old_vid} is live")
+                        else:
+                            resume_from = ckpt.frames_done
+                            resume_catchup = True
+                            # Supersede the crashed attempt's orphaned
+                            # partial row: its timestamps are an exact copy
+                            # of what this analysis will re-store, so
+                            # leaving it would report the video as a
+                            # duplicate OF ITSELF at catch-up.
+                            if old_vid is not None and old_vid != video_id:
+                                self.store.delete_video(old_vid)
+                                self.corpus.remove_video(old_vid)
+                                log("checkpoint",
+                                    f"superseded crashed attempt row {old_vid}")
+                            scene_cuts = list(ckpt.scene_cuts)
+                            if ckpt.fingerprints.shape[0]:
+                                all_fps = [ckpt.fingerprints]
+                            carry = ckpt.restore_carry()
+                            log("checkpoint",
+                                f"resuming {filename} at frame {resume_from} "
+                                f"({len(scene_cuts)} cuts so far)")
                 except Exception as e:  # noqa: BLE001 — corrupt ckpt = restart
                     log("checkpoint", f"ignoring unreadable checkpoint: {e}")
 
