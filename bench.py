@@ -313,9 +313,61 @@ def bench_fragment_search(n_videos: int = 1024, frames_per_video: int = 1024,
     return min(p50s.values())
 
 
-def bench_e2e_decode_hash(num_frames: int = 120):
+def bench_decode_roofline(num_frames: int = 120):
+    """Decode-only roofline (VERDICT r2 #1c): pure libav frames/s on this
+    host, no device work — so 'achieved vs ceiling' is visible next to the
+    e2e numbers. Reports full-resolution and lowres (DCT-domain reduced
+    decode) per codec."""
+    import os
+    import tempfile
+
+    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+    from tvidz_tpu.decode.native import NativeDecoder, encode_video
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.decode import native
+
+    if not native.available():
+        _log("decode roofline: native decoder not built; skipping")
+        return None
+    luma, _ = synthetic_video(num_frames=num_frames, height=1080, width=1920,
+                              cut_frames=(40,), seed=3)
+    fixtures = {}
+    p = os.path.join(tempfile.gettempdir(), "bench_roofline.avi")
+    write_mjpeg_avi(p, luma, fps=25.0, quality=90)
+    fixtures["mjpeg"] = p
+    p = os.path.join(tempfile.gettempdir(), "bench_roofline.mp4")
+    try:
+        encode_video(p, luma, fps=25.0, codec="mpeg4", bit_rate=8_000_000)
+        fixtures["mpeg4"] = p
+    except Exception as e:  # noqa: BLE001
+        _log(f"decode roofline: mpeg4 fixture failed ({e})")
+
+    out = {}
+    for codec, path in fixtures.items():
+        for mode in ("full", "lowres"):
+            dec = NativeDecoder(lowres=(mode == "lowres"))
+            best = 0.0
+            for _ in range(3):
+                t0 = time.perf_counter()
+                n = 0
+                for b in dec.blocks(path, 64, 90, 160):
+                    n += b.luma.shape[0]
+                best = max(best, n / (time.perf_counter() - t0))
+            key = f"{codec}_{mode}"
+            out[key] = round(best, 1)
+            extra = (f" (active lowres {dec.active_lowres})"
+                     if mode == "lowres" else "")
+            _log(f"decode roofline: {codec} {mode} = {best:,.0f} frames/s "
+                 f"per core, no device work{extra}")
+        os.remove(path)
+    return out
+
+
+def bench_e2e_decode_hash(num_frames: int = 120, lowres: bool = False):
     """End-to-end host decode (1080p MJPEG) -> device fingerprint, stderr-only:
-    the honest number including the host-side share of the work."""
+    the honest number including the host-side share of the work.
+    ``lowres=True`` measures the fast-decode deployment mode
+    (PipelineConfig.decode_lowres)."""
     import os
     import tempfile
 
@@ -337,7 +389,7 @@ def bench_e2e_decode_hash(num_frames: int = 120):
                               cut_frames=(40,), seed=3)
     path = os.path.join(tempfile.gettempdir(), "bench_1080p.avi")
     write_mjpeg_avi(path, luma, fps=25.0, quality=90)
-    dec = get_decoder(path)
+    dec = get_decoder(path, lowres=lowres)
     carry = model.init_carry()
     warm = jnp.zeros((64, model.height, model.width), jnp.uint8)
     s0, f0, _ = model.forward(warm, carry)
@@ -366,14 +418,16 @@ def bench_e2e_decode_hash(num_frames: int = 120):
     pf.close()
     dt = time.perf_counter() - t0
     os.remove(path)
+    tag = " [lowres fast mode]" if lowres else ""
     _log(
-        f"e2e 1080p MJPEG decode+hash: {frames/dt:,.0f} frames/s "
+        f"e2e 1080p MJPEG decode+hash{tag}: {frames/dt:,.0f} frames/s "
         f"({frames} frames in {dt:.2f} s; host decode overlapped with device)"
     )
     return frames / dt
 
 
-def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 120):
+def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 120,
+                      lowres: bool = False):
     """Decoded-e2e scaling curve (VERDICT r1 missing #4): N concurrent
     1080p uploads, each with its own decoder thread, multiplexed onto one
     chip. Reports the decode-starved vs device split per point so the
@@ -395,6 +449,7 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 120):
         return None
     cfg = Config()
     cfg.pipeline.block_frames = 64
+    cfg.pipeline.decode_lowres = lowres
     model = FingerprintModel(cfg)
     luma, _ = synthetic_video(num_frames=num_frames, height=1080, width=1920,
                               cut_frames=(40,), seed=3)
@@ -411,12 +466,13 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 120):
     _sync(s0, f0)
 
     curve = {}
+    tag = " [lowres]" if lowres else ""
     for n in stream_counts:
         results, stats = fingerprint_streams(paths[:n], model=model)
         assert all(r.error is None for r in results), [r.error for r in results]
         curve[n] = stats.frames_per_s
         _log(
-            f"e2e scaling: {n} stream(s) -> {stats.frames_per_s:,.0f} "
+            f"e2e scaling{tag}: {n} stream(s) -> {stats.frames_per_s:,.0f} "
             f"decoded+hashed frames/s total ({stats.frames} frames in "
             f"{stats.wall_s:.2f} s; decode-starved {stats.decode_starved_s:.2f} s "
             f"= {100*stats.decode_starved_s/stats.wall_s:.0f}%, device+dispatch "
@@ -518,8 +574,11 @@ def main() -> None:
     else:
         frames_per_s, best_fps = bench_fingerprint_throughput()
     e2e_fps = None
+    e2e_fps_fast = None
     frag_p50 = None
     e2e_curve = None
+    e2e_curve_fast = None
+    decode_roofline = None
     if not cpu_fallback:
         try:
             bench_reference_python_scan()
@@ -529,8 +588,11 @@ def main() -> None:
             bench_timestamp_match()
             bench_batched_clips()
             frag_p50 = bench_fragment_search()
+            decode_roofline = bench_decode_roofline()
             e2e_fps = bench_e2e_decode_hash()
+            e2e_fps_fast = bench_e2e_decode_hash(lowres=True)
             e2e_curve = bench_e2e_scaling()
+            e2e_curve_fast = bench_e2e_scaling(lowres=True)
         except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
             _log(f"secondary benches failed: {e}")
 
@@ -549,11 +611,21 @@ def main() -> None:
     if e2e_fps is not None:
         record["e2e_decoded_frames_per_sec"] = round(e2e_fps, 1)
         record["vs_baseline_e2e"] = round(e2e_fps / 20000.0, 4)
+    if e2e_fps_fast is not None:
+        # decode_lowres deployment mode (DCT-domain reduced decode).
+        record["e2e_decoded_frames_per_sec_fast"] = round(e2e_fps_fast, 1)
+        record["vs_baseline_e2e_fast"] = round(e2e_fps_fast / 20000.0, 4)
+    if decode_roofline:
+        record["decode_only_frames_per_sec"] = decode_roofline
     if frag_p50 is not None:
         record["fragment_search_1m_p50_ms"] = round(frag_p50 * 1e3, 2)
     if e2e_curve:
         record["e2e_streams_frames_per_sec"] = {
             str(k): round(v, 1) for k, v in e2e_curve.items()
+        }
+    if e2e_curve_fast:
+        record["e2e_streams_frames_per_sec_fast"] = {
+            str(k): round(v, 1) for k, v in e2e_curve_fast.items()
         }
     print(json.dumps(record))
 

@@ -1,0 +1,123 @@
+"""Fast host-decode path (VERDICT r2 #1): avcodec lowres reduced-resolution
+decode + AV_CODEC_FLAG_GRAY request.
+
+The contract under test:
+- lowres engages only when requested AND the codec supports it (mpeg4 and
+  MJPEG do; raw Y4M has nothing to skip);
+- pts are identical to a full-resolution decode (timestamps must never
+  depend on the decode mode);
+- native-resolution mafd is reported unavailable in lowres mode (the
+  f_select.c parity contract can't be met on reduced-res pixels) so scene
+  scoring falls back to the downscaled path;
+- the analyze pipeline still finds the planted hard cuts at the same
+  timestamps with decode_lowres on (hard cuts survive DCT-domain
+  downscaling; this is the fleet-wide fast deployment mode).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.decode import get_decoder
+from tvidz_tpu.decode.synthetic import synthetic_video
+
+native = pytest.importorskip("tvidz_tpu.decode.native")
+if not native.available():
+    pytest.skip("native decoder not built", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def mpeg4_fixture(tmp_path_factory):
+    luma, pts = synthetic_video(num_frames=80, height=720, width=1280,
+                                cut_frames=(30, 55), seed=11)
+    path = str(tmp_path_factory.mktemp("fast") / "fast.mp4")
+    native.encode_video(path, luma, fps=25.0, codec="mpeg4",
+                        bit_rate=6_000_000)
+    return path, pts
+
+
+def _decode_all(path, lowres):
+    dec = native.NativeDecoder(lowres=lowres)
+    blocks = list(dec.blocks(path, 32, 90, 160))
+    luma = np.concatenate([b.luma for b in blocks])
+    pts = np.concatenate([b.pts for b in blocks])
+    mafd = (np.concatenate([b.mafd for b in blocks])
+            if blocks[0].mafd is not None else None)
+    return dec, luma, pts, mafd
+
+
+def test_lowres_engages_and_pts_match_full_decode(mpeg4_fixture):
+    path, _ = mpeg4_fixture
+    dec_full, luma_full, pts_full, mafd_full = _decode_all(path, False)
+    dec_low, luma_low, pts_low, mafd_low = _decode_all(path, True)
+    assert dec_full.active_lowres == 0
+    assert dec_low.active_lowres >= 1
+    assert luma_low.shape == luma_full.shape  # output geometry unchanged
+    np.testing.assert_array_equal(pts_low, pts_full)
+    # Full decode provides native mafd; lowres must report unavailable.
+    assert mafd_full is not None and (mafd_full >= 0).all()
+    assert mafd_low is None or (mafd_low < 0).all()
+
+
+def test_lowres_not_engaged_without_request(mpeg4_fixture):
+    path, _ = mpeg4_fixture
+    dec = native.NativeDecoder(lowres=False)
+    list(dec.blocks(path, 32, 90, 160))
+    assert dec.active_lowres == 0
+
+
+def test_lowres_respects_output_geometry_floor(mpeg4_fixture):
+    """Requesting output near the source size must cap the lowres level so
+    the decode never drops below the requested geometry."""
+    path, _ = mpeg4_fixture
+    dec = native.NativeDecoder(lowres=True)
+    blocks = list(dec.blocks(path, 32, 360, 640))
+    # 1280x720 source: lowres 1 -> 640x360 == output; lowres 2 would be
+    # 320x180 < output and must not be chosen.
+    assert dec.active_lowres == 1
+    assert blocks[0].luma.shape[1:] == (360, 640)
+
+
+def test_get_decoder_lowres_on_y4m_is_harmless(tmp_path):
+    from tvidz_tpu.decode.y4m import Y4MDecoder, write_y4m
+
+    luma, _ = synthetic_video(num_frames=8, height=72, width=96)
+    p = str(tmp_path / "x.y4m")
+    write_y4m(p, luma)
+    dec = get_decoder(p, lowres=True)
+    assert isinstance(dec, Y4MDecoder)
+    assert sum(b.luma.shape[0] for b in dec.blocks(p, 4, 72, 96)) == 8
+
+
+def test_analyze_pipeline_lowres_finds_same_cuts(mpeg4_fixture):
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    path, _ = mpeg4_fixture
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cuts_full, fp_full = FingerprintModel(cfg).analyze_path(path)
+
+    cfg_fast = Config()
+    cfg_fast.pipeline.block_frames = 32
+    cfg_fast.pipeline.decode_lowres = True
+    cuts_fast, fp_fast = FingerprintModel(cfg_fast).analyze_path(path)
+
+    # Hard cuts at frames 30/55 @25fps -> 1.2s, 2.2s in both modes.
+    assert cuts_fast == cuts_full
+    assert [round(c, 1) for c in cuts_full] == [1.2, 2.2]
+    # Same frame count of fingerprints either way.
+    assert fp_fast.shape == fp_full.shape
+
+
+def test_decode_lowres_env_knob():
+    cfg = Config()
+    assert cfg.pipeline.decode_lowres is False
+    os.environ["TVIDZ_DECODE_LOWRES"] = "1"
+    try:
+        from tvidz_tpu.config import PipelineConfig
+
+        assert PipelineConfig.from_env().decode_lowres is True
+    finally:
+        del os.environ["TVIDZ_DECODE_LOWRES"]

@@ -149,6 +149,15 @@ class PipelineConfig:
     # Decode-ahead depth: host decodes N blocks ahead on a background thread
     # while the device works (pipeline/prefetch.py). 0 disables.
     decode_prefetch_blocks: int = 2
+    # Fast host decode: reduced-resolution DCT-domain decode (avcodec
+    # lowres) on codecs that support it — ~3-10x per-core decode
+    # throughput on MJPEG/mpeg1/2 1080p sources, at the cost of decoded
+    # pixels (and therefore hashes / cut timestamps) no longer being
+    # bit-comparable with full-resolution analyses, and scene scoring
+    # falling back from native-resolution mafd to the downscaled path.
+    # Dedup relies on exact cut-timestamp equality across uploads: flip
+    # this fleet-wide or not at all (mixing modes forks verdicts).
+    decode_lowres: bool = False
     # Directory for per-video JPEG thumbnails ("" = off). The reference
     # schema has videos.thumbnail_path but nothing ever writes it; the
     # service enables this by default (entrypoint) and serves
@@ -171,6 +180,7 @@ class PipelineConfig:
             tmp_dir=_env("TMP_DIR", "/tmp"),
             checkpoint_every_blocks=_env("CHECKPOINT_EVERY_BLOCKS", 8, int),
             decode_prefetch_blocks=_env("DECODE_PREFETCH_BLOCKS", 2, int),
+            decode_lowres=_env("DECODE_LOWRES", False, bool),
         )
 
 

@@ -213,8 +213,14 @@ bool can_box_downscale(const Handle* h, const AVFrame* f) {
          f->height / h->out_h <= 256;  // uint16 column accumulator bound
 }
 
+enum TvzOpenFlags {
+  TVZ_FLAG_NO_GRAY = 1,
+  TVZ_FLAG_LOWRES = 2,
+};
+
 int open_input(const char* path, AVFormatContext** fmt, AVCodecContext** codec,
-               int* stream_index) {
+               int* stream_index, int flags = TVZ_FLAG_NO_GRAY,
+               int out_w = 0, int out_h = 0) {
   int rc = avformat_open_input(fmt, path, nullptr, nullptr);
   if (rc < 0) {
     set_averror("avformat_open_input", rc);
@@ -246,6 +252,27 @@ int open_input(const char* path, AVFormatContext** fmt, AVCodecContext** codec,
   // Frame-threaded decode across all cores — the hot host-side path.
   (*codec)->thread_count = 0;
   (*codec)->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  if (!(flags & TVZ_FLAG_NO_GRAY)) {
+    // Luma-only pipeline: skip chroma decode where the codec supports it
+    // (no-op when ffmpeg lacks --enable-gray; luma plane is unaffected
+    // either way).
+    (*codec)->flags |= AV_CODEC_FLAG_GRAY;
+  }
+  if ((flags & TVZ_FLAG_LOWRES) && dec->max_lowres > 0 && out_w > 0 &&
+      out_h > 0 && st->codecpar->width > 0 && st->codecpar->height > 0) {
+    // Highest DCT-domain downscale that still decodes at >= the output
+    // geometry (the box filter / sws handles the remainder).
+    int max_l = dec->max_lowres;
+    const char* cap = getenv("TVIDZ_DECODE_LOWRES_MAX");  // tuning/tests
+    if (cap && cap[0] >= '0' && cap[0] <= '9' && atoi(cap) < max_l)
+      max_l = atoi(cap);
+    int l = 0;
+    while (l < max_l && (st->codecpar->width >> (l + 1)) >= out_w &&
+           (st->codecpar->height >> (l + 1)) >= out_h) {
+      ++l;
+    }
+    (*codec)->lowres = l;
+  }
   rc = avcodec_open2(*codec, dec, nullptr);
   if (rc < 0) {
     set_averror("avcodec_open2", rc);
@@ -304,14 +331,20 @@ int tvz_probe(const char* path, ProbeResult* out) {
 }
 
 void* tvz_open(const char* path, int out_h, int out_w, int flags) {
-  (void)flags;
   Handle* h = new Handle();
-  if (open_input(path, &h->fmt, &h->codec, &h->stream_index) != 0) {
+  if (open_input(path, &h->fmt, &h->codec, &h->stream_index, flags, out_w,
+                 out_h) != 0) {
     destroy(h);
     return nullptr;
   }
   h->out_h = out_h;
   h->out_w = out_w;
+  if (h->codec->lowres > 0) {
+    // Reduced-resolution decode: a "native" mafd here would be computed on
+    // lowres pixels — not the f_select.c full-frame parity contract.
+    // Report unavailable; callers fall back to downscaled scene scoring.
+    h->mafd_supported = false;
+  }
   AVStream* st = h->fmt->streams[h->stream_index];
   h->time_base = av_q2d(st->time_base);
   AVRational fr = av_guess_frame_rate(h->fmt, st, nullptr);
@@ -466,6 +499,14 @@ int tvz_read_block2(void* handle, int max_frames, uint8_t* luma_out,
 int tvz_read_block(void* handle, int max_frames, uint8_t* luma_out,
                    double* pts_out) {
   return tvz_read_block2(handle, max_frames, luma_out, pts_out, nullptr);
+}
+
+// Active avcodec lowres level for an open handle (0 = full resolution).
+// Lets callers/tests observe whether TVZ_FLAG_LOWRES actually engaged for
+// this codec (h264 has max_lowres == 0; MJPEG/mpeg1/2 support up to 3).
+int tvz_lowres(void* handle) {
+  Handle* h = (Handle*)handle;
+  return (h && h->codec) ? h->codec->lowres : 0;
 }
 
 void tvz_close(void* handle) { destroy((Handle*)handle); }

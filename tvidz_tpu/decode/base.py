@@ -79,8 +79,14 @@ def _native_available() -> bool:
         return False
 
 
-def get_decoder(path: Optional[str] = None) -> Decoder:
-    """Pick a decoder: native C++/libav when built, else pure-Python Y4M."""
+def get_decoder(path: Optional[str] = None, lowres: bool = False) -> Decoder:
+    """Pick a decoder: native C++/libav when built, else pure-Python Y4M.
+
+    ``lowres=True`` requests reduced-resolution DCT-domain decode on codecs
+    that support it (see NativeDecoder; decoded pixels differ from a full
+    decode — an explicit deployment-wide choice). Raw formats (Y4M) have no
+    decode work to skip and ignore it.
+    """
     if path is not None and path.endswith(".y4m"):
         from tvidz_tpu.decode.y4m import Y4MDecoder
 
@@ -88,7 +94,7 @@ def get_decoder(path: Optional[str] = None) -> Decoder:
     if _native_available():
         from tvidz_tpu.decode.native import NativeDecoder
 
-        return NativeDecoder()
+        return NativeDecoder(lowres=lowres)
     if path is None:  # .y4m paths already returned above
         from tvidz_tpu.decode.y4m import Y4MDecoder
 

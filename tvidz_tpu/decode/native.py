@@ -68,6 +68,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tvz_read_block2.restype = ctypes.c_int
     lib.tvz_close.argtypes = [ctypes.c_void_p]
     lib.tvz_close.restype = None
+    if hasattr(lib, "tvz_lowres"):
+        lib.tvz_lowres.argtypes = [ctypes.c_void_p]
+        lib.tvz_lowres.restype = ctypes.c_int
     lib.tvz_last_error.argtypes = []
     lib.tvz_last_error.restype = ctypes.c_char_p
     # tvz_encode is newer than tvz_probe/open; a stale .so built before it
@@ -124,7 +127,40 @@ def encode_video(
         raise DecodeError(f"encode failed for {path}: {_err(lib)}")
 
 
+# tvz_open flags (decoder.cpp TvzOpenFlags).
+_FLAG_NO_GRAY = 1
+_FLAG_LOWRES = 2
+
+
 class NativeDecoder(Decoder):
+    """C++/libav decoder.
+
+    ``lowres=True`` requests DCT-domain reduced-resolution decode where the
+    codec supports it (MJPEG/mpeg1/2 up to 1/8 scale — most of the IDCT
+    work skipped; h264 ignores it). Decoded pixels then differ from a
+    full-resolution decode, so hashes / cut timestamps are not
+    bit-comparable across the two modes and native-resolution mafd is
+    unavailable (scene scoring falls back to the downscaled path). Deploy
+    fleet-wide or not at all — see PipelineConfig.decode_lowres.
+
+    Grayscale-only decode (AV_CODEC_FLAG_GRAY — skip chroma, luma
+    unchanged) is always requested; TVIDZ_DECODE_GRAY=0 disables it for
+    A/B measurement.
+    """
+
+    def __init__(self, lowres: bool = False):
+        self.lowres = lowres
+        # Active lowres level of the most recent open (observability/tests).
+        self.active_lowres = 0
+
+    def _open_flags(self) -> int:
+        flags = 0
+        if os.environ.get("TVIDZ_DECODE_GRAY", "1") in ("0", "false"):
+            flags |= _FLAG_NO_GRAY
+        if self.lowres:
+            flags |= _FLAG_LOWRES
+        return flags
+
     def probe(self, path: str) -> VideoInfo:
         lib = _load()
         if lib is None:
@@ -149,9 +185,12 @@ class NativeDecoder(Decoder):
         if lib is None:
             raise DecodeError(f"native decoder unavailable: {_load_error}")
         # Decode threads are managed inside the C++ side (avcodec thread pool).
-        handle = lib.tvz_open(path.encode(), height, width, 0)
+        handle = lib.tvz_open(path.encode(), height, width, self._open_flags())
         if not handle:
             raise DecodeError(f"open failed for {path}: {_err(lib)}")
+        self.active_lowres = (
+            int(lib.tvz_lowres(handle)) if hasattr(lib, "tvz_lowres") else 0
+        )
         try:
             start = 0
             has_mafd = hasattr(lib, "tvz_read_block2")

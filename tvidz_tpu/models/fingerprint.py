@@ -134,7 +134,8 @@ class FingerprintModel:
         from tvidz_tpu.decode import get_decoder
         from tvidz_tpu.ops.scene import NativeSceneScorer
 
-        decoder = get_decoder(path)
+        decoder = get_decoder(
+            path, lowres=self.config.pipeline.decode_lowres)
         carry = self.init_carry()
         bt = self.block_frames
         cuts: List[float] = []

@@ -74,7 +74,8 @@ class _Stream:
     def _decode(self) -> None:
         m = self._model
         try:
-            dec = get_decoder(self.path)
+            dec = get_decoder(
+                self.path, lowres=m.config.pipeline.decode_lowres)
             for block in dec.blocks(self.path, m.block_frames, m.height, m.width):
                 # Bounded put with a stop check: if the dispatch loop dies
                 # (device error), an unconditional q.put would block this
