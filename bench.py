@@ -120,52 +120,64 @@ def bench_fingerprint_throughput(block_frames: int = 256, n_blocks: int = 512,
 
 def bench_verdict_latency(corpus_n: int = 1 << 20, query_m: int = 128,
                           iters: int = 10, chain_k: int = 50):
+    """Races the VPU (xor+popcount) and MXU (±1 unpack + matmul) corpus
+    scans at the same shape; reports both, returns the winner's numbers."""
     import jax
     import jax.numpy as jnp
 
-    from tvidz_tpu.ops.hamming import corpus_min_distance_t
+    from tvidz_tpu.ops.hamming import (
+        corpus_min_distance_t,
+        corpus_min_distance_t_mxu,
+    )
 
     rng = np.random.default_rng(1)
     corpus_t = jnp.asarray(
         rng.integers(0, 2**32, size=(2, corpus_n), dtype=np.uint32)
     )
     query = jnp.asarray(rng.integers(0, 2**32, size=(query_m, 2), dtype=np.uint32))
-    out = corpus_min_distance_t(query, corpus_t, block_n=8192)
-    _sync(*out)
-
-    # Single-call wall latency (includes the host<->device round trip).
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = corpus_min_distance_t(query, corpus_t, block_n=8192)
-        _sync(out[1], out[2])
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
-
-    # Device-only latency: chain K verdicts inside one dispatch.
-    @jax.jit
-    def chained(qs, c_t):
-        def step(acc, qq):
-            fmin, qmin, _ = corpus_min_distance_t(qq, c_t, block_n=8192)
-            return acc + jnp.sum(qmin), None
-        acc, _ = jax.lax.scan(step, jnp.int32(0), qs)
-        return acc
-
     qs = jnp.asarray(
         rng.integers(0, 2**32, size=(chain_k, query_m, 2), dtype=np.uint32)
     )
-    acc = chained(qs, corpus_t)
-    _sync(acc)
-    t0 = time.perf_counter()
-    acc = chained(qs, corpus_t)
-    _sync(acc)
-    dev = (time.perf_counter() - t0) / chain_k
-    compares = query_m * corpus_n / dev
-    _log(
-        f"verdict: device {dev*1e3:.2f} ms / wall p50 {p50*1e3:.2f} ms vs "
-        f"{corpus_n:,} fingerprints ({compares:,.0f} fingerprint compares/s)"
-    )
-    return dev, compares
+
+    best = None
+    for name, fn, blk in (("vpu", corpus_min_distance_t, 8192),
+                          ("mxu", corpus_min_distance_t_mxu, 4096)):
+        out = fn(query, corpus_t, block_n=blk)
+        _sync(*out)
+
+        # Single-call wall latency (includes the host<->device round trip).
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = fn(query, corpus_t, block_n=blk)
+            _sync(out[1], out[2])
+            times.append(time.perf_counter() - t0)
+        p50 = float(np.median(times))
+
+        # Device-only latency: chain K verdicts inside one dispatch.
+        @jax.jit
+        def chained(qs_, c_t):
+            def step(acc, qq):
+                fmin, qmin, _ = fn(qq, c_t, block_n=blk)
+                return acc + jnp.sum(qmin), None
+            acc, _ = jax.lax.scan(step, jnp.int32(0), qs_)
+            return acc
+
+        acc = chained(qs, corpus_t)
+        _sync(acc)
+        t0 = time.perf_counter()
+        acc = chained(qs, corpus_t)
+        _sync(acc)
+        dev = (time.perf_counter() - t0) / chain_k
+        compares = query_m * corpus_n / dev
+        _log(
+            f"verdict [{name}]: device {dev*1e3:.2f} ms / wall p50 "
+            f"{p50*1e3:.2f} ms vs {corpus_n:,} fingerprints "
+            f"({compares:,.0f} fingerprint compares/s)"
+        )
+        if best is None or dev < best[0]:
+            best = (dev, compares)
+    return best
 
 
 def bench_timestamp_match(n_videos: int = 1 << 20, max_cuts: int = 32,

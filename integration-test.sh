@@ -6,4 +6,10 @@
 # scene cuts, duplicate verdicts, SSE framing, and admin/debug routes.
 set -euo pipefail
 cd "$(dirname "$0")"
+# --multihost: two full services (separate OS processes, gloo DCN
+# collectives) sharing one store, corpus sharded across the host boundary,
+# driven over sockets (scripts/integration_multihost.py).
+if [[ "${1:-}" == "--multihost" ]]; then
+  exec python scripts/integration_multihost.py "${@:2}"
+fi
 exec python scripts/integration_test.py "$@"

@@ -1,0 +1,222 @@
+"""Multi-host SERVED integration (VERDICT r2 #2): two full inspector
+services — separate OS processes, each a jax.distributed "host" with 4
+virtual CPU devices, gloo TCP collectives — sharing one durable store and
+one corpus sharded ACROSS the host boundary, driven over real sockets.
+
+The socket-level analog of scripts/dryrun_multihost.py:
+
+  1. upload A -> host 0's webhook; host 0 analyzes and ingests it into the
+     host-spanning corpus via the collective op log;
+  2. upload B (identical content, new name) -> host 1's webhook; host 1's
+     duplicate verdict comes from collective search whose evidence merge
+     crosses DCN;
+  3. host 0 serves B's verdict from /status (analyzed on the OTHER host);
+  4. /search/fragment on host 0 locates A's content — the fragment ran
+     collectively over the host-sharded alignment index;
+  5. /debug/videos agrees on both hosts.
+
+Usage: python scripts/integration_multihost.py   (CPU; ~2-3 min)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import tempfile
+import time
+
+import requests
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+PORTS = (5161, 5162)
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def main() -> int:
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.decode.y4m import write_y4m
+
+    workdir = tempfile.mkdtemp(prefix="tvidz-mh-")
+    fake_root = os.path.join(workdir, "s3")
+    bucket_dir = os.path.join(fake_root, "videos")
+    os.makedirs(bucket_dir)
+    db_url = f"sqlite:///{os.path.join(workdir, 'shared.db')}"
+    coord_port = free_port()
+
+    servers = []
+    logs = []
+    failures: list = []
+
+    def check(name, cond, detail=""):
+        print(f"[mh-integration] {'PASS' if cond else 'FAIL'}: {name} "
+              f"{detail}", flush=True)
+        if not cond:
+            failures.append(name)
+
+    try:
+        for pid, port in enumerate(PORTS):
+            env = {
+                **os.environ,
+                "TVIDZ_JAX_PLATFORM": "cpu",
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+                "TVIDZ_COORDINATOR": f"127.0.0.1:{coord_port}",
+                "TVIDZ_NUM_PROCESSES": "2",
+                "TVIDZ_PROCESS_ID": str(pid),
+                "TVIDZ_FAKE_S3_ROOT": fake_root,
+                # Small capacities: fast placement on 1 CPU core.
+                "TVIDZ_MH_TS_CAPACITY": "64",
+                "TVIDZ_MH_FP_CAPACITY": "4096",
+                "TVIDZ_MH_AL_TCAP": "256",
+                # Run every analysis to completion so both videos are fully
+                # ingested (fragment check needs the copy's whole index row).
+                "TVIDZ_EARLY_EXIT": "0",
+            }
+            # Server logs go to FILES (an undrained pipe blocks the server).
+            lf = open(os.path.join(workdir, f"host{pid}.log"), "w")
+            logs.append(lf)
+            servers.append(subprocess.Popen(
+                [sys.executable, "-m", "tvidz_tpu.service.entrypoint",
+                 "--fake-aws", "--mesh", "--db", db_url,
+                 "--host", "127.0.0.1", "--port", str(port)],
+                cwd=ROOT, env=env, stdout=lf, stderr=subprocess.STDOUT,
+            ))
+
+        bases = [f"http://127.0.0.1:{p}" for p in PORTS]
+        deadline = time.time() + 420
+        ready = [False, False]
+        while time.time() < deadline and not all(ready):
+            for i, base in enumerate(bases):
+                if ready[i]:
+                    continue
+                try:
+                    ready[i] = requests.get(f"{base}/healthz", timeout=2
+                                            ).json().get("status") == "ok"
+                except (requests.RequestException, ValueError):
+                    pass
+            time.sleep(0.5)
+        check("both hosts healthy", all(ready))
+        if not all(ready):
+            raise TimeoutError("hosts never became healthy")
+
+        luma, pts = synthetic_video(num_frames=160, height=240, width=320,
+                                    cut_frames=(50, 110), seed=5)
+        src = os.path.join(workdir, "mh-orig.y4m")
+        write_y4m(src, luma, fps=25.0)
+        expected_cuts = [round(pts[50], 6), round(pts[110], 6)]
+
+        def deliver(host_i, key):
+            shutil.copy(src, os.path.join(bucket_dir, key))
+            r = requests.post(f"{bases[host_i]}/notify", json={
+                "Records": [{"s3": {"bucket": {"name": "videos"},
+                                    "object": {"key": key}}}]
+            }, timeout=10)
+            return r.status_code == 200
+
+        def wait_done(host_i, name, timeout=240):
+            end = time.time() + timeout
+            last = {}
+            while time.time() < end:
+                try:
+                    last = requests.get(f"{bases[host_i]}/status/{name}",
+                                        timeout=5).json()
+                    if last.get("status") in ("done", "error"):
+                        return last
+                except (requests.RequestException, ValueError):
+                    pass
+                time.sleep(0.5)
+            return last
+
+        # 1. Host 0 analyzes the original.
+        check("upload A delivered (host 0)", deliver(0, "mh-orig.y4m"))
+        a = wait_done(0, "mh-orig.y4m")
+        check("A done on host 0", a.get("status") == "done", a)
+        check("A cuts", a.get("scene_cuts") == expected_cuts,
+              f"{a.get('scene_cuts')} vs {expected_cuts}")
+        check("A no dups", a.get("duplicates") in ([], None), a)
+
+        # 2. Identical content, new name -> host 1; the verdict's evidence
+        #    merge runs collectively across both hosts' shards.
+        check("upload B delivered (host 1)",
+              deliver(1, "1755400000000-mh-copy.y4m"))
+        b = wait_done(1, "1755400000000-mh-copy.y4m")
+        check("B done on host 1", b.get("status") == "done", b)
+        check("B duplicate verdict names A",
+              b.get("duplicates") == ["mh-orig.y4m"], b)
+
+        # 3. The OTHER host serves B's verdict (store fallback).
+        b0 = requests.get(f"{bases[0]}/status/mh-copy.y4m", timeout=10).json()
+        check("host 0 serves B's verdict",
+              b0.get("status") == "done"
+              and b0.get("duplicates") == ["mh-orig.y4m"], b0)
+        a1 = requests.get(f"{bases[1]}/status/mh-orig.y4m", timeout=10).json()
+        check("host 1 serves A's state", a1.get("status") == "done", a1)
+
+        # 4. Cross-host fragment search served by host 0: locate a span of
+        #    A inside the OTHER ingested copy (exclude A itself).
+        r = requests.post(f"{bases[0]}/search/fragment", json={
+            "filename": "mh-orig.y4m", "start_frame": 60, "num_frames": 40,
+        }, timeout=120)
+        check("fragment search http 200 (host 0)", r.status_code == 200,
+              r.text[:300])
+        if r.status_code == 200:
+            matches = r.json().get("matches", [])
+            # No exact-offset assertion: synthetic scene segments hash
+            # near-identically frame-to-frame, so any in-segment alignment
+            # can win; the contract is that the COPY is located with a
+            # (near-)full match count.
+            check("fragment locates the copy cross-host",
+                  bool(matches)
+                  and matches[0]["filename"] == "mh-copy.y4m"
+                  and matches[0]["match_count"] >= 35, matches)
+
+        # 5. Both hosts agree on the corpus.
+        def n_videos(payload):
+            if isinstance(payload, list):
+                return len(payload)
+            return len(payload.get("videos", []))
+
+        n0 = n_videos(requests.get(f"{bases[0]}/debug/videos",
+                                   timeout=10).json())
+        n1 = n_videos(requests.get(f"{bases[1]}/debug/videos",
+                                   timeout=10).json())
+        check("both hosts see 2 videos", n0 == n1 == 2, (n0, n1))
+
+    finally:
+        for p in servers:
+            p.terminate()
+        for p in servers:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        for lf in logs:
+            lf.close()
+        for pid in range(len(PORTS)):
+            path = os.path.join(workdir, f"host{pid}.log")
+            if failures and os.path.exists(path):
+                print(f"---- host {pid} log tail ----")
+                print("\n".join(open(path).read().splitlines()[-40:]))
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    if failures:
+        print(f"[mh-integration] FAILED: {failures}")
+        return 1
+    print("[mh-integration] ALL CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,169 @@
+"""Collective op-log serving layer (parallel/collective.py, VERDICT r2 #2).
+
+Hermetic single-process tests on the virtual 8-device mesh: the op-log
+ordering, the DeviceCorpus-shaped client facade, the multi-host alignment
+index, and capacity/tombstone behavior. The cross-PROCESS leg (gloo DCN,
+two OS processes, sockets) is tests/test_multihost.py +
+scripts/integration_multihost.py.
+"""
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.parallel.collective import (
+    CollectiveRunner,
+    MultiHostCorpusClient,
+)
+from tvidz_tpu.parallel.distributed import (
+    MultiHostShardedCorpus,
+    make_multihost_mesh,
+)
+
+
+@pytest.fixture
+def stack():
+    store = Store("sqlite:///:memory:")
+    mesh = make_multihost_mesh()
+    mh = MultiHostShardedCorpus(mesh, max_cuts=16, hamming_threshold=5,
+                                al_tcap=256)
+    runner = CollectiveRunner(store, mh, hamming_threshold=5, poll_s=0.01,
+                              ts_capacity=64, fp_capacity=2048)
+    client = MultiHostCorpusClient(runner, max_cuts=16, op_timeout_s=60)
+    runner.start()
+    yield store, runner, client
+    runner.stop()
+    store.close()
+
+
+def test_ingest_and_verdict_through_op_log(stack, rng):
+    _store, runner, client = stack
+    fps1 = rng.integers(0, 2**32, size=(50, 2), dtype=np.uint32)
+    client.upsert_timestamps(1, [1.5, 3.25, 9.0])
+    client.append_fingerprints(1, fps1)
+    assert client.num_videos == 1
+    assert client.num_fingerprints == 50
+
+    # Timestamp verdict (exact membership) with exclusion.
+    assert client.match_timestamps([1.5, 9.0], min_match=2) == [(1, 2)]
+    assert client.match_timestamps([1.5, 9.0], min_match=2,
+                                   exclude_video_id=1) == []
+
+    # Fingerprint evidence: nearest-per-query-frame counts.
+    hits = client.nearest_video_counts(fps1[10:20])
+    assert hits == {1: 10}
+    assert client.nearest_video_counts(fps1[10:20], exclude_video_id=1) == {}
+
+
+def test_streamed_blocks_extend_alignment_row(stack, rng):
+    _store, _runner, client = stack
+    # Stream a video in 3 blocks; locate a fragment spanning block 2.
+    blocks = [rng.integers(0, 2**32, size=(40, 2), dtype=np.uint32)
+              for _ in range(3)]
+    client.upsert_timestamps(7, [2.0])
+    for b in blocks:
+        client.append_fingerprints(7, b)
+    frag = np.concatenate([blocks[1][30:], blocks[2][:10]])
+    hits = client.locate_fragment(frag, top_k=3)
+    assert hits and hits[0][0] == 7
+    assert hits[0][1] == 70       # offset: 40 + 30
+    assert hits[0][2] == frag.shape[0]
+
+    # Batch variant agrees.
+    batch = client.locate_fragments([frag, blocks[0][:16]], top_k=2)
+    assert batch[0][0][0] == 7
+    assert batch[1][0][:2] == (7, 0)
+
+
+def test_remove_video_tombstones_everywhere(stack, rng):
+    _store, _runner, client = stack
+    fps = rng.integers(0, 2**32, size=(30, 2), dtype=np.uint32)
+    client.upsert_timestamps(3, [4.0, 8.0])
+    client.append_fingerprints(3, fps)
+    client.remove_video(3)
+    assert client.match_timestamps([4.0, 8.0], min_match=2) == []
+    assert client.nearest_video_counts(fps[:8]) == {}
+    assert client.locate_fragment(fps[:16]) == []
+    # Re-ingest under a new id: the same content must attribute to it
+    # (distance-0 tombstones must not shadow).
+    client.upsert_timestamps(4, [4.0, 8.0])
+    client.append_fingerprints(4, fps)
+    assert client.nearest_video_counts(fps[:8]) == {4: 8}
+
+
+def test_reset_drops_content(stack, rng):
+    _store, _runner, client = stack
+    client.upsert_timestamps(1, [1.0, 2.0])
+    client.append_fingerprints(
+        1, rng.integers(0, 2**32, size=(20, 2), dtype=np.uint32))
+    client.reset()
+    assert client.num_videos == 0
+    assert client.num_fingerprints == 0
+    assert client.match_timestamps([1.0, 2.0], min_match=2) == []
+
+
+def test_capacity_exhaustion_raises_cleanly(stack, rng):
+    _store, _runner, client = stack
+    big = rng.integers(0, 2**32, size=(2049, 2), dtype=np.uint32)
+    client.upsert_timestamps(9, [1.0])
+    with pytest.raises(RuntimeError, match="capacity"):
+        client.append_fingerprints(9, big)
+
+
+def test_warm_from_store_then_collective_append(rng):
+    """A second runner warming from the store sees pre-existing rows AND
+    rows appended through the log afterwards."""
+    store = Store("sqlite:///:memory:")
+    store.add_video("a.mp4")
+    store.add_timestamps(1, [5.0, 6.0])
+    fps = rng.integers(0, 2**32, size=(25, 2), dtype=np.uint32)
+    store.add_fingerprints(1, fps)
+
+    mesh = make_multihost_mesh()
+    mh = MultiHostShardedCorpus(mesh, max_cuts=16, hamming_threshold=5,
+                                al_tcap=256)
+    runner = CollectiveRunner(store, mh, hamming_threshold=5, poll_s=0.01,
+                              ts_capacity=64, fp_capacity=2048)
+    client = MultiHostCorpusClient(runner, max_cuts=16, op_timeout_s=60)
+    runner.start()
+    try:
+        assert client.num_videos == 1
+        assert client.match_timestamps([5.0, 6.0], min_match=2) == [(1, 2)]
+        assert client.nearest_video_counts(fps[:5]) == {1: 5}
+        assert client.locate_fragment(fps[10:20])[0][:2] == (1, 10)
+        fps2 = rng.integers(0, 2**32, size=(30, 2), dtype=np.uint32)
+        client.upsert_timestamps(2, [7.0, 8.0])
+        client.append_fingerprints(2, fps2)
+        assert client.match_timestamps([7.0, 8.0], min_match=2) == [(2, 2)]
+        assert client.nearest_video_counts(fps2[:6]) == {2: 6}
+    finally:
+        runner.stop()
+        store.close()
+
+
+def test_ops_apply_in_log_order(stack, rng):
+    """Interleaved ops from multiple submitter threads serialize through
+    the log; final state reflects every op exactly once."""
+    import threading
+
+    _store, runner, client = stack
+    # Pre-generate per-thread payloads (np.random.Generator is not
+    # thread-safe).
+    payloads = {v: rng.integers(0, 2**32, size=(10, 2), dtype=np.uint32)
+                for v in range(10, 18)}
+
+    def ingest(vid):
+        client.upsert_timestamps(vid, [float(vid), float(vid) + 0.5])
+        client.append_fingerprints(vid, payloads[vid])
+
+    threads = [threading.Thread(target=ingest, args=(v,)) for v in
+               range(10, 18)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert client.num_videos == 8
+    assert client.num_fingerprints == 80
+    for v in range(10, 18):
+        assert client.match_timestamps(
+            [float(v), float(v) + 0.5], min_match=2) == [(v, 2)]

@@ -198,6 +198,11 @@ class ServiceConfig:
     # Cap on in-memory analysis states; oldest FINISHED entries are evicted
     # beyond this (the reference's analysis_results dict grows unboundedly).
     max_analysis_results: int = 10_000
+    # /status + SSE fall back to the shared durable store for finished
+    # analyses this process never saw (multi-host: analyzed on another
+    # host) or evicted. Default off = exact reference resolution; the
+    # entrypoint enables it in multi-host mode.
+    status_store_fallback: bool = False
     s3_endpoint: str = "http://localstack:4566"   # app.py:163,422
     # Separate SQS endpoint (same-host default matches LocalStack; real AWS
     # deployments point this at the regional SQS endpoint).
@@ -219,6 +224,7 @@ class ServiceConfig:
             sse_poll_s=_env("SSE_POLL_S", 0.2, float),
             sse_pending_timeout_s=_env("SSE_PENDING_TIMEOUT_S", 300.0, float),
             max_analysis_results=_env("MAX_ANALYSIS_RESULTS", 10_000, int),
+            status_store_fallback=_env("STATUS_STORE_FALLBACK", False, bool),
             s3_endpoint=_env("S3_ENDPOINT", "http://localstack:4566"),
             sqs_endpoint=_env("SQS_ENDPOINT", ""),
             s3_bucket=_env("S3_BUCKET", "videos"),

@@ -68,6 +68,11 @@ CREATE TABLE IF NOT EXISTS analysis_checkpoints (
     blob BLOB NOT NULL,
     updated_at TEXT
 );
+CREATE TABLE IF NOT EXISTS collective_ops (
+    seq INTEGER PRIMARY KEY AUTOINCREMENT,
+    kind TEXT NOT NULL,
+    meta TEXT NOT NULL
+);
 CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
 CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
 """
@@ -96,6 +101,11 @@ CREATE TABLE IF NOT EXISTS analysis_checkpoints (
     blob BYTEA NOT NULL,
     updated_at TIMESTAMP
 );
+CREATE TABLE IF NOT EXISTS collective_ops (
+    seq SERIAL PRIMARY KEY,
+    kind VARCHAR NOT NULL,
+    meta TEXT NOT NULL
+);
 CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
 CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
 """
@@ -111,7 +121,13 @@ class Store:
             path = url[len("sqlite:///"):] if url.startswith("sqlite:///") else url[len("sqlite://"):]
             self._backend = "sqlite"
             self._conn = sqlite3.connect(path or ":memory:", check_same_thread=False)
-            self._conn.execute("PRAGMA journal_mode=WAL") if path not in ("", ":memory:") else None
+            if path not in ("", ":memory:"):
+                self._conn.execute("PRAGMA journal_mode=WAL")
+                # Shared-file multi-process mode (the multi-host service
+                # model: hosts share one durable store): wait out the
+                # other process's write lock instead of raising
+                # 'database is locked' immediately.
+                self._conn.execute("PRAGMA busy_timeout=10000")
             with self._lock:
                 self._conn.executescript(_SQLITE_SCHEMA)
                 self._conn.commit()
@@ -243,6 +259,21 @@ class Store:
             cur.execute(
                 f"SELECT id, filename, upload_time, thumbnail_path, duplicates "
                 f"FROM videos WHERE filename = {ph}",
+                (filename,),
+            )
+            row = cur.fetchone()
+        return self._row_to_video(row)
+
+    def get_latest_video_by_filename(self, filename: str) -> Optional[VideoRecord]:
+        """Newest row for a clean filename — the multi-host /status
+        fallback's in-flight detector (a re-upload's row exists from
+        analysis start but has no timestamps until finalize)."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT id, filename, upload_time, thumbnail_path, duplicates "
+                f"FROM videos WHERE filename = {ph} ORDER BY id DESC",
                 (filename,),
             )
             row = cur.fetchone()
@@ -399,6 +430,52 @@ class Store:
                 (logical_key,),
             )
             self._conn.commit()
+
+    # -- collective op log (multi-host serving; parallel/collective.py) --------
+
+    def append_collective_op(self, kind: str, meta: dict) -> int:
+        """Append one op to the totally-ordered multi-host op log and
+        return its sequence number. The log is the coordination channel
+        that lets every host of a DCN deployment launch the SAME collective
+        computations in the SAME order (multi-controller JAX requires it);
+        hosts share this store, so commit order defines the total order."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            if self._backend == "sqlite":
+                cur.execute(
+                    f"INSERT INTO collective_ops (kind, meta) VALUES ({ph}, {ph})",
+                    (kind, json.dumps(meta)),
+                )
+                seq = cur.lastrowid
+            else:
+                cur.execute(
+                    f"INSERT INTO collective_ops (kind, meta) "
+                    f"VALUES ({ph}, {ph}) RETURNING seq",
+                    (kind, json.dumps(meta)),
+                )
+                seq = cur.fetchone()[0]
+            self._conn.commit()
+        return int(seq)
+
+    def collective_ops_after(self, seq: int, limit: int = 256):
+        """[(seq, kind, meta)] with seq > given, ascending."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT seq, kind, meta FROM collective_ops WHERE seq > {ph} "
+                f"ORDER BY seq LIMIT {ph}",
+                (seq, limit),
+            )
+            rows = cur.fetchall()
+        return [(int(s), k, json.loads(m)) for s, k, m in rows]
+
+    def max_collective_seq(self) -> int:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute("SELECT COALESCE(MAX(seq), 0) FROM collective_ops")
+            return int(cur.fetchone()[0])
 
     # -- admin ------------------------------------------------------------------
 

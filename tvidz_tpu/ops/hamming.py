@@ -175,6 +175,116 @@ def corpus_min_distance_t(
     return frame_min[0], q_min[0], q_arg[0]
 
 
+def _corpus_scan_kernel_mxu(
+    q_ref,          # (M, 32*W) ±1 bf16 in VMEM — all queries, unpacked
+    c_ref,          # (W, BN) uint32 in VMEM — current corpus block
+    frame_min_ref,  # (1, BN) int32 out
+    q_min_ref,      # (1, M) int32 out (final block)
+    q_arg_ref,      # (1, M) int32 out (final block)
+    acc_min_ref,    # (1, M) int32 scratch
+    acc_arg_ref,    # (1, M) int32 scratch
+    *,
+    block_n: int,
+):
+    """MXU formulation of the corpus scan (VERDICT r2 #3): the VPU variant
+    above is bound by the (M, BN) XOR+popcount broadcast (~15 VPU ops per
+    query x corpus pair). Here the corpus block is unpacked to ±1 bf16 —
+    O(64 x BN) VPU work, M-independent — and the pairwise term becomes one
+    (M, 64) x (64, BN) MXU matmul: hamming = (64 - dot)/2, exact because
+    sums of <=64 ±1 terms accumulate exactly in f32 (see
+    hamming_matrix_pm1). Reductions and argmin semantics are identical to
+    _corpus_scan_kernel."""
+    pid = pl.program_id(0)
+    m = q_ref.shape[0]
+    bits = q_ref.shape[1]
+    w = bits // 32
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_min_ref[:] = jnp.full((1, m), 1 << 30, jnp.int32)
+        acc_arg_ref[:] = jnp.zeros((1, m), jnp.int32)
+
+    # Unpack each 32-bit word row to (32, BN) ±1 bf16 (MSB-first, matching
+    # unpack_bits_pm1 / golden.pack_bits order) and accumulate the dot.
+    shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
+        jnp.uint32, (32, block_n), 0)
+    dots = jnp.zeros((m, block_n), jnp.float32)
+    for wi in range(w):
+        word = c_ref[wi, :][None, :].astype(jnp.uint32)
+        b01 = ((jnp.broadcast_to(word, (32, block_n)) >> shifts)
+               & jnp.uint32(1)).astype(jnp.float32)
+        pm1 = (b01 * 2.0 - 1.0).astype(jnp.bfloat16)
+        dots = dots + jnp.dot(
+            q_ref[:, wi * 32 : (wi + 1) * 32], pm1,
+            preferred_element_type=jnp.float32,
+        )
+    dist = ((jnp.float32(bits) - dots) * 0.5).astype(jnp.int32)
+
+    frame_min_ref[:] = jnp.min(dist, axis=0)[None, :]
+
+    blk_min = jnp.min(dist, axis=1)                               # (M,)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (m, block_n), 1)
+    cand = jnp.where(dist == blk_min[:, None], cols, jnp.int32(block_n))
+    blk_arg = jnp.min(cand, axis=1) + pid * block_n               # (M,)
+
+    better = blk_min < acc_min_ref[0, :]
+    acc_min_ref[0, :] = jnp.where(better, blk_min, acc_min_ref[0, :])
+    acc_arg_ref[0, :] = jnp.where(better, blk_arg, acc_arg_ref[0, :])
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _final():
+        q_min_ref[:] = acc_min_ref[:]
+        q_arg_ref[:] = acc_arg_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def corpus_min_distance_t_mxu(
+    q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 4096
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """corpus_min_distance_t with the pairwise distances on the MXU.
+
+    Same contract and outputs as corpus_min_distance_t (q packed (M, W)
+    uint32; corpus word-major (W, N); N % block_n == 0). Bit-exact vs the
+    VPU kernel (pinned by tests). Race both in bench.py and pick per
+    deployment; the MXU form's VPU work is M-independent, so it wins as
+    the query block grows."""
+    m, w = q.shape
+    n = corpus_t.shape[1]
+    assert corpus_t.shape[0] == w, (corpus_t.shape, q.shape)
+    assert block_n % 128 == 0, f"block_n must be a multiple of 128, got {block_n}"
+    assert n % block_n == 0, (n, block_n)
+    q_pm1 = unpack_bits_pm1(q)                     # (M, 32*W) bf16, tiny
+    grid = (n // block_n,)
+    kernel = functools.partial(_corpus_scan_kernel_mxu, block_n=block_n)
+    frame_min, q_min, q_arg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, 32 * w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m), jnp.int32),
+            pltpu.VMEM((1, m), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(q_pm1, corpus_t)
+    return frame_min[0], q_min[0], q_arg[0]
+
+
 def corpus_min_distance(
     q: jnp.ndarray, corpus: jnp.ndarray, block_n: int = 2048
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

@@ -1,0 +1,424 @@
+"""Multi-host collective serving — the production driver for
+MultiHostShardedCorpus (VERDICT r2 #2; SURVEY §5 DCN mandate).
+
+The constraint this file exists for: in multi-controller JAX, every
+computation over a host-spanning mesh must be launched by EVERY process,
+with the same program, in the same order. An HTTP service is inherently
+asynchronous — host 1's poller ingests an upload while host 0 fields a
+/status poll — so ad-hoc per-host collective calls would deadlock or
+diverge. The bridge is a totally-ordered op log in the shared durable
+store (``Store.append_collective_op``; commit order = total order) plus
+one executor thread per host that applies ops strictly in sequence:
+
+    HTTP/poller thread                    executor thread (per host)
+    ------------------                    --------------------------
+    submit(op) -> log row seq=N           poll log, apply seq=N on the
+    wait on Future                        global mesh (same program on
+                                          every host), resolve local
+                                          Futures for ops this host
+                                          submitted
+
+Per-op cross-host traffic stays O(payload): ingest rows ride a
+corpus-axis psum broadcast (parallel/distributed.py append_video), query
+payloads travel in the op row itself (KBs), and query RESULTS are already
+replicated by the sharded kernels' collectives, so every host computes
+them locally and only the submitting host reads them out.
+
+The op kinds double as the multi-host wire protocol:
+  append    {video_id, n_ts, n_fp, src}        payload held by src process
+  ts_query  {ts, min_match, tolerance, exclude} payload inline (floats)
+  fp_query  {fp(b64), rows, k, threshold, exclude} payload inline
+  remove    {video_id}                          tombstone (collective mask)
+  reset     {}                                  drop all corpus content
+
+Capacity is pre-sized at warm (TVIDZ_MH_TS_CAPACITY / TVIDZ_MH_FP_CAPACITY)
+and exhaustion raises identically on every host (the corpus state is
+deterministic); growth = restart with a larger capacity (documented in
+docs/multihost.md).
+"""
+
+from __future__ import annotations
+
+import base64
+import threading
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from tvidz_tpu.utils import log
+
+
+class _Future:
+    def __init__(self) -> None:
+        self._evt = threading.Event()
+        self._result: Any = None
+        self._error: Optional[BaseException] = None
+
+    def resolve(self, result: Any) -> None:
+        self._result = result
+        self._evt.set()
+
+    def fail(self, err: BaseException) -> None:
+        self._error = err
+        self._evt.set()
+
+    def wait(self, timeout: Optional[float] = None) -> Any:
+        if not self._evt.wait(timeout):
+            raise TimeoutError("collective op timed out")
+        if self._error is not None:
+            raise self._error
+        return self._result
+
+
+class CollectiveRunner:
+    """One per host process. Owns ALL device work on the host-spanning
+    mesh; other threads interact only through submit()."""
+
+    def __init__(self, store, mh_corpus, *, hamming_threshold: int = 10,
+                 poll_s: float = 0.05, ts_capacity: int = 4096,
+                 fp_capacity: int = 1 << 18):
+        import jax
+
+        self.store = store
+        self.corpus = mh_corpus
+        self.hamming_threshold = hamming_threshold
+        self.poll_s = poll_s
+        self.ts_capacity = ts_capacity
+        self.fp_capacity = fp_capacity
+        self.process_index = jax.process_index()
+        self._applied_seq = 0
+        self._pending: Dict[str, Tuple[Optional[dict], _Future]] = {}
+        self._pending_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        # Host-side state mirrors, maintained from applied ops so every
+        # host answers num_videos/num_fingerprints identically without a
+        # store round-trip.
+        self._video_ids: set = set()
+        self._fp_count = 0
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        """Warm this host's shard from the store, snapshot the log
+        watermark, and start the executor.
+
+        Ordering contract: hosts must start before serving begins. A host
+        that joins while ingest ops are in flight can double-apply a
+        video whose finalize landed in the store between the warm read and
+        the watermark read — harmless for verdict correctness (duplicate
+        fingerprint rows carry the same video id; timestamp rows upsert)
+        but it burns fingerprint capacity, so rolling joins should drain
+        ingest first (docs/multihost.md)."""
+        self._applied_seq = self.store.max_collective_seq()
+        self.corpus.refresh_from_store(
+            self.store, min_ts_rows=self.ts_capacity,
+            min_fp_rows=self.fp_capacity)
+        for vid, ts in self.store.all_timestamps():
+            if ts:
+                self._video_ids.add(int(vid))
+        self._fp_count = self.corpus._fp_count
+        self._thread = threading.Thread(
+            target=self._run, name="collective-runner", daemon=True)
+        self._thread.start()
+        log("collective",
+            f"host {self.process_index} runner up at seq {self._applied_seq} "
+            f"({len(self._video_ids)} videos, {self._fp_count} fingerprints)")
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    # -- submit side (any thread) --------------------------------------------
+
+    def submit(self, kind: str, meta: dict,
+               payload: Optional[dict] = None) -> _Future:
+        """Append an op to the shared log and return a Future resolved when
+        THIS host's executor applies it. meta must be identical knowledge
+        for every host (it's written to the log); payload stays in-process
+        (only the source host holds ingest rows)."""
+        op_id = uuid.uuid4().hex
+        meta = dict(meta, op=op_id, src=self.process_index)
+        fut = _Future()
+        with self._pending_lock:
+            self._pending[op_id] = (payload, fut)
+        try:
+            self.store.append_collective_op(kind, meta)
+        except Exception:
+            with self._pending_lock:
+                self._pending.pop(op_id, None)
+            raise
+        return fut
+
+    # -- executor ------------------------------------------------------------
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                ops = self.store.collective_ops_after(self._applied_seq)
+            except Exception as e:  # noqa: BLE001 — transient store errors
+                log("collective", f"log poll failed: {e}")
+                time.sleep(self.poll_s)
+                continue
+            if not ops:
+                self._stop.wait(self.poll_s)
+                continue
+            for seq, kind, meta in ops:
+                if self._stop.is_set():
+                    return
+                if seq != self._applied_seq + 1:
+                    # Sequence gap: a concurrent insert committed later
+                    # than a higher seq (possible with Postgres serials).
+                    # Wait for contiguity — applying out of order would
+                    # diverge this host from the others.
+                    log("collective",
+                        f"waiting for seq {self._applied_seq + 1} "
+                        f"(saw {seq})")
+                    break
+                self._apply(seq, kind, meta)
+                self._applied_seq = seq
+            else:
+                continue
+            time.sleep(self.poll_s)
+
+    def _take_pending(self, meta) -> Tuple[Optional[dict], Optional[_Future]]:
+        with self._pending_lock:
+            entry = self._pending.pop(meta.get("op", ""), None)
+        return entry if entry is not None else (None, None)
+
+    def _apply(self, seq: int, kind: str, meta: dict) -> None:
+        payload, fut = self._take_pending(meta)
+        mine = fut is not None
+        try:
+            result = self._execute(kind, meta, payload, mine)
+        except Exception as e:  # noqa: BLE001
+            # Deterministic corpus state => every host raises identically
+            # (e.g. capacity exhausted); the log stays aligned.
+            log("collective", f"op {seq} ({kind}) failed: {e}")
+            if mine:
+                fut.fail(e)
+            return
+        if mine:
+            fut.resolve(result)
+
+    def _execute(self, kind: str, meta: dict, payload: Optional[dict],
+                 mine: bool):
+        c = self.corpus
+        if kind == "append":
+            vid = int(meta["video_id"])
+            n_ts = int(meta["n_ts"])
+            n_fp = int(meta["n_fp"])
+            src = int(meta["src"])
+            ts = fps = None
+            if mine:
+                if payload is None:
+                    raise RuntimeError("append submitted without payload")
+                ts = payload.get("ts")
+                fps = payload.get("fps")
+            c.append_video(vid, ts=ts, fps=fps, src_process=src,
+                           n_ts=n_ts, n_fp=n_fp)
+            if n_ts:
+                self._video_ids.add(vid)
+            self._fp_count += n_fp
+            return None
+        if kind == "ts_query":
+            return c.match_timestamps(
+                list(meta["ts"]), min_match=int(meta["min_match"]),
+                tolerance=float(meta.get("tolerance", 0.0)),
+                exclude_video_id=meta.get("exclude"),
+            )
+        if kind == "fp_query":
+            q = np.frombuffer(
+                base64.b64decode(meta["fp"]), np.uint32
+            ).reshape(int(meta["rows"]), -1).copy()
+            nn = c.nearest_fingerprints(q, k=int(meta.get("k", 1)))
+            return nn
+        if kind == "fragment":
+            q = np.frombuffer(
+                base64.b64decode(meta["fp"]), np.uint32
+            ).reshape(int(meta["rows"]), -1).copy()
+            return c.fragment_search(
+                q, top_k=int(meta.get("top_k", 5)),
+                hamming_threshold=meta.get("threshold"),
+                exclude_video_id=meta.get("exclude"),
+            )
+        if kind == "remove":
+            vid = int(meta["video_id"])
+            c.remove_video(vid)
+            self._video_ids.discard(vid)
+            return None
+        if kind == "reset":
+            c.refresh_from_store(
+                _EmptyStore(), min_ts_rows=self.ts_capacity,
+                min_fp_rows=self.fp_capacity)
+            self._video_ids.clear()
+            self._fp_count = 0
+            c._fp_count = 0
+            c._ts_rows = 0
+            return None
+        raise ValueError(f"unknown collective op kind: {kind}")
+
+    # -- state mirrors ---------------------------------------------------------
+
+    @property
+    def num_videos(self) -> int:
+        return len(self._video_ids)
+
+    @property
+    def num_fingerprints(self) -> int:
+        return self._fp_count
+
+
+class _EmptyStore:
+    """Stand-in store for the reset op (refresh to empty without touching
+    the real store, whose rows the admin route deletes separately)."""
+
+    def all_timestamps(self):
+        return []
+
+    def all_fingerprints(self):
+        return []
+
+
+class MultiHostCorpusClient:
+    """DeviceCorpus-shaped facade over the collective op log, so the
+    analyzer and the service routes run unchanged on a host-spanning
+    corpus. Every method is thread-safe: it appends an op and blocks on
+    this host's executor applying it (default timeout covers a cold
+    cluster's first compile)."""
+
+    def __init__(self, runner: CollectiveRunner, *,
+                 max_cuts: int = 128, op_timeout_s: float = 300.0):
+        self.runner = runner
+        self.max_cuts = max_cuts
+        self.op_timeout_s = op_timeout_s
+        self.hamming_threshold = runner.hamming_threshold
+        self.words = runner.corpus._inner.words
+
+    # -- ingest ---------------------------------------------------------------
+
+    def upsert_timestamps(self, video_id: int, timestamps) -> None:
+        ts = [float(t) for t in timestamps][: self.max_cuts]
+        if not ts:
+            return
+        self.runner.submit(
+            "append",
+            {"video_id": int(video_id), "n_ts": len(ts), "n_fp": 0},
+            payload={"ts": ts},
+        ).wait(self.op_timeout_s)
+
+    def append_fingerprints(self, video_id: int, fingerprints) -> None:
+        fps = np.ascontiguousarray(fingerprints, np.uint32)
+        if fps.shape[0] == 0:
+            return
+        self.runner.submit(
+            "append",
+            {"video_id": int(video_id), "n_ts": 0, "n_fp": int(fps.shape[0])},
+            payload={"fps": fps},
+        ).wait(self.op_timeout_s)
+
+    def remove_video(self, video_id: int) -> None:
+        self.runner.submit(
+            "remove", {"video_id": int(video_id)}).wait(self.op_timeout_s)
+
+    def reset(self) -> None:
+        self.runner.submit("reset", {}).wait(self.op_timeout_s)
+
+    def load(self, store) -> None:
+        """No-op: the runner warms the shard in start() — before serving —
+        because placement must happen on every host at the same point in
+        the op order."""
+
+    # -- queries --------------------------------------------------------------
+
+    def match_timestamps(self, query_ts, min_match: int = 2,
+                         tolerance: float = 0.0,
+                         exclude_video_id: Optional[int] = None
+                         ) -> List[Tuple[int, int]]:
+        ts = [float(t) for t in query_ts][: self.max_cuts]
+        if not ts or self.runner.num_videos == 0:
+            return []
+        res = self.runner.submit(
+            "ts_query",
+            {"ts": ts, "min_match": int(min_match),
+             "tolerance": float(tolerance),
+             "exclude": (int(exclude_video_id)
+                         if exclude_video_id is not None else None)},
+        ).wait(self.op_timeout_s)
+        return [(int(v), int(c)) for v, c in res]
+
+    def nearest_video_counts(self, query: np.ndarray,
+                             exclude_video_id: Optional[int] = None
+                             ) -> Dict[int, int]:
+        q = np.ascontiguousarray(query, np.uint32)
+        if q.shape[0] == 0 or self.runner.num_fingerprints == 0:
+            return {}
+        nn = self.runner.submit(
+            "fp_query",
+            {"fp": base64.b64encode(q.tobytes()).decode("ascii"),
+             "rows": int(q.shape[0]), "k": 1,
+             "threshold": self.runner.hamming_threshold},
+        ).wait(self.op_timeout_s)
+        out: Dict[int, int] = {}
+        # DeviceCorpus.nearest_video_counts parity: each query frame
+        # contributes at most once, via its single nearest row; an excluded
+        # nearest contributes nothing (not the next-nearest).
+        for per_query in nn:
+            if not per_query:
+                continue
+            d, _idx, vid = per_query[0]
+            if (d <= self.runner.hamming_threshold and vid >= 0
+                    and vid != exclude_video_id):
+                out[vid] = out.get(vid, 0) + 1
+        return out
+
+    def search_fingerprints(self, query: np.ndarray, min_match: int = 1,
+                            exclude_video_id: Optional[int] = None
+                            ) -> List[Tuple[int, int]]:
+        counts = self.nearest_video_counts(
+            query, exclude_video_id=exclude_video_id)
+        out = [(v, c) for v, c in counts.items() if c >= min_match]
+        out.sort(key=lambda vc: -vc[1])
+        return out
+
+    def locate_fragment(self, query_fps: np.ndarray, top_k: int = 5,
+                        hamming_threshold: Optional[int] = None,
+                        exclude_video_id: Optional[int] = None
+                        ) -> List[Tuple[int, int, int]]:
+        q = np.ascontiguousarray(query_fps, np.uint32)
+        if q.shape[0] == 0 or self.runner.num_fingerprints == 0:
+            return []
+        res = self.runner.submit(
+            "fragment",
+            {"fp": base64.b64encode(q.tobytes()).decode("ascii"),
+             "rows": int(q.shape[0]), "top_k": int(top_k),
+             "threshold": hamming_threshold,
+             "exclude": (int(exclude_video_id)
+                         if exclude_video_id is not None else None)},
+        ).wait(self.op_timeout_s)
+        return [(int(v), int(o), int(s)) for v, o, s in res]
+
+    def locate_fragments(self, query_fps_list, top_k: int = 5,
+                         hamming_threshold: Optional[int] = None,
+                         exclude_video_ids=None
+                         ) -> List[List[Tuple[int, int, int]]]:
+        excl = exclude_video_ids or [None] * len(query_fps_list)
+        return [
+            self.locate_fragment(q, top_k=top_k,
+                                 hamming_threshold=hamming_threshold,
+                                 exclude_video_id=e)
+            for q, e in zip(query_fps_list, excl)
+        ]
+
+    # -- properties ------------------------------------------------------------
+
+    @property
+    def num_videos(self) -> int:
+        return self.runner.num_videos
+
+    @property
+    def num_fingerprints(self) -> int:
+        return self.runner.num_fingerprints

@@ -155,7 +155,7 @@ class MultiHostShardedCorpus:
     """
 
     def __init__(self, mesh, max_cuts: int = 128, words: int = 2,
-                 hamming_threshold: int = 10):
+                 hamming_threshold: int = 10, al_tcap: int = 2048):
         import jax
         from tvidz_tpu.parallel.sharded_search import ShardedCorpus
 
@@ -167,6 +167,18 @@ class MultiHostShardedCorpus:
         self._fp_count = 0     # used fingerprint rows
         self._append_ts_jit = None
         self._append_fp_jit = None
+        self._remove_jit = None
+        # Alignment (fragment-search) index: one (al_tcap, words) row per
+        # video, row-sharded host-major like the fingerprint index. Videos
+        # longer than al_tcap frames are clamped (localization inside the
+        # first al_tcap frames still works; a log line marks the clamp).
+        self.al_tcap = al_tcap
+        self.corpus_al = None        # (Vcap, al_tcap, W) sharded over V
+        self.corpus_al_len = None    # (Vcap,) sharded
+        self.al_video_ids = None     # (Vcap,) host mirror, identical per host
+        self.al_len_host = None      # (Vcap,) host mirror of valid lengths
+        self._al_rows = 0
+        self._append_al_jit = None
 
     # -- placement (process-local shards) ---------------------------------------
 
@@ -207,19 +219,103 @@ class MultiHostShardedCorpus:
         inner.fp_video_ids = vids
         self._fp_count = fp.shape[0]
 
-    def refresh_from_store(self, store) -> None:
+    def load_alignment(self, per_video, min_rows: int = 0) -> None:
+        """Place the fragment-search index: ``per_video`` is a list of
+        (video_id, (T, W) fp array). One padded (al_tcap, W) row per video,
+        sharded over the corpus axis host-major."""
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+        from tvidz_tpu.utils import log as _log
+
+        inner = self._inner
+        n = max(len(per_video), 1, min_rows)
+        # Pad V so every shard gets an equal row count (also keeps the
+        # fragment kernel's chunking regular).
+        v_pad = inner._pad_rows(n, 8)
+        buf = np.full((v_pad, self.al_tcap, inner.words), 0xFFFFFFFF,
+                      np.uint32)
+        lens = np.zeros(v_pad, np.int32)
+        vids = np.full(v_pad, -1, np.int32)
+        for i, (vid, fp) in enumerate(per_video):
+            t = min(fp.shape[0], self.al_tcap)
+            if t < fp.shape[0]:
+                _log("distributed",
+                     f"alignment row for video {vid} clamped to "
+                     f"{self.al_tcap} of {fp.shape[0]} frames")
+            buf[i, :t] = fp[:t]
+            lens[i] = t
+            vids[i] = vid
+        lo, hi = self._local_range(v_pad)
+        self.corpus_al = place_process_local_rows(
+            self.mesh, P(CORPUS_AXIS, None, None), buf[lo:hi], buf.shape)
+        self.corpus_al_len = place_process_local_rows(
+            self.mesh, P(CORPUS_AXIS), lens[lo:hi], (v_pad,))
+        self.al_video_ids = vids
+        self.al_len_host = lens
+        self._al_rows = len(per_video)
+
+    def refresh_from_store(self, store, min_ts_rows: int = 0,
+                           min_fp_rows: int = 0) -> None:
         """Warm this host's shard from the shared durable store — the
         operational multi-host ingest model (hosts share Postgres; each
-        serves its shard)."""
+        serves its shard). min_*_rows pre-size the padded layouts so
+        collective streaming ingest (append_video) has headroom."""
         rows = store.all_timestamps()
-        self.load_timestamps([ts for _, ts in rows], [v for v, _ in rows])
+        self.load_timestamps([ts for _, ts in rows], [v for v, _ in rows],
+                             min_rows=min_ts_rows)
         fps = store.all_fingerprints()
+        words = self._inner.words
         if fps:
             flat = np.concatenate([f for _, f in fps])
             vids = np.concatenate(
                 [np.full(f.shape[0], v, np.int32) for v, f in fps]
             )
-            self.load_fingerprints(flat, vids)
+        else:
+            flat = np.zeros((0, words), np.uint32)
+            vids = np.zeros((0,), np.int32)
+        self.load_fingerprints(flat, vids, min_rows=min_fp_rows)
+        self.load_alignment(fps, min_rows=min_ts_rows)
+
+    def remove_video(self, video_id: int) -> None:
+        """Collective tombstone (ALL processes must call with the same id):
+        host-side video id mirrors go to -1 (filters every query's output)
+        and the removed fingerprint rows' device valid mask is cleared so
+        distance-0 tombstones cannot absorb top-k slots. Row slots are not
+        reclaimed (same policy as DeviceCorpus.remove_video)."""
+        import jax
+        import jax.numpy as jnp
+
+        inner = self._inner
+        if inner.video_ids is not None:
+            inner.video_ids = np.where(
+                inner.video_ids == video_id, -1, inner.video_ids)
+        if self.al_video_ids is not None:
+            # Alignment tombstone: host vid mirror -1 filters the video out
+            # of every fragment result (the device row still scans; slots
+            # are reclaimed only by a reload, same policy as DeviceCorpus).
+            self.al_video_ids = np.where(
+                self.al_video_ids == video_id, -1, self.al_video_ids)
+        if inner.fp_video_ids is None or inner.corpus_fp_valid is None:
+            return
+        rows = np.nonzero(inner.fp_video_ids == video_id)[0]
+        if rows.size == 0:
+            return
+        # Rows of one video are contiguous (load_* and _append_fingerprints
+        # both write contiguous ranges); a (start, count) pair keeps the
+        # collective update O(1) in metadata. Every host derives the same
+        # range from its identical fp_video_ids mirror.
+        start, count = int(rows[0]), int(rows.size)
+        inner.fp_video_ids[start : start + count] = -1
+        if self._remove_jit is None:
+            def clear_range(valid, s):
+                gi = jnp.arange(valid.shape[0], dtype=jnp.int32)
+                hit = (gi >= s[0]) & (gi < s[0] + s[1])
+                return valid & ~hit
+
+            self._remove_jit = jax.jit(clear_range, donate_argnums=(0,))
+        scal = inner._replicate(np.asarray([start, count], np.int32))
+        inner.corpus_fp_valid = self._remove_jit(inner.corpus_fp_valid, scal)
 
     # -- collective streaming ingest (device-side append over DCN) ---------------
 
@@ -279,6 +375,7 @@ class MultiHostShardedCorpus:
             self._append_timestamps(video_id, ts if is_src else None, n_ts)
         if n_fp:
             self._append_fingerprints(video_id, fps if is_src else None, n_fp)
+            self._append_alignment(video_id, fps if is_src else None, n_fp)
 
     def _contrib(self, payload: Optional[np.ndarray], shape, dtype):
         """Place a corpus-sharded contribution array: the source process's
@@ -415,6 +512,136 @@ class MultiHostShardedCorpus:
         )
         inner.fp_video_ids[start : start + n_fp] = video_id
         self._fp_count += n_fp
+
+    def _append_alignment(self, video_id: int, fps, n_fp: int) -> None:
+        """Collective extension of the video's alignment row (same psum
+        broadcast as _append_fingerprints; streamed blocks extend the same
+        row in time order). Rows at al_tcap clamp silently — host mirrors
+        are identical on every process, so the clamp is too."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        if self.corpus_al is None:
+            # Callers that loaded ts/fp directly (not via refresh_from_store)
+            # get an empty alignment index sized to the timestamp capacity —
+            # placement-only and deterministic, so every process self-
+            # initializes identically at the same op.
+            self.load_alignment(
+                [], min_rows=(inner.corpus_ts.shape[0]
+                              if inner.corpus_ts is not None else 64))
+        vcap = self.corpus_al.shape[0]
+        existing = np.nonzero(
+            self.al_video_ids[: self._al_rows] == video_id)[0]
+        if existing.size:
+            row = int(existing[0])
+        else:
+            row = self._al_rows
+            if row >= vcap:
+                raise RuntimeError(
+                    f"alignment video capacity {vcap} exhausted; "
+                    "reload with min_rows")
+        cur = int(self.al_len_host[row])
+        n_eff = min(n_fp, self.al_tcap - cur)
+        if n_eff <= 0:
+            if not existing.size:
+                # Still claim the row so the video exists in the index.
+                self.al_video_ids[row] = video_id
+                self._al_rows += 1
+            return
+        words = inner.words
+        fp_pad = -(-n_eff // 128) * 128
+        payload = None
+        if fps is not None:
+            payload = np.zeros((fp_pad, words), np.uint32)
+            payload[:n_eff] = np.asarray(fps, np.uint32)[:n_eff]
+        contrib = self._contrib(
+            payload, (inner.n_shards * fp_pad, words), np.uint32)
+        scal = inner._replicate(np.asarray([row, cur, n_eff], np.int32))
+
+        key = fp_pad
+        if self._append_al_jit is None:
+            self._append_al_jit = {}
+        if key not in self._append_al_jit:
+            def local(u, s, al, lens):
+                rows = jax.lax.psum(u, CORPUS_AXIS)        # (fp_pad, W)
+                vloc = al.shape[0]
+                base = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * vloc
+                lr = s[0] - base
+                in_shard = (lr >= 0) & (lr < vloc)
+                lrc = jnp.clip(lr, 0, vloc - 1)
+                t_idx = jnp.arange(al.shape[1], dtype=jnp.int32)
+                take = (t_idx >= s[1]) & (t_idx < s[1] + s[2]) & in_shard
+                src = jnp.clip(t_idx - s[1], 0, rows.shape[0] - 1)
+                cur_row = jax.lax.dynamic_slice(
+                    al, (lrc, 0, 0), (1, al.shape[1], al.shape[2]))[0]
+                new_row = jnp.where(take[:, None], rows[src], cur_row)
+                al = jax.lax.dynamic_update_slice(
+                    al, new_row[None], (lrc, 0, 0))
+                new_len = jnp.where(in_shard, s[1] + s[2], lens[lrc])
+                lens = lens.at[lrc].set(new_len)
+                return al, lens
+
+            fn = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(CORPUS_AXIS, None), P(),
+                          P(CORPUS_AXIS, None, None), P(CORPUS_AXIS)),
+                out_specs=(P(CORPUS_AXIS, None, None), P(CORPUS_AXIS)),
+                check_vma=False,
+            )
+            self._append_al_jit[key] = jax.jit(fn, donate_argnums=(2, 3))
+
+        self.corpus_al, self.corpus_al_len = self._append_al_jit[key](
+            contrib, scal, self.corpus_al, self.corpus_al_len
+        )
+        self.al_len_host[row] = cur + n_eff
+        if not existing.size:
+            self.al_video_ids[row] = video_id
+            self._al_rows += 1
+
+    def fragment_search(self, query_fps: np.ndarray, top_k: int = 5,
+                        hamming_threshold: Optional[int] = None,
+                        exclude_video_id: Optional[int] = None):
+        """Cross-host fragment localization: [(video_id, best_offset,
+        match_count)] sorted by match_count desc, top_k entries — the
+        DeviceCorpus.locate_fragment contract over the host-sharded
+        alignment index. Collective: ALL processes must call with the same
+        arguments; outputs are replicated (all_gather on the corpus axis)."""
+        import jax.numpy as jnp  # noqa: F401 — backend probe inside kernel
+
+        from tvidz_tpu.parallel.sharded_search import sharded_fragment_search
+
+        inner = self._inner
+        thr = (self.hamming_threshold if hamming_threshold is None
+               else hamming_threshold)
+        query_fps = np.asarray(query_fps, np.uint32)
+        if self.corpus_al is None or query_fps.shape[0] == 0:
+            return []
+        tq = query_fps.shape[0]
+        tq_pad = max(64, -(-tq // 64) * 64)
+        q = np.full((tq_pad, inner.words), 0xFFFFFFFF, np.uint32)
+        q[:tq] = query_fps
+        vcap = self.corpus_al.shape[0]
+        per_shard = vcap // inner.n_shards
+        chunk = next(c for c in (16, 8, 4, 2, 1) if per_shard % c == 0)
+        offs, scores = sharded_fragment_search(
+            inner._replicate(q), tq, self.corpus_al, self.corpus_al_len,
+            self.mesh, hamming_threshold=thr, chunk=chunk,
+        )
+        offs = inner._to_host(offs)
+        scores = inner._to_host(scores)
+        hits = [
+            (int(self.al_video_ids[i]), int(offs[i]), int(scores[i]))
+            for i in range(vcap)
+            if self.al_video_ids[i] >= 0 and scores[i] > 0
+            and self.al_video_ids[i] != exclude_video_id
+        ]
+        hits.sort(key=lambda h: -h[2])
+        return hits[:top_k]
 
     def _local_range(self, n_pad: int) -> Tuple[int, int]:
         """Row range owned by this host: corpus axis is host-major, so the

@@ -254,8 +254,11 @@ def sharded_fragment_search(
         out_specs=(P(), P()),
         check_vma=False,  # all_gather output IS replicated
     )
-    # q_len rides as a (1,) vector: shard_map wants array leaves.
-    return fn(q_fp, jnp.asarray(q_len, jnp.int32).reshape(1),
+    # q_len rides as a (1,) numpy vector: shard_map wants array leaves, and
+    # a host (uncommitted) array is the multi-process-safe way to pass a
+    # replicated scalar (a committed local jnp array would be rejected on a
+    # host-spanning mesh).
+    return fn(q_fp, np.asarray(q_len, np.int32).reshape(1),
               corpus_fp, corpus_len)
 
 

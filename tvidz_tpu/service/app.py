@@ -209,7 +209,7 @@ class InspectorApp:
 
         @app.route("/status/<filename>", methods=["GET"])
         def status(request: Request, filename: str):
-            result = self.registry.lookup(filename)
+            result = self._lookup_state(filename)
             if not result:
                 log("status", f"No result in memory for {filename}")
                 return jsonify({"status": "pending"})
@@ -614,6 +614,49 @@ class InspectorApp:
 
     # -- SSE --------------------------------------------------------------------------
 
+    def _lookup_state(self, filename: str) -> Optional[dict]:
+        """Registry lookup with a durable-store fallback for FINISHED
+        analyses whose in-memory state this process never had (analyzed on
+        ANOTHER HOST of a multi-host deployment) or no longer has (evicted
+        from the finished-LRU).
+
+        Gated on ``service.status_store_fallback`` (the entrypoint enables
+        it in multi-host mode) because it softens the reference's exact
+        resolution for live re-uploads: between /notify and the analyzer
+        seeding the registry, a same-clean-name poll would answer with the
+        PREVIOUS video's done state. The newest-row rule below closes that
+        window once add_video has run (the new row has no timestamps yet ->
+        pending); single-host deployments keep reference parity by
+        default."""
+        result = self.registry.lookup(filename)
+        if result:
+            return result
+        if not self.config.service.status_store_fallback:
+            return None
+        from tvidz_tpu.pipeline.analyzer import extract_filenames
+
+        _, clean = extract_filenames(filename)
+        v = self.store.get_latest_video_by_filename(clean)
+        if v is None:
+            return None
+        cuts = self.store.get_timestamps(v.id)
+        if not cuts:
+            return None  # analysis still in flight (or failed): pending
+        names = set()
+        for d in v.duplicates:
+            rec = self.store.get_video_by_id(d)
+            if rec is not None:
+                names.add(rec.filename)
+        return {
+            "status": "done",
+            "scene_cuts": cuts,
+            "progress": 1.0,
+            "total_cuts": len(cuts),
+            "duplicates": sorted(names),
+            "original_filename": filename,
+            "clean_filename": clean,
+        }
+
     def _event_stream(self, filename: str):
         """Generator with the reference's exact change-detection + framing
         (app.py:66-110): emit on any status/progress/cuts/duplicates change,
@@ -624,7 +667,7 @@ class InspectorApp:
         last_status = last_progress = None
         last_cuts_len = last_dups_len = None
         while True:
-            result = self.registry.lookup(filename)
+            result = self._lookup_state(filename)
             if not result:
                 status, progress, cuts_len, dups_len = "pending", 0.0, 0, 0
                 # A stream that never leaves 'pending' (unknown filename,
@@ -671,6 +714,11 @@ class InspectorApp:
 
     def stop(self) -> None:
         self._stop.set()
+        # Multi-host mode: stop the collective executor too (set by the
+        # entrypoint; None everywhere else).
+        runner = getattr(self, "collective_runner", None)
+        if runner is not None:
+            runner.stop()
 
     def poll_sqs(self) -> None:
         """Long-poll loop with at-least-once semantics (app.py:417-480):

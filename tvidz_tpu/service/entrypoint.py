@@ -168,7 +168,9 @@ def main(argv=None) -> None:
 
     multihost = init_distributed()
 
+    store = Store(config.store.url)
     corpus = None
+    runner = None
     if args.mesh:
         import jax
 
@@ -180,25 +182,48 @@ def main(argv=None) -> None:
             log("entrypoint", f"--mesh requested but only {n} device; "
                               "falling back to single-chip corpus")
         elif multihost:
-            # Streaming ingest into a host-spanning MeshCorpus would need
-            # every host to sync collectively per block; the supported
-            # multi-host component is MultiHostShardedCorpus (search over
-            # DCN with per-host shards warmed from the shared store — see
-            # docs/multihost.md and scripts/dryrun_multihost.py). Ingest
-            # stays on this host's local mesh.
-            n_local = jax.local_device_count()
+            # Host-spanning serving (VERDICT r2 #2): the corpus is sharded
+            # across hosts (corpus axis host-major over DCN) and EVERY
+            # corpus operation — streaming ingest and queries — runs as a
+            # collective launched by all processes in the same order,
+            # coordinated through the shared store's op log
+            # (parallel/collective.py). Hosts share the durable store;
+            # each ingests its own uploads and any host serves verdicts /
+            # searches over the whole corpus.
+            from tvidz_tpu.parallel.collective import (
+                CollectiveRunner,
+                MultiHostCorpusClient,
+            )
+            from tvidz_tpu.parallel.distributed import (
+                MultiHostShardedCorpus,
+                make_multihost_mesh,
+            )
+
+            mesh = make_multihost_mesh()
+            mh = MultiHostShardedCorpus(
+                mesh,
+                max_cuts=config.match.max_cuts,
+                words=config.hash.words,
+                hamming_threshold=config.match.hamming_threshold,
+                al_tcap=int(os.environ.get("TVIDZ_MH_AL_TCAP", "2048")),
+            )
+            runner = CollectiveRunner(
+                store, mh,
+                hamming_threshold=config.match.hamming_threshold,
+                ts_capacity=int(
+                    os.environ.get("TVIDZ_MH_TS_CAPACITY", "4096")),
+                fp_capacity=int(
+                    os.environ.get("TVIDZ_MH_FP_CAPACITY", str(1 << 18))),
+            )
+            corpus = MultiHostCorpusClient(
+                runner, max_cuts=config.match.max_cuts)
+            # Any host answers /status for analyses that ran on another
+            # host (finished states live in the shared store).
+            config.service.status_store_fallback = True
             log("entrypoint",
-                f"multi-host cluster joined ({jax.process_count()} hosts); "
-                f"ingest corpus uses the {n_local}-device local mesh, "
-                "cross-host search via MultiHostShardedCorpus")
-            if n_local >= 2:
-                mesh = make_mesh(n_local, devices=jax.local_devices())
-                corpus = MeshCorpus(
-                    mesh,
-                    max_cuts=config.match.max_cuts,
-                    words=config.hash.words,
-                    hamming_threshold=config.match.hamming_threshold,
-                )
+                f"multi-host cluster joined ({jax.process_count()} hosts, "
+                f"mesh {dict(mesh.shape)}); corpus sharded host-major, "
+                "all ops via the collective log")
         else:
             mesh = make_mesh(n)
             corpus = MeshCorpus(
@@ -210,8 +235,8 @@ def main(argv=None) -> None:
             log("entrypoint", f"corpus sharded over {n} devices "
                               f"(mesh {dict(mesh.shape)})")
 
-    app = create_app(config=config, store=Store(config.store.url),
-                     corpus=corpus, s3=s3, sqs=sqs)
+    app = create_app(config=config, store=store, corpus=corpus, s3=s3, sqs=sqs)
+    app.collective_runner = runner
     app.device_ready = False
 
     # Bind and serve immediately (from a thread) so orchestrators see the
@@ -229,6 +254,10 @@ def main(argv=None) -> None:
         f"inspector serving on {config.service.host}:{config.service.port} "
         f"(device warming)")
     _warmup_device(config)
+    if runner is not None:
+        # Warm placement happens on the MAIN thread (axon first-touch
+        # hazard); only the executor loop runs on the runner's thread.
+        runner.start()
     app.device_ready = True
     if not args.no_poller:
         app.start_poller()
