@@ -1,0 +1,113 @@
+"""Index hygiene under churn (VERDICT r2 #4): sustained
+upload/re-upload/remove cycles must keep the device-resident footprint
+bounded by the live-content high-water mark, with correct results
+throughout.
+
+- alignment buckets: tombstoned rows (removals AND streamed-growth
+  migrations) go on a free list and are reused by the next append;
+- fingerprint columns: threshold-triggered host-side compaction drops
+  tombstoned rows and full-resyncs;
+- sync_bytes / device_footprint make both observable.
+"""
+
+import numpy as np
+
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+
+
+def _mk(rng, t):
+    return rng.integers(0, 2**32, size=(t, 2), dtype=np.uint32)
+
+
+def test_alignment_free_list_reuse_on_removal_churn(rng):
+    c = DeviceCorpus(fp_initial_capacity=8192, fp_block_n=128,
+                     hamming_threshold=5)
+    # Steady state: at most 4 live videos, 40 cycles of add+remove.
+    live = {}
+    for cycle in range(40):
+        vid = 1000 + cycle
+        fps = _mk(rng, 64)
+        c.upsert_timestamps(vid, [float(cycle), float(cycle) + 0.5])
+        c.append_fingerprints(vid, fps)
+        live[vid] = fps
+        if len(live) > 4:
+            old = min(live)
+            c.remove_video(old)
+            del live[old]
+    fp = c.device_footprint
+    # Alignment rows: claimed slots bounded by the high-water mark of live
+    # rows (4 live + the one transiently 5th before eviction + free slack),
+    # NOT by the 40 videos that passed through.
+    assert fp["al_claimed_rows"] <= 6, fp
+    # Every live video still answers queries correctly.
+    for vid, fps in live.items():
+        hits = c.locate_fragment(fps[16:48], top_k=1)
+        assert hits and hits[0][0] == vid, (vid, hits)
+        assert c.nearest_video_counts(fps[:8]) .get(vid, 0) >= 0
+    # Removed videos are gone from every surface.
+    gone = 1000
+    assert all(v != gone for v, _ in c.match_timestamps([0.0, 0.5],
+                                                        min_match=2))
+
+
+def test_alignment_migration_reuses_freed_rows(rng):
+    """Streamed growth migrates rows across buckets; the vacated row must
+    be reused by the next same-bucket append instead of leaking."""
+    c = DeviceCorpus(fp_initial_capacity=8192, fp_block_n=128)
+    # Video 1 starts short (bucket 0: <=256 frames) then outgrows it.
+    c.append_fingerprints(1, _mk(rng, 200))
+    c.append_fingerprints(1, _mk(rng, 200))   # migrates to bucket 1
+    fp0 = c.device_footprint
+    assert fp0["al_free_rows"] == 1           # the vacated bucket-0 row
+    c.append_fingerprints(2, _mk(rng, 100))   # claims the freed row
+    fp1 = c.device_footprint
+    assert fp1["al_free_rows"] == 0
+    assert fp1["al_claimed_rows"] == fp0["al_claimed_rows"]
+    # Both remain searchable.
+    assert c.locate_fragment(_mk(rng, 8), top_k=5) is not None
+    hits = c.locate_fragment(
+        np.concatenate([c._al_buckets[0].buf[0, 10:40]]), top_k=1)
+    assert hits and hits[0][0] == 2
+
+
+def test_fp_compaction_bounds_capacity_under_churn(rng):
+    c = DeviceCorpus(fp_initial_capacity=4096, fp_block_n=128,
+                     hamming_threshold=5)
+    live = {}
+    for cycle in range(24):
+        vid = cycle
+        fps = _mk(rng, 512)
+        c.append_fingerprints(vid, fps)
+        live[vid] = fps
+        # Query between cycles so syncs interleave with tombstoning.
+        assert c.nearest_video_counts(fps[:4]) == {vid: 4}
+        if len(live) > 3:
+            old = min(live)
+            c.remove_video(old)
+            del live[old]
+    fp = c.device_footprint
+    # 24 x 512 = 12288 rows passed through; live is 3 x 512 = 1536. Without
+    # compaction capacity doubles to >= 16384; with it, the count stays
+    # near the live high-water mark and capacity never exceeds one doubling.
+    assert fp["fp_rows"] <= 4096, fp
+    assert fp["fp_capacity_rows"] <= 8192, fp
+    # Correctness after many compactions: all live, no ghosts.
+    for vid, fps in live.items():
+        assert c.nearest_video_counts(fps[:6]) == {vid: 6}
+
+
+def test_sync_bytes_accounting_tracks_incremental_syncs(rng):
+    c = DeviceCorpus(fp_initial_capacity=1024, fp_block_n=128)
+    c.upsert_timestamps(1, [1.0, 2.0])
+    c.append_fingerprints(1, _mk(rng, 128))
+    c.match_timestamps([1.0, 2.0], min_match=2)      # forces ts sync
+    c.nearest_video_counts(_mk(rng, 8))              # forces fp sync
+    c.locate_fragment(_mk(rng, 8))                   # forces al sync
+    sb = c.device_footprint["sync_bytes"]
+    assert sb["ts"] > 0 and sb["fp"] > 0 and sb["al"] > 0
+    before = dict(sb)
+    # An incremental append syncs only the delta, not the whole index.
+    c.append_fingerprints(1, _mk(rng, 128))
+    c.nearest_video_counts(_mk(rng, 8))
+    after = c.device_footprint["sync_bytes"]
+    assert 0 < after["fp"] - before["fp"] <= 128 * 2 * 4 + 1024

@@ -602,13 +602,19 @@ class InspectorApp:
 
         @app.route("/metrics", methods=["GET"])
         def metrics(request: Request):
-            return jsonify({
+            out = {
                 "stage_timings": self.analyzer.timer.summary(),
                 "analyses_in_memory": len(self.registry),
                 "corpus_videos": self.corpus.num_videos,
                 "corpus_fingerprints": self.corpus.num_fingerprints,
                 "ingestion": dict(self._poller_stats),
-            })
+            }
+            # Device-resident index footprint + sync accounting (churn
+            # hygiene observable); absent on corpus variants without it.
+            footprint = getattr(self.corpus, "device_footprint", None)
+            if footprint is not None:
+                out["corpus_footprint"] = footprint
+            return jsonify(out)
 
         return app
 
