@@ -325,6 +325,56 @@ def bench_fragment_search(n_videos: int = 1024, frames_per_video: int = 1024,
     return min(p50s.values())
 
 
+def bench_fragment_search_10m(iters: int = 3, tq: int = 768):
+    """Fragment search one order up (VERDICT r2 #5): ~10k videos / ~10M
+    fingerprints in MIXED length tiers, built through the production
+    streaming path with migration + removal churn, queried via
+    DeviceCorpus.locate_fragment. North-star: well under 1 s."""
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+
+    rng = np.random.default_rng(11)
+    c = DeviceCorpus(fp_initial_capacity=1 << 22, fp_block_n=8192,
+                     hamming_threshold=10)
+    n_short, t_short = 8192, 768       # 6.3M fps in the 1024-frame tier
+    n_long, t_long = 1024, 3600        # 3.7M fps in the 4096-frame tier
+    short_fp = rng.integers(
+        0, 2**32, size=(n_short, t_short, 2), dtype=np.uint32)
+    t0 = time.perf_counter()
+    for v in range(n_short):
+        c.append_fingerprints(v, short_fp[v])
+        if v % 64 == 63:
+            # Removal churn: tombstone + free-list reuse at scale.
+            c.remove_video(v - 32)
+    long_fp = rng.integers(
+        0, 2**32, size=(t_long, 2), dtype=np.uint32)
+    for v in range(n_long):
+        # Two-stage append: every long video migrates 2048 -> 4096 tier.
+        vid = n_short + v
+        c.append_fingerprints(vid, np.bitwise_xor(long_fp[:1800], v))
+        c.append_fingerprints(vid, np.bitwise_xor(long_fp[1800:], v))
+    build_s = time.perf_counter() - t0
+    target = 4321
+    q = short_fp[target, 100 : 100 + tq]
+
+    hits = c.locate_fragment(q, top_k=3)    # warm (places + compiles)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        hits = c.locate_fragment(q, top_k=3)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    ok = bool(hits) and hits[0][0] == target and hits[0][1] == 100
+    fpc = c.device_footprint
+    _log(
+        f"fragment search 10M: p50 {p50*1e3:.1f} ms — {tq}-frame fragment "
+        f"vs {fpc['fp_rows']:,} fingerprints in mixed tiers "
+        f"(8192x{t_short} + 1024x{t_long}, {fpc['al_free_rows']} free rows "
+        f"after churn; planted hit {'FOUND' if ok else 'MISSED'}; "
+        f"build {build_s:.1f} s host)"
+    )
+    return p50
+
+
 def bench_decode_roofline(num_frames: int = 120):
     """Decode-only roofline (VERDICT r2 #1c): pure libav frames/s on this
     host, no device work — so 'achieved vs ceiling' is visible next to the
@@ -588,6 +638,7 @@ def main() -> None:
     e2e_fps = None
     e2e_fps_fast = None
     frag_p50 = None
+    frag10_p50 = None
     e2e_curve = None
     e2e_curve_fast = None
     decode_roofline = None
@@ -600,6 +651,7 @@ def main() -> None:
             bench_timestamp_match()
             bench_batched_clips()
             frag_p50 = bench_fragment_search()
+            frag10_p50 = bench_fragment_search_10m()
             decode_roofline = bench_decode_roofline()
             e2e_fps = bench_e2e_decode_hash()
             e2e_fps_fast = bench_e2e_decode_hash(lowres=True)
@@ -631,6 +683,8 @@ def main() -> None:
         record["decode_only_frames_per_sec"] = decode_roofline
     if frag_p50 is not None:
         record["fragment_search_1m_p50_ms"] = round(frag_p50 * 1e3, 2)
+    if frag10_p50 is not None:
+        record["fragment_search_10m_p50_ms"] = round(frag10_p50 * 1e3, 2)
     if e2e_curve:
         record["e2e_streams_frames_per_sec"] = {
             str(k): round(v, 1) for k, v in e2e_curve.items()
