@@ -1,0 +1,158 @@
+// SPA state-machine tests (VERDICT r2 #7) — the node:test mirror of the
+// reference's jest suite (frontend/src/App.test.js:7-63): SSE frames drive
+// label/progress/cuts/duplicates rendering, clean-database and build-info
+// buttons, the presigned-upload flow with proxy fallback, and the
+// stored-XSS escaping contract.
+//
+// Run: node --test frontend-tests/   (CI frontend job; no npm install)
+
+import test from "node:test";
+import assert from "node:assert/strict";
+
+import { loadApp } from "./harness.mjs";
+
+test("SSE frames drive progress, cuts, duplicates, terminal close", async () => {
+  const app = loadApp();
+  // Start a stream the way the upload path does.
+  app.context.listenSSE("1-test.mp4");
+  const es = app.es.last();
+  assert.ok(es.url.endsWith("/status/stream/1-test.mp4"), es.url);
+
+  es.emit({ status: "analyzing", progress: 0.5, scene_cuts: [1.23] });
+  assert.equal(app.$("label").textContent, "Analyzing…");
+  assert.equal(app.$("bar").style.width, "75%"); // 50 + 50*0.5
+  assert.equal(app.$("cutcount").textContent, "(1)");
+  assert.match(app.$("cuts").innerHTML, /1\.23s/);
+
+  es.emit({
+    status: "analyzing", progress: 0.8,
+    scene_cuts: [1.23, 2.34],
+    duplicates: ["orig.mp4", "orig.mp4"],
+  });
+  assert.equal(app.$("label").textContent,
+               "Duplicate detected! Finishing analysis…");
+  // Duplicate list is deduplicated (App.js:394-403 behavior).
+  const dupMatches = app.$("dups").innerHTML.match(/orig\.mp4/g);
+  assert.equal(dupMatches.length, 1);
+
+  es.emit({ status: "done", progress: 1.0, scene_cuts: [1.23, 2.34] });
+  assert.equal(app.$("label").textContent, "Analysis complete.");
+  assert.equal(app.$("bar").style.width, "100%");
+  assert.equal(es.closed, true);
+});
+
+test("error frames render the message and close the stream", () => {
+  const app = loadApp();
+  app.context.listenSSE("x.mp4");
+  const es = app.es.last();
+  es.emit({ status: "error", error: "corrupt file" });
+  assert.match(app.$("label").textContent, /Analysis failed: corrupt file/);
+  assert.equal(es.closed, true);
+  // Malformed frames also close rather than wedging the UI.
+  app.context.listenSSE("y.mp4");
+  const es2 = app.es.last();
+  es2.emitRaw("not json");
+  assert.equal(es2.closed, true);
+});
+
+test("clean database button resets the panels", async () => {
+  const app = loadApp();
+  app.responses.set("/admin/clear-db", { status: "cleared" });
+  app.$("cuts").innerHTML = "<span>old</span>";
+  app.$("dups").textContent = "dup!";
+  await app.$("cleandb").onclick();
+  assert.equal(app.$("label").textContent, "Database cleaned.");
+  assert.equal(app.$("cuts").innerHTML, "");
+  assert.equal(app.$("dups").textContent, "none detected");
+  assert.equal(app.$("bar").style.width, "0%");
+});
+
+test("build info toggles the panel with fetched content", async () => {
+  const app = loadApp();
+  app.responses.set("/build-info", {
+    inspector: { build_date: "2026-08-17", git_commit: "abc123" },
+  });
+  await app.$("buildinfo").onclick();
+  assert.equal(app.$("build-panel").classList.contains("hidden"), false);
+  assert.match(app.$("build").textContent, /abc123/);
+  await app.$("buildinfo").onclick(); // second click hides
+  assert.equal(app.$("build-panel").classList.contains("hidden"), true);
+});
+
+test("upload prefers the presigned PUT and falls back to the proxy", async () => {
+  // Presigned path (the reference frontend's flow, App.js:201-249).
+  const app = loadApp();
+  app.responses.set("/upload-url/", { url: "http://s3.local/videos/k?sig=1" });
+  app.$("file").files = [{ name: "clip.mp4" }];
+  await app.$("file").onchange();
+  await app.settle();
+  let xhr = app.xhr.last();
+  assert.equal(xhr.method, "PUT");
+  assert.equal(xhr.url, "http://s3.local/videos/k?sig=1");
+  // Epoch-prefixed key forces a fresh S3 event per attempt (App.js:95).
+  const presignCall = app.fetchCalls.find((c) => c.url.includes("/upload-url/"));
+  assert.match(presignCall.url, /\/upload-url\/\d+-clip\.mp4$/);
+
+  // Completion hands off to SSE with the SAME key and a half-full bar.
+  xhr.status = 200;
+  xhr.onload();
+  assert.equal(app.$("bar").style.width, "50%");
+  const key = decodeURIComponent(presignCall.url.split("/upload-url/")[1]);
+  assert.ok(app.es.last().url.endsWith(
+    `/status/stream/${encodeURIComponent(key)}`));
+
+  // Proxy fallback when no presigner exists (in-proc fakes).
+  const app2 = loadApp();
+  app2.responses.set("/upload-url/", { __fail: true });
+  app2.$("file").files = [{ name: "clip.mp4" }];
+  await app2.$("file").onchange();
+  await app2.settle();
+  xhr = app2.xhr.last();
+  assert.equal(xhr.method, "POST");
+  assert.match(xhr.url, /\/upload\/\d+-clip\.mp4$/);
+
+  // Failed upload reports and never starts a stream.
+  xhr.status = 500;
+  xhr.onload();
+  assert.match(app2.$("label").textContent, /Upload failed \(500\)/);
+  assert.equal(app2.es.instances.length, 0);
+});
+
+test("server-supplied names are escaped before innerHTML (stored XSS)", async () => {
+  const app = loadApp();
+  app.context.listenSSE("z.mp4");
+  app.es.last().emit({
+    status: "analyzing", progress: 0.1,
+    duplicates: ['<img src=x onerror=alert(1)>.mp4'],
+  });
+  assert.ok(!app.$("dups").innerHTML.includes("<img"),
+            app.$("dups").innerHTML);
+  assert.match(app.$("dups").innerHTML, /&lt;img/);
+
+  app.responses.set("/debug/videos", {
+    count: 1,
+    videos: [{ id: 7, filename: "<script>x</script>.mp4",
+               timestamps: [1, 2], duplicates: [] }],
+  });
+  await app.$("refresh-corpus").onclick();
+  assert.ok(!app.$("corpus").innerHTML.includes("<script>"),
+            app.$("corpus").innerHTML);
+  assert.match(app.$("corpus").innerHTML, /&lt;script&gt;/);
+});
+
+test("corpus panel renders rows with cut counts and dup markers", async () => {
+  const app = loadApp();
+  app.responses.set("/debug/videos", {
+    count: 2,
+    videos: [
+      { id: 1, filename: "a.mp4", timestamps: [1, 2, 3], duplicates: [] },
+      { id: 2, filename: "b.mp4", timestamps: [1], duplicates: ["a.mp4"],
+        has_thumbnail: true },
+    ],
+  });
+  await app.$("refresh-corpus").onclick();
+  const html = app.$("corpus").innerHTML;
+  assert.match(html, /#1 <strong>a\.mp4<\/strong> · 3 cuts/);
+  assert.match(html, /dup of a\.mp4/);
+  assert.match(html, /thumbnails\/2/);
+});

@@ -1,0 +1,136 @@
+// Test harness for the dependency-free SPA (tvidz_tpu/service/static/
+// index.html): extracts the inline <script>, builds a minimal DOM +
+// browser-API surface, and evaluates the app code in a vm context so
+// node:test can drive the state machine the way the reference's
+// App.test.js drives App.js (MockEventSource + fetch mocks,
+// frontend/src/App.test.js:7-31).
+//
+// Runs under plain `node --test frontend-tests/` — no jest, no jsdom, no
+// npm install (this repo's frontend has no build step; its tests follow).
+
+import { readFileSync } from "node:fs";
+import { dirname, join } from "node:path";
+import { fileURLToPath } from "node:url";
+import vm from "node:vm";
+
+const HERE = dirname(fileURLToPath(import.meta.url));
+const INDEX = join(HERE, "..", "tvidz_tpu", "service", "static", "index.html");
+
+class ClassList {
+  constructor() { this.set = new Set(); }
+  add(c) { this.set.add(c); }
+  remove(c) { this.set.delete(c); }
+  contains(c) { return this.set.has(c); }
+}
+
+class Element {
+  constructor(id) {
+    this.id = id;
+    this.textContent = "";
+    this.innerHTML = "";
+    this.value = "";
+    this.style = {};
+    this.files = [];
+    this.classList = new ClassList();
+    this.onclick = null;
+    this.onchange = null;
+    this.clicks = 0;
+  }
+  click() { this.clicks += 1; if (this.onclick) return this.onclick(); }
+}
+
+export class MockEventSource {
+  static instances = [];
+  constructor(url) {
+    this.url = url;
+    this.onmessage = null;
+    this.onerror = null;
+    this.closed = false;
+    MockEventSource.instances.push(this);
+  }
+  emit(obj) { if (this.onmessage) this.onmessage({ data: JSON.stringify(obj) }); }
+  emitRaw(data) { if (this.onmessage) this.onmessage({ data }); }
+  close() { this.closed = true; }
+  static last() { return this.instances[this.instances.length - 1]; }
+  static reset() { this.instances = []; }
+}
+
+export class MockXHR {
+  static instances = [];
+  constructor() {
+    this.headers = {};
+    this.upload = { onprogress: null };
+    this.onload = null;
+    this.onerror = null;
+    this.status = 200;
+    MockXHR.instances.push(this);
+  }
+  open(method, url) { this.method = method; this.url = url; }
+  setRequestHeader(k, v) { this.headers[k] = v; }
+  send(body) { this.body = body; if (MockXHR.onSend) MockXHR.onSend(this); }
+  static last() { return this.instances[this.instances.length - 1]; }
+  static reset() { this.instances = []; MockXHR.onSend = null; }
+}
+
+export function loadApp({ fetchImpl } = {}) {
+  const html = readFileSync(INDEX, "utf8");
+  const m = html.match(/<script>([\s\S]*)<\/script>/);
+  if (!m) throw new Error("no inline <script> found in index.html");
+  const ids = [...html.matchAll(/id="([^"]+)"/g)].map((x) => x[1]);
+
+  const elements = new Map();
+  const get = (id) => {
+    if (!elements.has(id)) elements.set(id, new Element(id));
+    return elements.get(id);
+  };
+  ids.forEach(get);
+
+  MockEventSource.reset();
+  MockXHR.reset();
+
+  const responses = new Map(); // url suffix -> object (or function)
+  const fetchCalls = [];
+  const defaultFetch = async (url, opts) => {
+    fetchCalls.push({ url, opts });
+    for (const [suffix, payload] of responses) {
+      if (String(url).includes(suffix)) {
+        const value = typeof payload === "function" ? payload(url, opts) : payload;
+        if (value && value.__fail) throw new Error("network down");
+        return { ok: true, status: 200, json: async () => value };
+      }
+    }
+    return { ok: false, status: 404, json: async () => ({}) };
+  };
+
+  let now = 1000;
+  const context = {
+    document: { getElementById: get },
+    localStorage: { getItem: () => null, setItem: () => {} },
+    EventSource: MockEventSource,
+    XMLHttpRequest: MockXHR,
+    fetch: fetchImpl || defaultFetch,
+    performance: { now: () => (now += 250) },
+    Date: Date,
+    console,
+    encodeURIComponent,
+    JSON,
+    Number,
+    Set,
+    String,
+    Math,
+  };
+  vm.createContext(context);
+  vm.runInContext(m[1], context, { filename: "index.html#script" });
+
+  return {
+    $: get,
+    elements,
+    responses,
+    fetchCalls,
+    es: MockEventSource,
+    xhr: MockXHR,
+    context,
+    // Let any pending promise chains (await fetch ...) settle.
+    settle: () => new Promise((r) => setTimeout(r, 0)),
+  };
+}

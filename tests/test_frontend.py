@@ -163,3 +163,37 @@ def test_thumbnail_captured_and_served(tmp_path):
         assert client.get("/thumbnails/abc").status_code == 400
     finally:
         inspector.stop()
+
+
+def test_spa_structure_matches_js_test_harness():
+    """The node:test suite (frontend-tests/) drives the SPA through a vm
+    DOM stub whose assumptions about index.html are structural: one inline
+    <script>, top-level `function` declarations for the entry points it
+    calls (const/let do NOT attach to a vm context global), and the
+    element ids it asserts on. This pins those assumptions from the Python
+    side, since this image has no node to execute the JS tests (CI does —
+    unit-tests.yml `frontend` job)."""
+    import re
+
+    html = open(os.path.join(os.path.dirname(__file__), "..", "tvidz_tpu",
+                             "service", "static", "index.html")).read()
+    m = re.search(r"<script>([\s\S]*)</script>", html)
+    assert m, "harness extracts exactly one inline <script>"
+    script = m.group(1)
+    # Entry points the JS tests call on the vm context.
+    assert re.search(r"^function listenSSE\(", script, re.M)
+    assert re.search(r"^function renderState\(", script, re.M)
+    assert re.search(r"^async function refreshCorpus\(", script, re.M) or \
+        re.search(r"^function refreshCorpus\(", script, re.M)
+    # Element ids both the app and the JS assertions use.
+    ids = set(re.findall(r'id="([^"]+)"', html))
+    for needed in ("file", "upload", "cleandb", "buildinfo", "label", "bar",
+                   "timings", "cuts", "cutcount", "dups", "corpus",
+                   "refresh-corpus", "build-panel", "build"):
+        assert needed in ids, needed
+    # Browser APIs the harness stubs; anything new here needs a stub too.
+    for api in ("EventSource", "XMLHttpRequest", "fetch(", "localStorage",
+                "performance.now"):
+        assert api in script, api
+    # The escaping contract the XSS test pins.
+    assert "esc(" in script and "&amp;" in script
