@@ -1,13 +1,14 @@
-"""Postgres store backend — exercised only where psycopg2 + a database are
-available (CI provides both via a postgres service container; the TPU image
-has neither, so these skip there)."""
+"""Postgres store backend against a REAL server — exercised where a
+database is available (CI provides one via a postgres:15 service
+container; the TPU image has none, so these skip there). Runs through
+whichever driver the Store resolves: psycopg2 when importable, else —
+or with TVIDZ_PG_DRIVER=pgwire — the first-party wire driver
+(corpus/pgwire.py). CI executes this module once per driver."""
 
 import os
 
 import numpy as np
 import pytest
-
-psycopg2 = pytest.importorskip("psycopg2")
 
 PG_URL = os.environ.get("TVIDZ_PG_TEST_URL")
 if not PG_URL:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import datetime
 import json
+import os
 import sqlite3
 import threading
 from typing import List, Optional, Sequence, Tuple
@@ -133,14 +134,20 @@ class Store:
                 self._conn.commit()
         elif url.startswith(("postgresql://", "postgres://")):
             self._backend = "postgres"
-            try:
-                import psycopg2  # type: ignore
-            except ImportError as e:
-                raise RuntimeError(
-                    "postgresql:// store URL requires psycopg2; use sqlite:/// "
-                    "or install psycopg2"
-                ) from e
-            self._conn = psycopg2.connect(url)
+            # psycopg2 when present; otherwise the FIRST-PARTY wire driver
+            # (corpus/pgwire.py) — same DB-API subset, no C dependency.
+            # TVIDZ_PG_DRIVER=pgwire forces the first-party driver (CI runs
+            # the store suite against real postgres once per driver).
+            force = os.environ.get("TVIDZ_PG_DRIVER", "")
+            driver = None
+            if force != "pgwire":
+                try:
+                    import psycopg2 as driver  # type: ignore
+                except ImportError:
+                    driver = None
+            if driver is None:
+                from tvidz_tpu.corpus import pgwire as driver
+            self._conn = driver.connect(url)
             with self._lock, self._conn, self._conn.cursor() as cur:
                 cur.execute(_PG_SCHEMA)
         else:
