@@ -141,7 +141,7 @@ def bench_verdict_latency(corpus_n: int = 1 << 20, query_m: int = 128,
 
     best = None
     for name, fn, blk in (("vpu", corpus_min_distance_t, 8192),
-                          ("mxu", corpus_min_distance_t_mxu, 4096)):
+                          ("mxu", corpus_min_distance_t_mxu, 8192)):
         out = fn(query, corpus_t, block_n=blk)
         _sync(*out)
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tvidz_tpu.ops.align import fragment_search, fragment_search_mxu
-from tvidz_tpu.ops.hamming import corpus_min_distance_t
+from tvidz_tpu.ops.hamming import corpus_min_distance_t_auto
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
 
 _FP_SENTINEL = np.uint32(0xFFFFFFFF)
@@ -463,13 +463,15 @@ class DeviceCorpus:
         return timestamp_match_counts(q, ts_dev, len_dev, tolerance=tolerance)
 
     def _frame_min(self, q, fp_dev):
-        frame_min, _, _ = corpus_min_distance_t(q, fp_dev, block_n=self._fp_block_n)
+        frame_min, _, _ = corpus_min_distance_t_auto(
+            q, fp_dev, block_n=self._fp_block_n)
         return frame_min
 
     def _query_nearest(self, q, fp_dev):
         """Per query row: (min distance, global corpus index of the nearest
         fingerprint)."""
-        _, q_min, q_arg = corpus_min_distance_t(q, fp_dev, block_n=self._fp_block_n)
+        _, q_min, q_arg = corpus_min_distance_t_auto(
+            q, fp_dev, block_n=self._fp_block_n)
         return q_min, q_arg
 
     def match_timestamps(
