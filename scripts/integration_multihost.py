@@ -34,13 +34,14 @@ import requests
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-PORTS = (5161, 5162)
-
-
 def free_port() -> int:
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
+
+
+# Ephemeral ports: concurrent runs (or a dev service) must not collide.
+PORTS = (free_port(), free_port())
 
 
 def main() -> int:

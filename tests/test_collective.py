@@ -167,3 +167,25 @@ def test_ops_apply_in_log_order(stack, rng):
     for v in range(10, 18):
         assert client.match_timestamps(
             [float(v), float(v) + 0.5], min_match=2) == [(v, 2)]
+
+
+def test_remove_video_with_interleaved_appends(stack, rng):
+    """Review r3 #5: a video ingested in multiple appends with another
+    video's rows interleaved between them must be removed IN FULL without
+    touching the other video's rows."""
+    _store, _runner, client = stack
+    a1 = rng.integers(0, 2**32, size=(16, 2), dtype=np.uint32)
+    b = rng.integers(0, 2**32, size=(16, 2), dtype=np.uint32)
+    a2 = rng.integers(0, 2**32, size=(16, 2), dtype=np.uint32)
+    client.upsert_timestamps(1, [1.0])
+    client.append_fingerprints(1, a1)
+    client.upsert_timestamps(2, [2.0])
+    client.append_fingerprints(2, b)      # lands BETWEEN video 1's blocks
+    client.append_fingerprints(1, a2)
+    client.remove_video(1)
+    # Video 2's rows survive intact...
+    assert client.nearest_video_counts(b[:8]) == {2: 8}
+    # ...and BOTH of video 1's row ranges are gone (the trailing one was
+    # outside the old contiguous-range assumption).
+    assert client.nearest_video_counts(a1[:8]) == {}
+    assert client.nearest_video_counts(a2[:8]) == {}

@@ -129,3 +129,31 @@ def test_corpus_min_distance_mxu_matches_golden(rng):
     np.testing.assert_array_equal(np.asarray(frame_min), d.min(axis=0))
     np.testing.assert_array_equal(np.asarray(q_min), d.min(axis=1))
     np.testing.assert_array_equal(np.asarray(q_arg), d.argmin(axis=1))
+
+
+def test_corpus_min_distance_mxu_non_pow2_block(rng):
+    """Review r3 #2: non-power-of-two block_n (any %128 size is legal)
+    must decode block min/argmin exactly — the float-reciprocal decode
+    reported dist=1 as 0 for 145 of the allowed sizes."""
+    from tvidz_tpu.ops import golden
+    from tvidz_tpu.ops.hamming import corpus_min_distance_t_mxu
+
+    m, w = 8, 2
+    block_n = 5248                      # 41 * 128; reciprocal is inexact
+    n = block_n * 2
+    q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+    c = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    # Plant a distance-1 nearest at column 0 of each block: the exact
+    # failure shape (dist=1, col=0 -> decoded 0 before the fix).
+    c[0] = q[0]
+    c[0, 0] ^= np.uint32(1)
+    c[block_n] = q[1]
+    c[block_n, 0] ^= np.uint32(1 << 31)
+    d = golden.hamming_matrix(q, c)
+    ct = jnp.asarray(np.ascontiguousarray(c.T))
+    frame_min, q_min, q_arg = corpus_min_distance_t_mxu(
+        jnp.asarray(q), ct, block_n=block_n)
+    np.testing.assert_array_equal(np.asarray(q_min), d.min(axis=1))
+    np.testing.assert_array_equal(np.asarray(q_arg), d.argmin(axis=1))
+    np.testing.assert_array_equal(np.asarray(frame_min), d.min(axis=0))
+    assert int(q_min[0]) == 1 and int(q_arg[0]) == 0

@@ -46,3 +46,85 @@ def test_restore_resolves_duplicate_names_outside_window(tmp_path):
         assert state["duplicates"] == ["ancient-original.mp4"]
     finally:
         app.stop()
+
+
+def test_status_fallback_uses_finalized_state_not_partial_timestamps():
+    """Review r3 #1: the multi-host /status fallback must never serve a
+    'done' built from MID-STREAM timestamps (the analyzer upserts them per
+    cut), must serve zero-cut and error finals, and must stay 'pending'
+    while a re-upload of the same clean name is in flight."""
+    store = Store("sqlite:///:memory:")
+    app = _mk_app(store)
+    app.config.service.status_store_fallback = True
+    try:
+        # In-flight analysis on "another host": video row + partial cuts
+        # exist, but no finalized state -> pending.
+        v1 = store.add_video("x.mp4")
+        store.add_timestamps(v1.id, [1.0])       # first cut, mid-stream
+        assert app._lookup_state("x.mp4") is None
+
+        # Finalize (what analyzer._persist_final_state writes) -> served,
+        # including the exact duplicate names.
+        final = {"status": "done", "scene_cuts": [1.0, 2.0], "progress": 1.0,
+                 "total_cuts": 2, "duplicates": ["orig.mp4"],
+                 "original_filename": "x.mp4", "clean_filename": "x.mp4"}
+        store.save_analysis_state("x.mp4", v1.id, final)
+        got = app._lookup_state("55-x.mp4")
+        assert got == final
+
+        # Re-upload in flight: a NEWER video row exists -> pending again.
+        store.add_video("x.mp4")
+        assert app._lookup_state("x.mp4") is None
+
+        # Zero-cut done and error finals are served (no timestamps at all).
+        v3 = store.add_video("none.mp4")
+        store.save_analysis_state("none.mp4", v3.id, {
+            "status": "done", "scene_cuts": [], "progress": 1.0,
+            "total_cuts": 0, "duplicates": [],
+            "original_filename": "none.mp4", "clean_filename": "none.mp4"})
+        assert app._lookup_state("none.mp4")["total_cuts"] == 0
+        v4 = store.add_video("bad.mp4")
+        store.save_analysis_state("bad.mp4", v4.id, {
+            "status": "error", "error": "corrupt", "progress": 0.0,
+            "total_cuts": 0, "duplicates": [],
+            "original_filename": "bad.mp4", "clean_filename": "bad.mp4"})
+        assert app._lookup_state("bad.mp4")["status"] == "error"
+    finally:
+        app.stop()
+
+
+def test_analyzer_persists_final_state(tmp_path):
+    """The analyzer writes the durable final state at both finalize paths."""
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus as DC
+    from tvidz_tpu.decode import write_synthetic_y4m
+    from tvidz_tpu.pipeline.analyzer import Analyzer
+    from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.tmp_dir = str(tmp_path)
+    src = tmp_path / "s.y4m"
+    write_synthetic_y4m(str(src), num_frames=64, height=72, width=96,
+                        cut_frames=(20,), seed=1)
+    data = src.read_bytes()
+    store = Store("sqlite:///:memory:")
+
+    def fetcher(bucket, key, local_path):
+        if key == "broken.y4m":
+            with open(local_path, "wb") as f:
+                f.write(b"not a video")
+        else:
+            with open(local_path, "wb") as f:
+                f.write(data)
+
+    analyzer = Analyzer(store, DC(), AnalysisRegistry(), fetcher, cfg)
+    r = analyzer.analyze("b", "s.y4m")
+    assert r.status == "done"
+    vid, state = store.load_analysis_state("s.y4m")
+    assert vid == r.video_id and state["status"] == "done"
+    assert state["scene_cuts"] == r.scene_cuts
+
+    r2 = analyzer.analyze("b", "broken.y4m")
+    assert r2.status == "error"
+    _vid2, state2 = store.load_analysis_state("broken.y4m")
+    assert state2["status"] == "error"

@@ -74,6 +74,12 @@ CREATE TABLE IF NOT EXISTS collective_ops (
     kind TEXT NOT NULL,
     meta TEXT NOT NULL
 );
+CREATE TABLE IF NOT EXISTS analysis_states (
+    clean_filename TEXT PRIMARY KEY,
+    video_id INTEGER,
+    state TEXT NOT NULL,
+    updated_at TEXT
+);
 CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
 CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
 """
@@ -106,6 +112,12 @@ CREATE TABLE IF NOT EXISTS collective_ops (
     seq SERIAL PRIMARY KEY,
     kind VARCHAR NOT NULL,
     meta TEXT NOT NULL
+);
+CREATE TABLE IF NOT EXISTS analysis_states (
+    clean_filename VARCHAR PRIMARY KEY,
+    video_id INTEGER,
+    state TEXT NOT NULL,
+    updated_at TIMESTAMP
 );
 CREATE INDEX IF NOT EXISTS idx_ts_video ON video_timestamps(video_id);
 CREATE INDEX IF NOT EXISTS idx_fp_video ON video_fingerprints(video_id);
@@ -280,7 +292,7 @@ class Store:
             cur = self._conn.cursor()
             cur.execute(
                 f"SELECT id, filename, upload_time, thumbnail_path, duplicates "
-                f"FROM videos WHERE filename = {ph} ORDER BY id DESC",
+                f"FROM videos WHERE filename = {ph} ORDER BY id DESC LIMIT 1",
                 (filename,),
             )
             row = cur.fetchone()
@@ -484,6 +496,51 @@ class Store:
             cur.execute("SELECT COALESCE(MAX(seq), 0) FROM collective_ops")
             return int(cur.fetchone()[0])
 
+    # -- durable analysis states (multi-host /status; VERDICT r3 review) --------
+
+    def save_analysis_state(self, clean_filename: str, video_id: int,
+                            state: dict) -> None:
+        """Persist a FINAL analysis state (done/error) keyed by clean
+        filename. Written only at finalize, so its existence (with
+        video_id == the newest video row for that name) is the multi-host
+        'finished' marker — timestamps alone cannot be, since the analyzer
+        upserts them incrementally per detected cut."""
+        ph = self._ph()
+        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        now_v = now.isoformat() if self._backend == "sqlite" else now
+        enc = json.dumps(state)
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"UPDATE analysis_states SET video_id = {ph}, state = {ph}, "
+                f"updated_at = {ph} WHERE clean_filename = {ph}",
+                (video_id, enc, now_v, clean_filename),
+            )
+            if cur.rowcount == 0:
+                cur.execute(
+                    f"INSERT INTO analysis_states "
+                    f"(clean_filename, video_id, state, updated_at) "
+                    f"VALUES ({ph}, {ph}, {ph}, {ph})",
+                    (clean_filename, video_id, enc, now_v),
+                )
+            self._conn.commit()
+
+    def load_analysis_state(self, clean_filename: str):
+        """(video_id, state dict) of the last FINALIZED analysis for this
+        clean filename, or None."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT video_id, state FROM analysis_states "
+                f"WHERE clean_filename = {ph}",
+                (clean_filename,),
+            )
+            row = cur.fetchone()
+        if row is None:
+            return None
+        return int(row[0]), json.loads(row[1])
+
     # -- admin ------------------------------------------------------------------
 
     def clear(self) -> None:
@@ -491,6 +548,7 @@ class Store:
         with self._lock:
             cur = self._conn.cursor()
             cur.execute("DELETE FROM analysis_checkpoints")
+            cur.execute("DELETE FROM analysis_states")
             cur.execute("DELETE FROM video_fingerprints")
             cur.execute("DELETE FROM video_timestamps")
             cur.execute("DELETE FROM videos")

@@ -22,11 +22,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from tvidz_tpu.ops.hamming import (
-    hamming_matrix,
-    hamming_matrix_pm1,
-    unpack_bits_pm1,
-)
+from tvidz_tpu.ops.hamming import hamming_matrix, unpack_bits_pm1
 
 
 def align_scores(
@@ -69,7 +65,7 @@ def _diag_scores(match: jnp.ndarray) -> jnp.ndarray:
     reach 128 (level shift 64), then int32.
     """
     m, n = match.shape
-    x = match[::-1].astype(jnp.int8)
+    x = match[::-1] if match.dtype == jnp.int8 else match[::-1].astype(jnp.int8)
     s = 1
     while x.shape[0] > 1:
         r, w = x.shape
@@ -110,14 +106,24 @@ def fragment_core(
     assert v % chunk == 0, (v, chunk)
     row_valid = jnp.arange(tq, dtype=jnp.int32)[:, None] < q_len  # (Tq, 1)
     q_pm1 = unpack_bits_pm1(q_fp) if use_mxu else None
+    bits = 32 * w
 
     def one(c_fp, c_len):
+        col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
         if use_mxu:
-            h = hamming_matrix_pm1(q_pm1, unpack_bits_pm1(c_fp))   # (Tq, Tc)
+            # Threshold directly on the ±1 dot products: hamming <= thr
+            # <=> dots >= bits - 2*thr. Skips materializing the int32
+            # hamming matrix and the int32 match matrix — two full
+            # (Tq, Tc) passes the profile showed were pure epilogue.
+            dots = jnp.dot(q_pm1, unpack_bits_pm1(c_fp).T,
+                           preferred_element_type=jnp.float32)
+            thr_f = jnp.float32(bits - 2 * hamming_threshold)
+            match = ((dots >= thr_f) & col_valid & row_valid
+                     ).astype(jnp.int8)
         else:
             h = hamming_matrix(q_fp, c_fp)                         # (Tq, Tc)
-        col_valid = jnp.arange(tc, dtype=jnp.int32)[None, :] < c_len
-        match = ((h <= hamming_threshold) & col_valid & row_valid).astype(jnp.int32)
+            match = ((h <= hamming_threshold) & col_valid & row_valid
+                     ).astype(jnp.int8)
         s = _diag_scores(match)
         o = jnp.argmax(s)
         return o - (tq - 1), s[o]

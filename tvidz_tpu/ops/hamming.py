@@ -236,9 +236,12 @@ def _corpus_scan_kernel_mxu(
     combined = ((jnp.float32(bits) - dots)
                 * jnp.float32(0.5 * block_n)) + cols
     best = jnp.min(combined, axis=1)                              # (M,)
-    blk_min = (best * jnp.float32(1.0 / block_n)).astype(jnp.int32)
-    blk_arg = (best - blk_min.astype(jnp.float32) * block_n
-               ).astype(jnp.int32) + pid * block_n
+    # Decode with INTEGER div/mod: a float reciprocal multiply is inexact
+    # for non-power-of-two block_n (reproduced: dist=1 decoding as 0 for
+    # 145 of the %128 block sizes — a false exact-duplicate).
+    best_i = best.astype(jnp.int32)
+    blk_min = best_i // block_n
+    blk_arg = (best_i - blk_min * block_n) + pid * block_n
 
     better = blk_min < acc_min_ref[0, :]
     acc_min_ref[0, :] = jnp.where(better, blk_min, acc_min_ref[0, :])
@@ -269,6 +272,10 @@ def corpus_min_distance_t_mxu(
     assert corpus_t.shape[0] == w, (corpus_t.shape, q.shape)
     assert block_n % 128 == 0, f"block_n must be a multiple of 128, got {block_n}"
     assert n % block_n == 0, (n, block_n)
+    # combined = dist*block_n + col must stay exact in f32 (< 2^24).
+    assert 32 * w * block_n + block_n < (1 << 24), (
+        f"block_n={block_n} too large for {32*w}-bit fingerprints; "
+        "the packed min/argmin encoding would lose f32 exactness")
     q_pm1 = unpack_bits_pm1(q)                     # (M, 32*W) bf16, tiny
     grid = (n // block_n,)
     kernel = functools.partial(_corpus_scan_kernel_mxu, block_n=block_n)

@@ -93,6 +93,17 @@ class CollectiveRunner:
         self._pending_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
+        # Sequence-gap handling: a burned seq (a Postgres SERIAL whose
+        # insert rolled back) would otherwise wedge every host's executor
+        # forever. After gap_timeout_s waiting on the SAME missing seq we
+        # declare it burned and skip it — deterministic across hosts
+        # (every host waits on the same number and sees the same absence),
+        # at the cost of divergence if an insert ever commits later than
+        # the timeout (pathological for autocommit log appends; logged
+        # loudly either way).
+        self.gap_timeout_s = 120.0
+        self._gap_seq: Optional[int] = None
+        self._gap_since = 0.0
         # Host-side state mirrors, maintained from applied ops so every
         # host answers num_videos/num_fingerprints identically without a
         # store round-trip.
@@ -173,11 +184,25 @@ class CollectiveRunner:
                     # Sequence gap: a concurrent insert committed later
                     # than a higher seq (possible with Postgres serials).
                     # Wait for contiguity — applying out of order would
-                    # diverge this host from the others.
-                    log("collective",
-                        f"waiting for seq {self._applied_seq + 1} "
-                        f"(saw {seq})")
+                    # diverge this host from the others — but only up to
+                    # gap_timeout_s: a permanently burned seq (rolled-back
+                    # insert) must not wedge the cluster.
+                    missing = self._applied_seq + 1
+                    now = time.monotonic()
+                    if self._gap_seq != missing:
+                        self._gap_seq = missing
+                        self._gap_since = now
+                        log("collective",
+                            f"waiting for seq {missing} (saw {seq})")
+                    elif now - self._gap_since > self.gap_timeout_s:
+                        log("collective",
+                            f"seq {missing} still absent after "
+                            f"{self.gap_timeout_s:.0f}s; declaring it "
+                            "burned and skipping")
+                        self._applied_seq = missing
+                        self._gap_seq = None
                     break
+                self._gap_seq = None
                 self._apply(seq, kind, meta)
                 self._applied_seq = seq
             else:
@@ -213,11 +238,19 @@ class CollectiveRunner:
             n_fp = int(meta["n_fp"])
             src = int(meta["src"])
             ts = fps = None
-            if mine:
-                if payload is None:
-                    raise RuntimeError("append submitted without payload")
-                ts = payload.get("ts")
-                fps = payload.get("fps")
+            if self.process_index == src:
+                # Payload comes from the LOG ROW, not the in-process
+                # pending dict: if a submit's insert committed but the
+                # reply was lost, the op still applies with its real rows
+                # on every host instead of the source psum-broadcasting
+                # zeros (review r3 #4). The src->others broadcast still
+                # rides the corpus-axis psum.
+                if "ts" in meta and meta["ts"] is not None:
+                    ts = [float(t) for t in meta["ts"]]
+                if "fp" in meta and meta["fp"] is not None:
+                    fps = np.frombuffer(
+                        base64.b64decode(meta["fp"]), np.uint32
+                    ).reshape(n_fp, -1).copy()
             c.append_video(vid, ts=ts, fps=fps, src_process=src,
                            n_ts=n_ts, n_fp=n_fp)
             if n_ts:
@@ -304,10 +337,13 @@ class MultiHostCorpusClient:
         ts = [float(t) for t in timestamps][: self.max_cuts]
         if not ts:
             return
+        # Ingest payloads travel IN the op row (KBs) so the op is fully
+        # reconstructible from the log on the source too — see the append
+        # branch of CollectiveRunner._execute.
         self.runner.submit(
             "append",
-            {"video_id": int(video_id), "n_ts": len(ts), "n_fp": 0},
-            payload={"ts": ts},
+            {"video_id": int(video_id), "n_ts": len(ts), "n_fp": 0,
+             "ts": ts},
         ).wait(self.op_timeout_s)
 
     def append_fingerprints(self, video_id: int, fingerprints) -> None:
@@ -316,8 +352,8 @@ class MultiHostCorpusClient:
             return
         self.runner.submit(
             "append",
-            {"video_id": int(video_id), "n_ts": 0, "n_fp": int(fps.shape[0])},
-            payload={"fps": fps},
+            {"video_id": int(video_id), "n_ts": 0, "n_fp": int(fps.shape[0]),
+             "fp": base64.b64encode(fps.tobytes()).decode("ascii")},
         ).wait(self.op_timeout_s)
 
     def remove_video(self, video_id: int) -> None:

@@ -298,24 +298,23 @@ class MultiHostShardedCorpus:
                 self.al_video_ids == video_id, -1, self.al_video_ids)
         if inner.fp_video_ids is None or inner.corpus_fp_valid is None:
             return
-        rows = np.nonzero(inner.fp_video_ids == video_id)[0]
-        if rows.size == 0:
+        hit = inner.fp_video_ids == video_id
+        if not hit.any():
             return
-        # Rows of one video are contiguous (load_* and _append_fingerprints
-        # both write contiguous ranges); a (start, count) pair keeps the
-        # collective update O(1) in metadata. Every host derives the same
-        # range from its identical fp_video_ids mirror.
-        start, count = int(rows[0]), int(rows.size)
-        inner.fp_video_ids[start : start + count] = -1
+        # A video's rows are NOT necessarily one contiguous range: the
+        # public append_fingerprints supports multiple appends per video,
+        # and another host's interleaved ingest lands between them. Clear
+        # by a full boolean mask (every host computes the identical mask
+        # from its identical fp_video_ids mirror; removals are rare, so
+        # the O(cap) replicated operand is fine).
+        inner.fp_video_ids = np.where(hit, -1, inner.fp_video_ids)
         if self._remove_jit is None:
-            def clear_range(valid, s):
-                gi = jnp.arange(valid.shape[0], dtype=jnp.int32)
-                hit = (gi >= s[0]) & (gi < s[0] + s[1])
-                return valid & ~hit
+            def clear_mask(valid, mask):
+                return valid & ~mask
 
-            self._remove_jit = jax.jit(clear_range, donate_argnums=(0,))
-        scal = inner._replicate(np.asarray([start, count], np.int32))
-        inner.corpus_fp_valid = self._remove_jit(inner.corpus_fp_valid, scal)
+            self._remove_jit = jax.jit(clear_mask, donate_argnums=(0,))
+        mask = inner._replicate(hit)
+        inner.corpus_fp_valid = self._remove_jit(inner.corpus_fp_valid, mask)
 
     # -- collective streaming ingest (device-side append over DCN) ---------------
 

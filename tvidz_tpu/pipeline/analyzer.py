@@ -144,8 +144,7 @@ class Analyzer:
                 clean_filename=original_filename,
             )
             status = "done"
-            self.registry.finish(
-                analysis_key,
+            final_state = dict(
                 status="done",
                 scene_cuts=scene_cuts,
                 progress=1.0,
@@ -154,11 +153,12 @@ class Analyzer:
                 original_filename=filename,
                 clean_filename=original_filename,
             )
+            self.registry.finish(analysis_key, **final_state)
+            self._persist_final_state(original_filename, video_id, final_state)
         except Exception as e:  # noqa: BLE001 — mirrors app.py:303's blanket handler
             error_msg = str(e)
             existing_duplicates = self.registry.get_existing_duplicates(analysis_key)
-            self.registry.finish(
-                analysis_key,
+            final_state = dict(
                 status="error",
                 error=error_msg,
                 progress=0.0,
@@ -167,6 +167,8 @@ class Analyzer:
                 original_filename=filename,
                 clean_filename=original_filename,
             )
+            self.registry.finish(analysis_key, **final_state)
+            self._persist_final_state(original_filename, video_id, final_state)
             dups_to_report = existing_duplicates
         finally:
             with self._active_lock:
@@ -186,6 +188,18 @@ class Analyzer:
             duplicates=sorted(set(dups_to_report)),
             error=error_msg,
         )
+
+    def _persist_final_state(self, clean_filename: str, video_id: int,
+                             state: dict) -> None:
+        """Durable mirror of the registry's FINAL state (written only at
+        finalize). Lets any host of a multi-host deployment — or this host
+        after an eviction/restart — serve the exact done/error payload
+        from /status (service/app._lookup_state). Never fatal: the
+        in-memory state is already correct."""
+        try:
+            self.store.save_analysis_state(clean_filename, video_id, state)
+        except Exception as e:  # noqa: BLE001
+            log("analysis-state", f"failed to persist final state: {e}")
 
     # -- internals -----------------------------------------------------------------
 

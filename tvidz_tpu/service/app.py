@@ -642,26 +642,19 @@ class InspectorApp:
         from tvidz_tpu.pipeline.analyzer import extract_filenames
 
         _, clean = extract_filenames(filename)
+        loaded = self.store.load_analysis_state(clean)
+        if loaded is None:
+            return None  # never finalized anywhere: pending
+        state_vid, state = loaded
+        # In-flight guard: the state row is written ONLY at finalize, so if
+        # a NEWER video row exists for this clean name, a re-analysis is in
+        # flight (add_video runs at analysis start) — stay pending rather
+        # than serving the previous attempt's final state. (Timestamps are
+        # NOT a finished marker: the analyzer upserts them per cut.)
         v = self.store.get_latest_video_by_filename(clean)
-        if v is None:
+        if v is not None and v.id > state_vid:
             return None
-        cuts = self.store.get_timestamps(v.id)
-        if not cuts:
-            return None  # analysis still in flight (or failed): pending
-        names = set()
-        for d in v.duplicates:
-            rec = self.store.get_video_by_id(d)
-            if rec is not None:
-                names.add(rec.filename)
-        return {
-            "status": "done",
-            "scene_cuts": cuts,
-            "progress": 1.0,
-            "total_cuts": len(cuts),
-            "duplicates": sorted(names),
-            "original_filename": filename,
-            "clean_filename": clean,
-        }
+        return dict(state)
 
     def _event_stream(self, filename: str):
         """Generator with the reference's exact change-detection + framing
