@@ -25,7 +25,7 @@ replicated by the sharded kernels' collectives, so every host computes
 them locally and only the submitting host reads them out.
 
 The op kinds double as the multi-host wire protocol:
-  append    {video_id, n_ts, n_fp, src}        payload held by src process
+  append    {video_id, n_ts, n_fp, src, ts/fp} payload inline (src feeds psum)
   ts_query  {ts, min_match, tolerance, exclude} payload inline (floats)
   fp_query  {fp(b64), rows, k, threshold, exclude} payload inline
   remove    {video_id}                          tombstone (collective mask)
