@@ -22,7 +22,11 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from tvidz_tpu.ops.hamming import hamming_matrix, unpack_bits_pm1
+from tvidz_tpu.ops.hamming import (
+    hamming_matrix,
+    unpack_bits_pm1,
+    unpack_bits_pm1_t,
+)
 
 
 def align_scores(
@@ -115,7 +119,7 @@ def fragment_core(
             # <=> dots >= bits - 2*thr. Skips materializing the int32
             # hamming matrix and the int32 match matrix — two full
             # (Tq, Tc) passes the profile showed were pure epilogue.
-            dots = jnp.dot(q_pm1, unpack_bits_pm1(c_fp).T,
+            dots = jnp.dot(q_pm1, unpack_bits_pm1_t(c_fp),
                            preferred_element_type=jnp.float32)
             thr_f = jnp.float32(bits - 2 * hamming_threshold)
             match = ((dots >= thr_f) & col_valid & row_valid

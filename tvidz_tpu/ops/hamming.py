@@ -68,6 +68,24 @@ def unpack_bits_pm1(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (bits.reshape(n, 32 * w).astype(jnp.float32) * 2.0 - 1.0).astype(dtype)
 
 
+def unpack_bits_pm1_t(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """(N, W) uint32 -> (32*W, N) ±1 — ``unpack_bits_pm1(x).T`` built
+    NATIVELY in the transposed layout with pure 2-D ops (bit planes on
+    sublanes, N on the 128-lane axis), no 3-D intermediates, no reshape,
+    no transpose relayout. This is what matmul consumers actually want as
+    the RHS; on v5e the 3-D unpack + ``.T`` was 70% of fragment search's
+    wall time (25 of 36 ms at the 1M config) and this form removes it."""
+    n, w = packed.shape
+    shifts = (jnp.uint32(31) - jnp.arange(32, dtype=jnp.uint32))[:, None]
+    planes = [
+        ((packed[:, wi][None, :] >> shifts) & jnp.uint32(1))
+        for wi in range(w)
+    ]
+    bits = planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
+    return (bits.astype(jnp.int32).astype(jnp.float32) * 2.0 - 1.0
+            ).astype(dtype)
+
+
 def hamming_matrix_pm1(q_pm1: jnp.ndarray, c_pm1: jnp.ndarray) -> jnp.ndarray:
     """(M, B) x (N, B) ±1 -> (M, N) int32 Hamming via one MXU matmul."""
     b = q_pm1.shape[-1]
