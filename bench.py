@@ -301,10 +301,25 @@ def bench_fragment_search(n_videos: int = 1024, frames_per_video: int = 1024,
     lens_d = jnp.asarray(lens)
     q_d = jnp.asarray(q)
 
-    # Race both formulations (VPU XOR+gather vs MXU pm1-matmul+conv); report
-    # the winner as the headline fragment number.
+    # Race the formulations (VPU XOR, MXU pm1-matmul, fused Pallas); report
+    # the winner as the headline fragment number. The Pallas entry is
+    # optional: Mosaic restrictions vary by build, so a compile failure
+    # just drops it from the race.
+    from tvidz_tpu.ops.align_pallas import fragment_search_pallas
+
+    def pallas_wrapped(q, ql, c, l):
+        return fragment_search_pallas(q, ql, c, l)
+
     p50s = {}
-    for name, fn in (("xor", fragment_search), ("mxu", fragment_search_mxu)):
+    variants = [("xor", fragment_search), ("mxu", fragment_search_mxu),
+                ("pallas", pallas_wrapped)]
+    for name, fn in variants:
+        if name == "pallas":
+            try:
+                fn(q_d, jnp.int32(tq), cand, lens_d)[1].block_until_ready()
+            except Exception as e:  # noqa: BLE001 — optional racer
+                _log(f"fragment search [pallas]: unavailable ({str(e)[:120]})")
+                continue
         offs, scores = fn(q_d, jnp.int32(tq), cand, lens_d)
         _sync(offs, scores)
         times = []

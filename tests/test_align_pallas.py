@@ -1,0 +1,68 @@
+"""Pallas fragment-localization kernel (ops/align_pallas.py): bit-exact
+parity with the XLA composition across shapes, lengths, thresholds, and
+degenerate inputs. Runs interpreted on the CPU mesh; TVIDZ_TEST_TPU=1
+compiles it for real."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tvidz_tpu.ops.align import fragment_search
+from tvidz_tpu.ops.align_pallas import fragment_search_pallas
+
+
+def _both(q, tq, corpus, lens, thr, chunk):
+    o1, s1 = fragment_search(jnp.asarray(q), jnp.int32(tq),
+                             jnp.asarray(corpus), jnp.asarray(lens),
+                             hamming_threshold=thr, chunk=chunk)
+    o2, s2 = fragment_search_pallas(jnp.asarray(q), jnp.int32(tq),
+                                    jnp.asarray(corpus), jnp.asarray(lens),
+                                    hamming_threshold=thr)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    return np.asarray(o2), np.asarray(s2)
+
+
+@pytest.mark.parametrize("v,t,tq_pad,tq", [
+    (8, 256, 64, 40),
+    (16, 128, 128, 100),     # tq_pad == pow2 already
+    (8, 512, 320, 300),      # tq_pad != pow2 (row padding in the kernel)
+])
+def test_pallas_fragment_parity(rng, v, t, tq_pad, tq):
+    corpus = rng.integers(0, 2**32, size=(v, t, 2), dtype=np.uint32)
+    lens = np.full(v, t, np.int32)
+    lens[3] = t // 2                       # a short row exercises c_len
+    q = np.full((tq_pad, 2), 0xFFFFFFFF, np.uint32)
+    q[:tq] = corpus[2, 10 : 10 + tq]
+    offs, scores = _both(q, tq, corpus, lens, 5, 8)
+    assert scores[2] == tq and offs[2] == 10
+
+
+def test_pallas_fragment_planted_in_short_row(rng):
+    """A hit inside a partially-valid row, plus near-miss noise at a loose
+    threshold (exercises thresholds other than exact-0 matches)."""
+    v, t = 8, 256
+    corpus = rng.integers(0, 2**32, size=(v, t, 2), dtype=np.uint32)
+    lens = np.full(v, t, np.int32)
+    lens[5] = 90
+    q = np.full((64, 2), 0xFFFFFFFF, np.uint32)
+    frag = corpus[5, 40:80].copy()
+    frag[::4, 0] ^= 0b111                  # 3-bit damage every 4th frame
+    q[:40] = frag
+    offs, scores = _both(q, 40, corpus, lens, 4, 8)
+    assert scores[5] == 40 and offs[5] == 40
+    # Beyond lens[5]=90 nothing matches: a fragment from the INVALID tail
+    # of row 5 scores like noise.
+    q2 = np.full((64, 2), 0xFFFFFFFF, np.uint32)
+    q2[:40] = corpus[5, 120:160]
+    _o, s = _both(q2, 40, corpus, lens, 4, 8)
+    assert s[5] <= 2
+
+
+def test_pallas_fragment_no_match_is_zero(rng):
+    corpus = rng.integers(0, 2**32, size=(8, 128, 2), dtype=np.uint32)
+    lens = np.full(8, 128, np.int32)
+    q = rng.integers(0, 2**32, size=(64, 2), dtype=np.uint32)
+    offs, scores = _both(q, 64, corpus, lens, 0, 8)
+    assert (scores == 0).all()

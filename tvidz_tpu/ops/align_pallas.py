@@ -1,0 +1,209 @@
+"""Pallas fragment-localization kernel: the whole per-video pipeline —
+bit unpack, ±1 MXU matmul, threshold, anti-diagonal log-tree, argmax —
+VMEM-resident in one kernel.
+
+Why: the XLA composition (ops/align.fragment_core) measures ~35 ms at the
+1k-video/1M-fingerprint config with a flat chunk-size curve — every stage
+round-trips its (Tq, Tc) intermediate through HBM and XLA won't fuse
+across the matmul. Roofline for the same work is single-digit ms: the
+matmul is 0.1 GFLOP/video and everything else is elementwise. Keeping the
+intermediates in VMEM is exactly what Pallas is for.
+
+Mosaic restrictions shaped the design (each cost one hardware compile to
+discover): no `rev` (the query is row-reversed HOST-side so the matmul
+output lands pre-reversed), no `dynamic_update_slice` on values and
+value-concat offset limits (the corpus rides in column-padded to the
+scratch width, so the kernel never pads), `pltpu.roll` is 32-bit-only and
+vector adds are i16/i32-only (the tree runs in f32 — 32-bit, exact for
+counts < 2^24), argmax is f32-only (first-index argmax via where/iota
+min), and scalars cannot be stored to VMEM (results accumulate in a
+(VB, 128) vector, one tile store per grid step).
+
+Structure per grid step (VB=8 candidate videos):
+1. unpack each video's packed (NW, W) block to ±1 bf16 (32·W, NW) with
+   2-D shift/mask ops (the corpus-scan kernel's formulation);
+2. one (R0, 32·W) x (32·W, NW) MXU matmul, f32 accumulation (exact);
+3. threshold + validity -> 0/1 f32 match matrix (rows arrive reversed);
+4. anti-diagonal sums by halves-split reassociation: a level with R rows
+   adds ``shift_{R/2}(bottom half)`` onto the top half — contiguous row
+   slices, one roll + mask + add per level, log2(R0) levels total;
+5. max + first-index argmax of the final score row -> (offset, score).
+
+Exactness: identical results to ops.align.fragment_core (pinned by
+tests); the tree is the same reassociation of the same integer sums, on a
+row base of R0 instead of Tq_pad (both sides subtract their own base).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+VB = 8  # videos per grid step (output tile sublane size)
+
+
+def _fragment_kernel(
+    lens_ref,     # (V + 1,) int32 scalar-prefetch: [q_len, corpus_len...]
+    qp_ref,       # (R0, 32*W) bf16 ±1 query, ROW-REVERSED, zero-padded
+    c_ref,        # (VB, W, NW) uint32 — column-padded packed blocks,
+                  # WORD-MAJOR so time rides the 128-lane axis (a (.., NW,
+                  # W=2) layout would tile 2/128 lanes: 64x VMEM bloat)
+    off_ref,      # (VB, 128) int32 out (col 0 carries the value)
+    score_ref,    # (VB, 128) int32 out
+    *,
+    r0: int,
+    tq_pad: int,
+    bits: int,
+    hamming_threshold: int,
+    nw: int,
+):
+    w = bits // 32
+    thr_f = jnp.float32(bits - 2 * hamming_threshold)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (r0, nw), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (r0, nw), 1)
+    q_len = lens_ref[0]
+    shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
+        jnp.uint32, (32, nw), 0)
+
+    def shift_cols(v, s):
+        rolled = pltpu.roll(v, shift=s, axis=1)
+        keep = jax.lax.broadcasted_iota(
+            jnp.int32, rolled.shape, 1) >= s
+        return jnp.where(keep, rolled, jnp.zeros_like(rolled))
+
+    out_rows = jax.lax.broadcasted_iota(jnp.int32, (VB, 128), 0)
+    out_cols = jax.lax.broadcasted_iota(jnp.int32, (VB, 128), 1)
+    scores_acc = jnp.zeros((VB, 128), jnp.int32)
+    offs_acc = jnp.zeros((VB, 128), jnp.int32)
+
+    for j in range(VB):
+        # 1. unpack video j to ±1 (32*W, NW), bit planes on sublanes.
+        planes = []
+        for wi in range(w):
+            word = c_ref[j, wi, :][None, :].astype(jnp.uint32)
+            b01 = ((jnp.broadcast_to(word, (32, nw)) >> shifts)
+                   & jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32)
+            planes.append((b01 * 2.0 - 1.0).astype(jnp.bfloat16))
+        pm1 = planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
+
+        # 2. dots (R0, NW) f32 on the MXU.
+        dots = jnp.dot(qp_ref[:], pm1, preferred_element_type=jnp.float32)
+
+        # 3. threshold + validity -> 0/1 f32. Row t holds q[r0-1-t] (the
+        #    host reversed the buffer), so real query rows are
+        #    t >= r0 - q_len and the tree's shift t aligns diagonal
+        #    d = col + t onto score column d.
+        c_len = lens_ref[1 + VB * pl.program_id(0) + j]
+        valid = (rows >= r0 - q_len) & (cols < c_len)
+        x = jnp.where((dots >= thr_f) & valid,
+                      jnp.float32(1.0), jnp.float32(0.0))
+
+        # 4. halves-split log-tree: row r accumulates implicit shift r.
+        r = r0
+        while r > 1:
+            half = r // 2
+            x = x[:half, :] + shift_cols(x[half:r, :], half)
+            r = half
+
+        final = x[0:1, :]                        # (1, NW) f32, integral
+        best = jnp.max(final)
+        # First-index argmax, floored at the reference's column base
+        # (columns < r0 - tq_pad are impossible alignments that exist only
+        # in this buffer's wider coordinate space; without the floor an
+        # all-zero score row would report a different — equally
+        # meaningless, but not bit-identical — offset than fragment_core).
+        fcols = jax.lax.broadcasted_iota(jnp.int32, final.shape, 1)
+        arg = jnp.min(jnp.where(
+            (final == best) & (fcols >= r0 - tq_pad),
+            fcols, jnp.int32(nw)))
+        slot = (out_rows == j) & (out_cols == 0)
+        scores_acc = jnp.where(slot, best.astype(jnp.int32), scores_acc)
+        offs_acc = jnp.where(slot, arg - (r0 - 1), offs_acc)
+
+    score_ref[:, :] = scores_acc
+    off_ref[:, :] = offs_acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hamming_threshold",)
+)
+def fragment_search_pallas(
+    q_fp: jnp.ndarray,          # (Tq_pad, W) packed query (sentinel pad)
+    q_len: jnp.ndarray,         # () int32 — number of REAL query rows
+    corpus_fp: jnp.ndarray,     # (V, Tc, W) persistent padded candidates
+    corpus_len: jnp.ndarray,    # (V,) valid lengths
+    hamming_threshold: int = 10,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fragment_search with the whole per-video pipeline in one Pallas
+    kernel. Same contract/outputs as ops.align.fragment_search."""
+    tq_pad, w = q_fp.shape
+    v, tc, w2 = corpus_fp.shape
+    assert w == w2, (q_fp.shape, corpus_fp.shape)
+    assert v % VB == 0, (v, VB)  # capacities are multiples of 8
+    bits = 32 * w
+    r0 = _next_pow2(tq_pad)
+    nw = -(-(tc + r0) // 128) * 128
+
+    from tvidz_tpu.ops.hamming import unpack_bits_pm1
+
+    # Query operand built so the KERNEL needs no pads or reversals: ±1
+    # rows for the real query, zero rows elsewhere, row-reversed into an
+    # (R0, bits) buffer — buffer row t = q[r0-1-t] (zero when that index
+    # is past q_len), so the tree's shift-t row is the right diagonal.
+    qp = unpack_bits_pm1(q_fp)
+    row_ok = (jnp.arange(tq_pad, dtype=jnp.int32) < q_len)[:, None]
+    qp = jnp.where(row_ok, qp, jnp.zeros_like(qp)).astype(jnp.bfloat16)
+    qp = jnp.pad(qp, ((0, r0 - tq_pad), (0, 0)))[::-1, :]
+    # Corpus column-padded to the scratch width and transposed word-major
+    # HOST-side (one XLA pad+relayout; Mosaic value-concats hit offset
+    # restrictions in-kernel, and a lane dim of W=2 would tile terribly).
+    cp = jnp.pad(corpus_fp, ((0, 0), (0, nw - tc), (0, 0))
+                 ).transpose(0, 2, 1)
+    lens = jnp.concatenate([
+        jnp.asarray(q_len, jnp.int32).reshape(1),
+        jnp.asarray(corpus_len, jnp.int32),
+    ])
+
+    kernel = functools.partial(
+        _fragment_kernel, r0=r0, tq_pad=tq_pad, bits=bits,
+        hamming_threshold=hamming_threshold, nw=nw,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(v // VB,),
+        in_specs=[
+            pl.BlockSpec((r0, bits), lambda i, lens: (0, 0)),
+            pl.BlockSpec((VB, w, nw), lambda i, lens: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((VB, 128), lambda i, lens: (i, 0)),
+            pl.BlockSpec((VB, 128), lambda i, lens: (i, 0)),
+        ],
+    )
+    offs, scores = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((v, 128), jnp.int32),
+            jax.ShapeDtypeStruct((v, 128), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(lens, qp, cp)
+    return offs[:, 0], scores[:, 0]
