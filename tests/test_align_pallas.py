@@ -66,3 +66,39 @@ def test_pallas_fragment_no_match_is_zero(rng):
     q = rng.integers(0, 2**32, size=(64, 2), dtype=np.uint32)
     offs, scores = _both(q, 64, corpus, lens, 0, 8)
     assert (scores == 0).all()
+
+
+@pytest.mark.parametrize("row_tile", [64, 128, 512])
+def test_pallas_fragment_row_tiling_invariance(rng, row_tile):
+    """Scores/offsets are invariant to the kernel's internal row-tile size
+    (each tile's diagonal partial is shifted by its global row base; the
+    sums are exact integers in f32, so any tiling reassociation is
+    bit-identical)."""
+    v, t, tq_pad, tq = 8, 384, 320, 290       # r0=512 -> 1..8 tiles
+    corpus = rng.integers(0, 2**32, size=(v, t, 2), dtype=np.uint32)
+    lens = np.full(v, t, np.int32)
+    lens[1] = 60
+    q = np.full((tq_pad, 2), 0xFFFFFFFF, np.uint32)
+    q[:tq] = corpus[6, 30 : 30 + tq]
+    o_ref, s_ref = fragment_search_pallas(
+        jnp.asarray(q), jnp.int32(tq), jnp.asarray(corpus),
+        jnp.asarray(lens), hamming_threshold=5, row_tile=512)
+    o_t, s_t = fragment_search_pallas(
+        jnp.asarray(q), jnp.int32(tq), jnp.asarray(corpus),
+        jnp.asarray(lens), hamming_threshold=5, row_tile=row_tile)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_t))
+    np.testing.assert_array_equal(np.asarray(o_ref), np.asarray(o_t))
+    assert np.asarray(s_t)[6] == tq and np.asarray(o_t)[6] == 30
+
+
+def test_pallas_fragment_v_not_multiple_of_tile(rng):
+    """V not a multiple of the 8-video grid tile: the wrapper pads the
+    corpus axis with len-0 rows and slices the outputs back."""
+    v, t = 11, 128
+    corpus = rng.integers(0, 2**32, size=(v, t, 2), dtype=np.uint32)
+    lens = np.full(v, t, np.int32)
+    q = np.full((64, 2), 0xFFFFFFFF, np.uint32)
+    q[:48] = corpus[10, 7:55]              # hit in the LAST (padded-tile) row
+    offs, scores = _both(q, 48, corpus, lens, 5, 11)
+    assert scores.shape == (v,)
+    assert scores[10] == 48 and offs[10] == 7

@@ -29,12 +29,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from tvidz_tpu.ops.align import fragment_search, fragment_search_mxu
+from tvidz_tpu.ops.align_pallas import fragment_search_pallas
 from tvidz_tpu.ops.hamming import corpus_min_distance_t_auto
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
+from tvidz_tpu.utils.logging import log
 
 _FP_SENTINEL = np.uint32(0xFFFFFFFF)
 
 _AL_T0 = 256  # frame capacity of alignment bucket 0; bucket b holds T0<<b
+
+# Availability of the fused Pallas fragment kernel on this build, probed
+# by the first TPU fragment query (None = untried). A Mosaic rejection
+# demotes every subsequent query to the XLA MXU variant without re-paying
+# the failed compile.
+_PALLAS_FRAGMENT_STATE: Dict[str, Optional[bool]] = {"ok": None}
 
 
 class _AlignBucket:
@@ -593,17 +601,28 @@ class DeviceCorpus:
         """Run the alignment scan — overridden by MeshCorpus with the
         corpus-sharded shard_map variant.
 
-        chunk=16 is the measured knee on v5e (intermediates stay VMEM-
-        resident): 37 ms vs 70 ms at chunk=64+ for 1k videos / 1M fps.
-        Backend-raced implementations (bench.py): the MXU pm1-matmul
-        variant wins on TPU (36.6 vs 38.6 ms at 1k videos / 1M fps); the
-        XOR+popcount variant wins off-TPU (CPU test meshes)."""
+        Backend-raced implementations (bench.py): on TPU the fused
+        Pallas kernel wins (6.1 ms device vs 15.3 ms for the XLA MXU
+        composition at 1k videos / 1M fps — the XLA version round-trips
+        its (Tq, Tc) intermediates through HBM), with the MXU pm1-matmul
+        variant as fallback if a Mosaic build rejects the kernel; the
+        XOR+popcount variant wins off-TPU (CPU test meshes; chunk=16 is
+        the measured VMEM knee there)."""
+        if jax.default_backend() == "tpu":
+            if _PALLAS_FRAGMENT_STATE["ok"] is not False:
+                try:
+                    out = fragment_search_pallas(
+                        q, q_len, al_dev, len_dev, hamming_threshold=thr)
+                    _PALLAS_FRAGMENT_STATE["ok"] = True
+                    return out
+                except Exception as e:  # noqa: BLE001 — Mosaic compile
+                    _PALLAS_FRAGMENT_STATE["ok"] = False
+                    log("align", "pallas fragment kernel unavailable "
+                        f"({str(e)[:160]}); using XLA MXU variant")
+            search = fragment_search_mxu
+        else:
+            search = fragment_search
         chunk = 16 if al_dev.shape[0] % 16 == 0 else al_dev.shape[0]
-        search = (
-            fragment_search_mxu
-            if jax.default_backend() == "tpu"
-            else fragment_search
-        )
         return search(q, q_len, al_dev, len_dev,
                       hamming_threshold=thr, chunk=chunk)
 

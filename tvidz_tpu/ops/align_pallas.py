@@ -22,12 +22,24 @@ min), and scalars cannot be stored to VMEM (results accumulate in a
 Structure per grid step (VB=8 candidate videos):
 1. unpack each video's packed (NW, W) block to ±1 bf16 (32·W, NW) with
    2-D shift/mask ops (the corpus-scan kernel's formulation);
-2. one (R0, 32·W) x (32·W, NW) MXU matmul, f32 accumulation (exact);
-3. threshold + validity -> 0/1 f32 match matrix (rows arrive reversed);
-4. anti-diagonal sums by halves-split reassociation: a level with R rows
-   adds ``shift_{R/2}(bottom half)`` onto the top half — contiguous row
-   slices, one roll + mask + add per level, log2(R0) levels total;
+2-4. row-tiled over the query axis, RT rows per tile (default 256, the
+   measured optimum: a monolithic (R0, NW) f32 ``dots``+``match`` pair
+   is 16 MiB at the 1M config — past VMEM, so Mosaic spills): per tile
+   one (RT, 32·W) x (32·W, NW) MXU matmul with f32 accumulation
+   (exact), threshold + validity -> 0/1 f32 match tile (rows arrive
+   reversed), anti-diagonal sums by halves-split reassociation (a level
+   with R rows adds ``shift_{R/2}(bottom half)`` onto the top half —
+   contiguous row slices, one roll + mask + add per level, log2(RT)
+   levels), then one roll of the (1, NW) tile partial by the tile's
+   global row base (shift_a∘shift_b = shift_{a+b}) accumulated into the
+   score row. Tiles entirely inside the static query pad are skipped at
+   trace time.
 5. max + first-index argmax of the final score row -> (offset, score).
+
+Measured (v5e-1, 1k videos x 1024f / 768f query): 6.1 ms device
+(rt=256; rt=512 6.5, monolithic ~13, XLA composition 15.3) — the
+device-side floor for ~2.2 G thresholded match cells plus diagonal
+reduction; dispatch-inclusive p50 ~28 ms vs 40 ms XLA.
 
 Exactness: identical results to ops.align.fragment_core (pinned by
 tests); the tree is the same reassociation of the same integer sums, on a
@@ -73,11 +85,12 @@ def _fragment_kernel(
     bits: int,
     hamming_threshold: int,
     nw: int,
+    rt: int,
 ):
     w = bits // 32
     thr_f = jnp.float32(bits - 2 * hamming_threshold)
-    rows = jax.lax.broadcasted_iota(jnp.int32, (r0, nw), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (r0, nw), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rt, nw), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, nw), 1)
     q_len = lens_ref[0]
     shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
         jnp.uint32, (32, nw), 0)
@@ -103,26 +116,34 @@ def _fragment_kernel(
             planes.append((b01 * 2.0 - 1.0).astype(jnp.bfloat16))
         pm1 = planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
 
-        # 2. dots (R0, NW) f32 on the MXU.
-        dots = jnp.dot(qp_ref[:], pm1, preferred_element_type=jnp.float32)
-
-        # 3. threshold + validity -> 0/1 f32. Row t holds q[r0-1-t] (the
-        #    host reversed the buffer), so real query rows are
-        #    t >= r0 - q_len and the tree's shift t aligns diagonal
-        #    d = col + t onto score column d.
         c_len = lens_ref[1 + VB * pl.program_id(0) + j]
-        valid = (rows >= r0 - q_len) & (cols < c_len)
-        x = jnp.where((dots >= thr_f) & valid,
-                      jnp.float32(1.0), jnp.float32(0.0))
 
-        # 4. halves-split log-tree: row r accumulates implicit shift r.
-        r = r0
-        while r > 1:
-            half = r // 2
-            x = x[:half, :] + shift_cols(x[half:r, :], half)
-            r = half
-
-        final = x[0:1, :]                        # (1, NW) f32, integral
+        # 2-4. Row-tiled: RT query rows at a time, so the (RT, NW) f32
+        #    intermediates fit VMEM (a monolithic (R0, NW) pair at the
+        #    1M config is 16 MiB — guaranteed spill). Each tile runs
+        #    matmul -> threshold -> halves-split log-tree locally, then
+        #    shifts its (1, NW) partial by the tile's global row base
+        #    (shift_a(shift_b(v)) = shift_{a+b}(v)) and accumulates.
+        #    Buffer row t holds q[r0-1-t] (the host reversed the buffer),
+        #    so real query rows are t >= r0 - q_len and the tree's
+        #    shift t aligns diagonal d = col + t onto score column d.
+        #    Tiles entirely inside the static zero pad (t < r0 - tq_pad)
+        #    are skipped at trace time.
+        final = jnp.zeros((1, nw), jnp.float32)
+        for k in range((r0 - tq_pad) // rt, r0 // rt):
+            base = k * rt
+            dots = jnp.dot(qp_ref[base:base + rt, :], pm1,
+                           preferred_element_type=jnp.float32)
+            valid = (rows + base >= r0 - q_len) & (cols < c_len)
+            x = jnp.where((dots >= thr_f) & valid,
+                          jnp.float32(1.0), jnp.float32(0.0))
+            r = rt
+            while r > 1:
+                half = r // 2
+                x = x[:half, :] + shift_cols(x[half:r, :], half)
+                r = half
+            final = final + (shift_cols(x[0:1, :], base) if base
+                             else x[0:1, :])
         best = jnp.max(final)
         # First-index argmax, floored at the reference's column base
         # (columns < r0 - tq_pad are impossible alignments that exist only
@@ -142,7 +163,7 @@ def _fragment_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hamming_threshold",)
+    jax.jit, static_argnames=("hamming_threshold", "row_tile")
 )
 def fragment_search_pallas(
     q_fp: jnp.ndarray,          # (Tq_pad, W) packed query (sentinel pad)
@@ -150,15 +171,23 @@ def fragment_search_pallas(
     corpus_fp: jnp.ndarray,     # (V, Tc, W) persistent padded candidates
     corpus_len: jnp.ndarray,    # (V,) valid lengths
     hamming_threshold: int = 10,
+    row_tile: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fragment_search with the whole per-video pipeline in one Pallas
     kernel. Same contract/outputs as ops.align.fragment_search."""
     tq_pad, w = q_fp.shape
     v, tc, w2 = corpus_fp.shape
     assert w == w2, (q_fp.shape, corpus_fp.shape)
-    assert v % VB == 0, (v, VB)  # capacities are multiples of 8
+    # Grid tiles VB=8 videos per step; pad the corpus axis (len-0 rows
+    # score 0 through the validity mask) and slice the outputs back.
+    v_pad = -(-v // VB) * VB
+    if v_pad != v:
+        corpus_fp = jnp.pad(corpus_fp, ((0, v_pad - v), (0, 0), (0, 0)))
+        corpus_len = jnp.pad(jnp.asarray(corpus_len, jnp.int32),
+                             (0, v_pad - v))
     bits = 32 * w
     r0 = _next_pow2(tq_pad)
+    rt = min(_next_pow2(row_tile), r0)  # pow2 -> divides r0
     nw = -(-(tc + r0) // 128) * 128
 
     from tvidz_tpu.ops.hamming import unpack_bits_pm1
@@ -183,11 +212,11 @@ def fragment_search_pallas(
 
     kernel = functools.partial(
         _fragment_kernel, r0=r0, tq_pad=tq_pad, bits=bits,
-        hamming_threshold=hamming_threshold, nw=nw,
+        hamming_threshold=hamming_threshold, nw=nw, rt=rt,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(v // VB,),
+        grid=(v_pad // VB,),
         in_specs=[
             pl.BlockSpec((r0, bits), lambda i, lens: (0, 0)),
             pl.BlockSpec((VB, w, nw), lambda i, lens: (i, 0, 0)),
@@ -201,9 +230,9 @@ def fragment_search_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((v, 128), jnp.int32),
-            jax.ShapeDtypeStruct((v, 128), jnp.int32),
+            jax.ShapeDtypeStruct((v_pad, 128), jnp.int32),
+            jax.ShapeDtypeStruct((v_pad, 128), jnp.int32),
         ],
         interpret=_interpret(),
     )(lens, qp, cp)
-    return offs[:, 0], scores[:, 0]
+    return offs[:v, 0], scores[:v, 0]
