@@ -141,6 +141,45 @@ def test_warm_from_store_then_collective_append(rng):
         store.close()
 
 
+def test_warm_barrier_gates_submissions(rng):
+    """Drain-free restart exactness (round-3): the warm barrier runs after
+    this host's watermark+warm reads, and no op can be submitted until it
+    passes — so on a real cluster no host's warm read can race an in-flight
+    ingest op (the double-apply window documented in docs/multihost.md is
+    closed)."""
+    store = Store("sqlite:///:memory:")
+    store.add_video("pre.mp4")
+    store.add_timestamps(1, [5.0])
+    events = []
+
+    mesh = make_multihost_mesh()
+    mh = MultiHostShardedCorpus(mesh, max_cuts=16, hamming_threshold=5,
+                                al_tcap=256)
+    runner = CollectiveRunner(store, mh, hamming_threshold=5, poll_s=0.01,
+                              ts_capacity=64, fp_capacity=2048,
+                              warm_barrier=lambda: events.append(
+                                  ("barrier",
+                                   runner._ready.is_set(),
+                                   runner.num_videos)))
+    client = MultiHostCorpusClient(runner, max_cuts=16, op_timeout_s=60)
+
+    # Before start(): submissions are refused outright.
+    with pytest.raises(RuntimeError, match="not ready"):
+        client.upsert_timestamps(2, [1.0])
+
+    runner.start()
+    try:
+        # The barrier ran exactly once, after the warm read (the store's
+        # pre-existing video is already mirrored) and before ready.
+        assert events == [("barrier", False, 1)]
+        # Post-barrier ops flow normally.
+        client.upsert_timestamps(2, [7.0, 8.0])
+        assert client.match_timestamps([7.0, 8.0], min_match=2) == [(2, 2)]
+    finally:
+        runner.stop()
+        store.close()
+
+
 def test_ops_apply_in_log_order(stack, rng):
     """Interleaved ops from multiple submitter threads serialize through
     the log; final state reflects every op exactly once."""

@@ -78,7 +78,7 @@ class CollectiveRunner:
 
     def __init__(self, store, mh_corpus, *, hamming_threshold: int = 10,
                  poll_s: float = 0.05, ts_capacity: int = 4096,
-                 fp_capacity: int = 1 << 18):
+                 fp_capacity: int = 1 << 18, warm_barrier=None):
         import jax
 
         self.store = store
@@ -88,6 +88,11 @@ class CollectiveRunner:
         self.ts_capacity = ts_capacity
         self.fp_capacity = fp_capacity
         self.process_index = jax.process_index()
+        # Cross-host rendezvous run between warm and ready (see start()).
+        # Injectable for tests; None = sync_global_devices when the
+        # cluster has >1 process, no-op single-process.
+        self._warm_barrier = warm_barrier
+        self._ready = threading.Event()
         self._applied_seq = 0
         self._pending: Dict[str, Tuple[Optional[dict], _Future]] = {}
         self._pending_lock = threading.Lock()
@@ -114,15 +119,21 @@ class CollectiveRunner:
 
     def start(self) -> None:
         """Warm this host's shard from the store, snapshot the log
-        watermark, and start the executor.
+        watermark, rendezvous with the other hosts, and start the executor.
 
-        Ordering contract: hosts must start before serving begins. A host
-        that joins while ingest ops are in flight can double-apply a
-        video whose finalize landed in the store between the warm read and
-        the watermark read — harmless for verdict correctness (duplicate
-        fingerprint rows carry the same video id; timestamp rows upsert)
-        but it burns fingerprint capacity, so rolling joins should drain
-        ingest first (docs/multihost.md)."""
+        Warm exactness: under ``jax.distributed`` cluster membership is
+        fixed at ``initialize()`` (which itself blocks until every process
+        joins), so a "rolling join" is really a cluster restart — all
+        hosts pass through start() together. The one remaining race is a
+        host that finishes warming early and submits an ingest op while
+        another host is still reading the store: the slow host's warm read
+        could then include rows the op also carries (double-apply, burning
+        fingerprint capacity). The warm barrier closes exactly that
+        window: no host's submit() unblocks until EVERY host has finished
+        its watermark + warm reads, so any op with seq > watermark was
+        persisted (analyzer persists store-first) and logged strictly
+        after every warm read. Restarts are therefore exact with no
+        ingest drain (docs/multihost.md)."""
         self._applied_seq = self.store.max_collective_seq()
         self.corpus.refresh_from_store(
             self.store, min_ts_rows=self.ts_capacity,
@@ -131,6 +142,18 @@ class CollectiveRunner:
             if ts:
                 self._video_ids.add(int(vid))
         self._fp_count = self.corpus._fp_count
+        barrier = self._warm_barrier
+        if barrier is None:
+            import jax
+
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                def barrier():
+                    multihost_utils.sync_global_devices("tvidz-warm")
+        if barrier is not None:
+            barrier()
+        self._ready.set()
         self._thread = threading.Thread(
             target=self._run, name="collective-runner", daemon=True)
         self._thread.start()
@@ -150,7 +173,15 @@ class CollectiveRunner:
         """Append an op to the shared log and return a Future resolved when
         THIS host's executor applies it. meta must be identical knowledge
         for every host (it's written to the log); payload stays in-process
-        (only the source host holds ingest rows)."""
+        (only the source host holds ingest rows).
+
+        Blocked until start()'s warm barrier passes: an op logged before
+        every host finished warming could double-apply on a slow host
+        (see start())."""
+        if not self._ready.is_set():
+            raise RuntimeError(
+                "CollectiveRunner is not ready: start() (warm + cross-host "
+                "barrier) must complete before ops are submitted")
         op_id = uuid.uuid4().hex
         meta = dict(meta, op=op_id, src=self.process_index)
         fut = _Future()
