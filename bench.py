@@ -303,31 +303,30 @@ def bench_fragment_search(n_videos: int = 1024, frames_per_video: int = 1024,
 
     # Race the formulations (VPU XOR, MXU pm1-matmul, fused Pallas); report
     # the winner as the headline fragment number. The Pallas entry is
-    # optional: Mosaic restrictions vary by build, so a compile failure
-    # just drops it from the race.
+    # optional: Mosaic restrictions vary by build, so ANY failure — compile
+    # or runtime (on the axon tunnel block_until_ready doesn't sync, so a
+    # runtime error can surface only at the first _sync in the timed loop)
+    # — just drops it from the race instead of killing the benchmark.
     from tvidz_tpu.ops.align_pallas import fragment_search_pallas
-
-    def pallas_wrapped(q, ql, c, l):
-        return fragment_search_pallas(q, ql, c, l)
 
     p50s = {}
     variants = [("xor", fragment_search), ("mxu", fragment_search_mxu),
-                ("pallas", pallas_wrapped)]
+                ("pallas", fragment_search_pallas)]
     for name, fn in variants:
-        if name == "pallas":
-            try:
-                fn(q_d, jnp.int32(tq), cand, lens_d)[1].block_until_ready()
-            except Exception as e:  # noqa: BLE001 — optional racer
-                _log(f"fragment search [pallas]: unavailable ({str(e)[:120]})")
-                continue
-        offs, scores = fn(q_d, jnp.int32(tq), cand, lens_d)
-        _sync(offs, scores)
-        times = []
-        for _ in range(iters):
-            t0 = time.perf_counter()
+        try:
             offs, scores = fn(q_d, jnp.int32(tq), cand, lens_d)
             _sync(offs, scores)
-            times.append(time.perf_counter() - t0)
+            times = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                offs, scores = fn(q_d, jnp.int32(tq), cand, lens_d)
+                _sync(offs, scores)
+                times.append(time.perf_counter() - t0)
+        except Exception as e:  # noqa: BLE001 — optional racer
+            if name == "pallas":
+                _log(f"fragment search [pallas]: unavailable ({str(e)[:120]})")
+                continue
+            raise
         p50s[name] = float(np.median(times))
         best = int(np.argmax(np.asarray(scores)))
         ok = best == target and int(np.asarray(offs)[best]) == start

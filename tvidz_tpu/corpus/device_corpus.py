@@ -38,11 +38,13 @@ _FP_SENTINEL = np.uint32(0xFFFFFFFF)
 
 _AL_T0 = 256  # frame capacity of alignment bucket 0; bucket b holds T0<<b
 
-# Availability of the fused Pallas fragment kernel on this build, probed
-# by the first TPU fragment query (None = untried). A Mosaic rejection
-# demotes every subsequent query to the XLA MXU variant without re-paying
-# the failed compile.
-_PALLAS_FRAGMENT_STATE: Dict[str, Optional[bool]] = {"ok": None}
+# Availability of the fused Pallas fragment kernel, probed per SHAPE
+# CLASS (padded query frames, bucket (V, T, W) dims): Mosaic rejections
+# can be shape-induced (e.g. a very long query whose per-tile VMEM
+# buffers exceed the ~16 MiB budget), so one failing shape demotes only
+# ITS OWN class to the XLA MXU variant — other buckets/queries keep the
+# fast kernel — while still never re-paying a failed compile.
+_PALLAS_FRAGMENT_STATE: Dict[tuple, bool] = {}
 
 
 class _AlignBucket:
@@ -609,16 +611,18 @@ class DeviceCorpus:
         XOR+popcount variant wins off-TPU (CPU test meshes; chunk=16 is
         the measured VMEM knee there)."""
         if jax.default_backend() == "tpu":
-            if _PALLAS_FRAGMENT_STATE["ok"] is not False:
+            shape_key = (tuple(q.shape), tuple(al_dev.shape))
+            if _PALLAS_FRAGMENT_STATE.get(shape_key, True):
                 try:
                     out = fragment_search_pallas(
                         q, q_len, al_dev, len_dev, hamming_threshold=thr)
-                    _PALLAS_FRAGMENT_STATE["ok"] = True
+                    _PALLAS_FRAGMENT_STATE[shape_key] = True
                     return out
                 except Exception as e:  # noqa: BLE001 — Mosaic compile
-                    _PALLAS_FRAGMENT_STATE["ok"] = False
-                    log("align", "pallas fragment kernel unavailable "
-                        f"({str(e)[:160]}); using XLA MXU variant")
+                    _PALLAS_FRAGMENT_STATE[shape_key] = False
+                    log("align", "pallas fragment kernel unavailable for "
+                        f"shapes {shape_key} ({str(e)[:160]}); using XLA "
+                        "MXU variant for this shape class")
             search = fragment_search_mxu
         else:
             search = fragment_search

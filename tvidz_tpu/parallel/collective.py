@@ -162,6 +162,10 @@ class CollectiveRunner:
             f"({len(self._video_ids)} videos, {self._fp_count} fingerprints)")
 
     def stop(self) -> None:
+        # Clear readiness FIRST so post-stop submits fail fast instead of
+        # logging a real op (which live hosts would execute) and then
+        # hanging on a Future the dead executor never resolves.
+        self._ready.clear()
         self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout=10)
@@ -171,17 +175,20 @@ class CollectiveRunner:
     def submit(self, kind: str, meta: dict,
                payload: Optional[dict] = None) -> _Future:
         """Append an op to the shared log and return a Future resolved when
-        THIS host's executor applies it. meta must be identical knowledge
-        for every host (it's written to the log); payload stays in-process
-        (only the source host holds ingest rows).
+        THIS host's executor applies it. meta is written to the log and
+        must be everything any host needs to apply the op — ingest
+        payloads ride the op row itself (see _execute's append branch), so
+        every op is reconstructible from the log alone; the in-process
+        pending dict only maps op ids to local Futures.
 
         Blocked until start()'s warm barrier passes: an op logged before
         every host finished warming could double-apply on a slow host
         (see start())."""
         if not self._ready.is_set():
             raise RuntimeError(
-                "CollectiveRunner is not ready: start() (warm + cross-host "
-                "barrier) must complete before ops are submitted")
+                "CollectiveRunner is not ready: either start() (warm + "
+                "cross-host barrier) has not completed or stop() was "
+                "called; ops cannot be submitted")
         op_id = uuid.uuid4().hex
         meta = dict(meta, op=op_id, src=self.process_index)
         fut = _Future()
