@@ -168,6 +168,34 @@ def test_sharded_fragment_search_batch_matches_core(mesh, rng):
         np.testing.assert_array_equal(scores[i], np.asarray(s_ref))
 
 
+def test_sharded_fragment_search_pallas_matches_core(mesh, rng):
+    """Pod-scale promotion of the fused Pallas fragment kernel: per-shard
+    Pallas (interpret mode on the CPU test mesh; compiled on TPU meshes)
+    must be bit-identical to the XLA fragment_core composition under the
+    same sharding. Tiny shapes — interpret mode pays Python per grid step."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.parallel.sharded_search import sharded_fragment_search
+
+    v, tc, tq_pad = 16, 64, 64
+    corpus = rng.integers(1, 2**32 - 1, size=(v, tc, 2), dtype=np.uint32)
+    lens = rng.integers(16, tc + 1, size=v).astype(np.int32)
+    q = np.full((tq_pad, 2), 0xFFFFFFFF, np.uint32)
+    q_len = 24
+    q[:q_len] = corpus[5, 8 : 8 + q_len]
+    with mesh:
+        args = (jnp.asarray(q), jnp.int32(q_len), jnp.asarray(corpus),
+                jnp.asarray(lens), mesh)
+        offs_p, scores_p = sharded_fragment_search(
+            *args, hamming_threshold=5, use_pallas=True)
+        offs_x, scores_x = sharded_fragment_search(
+            *args, hamming_threshold=5, chunk=2)
+    np.testing.assert_array_equal(np.asarray(offs_p), np.asarray(offs_x))
+    np.testing.assert_array_equal(np.asarray(scores_p), np.asarray(scores_x))
+    best = int(np.argmax(np.asarray(scores_p)))
+    assert best == 5 and int(np.asarray(offs_p)[best]) == 8
+
+
 def test_sharded_nearest_fingerprints_drops_padding(mesh, rng):
     """A small corpus padded to the shard multiple must not return sentinel
     (video_id -1) rows from top-k — all-ones padding is CLOSE to a

@@ -192,6 +192,33 @@ class MeshCorpus(DeviceCorpus):
     def _fragment_query(self, q, q_len, al_dev, len_dev, thr):
         local_v = al_dev.shape[0] // self.n_shards
         chunk = 16 if local_v % 16 == 0 else local_v
+        if jax.default_backend() == "tpu":
+            # Pod-scale promotion of the fused Pallas fragment kernel:
+            # each corpus shard runs the single-chip production kernel on
+            # its local videos; only the (V,) evidence vectors cross the
+            # mesh. Same per-shape-class fallback as DeviceCorpus — a
+            # Mosaic rejection demotes only this shape to fragment_core.
+            from tvidz_tpu.corpus.device_corpus import _PALLAS_FRAGMENT_STATE
+
+            shape_key = ("mesh", tuple(q.shape), tuple(al_dev.shape),
+                         self.n_shards)
+            if _PALLAS_FRAGMENT_STATE.get(shape_key, True):
+                try:
+                    out = sharded_fragment_search(
+                        q, q_len, al_dev, len_dev, self.mesh,
+                        hamming_threshold=thr, chunk=chunk,
+                        use_pallas=True,
+                    )
+                    _PALLAS_FRAGMENT_STATE[shape_key] = True
+                    return out
+                except Exception as e:  # noqa: BLE001 — Mosaic compile
+                    _PALLAS_FRAGMENT_STATE[shape_key] = False
+                    from tvidz_tpu.utils import log
+
+                    log("align", "sharded pallas fragment kernel "
+                        f"unavailable for shapes {shape_key} "
+                        f"({str(e)[:160]}); using fragment_core for this "
+                        "shape class")
         return sharded_fragment_search(
             q, q_len, al_dev, len_dev, self.mesh,
             hamming_threshold=thr, chunk=chunk,

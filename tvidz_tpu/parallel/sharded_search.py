@@ -221,17 +221,21 @@ def sharded_fragment_search(
     hamming_threshold: int = 10,
     chunk: int = 16,
     use_mxu: Optional[bool] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fragment localization across a video-sharded alignment index — the
     mesh variant of ops.align.fragment_search (BASELINE config #3 at pod
-    scale): each shard scans its local videos with the shared fragment_core
-    (hamming -> threshold -> log-tree diagonal sums), and only the (V,)
+    scale): each shard scans its local videos, and only the (V,)
     best-offset / best-score evidence vectors cross the corpus axis
     (all_gather; outputs REPLICATED per the sharded-output invariant —
     multi-host callers read them locally).
 
     ``chunk`` must divide the PER-SHARD video count. ``use_mxu`` defaults to
     the backend-raced choice (pm1-matmul on TPU, XOR+popcount elsewhere).
+    ``use_pallas`` runs the fused Pallas fragment kernel per shard instead
+    of the XLA fragment_core composition — the single-chip production TPU
+    path scaled to the mesh (bit-identical; MeshCorpus dispatches it on
+    TPU backends with the same per-shape fallback as DeviceCorpus).
     """
     from tvidz_tpu.ops.align import fragment_core
 
@@ -239,9 +243,16 @@ def sharded_fragment_search(
         use_mxu = jax.default_backend() == "tpu"
 
     def local(q, ql, c_fp, c_len):
-        offs, scores = fragment_core(
-            q, ql[0], c_fp, c_len, hamming_threshold, chunk, use_mxu
-        )
+        if use_pallas:
+            from tvidz_tpu.ops.align_pallas import fragment_search_pallas
+
+            offs, scores = fragment_search_pallas(
+                q, ql[0], c_fp, c_len,
+                hamming_threshold=hamming_threshold)
+        else:
+            offs, scores = fragment_core(
+                q, ql[0], c_fp, c_len, hamming_threshold, chunk, use_mxu
+            )
         return (
             jax.lax.all_gather(offs, CORPUS_AXIS, tiled=True),
             jax.lax.all_gather(scores, CORPUS_AXIS, tiled=True),
