@@ -102,3 +102,34 @@ def test_pallas_fragment_v_not_multiple_of_tile(rng):
     offs, scores = _both(q, 48, corpus, lens, 5, 11)
     assert scores.shape == (v,)
     assert scores[10] == 48 and offs[10] == 7
+
+
+def test_pallas_fragment_batch_matches_single(rng):
+    """Batched variant: each row of fragment_search_pallas_batch's (Q, V)
+    outputs is bit-identical to the single-query kernel (which is its Q=1
+    case) AND to the XLA fragment_search, across mixed query lengths."""
+    from tvidz_tpu.ops.align_pallas import fragment_search_pallas_batch
+
+    v, t, tq_pad = 16, 128, 64
+    corpus = rng.integers(0, 2**32, size=(v, t, 2), dtype=np.uint32)
+    lens = np.full(v, t, np.int32)
+    lens[5] = 40                           # short row
+    qs = np.full((3, tq_pad, 2), 0xFFFFFFFF, np.uint32)
+    qlens = np.asarray([48, 20, 64], np.int32)
+    plants = [(2, 10), (5, 4), (9, 60)]
+    for i, ((tv, ts), ln) in enumerate(zip(plants, qlens)):
+        ln = min(int(ln), int(lens[tv]) - ts)
+        qlens[i] = ln
+        qs[i, :ln] = corpus[tv, ts : ts + ln]
+    ob, sb = fragment_search_pallas_batch(
+        jnp.asarray(qs), jnp.asarray(qlens), jnp.asarray(corpus),
+        jnp.asarray(lens), hamming_threshold=5)
+    assert ob.shape == sb.shape == (3, v)
+    for i, (tv, ts) in enumerate(plants):
+        o1, s1 = fragment_search(
+            jnp.asarray(qs[i]), jnp.int32(qlens[i]), jnp.asarray(corpus),
+            jnp.asarray(lens), hamming_threshold=5, chunk=8)
+        np.testing.assert_array_equal(np.asarray(sb)[i], np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(ob)[i], np.asarray(o1))
+        assert np.asarray(sb)[i, tv] == qlens[i]
+        assert np.asarray(ob)[i, tv] == ts

@@ -157,6 +157,14 @@ def test_sharded_fragment_search_batch_matches_core(mesh, rng):
             jnp.asarray(qs), jnp.asarray(qlens), jnp.asarray(corpus),
             jnp.asarray(lens), mesh, hamming_threshold=5, chunk=2,
         )
+        # The per-tile batched Pallas kernel (interpret mode here;
+        # compiled on TPU meshes) must agree bit-for-bit.
+        offs_p, scores_p = sharded_fragment_search_batch(
+            jnp.asarray(qs), jnp.asarray(qlens), jnp.asarray(corpus),
+            jnp.asarray(lens), mesh, hamming_threshold=5, use_pallas=True,
+        )
+    np.testing.assert_array_equal(np.asarray(offs_p), np.asarray(offs))
+    np.testing.assert_array_equal(np.asarray(scores_p), np.asarray(scores))
     offs, scores = np.asarray(offs), np.asarray(scores)
     assert offs.shape == scores.shape == (4, v)
     for i in range(4):

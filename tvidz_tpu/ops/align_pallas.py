@@ -41,6 +41,13 @@ Measured (v5e-1, 1k videos x 1024f / 768f query): 6.1 ms device
 device-side floor for ~2.2 G thresholded match cells plus diagonal
 reduction; dispatch-inclusive p50 ~28 ms vs 40 ms XLA.
 
+Batched variant (fragment_search_pallas_batch): grid (Q, V/VB) with the
+corpus tile axis innermost, so each query's ±1 buffer stays VMEM-resident
+while its row of corpus tiles streams. Q=8 x the same corpus: 69 ms wall
+vs 164 ms for the vmapped XLA core (2.4x), ~8.7 ms/query amortized vs
+53 ms single-dispatch. The single-query entry point is the Q=1 case
+(unit grid/block dims are free).
+
 Exactness: identical results to ops.align.fragment_core (pinned by
 tests); the tree is the same reassociation of the same integer sums, on a
 row base of R0 instead of Tq_pad (both sides subtract their own base).
@@ -72,13 +79,13 @@ VB = 8  # videos per grid step (output tile sublane size)
 
 
 def _fragment_kernel(
-    lens_ref,     # (V + 1,) int32 scalar-prefetch: [q_len, corpus_len...]
-    qp_ref,       # (R0, 32*W) bf16 ±1 query, ROW-REVERSED, zero-padded
+    lens_ref,     # (Q + V,) int32 scalar-prefetch: [q_lens..., corpus_lens...]
+    qp_ref,       # (1, R0, 32*W) bf16 ±1 query, ROW-REVERSED, zero-padded
     c_ref,        # (VB, W, NW) uint32 — column-padded packed blocks,
                   # WORD-MAJOR so time rides the 128-lane axis (a (.., NW,
                   # W=2) layout would tile 2/128 lanes: 64x VMEM bloat)
-    off_ref,      # (VB, 128) int32 out (col 0 carries the value)
-    score_ref,    # (VB, 128) int32 out
+    off_ref,      # (1, VB, 128) int32 out (col 0 carries the value)
+    score_ref,    # (1, VB, 128) int32 out
     *,
     r0: int,
     tq_pad: int,
@@ -86,12 +93,17 @@ def _fragment_kernel(
     hamming_threshold: int,
     nw: int,
     rt: int,
+    q_count: int,
 ):
+    # Grid is (Q, V/VB): program_id(0) picks the query (its ±1 buffer
+    # arrives via the block spec; its length via the prefetch vector),
+    # program_id(1) the VB-video corpus tile. The single-query path is
+    # just Q=1 — leading unit block dims are free on TPU.
     w = bits // 32
     thr_f = jnp.float32(bits - 2 * hamming_threshold)
     rows = jax.lax.broadcasted_iota(jnp.int32, (rt, nw), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (rt, nw), 1)
-    q_len = lens_ref[0]
+    q_len = lens_ref[pl.program_id(0)]
     shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
         jnp.uint32, (32, nw), 0)
 
@@ -116,7 +128,7 @@ def _fragment_kernel(
             planes.append((b01 * 2.0 - 1.0).astype(jnp.bfloat16))
         pm1 = planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
 
-        c_len = lens_ref[1 + VB * pl.program_id(0) + j]
+        c_len = lens_ref[q_count + VB * pl.program_id(1) + j]
 
         # 2-4. Row-tiled: RT query rows at a time, so the (RT, NW) f32
         #    intermediates fit VMEM (a monolithic (R0, NW) pair at the
@@ -132,7 +144,7 @@ def _fragment_kernel(
         final = jnp.zeros((1, nw), jnp.float32)
         for k in range((r0 - tq_pad) // rt, r0 // rt):
             base = k * rt
-            dots = jnp.dot(qp_ref[base:base + rt, :], pm1,
+            dots = jnp.dot(qp_ref[0, base:base + rt, :], pm1,
                            preferred_element_type=jnp.float32)
             valid = (rows + base >= r0 - q_len) & (cols < c_len)
             x = jnp.where((dots >= thr_f) & valid,
@@ -158,26 +170,29 @@ def _fragment_kernel(
         scores_acc = jnp.where(slot, best.astype(jnp.int32), scores_acc)
         offs_acc = jnp.where(slot, arg - (r0 - 1), offs_acc)
 
-    score_ref[:, :] = scores_acc
-    off_ref[:, :] = offs_acc
+    score_ref[0, :, :] = scores_acc
+    off_ref[0, :, :] = offs_acc
 
 
 @functools.partial(
     jax.jit, static_argnames=("hamming_threshold", "row_tile")
 )
-def fragment_search_pallas(
-    q_fp: jnp.ndarray,          # (Tq_pad, W) packed query (sentinel pad)
-    q_len: jnp.ndarray,         # () int32 — number of REAL query rows
+def fragment_search_pallas_batch(
+    q_fps: jnp.ndarray,         # (Q, Tq_pad, W) packed queries (sentinel pad)
+    q_lens: jnp.ndarray,        # (Q,) int32 — REAL rows per query
     corpus_fp: jnp.ndarray,     # (V, Tc, W) persistent padded candidates
     corpus_len: jnp.ndarray,    # (V,) valid lengths
     hamming_threshold: int = 10,
     row_tile: int = 256,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """fragment_search with the whole per-video pipeline in one Pallas
-    kernel. Same contract/outputs as ops.align.fragment_search."""
-    tq_pad, w = q_fp.shape
+    """Batched fragment_search in one Pallas dispatch: grid (Q, V/VB),
+    each step scanning one query against a VB-video corpus tile. The
+    corpus tile axis is innermost, so a query's ±1 buffer stays resident
+    while its row of tiles streams. Returns (Q, V) offsets / scores —
+    row q identical to fragment_search_pallas(q_fps[q], ...)."""
+    qn, tq_pad, w = q_fps.shape
     v, tc, w2 = corpus_fp.shape
-    assert w == w2, (q_fp.shape, corpus_fp.shape)
+    assert w == w2, (q_fps.shape, corpus_fp.shape)
     # Grid tiles VB=8 videos per step; pad the corpus axis (len-0 rows
     # score 0 through the validity mask) and slice the outputs back.
     v_pad = -(-v // VB) * VB
@@ -192,47 +207,70 @@ def fragment_search_pallas(
 
     from tvidz_tpu.ops.hamming import unpack_bits_pm1
 
-    # Query operand built so the KERNEL needs no pads or reversals: ±1
+    # Query operands built so the KERNEL needs no pads or reversals: ±1
     # rows for the real query, zero rows elsewhere, row-reversed into an
     # (R0, bits) buffer — buffer row t = q[r0-1-t] (zero when that index
     # is past q_len), so the tree's shift-t row is the right diagonal.
-    qp = unpack_bits_pm1(q_fp)
-    row_ok = (jnp.arange(tq_pad, dtype=jnp.int32) < q_len)[:, None]
+    qp = unpack_bits_pm1(q_fps.reshape(qn * tq_pad, w)
+                         ).reshape(qn, tq_pad, bits)
+    row_ok = (jnp.arange(tq_pad, dtype=jnp.int32)[None, :]
+              < jnp.asarray(q_lens, jnp.int32)[:, None])[:, :, None]
     qp = jnp.where(row_ok, qp, jnp.zeros_like(qp)).astype(jnp.bfloat16)
-    qp = jnp.pad(qp, ((0, r0 - tq_pad), (0, 0)))[::-1, :]
+    qp = jnp.pad(qp, ((0, 0), (0, r0 - tq_pad), (0, 0)))[:, ::-1, :]
     # Corpus column-padded to the scratch width and transposed word-major
     # HOST-side (one XLA pad+relayout; Mosaic value-concats hit offset
     # restrictions in-kernel, and a lane dim of W=2 would tile terribly).
     cp = jnp.pad(corpus_fp, ((0, 0), (0, nw - tc), (0, 0))
                  ).transpose(0, 2, 1)
     lens = jnp.concatenate([
-        jnp.asarray(q_len, jnp.int32).reshape(1),
+        jnp.asarray(q_lens, jnp.int32).reshape(qn),
         jnp.asarray(corpus_len, jnp.int32),
     ])
 
     kernel = functools.partial(
         _fragment_kernel, r0=r0, tq_pad=tq_pad, bits=bits,
-        hamming_threshold=hamming_threshold, nw=nw, rt=rt,
+        hamming_threshold=hamming_threshold, nw=nw, rt=rt, q_count=qn,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(v_pad // VB,),
+        grid=(qn, v_pad // VB),
         in_specs=[
-            pl.BlockSpec((r0, bits), lambda i, lens: (0, 0)),
-            pl.BlockSpec((VB, w, nw), lambda i, lens: (i, 0, 0)),
+            pl.BlockSpec((1, r0, bits), lambda q, i, lens: (q, 0, 0)),
+            pl.BlockSpec((VB, w, nw), lambda q, i, lens: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((VB, 128), lambda i, lens: (i, 0)),
-            pl.BlockSpec((VB, 128), lambda i, lens: (i, 0)),
+            pl.BlockSpec((1, VB, 128), lambda q, i, lens: (q, i, 0)),
+            pl.BlockSpec((1, VB, 128), lambda q, i, lens: (q, i, 0)),
         ],
     )
     offs, scores = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((v_pad, 128), jnp.int32),
-            jax.ShapeDtypeStruct((v_pad, 128), jnp.int32),
+            jax.ShapeDtypeStruct((qn, v_pad, 128), jnp.int32),
+            jax.ShapeDtypeStruct((qn, v_pad, 128), jnp.int32),
         ],
         interpret=_interpret(),
     )(lens, qp, cp)
-    return offs[:v, 0], scores[:v, 0]
+    return offs[:, :v, 0], scores[:, :v, 0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hamming_threshold", "row_tile")
+)
+def fragment_search_pallas(
+    q_fp: jnp.ndarray,          # (Tq_pad, W) packed query (sentinel pad)
+    q_len: jnp.ndarray,         # () int32 — number of REAL query rows
+    corpus_fp: jnp.ndarray,     # (V, Tc, W) persistent padded candidates
+    corpus_len: jnp.ndarray,    # (V,) valid lengths
+    hamming_threshold: int = 10,
+    row_tile: int = 256,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """fragment_search with the whole per-video pipeline in one Pallas
+    kernel. Same contract/outputs as ops.align.fragment_search. The Q=1
+    case of fragment_search_pallas_batch (unit grid/block dims are free)."""
+    offs, scores = fragment_search_pallas_batch(
+        q_fp[None], jnp.asarray(q_len, jnp.int32).reshape(1),
+        corpus_fp, corpus_len,
+        hamming_threshold=hamming_threshold, row_tile=row_tile)
+    return offs[0], scores[0]

@@ -271,10 +271,39 @@ class MeshCorpus(DeviceCorpus):
         for dev, len_dev, vids, count in views:
             local_v = dev.shape[0] // self.n_shards
             chunk = 16 if local_v % 16 == 0 else local_v
-            pending.append((sharded_fragment_search_batch(
-                q_dev, ql_dev, dev, len_dev, self.mesh,
-                hamming_threshold=thr, chunk=chunk,
-            ), vids, count))
+            res = None
+            if jax.default_backend() == "tpu":
+                # Batched Pallas kernel per (Q/data, V/corpus) device tile
+                # (2.4x the vmapped XLA core on chip), same per-shape
+                # Mosaic fallback as the single-query path.
+                from tvidz_tpu.corpus.device_corpus import (
+                    _PALLAS_FRAGMENT_STATE,
+                )
+
+                shape_key = ("mesh-batch", tuple(q_dev.shape),
+                             tuple(dev.shape), self.n_shards)
+                if _PALLAS_FRAGMENT_STATE.get(shape_key, True):
+                    try:
+                        res = sharded_fragment_search_batch(
+                            q_dev, ql_dev, dev, len_dev, self.mesh,
+                            hamming_threshold=thr, chunk=chunk,
+                            use_pallas=True,
+                        )
+                        _PALLAS_FRAGMENT_STATE[shape_key] = True
+                    except Exception as e:  # noqa: BLE001 — Mosaic compile
+                        _PALLAS_FRAGMENT_STATE[shape_key] = False
+                        from tvidz_tpu.utils import log
+
+                        log("align", "batched pallas fragment kernel "
+                            f"unavailable for shapes {shape_key} "
+                            f"({str(e)[:160]}); using fragment_core for "
+                            "this shape class")
+            if res is None:
+                res = sharded_fragment_search_batch(
+                    q_dev, ql_dev, dev, len_dev, self.mesh,
+                    hamming_threshold=thr, chunk=chunk,
+                )
+            pending.append((res, vids, count))
         # Vectorized post-processing (VERDICT r2 #5): one (Q, V_total)
         # mask/select/top-k instead of a per-query Python loop — the host
         # share stops scaling with Q x V at large corpora.
