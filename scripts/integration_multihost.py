@@ -182,6 +182,28 @@ def main() -> int:
                   and matches[0]["filename"] == "mh-copy.y4m"
                   and matches[0]["match_count"] >= 35, matches)
 
+        # 4b. BATCH fragment search served by host 1: one collective
+        #     "fragments" op carries both queries (one log row, one
+        #     batched device dispatch on every host).
+        r = requests.post(f"{bases[1]}/search/fragments", json={
+            "queries": [
+                {"filename": "mh-orig.y4m", "start_frame": 60,
+                 "num_frames": 40, "exclude_self": True},
+                {"filename": "mh-copy.y4m", "start_frame": 10,
+                 "num_frames": 30, "exclude_self": True},
+            ], "top_k": 3}, timeout=120)
+        check("batch fragment search http 200 (host 1)",
+              r.status_code == 200, r.text[:300])
+        if r.status_code == 200:
+            results = r.json().get("results", [])
+            ok = (len(results) == 2
+                  and results[0]["matches"]
+                  and results[0]["matches"][0]["filename"] == "mh-copy.y4m"
+                  and results[1]["matches"]
+                  and results[1]["matches"][0]["filename"] == "mh-orig.y4m")
+            check("batch fragments locate both copies cross-host", ok,
+                  results)
+
         # 5. Both hosts agree on the corpus.
         def n_videos(payload):
             if isinstance(payload, list):

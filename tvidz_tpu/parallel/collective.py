@@ -28,6 +28,9 @@ The op kinds double as the multi-host wire protocol:
   append    {video_id, n_ts, n_fp, src, ts/fp} payload inline (src feeds psum)
   ts_query  {ts, min_match, tolerance, exclude} payload inline (floats)
   fp_query  {fp(b64), rows, k, threshold, exclude} payload inline
+  fragment  {fp(b64), rows, top_k, threshold, exclude} single query
+  fragments {fp(b64), rows[], top_k, threshold, excludes[]} whole batch in
+            one op row / one batched device dispatch
   remove    {video_id}                          tombstone (collective mask)
   reset     {}                                  drop all corpus content
 
@@ -316,6 +319,25 @@ class CollectiveRunner:
                 hamming_threshold=meta.get("threshold"),
                 exclude_video_id=meta.get("exclude"),
             )
+        if kind == "fragments":
+            # Batched: queries concatenated row-major in one payload, one
+            # collective dispatch for the whole batch (queries ride the
+            # data axis; the batched Pallas kernel on TPU meshes).
+            rows = [int(r) for r in meta["rows"]]
+            flat = np.frombuffer(
+                base64.b64decode(meta["fp"]), np.uint32)
+            total = sum(rows)
+            words = flat.size // total if total else c._inner.words
+            flat = flat.reshape(total, words)
+            qlist, at = [], 0
+            for r in rows:
+                qlist.append(flat[at:at + r].copy())
+                at += r
+            return c.fragment_search_batch(
+                qlist, top_k=int(meta.get("top_k", 5)),
+                hamming_threshold=meta.get("threshold"),
+                exclude_video_ids=meta.get("excludes"),
+            )
         if kind == "remove":
             vid = int(meta["video_id"])
             c.remove_video(vid)
@@ -479,13 +501,30 @@ class MultiHostCorpusClient:
                          hamming_threshold: Optional[int] = None,
                          exclude_video_ids=None
                          ) -> List[List[Tuple[int, int, int]]]:
-        excl = exclude_video_ids or [None] * len(query_fps_list)
-        return [
-            self.locate_fragment(q, top_k=top_k,
-                                 hamming_threshold=hamming_threshold,
-                                 exclude_video_id=e)
-            for q, e in zip(query_fps_list, excl)
-        ]
+        """Batch localization through ONE collective op: the whole batch
+        rides one log row and one device dispatch (the batched Pallas
+        kernel on TPU meshes) instead of an op per query."""
+        qn = len(query_fps_list)
+        if qn == 0:
+            return []
+        excl = list(exclude_video_ids or [None] * qn)
+        if self.runner.num_fingerprints == 0:
+            return [[] for _ in range(qn)]
+        qs = [np.ascontiguousarray(q, np.uint32) for q in query_fps_list]
+        if sum(int(q.shape[0]) for q in qs) == 0:
+            return [[] for _ in range(qn)]
+        flat = (np.concatenate([q for q in qs if q.shape[0]])
+                if any(q.shape[0] for q in qs) else np.zeros((0, 1)))
+        res = self.runner.submit(
+            "fragments",
+            {"fp": base64.b64encode(
+                np.ascontiguousarray(flat, np.uint32).tobytes()
+             ).decode("ascii"),
+             "rows": [int(q.shape[0]) for q in qs],
+             "top_k": int(top_k), "threshold": hamming_threshold,
+             "excludes": [int(e) if e is not None else None for e in excl]},
+        ).wait(self.op_timeout_s)
+        return [[(int(v), int(o), int(s)) for v, o, s in per] for per in res]
 
     # -- properties ------------------------------------------------------------
 

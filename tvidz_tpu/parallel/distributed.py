@@ -627,10 +627,24 @@ class MultiHostShardedCorpus:
         vcap = self.corpus_al.shape[0]
         per_shard = vcap // inner.n_shards
         chunk = next(c for c in (16, 8, 4, 2, 1) if per_shard % c == 0)
-        offs, scores = sharded_fragment_search(
-            inner._replicate(q), tq, self.corpus_al, self.corpus_al_len,
-            self.mesh, hamming_threshold=thr, chunk=chunk,
-        )
+        use_pallas = self._pallas_ok(
+            ("mh-frag", q.shape, tuple(self.corpus_al.shape)))
+        try:
+            offs, scores = sharded_fragment_search(
+                inner._replicate(q), tq, self.corpus_al,
+                self.corpus_al_len, self.mesh, hamming_threshold=thr,
+                chunk=chunk, use_pallas=use_pallas,
+            )
+        except Exception:
+            if not use_pallas:
+                raise
+            self._pallas_demote(
+                ("mh-frag", q.shape, tuple(self.corpus_al.shape)))
+            offs, scores = sharded_fragment_search(
+                inner._replicate(q), tq, self.corpus_al,
+                self.corpus_al_len, self.mesh, hamming_threshold=thr,
+                chunk=chunk,
+            )
         offs = inner._to_host(offs)
         scores = inner._to_host(scores)
         hits = [
@@ -641,6 +655,99 @@ class MultiHostShardedCorpus:
         ]
         hits.sort(key=lambda h: -h[2])
         return hits[:top_k]
+
+    @staticmethod
+    def _pallas_ok(shape_key) -> bool:
+        """Per-shape-class Pallas availability on TPU backends (the
+        DeviceCorpus fallback policy; CPU meshes use the XLA core)."""
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        from tvidz_tpu.corpus.device_corpus import _PALLAS_FRAGMENT_STATE
+
+        return _PALLAS_FRAGMENT_STATE.get(shape_key, True)
+
+    @staticmethod
+    def _pallas_demote(shape_key) -> None:
+        from tvidz_tpu.corpus.device_corpus import _PALLAS_FRAGMENT_STATE
+        from tvidz_tpu.utils import log
+
+        _PALLAS_FRAGMENT_STATE[shape_key] = False
+        log("align", f"pallas fragment kernel demoted for {shape_key}")
+
+    def fragment_search_batch(self, query_fps_list, top_k: int = 5,
+                              hamming_threshold: Optional[int] = None,
+                              exclude_video_ids=None):
+        """Batched cross-host fragment localization: one collective
+        dispatch for the whole query batch (queries ride the data axis,
+        the alignment index stays host-sharded on the corpus axis; the
+        batched Pallas kernel scans each (Q/data, V/corpus) tile on TPU).
+        Collective: ALL processes must call with the same arguments.
+        Returns one DeviceCorpus.locate_fragment-style hit list per query.
+        """
+        from tvidz_tpu.parallel.mesh import DATA_AXIS
+        from tvidz_tpu.parallel.sharded_search import (
+            sharded_fragment_search_batch,
+        )
+
+        inner = self._inner
+        thr = (self.hamming_threshold if hamming_threshold is None
+               else hamming_threshold)
+        qn = len(query_fps_list)
+        if qn == 0:
+            return []
+        if self.corpus_al is None:
+            return [[] for _ in range(qn)]
+        excl = exclude_video_ids or [None] * qn
+        tq_max = max((int(np.asarray(q).shape[0]) for q in query_fps_list),
+                     default=0)
+        tq_pad = max(64, -(-max(tq_max, 1) // 64) * 64)
+        data_n = self.mesh.shape[DATA_AXIS]
+        q_pad = -(-qn // data_n) * data_n
+        qbuf = np.full((q_pad, tq_pad, inner.words), 0xFFFFFFFF, np.uint32)
+        qlens = np.zeros(q_pad, np.int32)
+        for i, q in enumerate(query_fps_list):
+            q = np.asarray(q, np.uint32)
+            qbuf[i, : q.shape[0]] = q
+            qlens[i] = q.shape[0]
+        vcap = self.corpus_al.shape[0]
+        per_shard = vcap // inner.n_shards
+        chunk = next(c for c in (16, 8, 4, 2, 1) if per_shard % c == 0)
+        # Replicated placement; shard_map reshards to the data axis (a
+        # local slice — the data axis never crosses hosts).
+        q_dev = inner._replicate(qbuf)
+        ql_dev = inner._replicate(qlens)
+        key = ("mh-frag-batch", qbuf.shape, tuple(self.corpus_al.shape))
+        use_pallas = self._pallas_ok(key)
+        try:
+            offs, scores = sharded_fragment_search_batch(
+                q_dev, ql_dev, self.corpus_al, self.corpus_al_len,
+                self.mesh, hamming_threshold=thr, chunk=chunk,
+                use_pallas=use_pallas,
+            )
+        except Exception:
+            if not use_pallas:
+                raise
+            self._pallas_demote(key)
+            offs, scores = sharded_fragment_search_batch(
+                q_dev, ql_dev, self.corpus_al, self.corpus_al_len,
+                self.mesh, hamming_threshold=thr, chunk=chunk,
+            )
+        offs = inner._to_host(offs)
+        scores = inner._to_host(scores)
+        out = []
+        for i in range(qn):
+            hits = [
+                (int(self.al_video_ids[v]), int(offs[i, v]),
+                 int(scores[i, v]))
+                for v in range(vcap)
+                if self.al_video_ids[v] >= 0 and scores[i, v] > 0
+                and self.al_video_ids[v] != excl[i]
+            ]
+            hits.sort(key=lambda h: -h[2])
+            out.append(hits[:top_k])
+        return out
 
     def _local_range(self, n_pad: int) -> Tuple[int, int]:
         """Row range owned by this host: corpus axis is host-major, so the
