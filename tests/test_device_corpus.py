@@ -181,3 +181,52 @@ def test_alignment_bucket_migration_on_streamed_growth(rng):
     hits = c.locate_fragment(seq[600:660], top_k=3)
     assert hits[0] == (42, 600, 60)
     assert len([h for h in hits if h[0] == 42]) == 1   # no tombstone echo
+
+
+def test_pallas_dispatch_policy(monkeypatch):
+    """The shared Pallas-vs-XLA dispatch policy (pallas_fragment_dispatch):
+    sync-probe on first use of a shape class, per-shape demotion on
+    failure, build-wide demotion after two distinct failed classes."""
+    from tvidz_tpu.corpus import device_corpus as dc
+
+    monkeypatch.setattr(dc.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dc, "_PALLAS_FRAGMENT_STATE", {})
+    calls = {"pallas": 0, "fallback": 0}
+
+    def ok():
+        calls["pallas"] += 1
+        return np.zeros(3), np.ones(3)
+
+    def boom():
+        raise RuntimeError("mosaic says no")
+
+    def fb():
+        calls["fallback"] += 1
+        return "fb"
+
+    # Success: probed once, then trusted (state True).
+    out = dc.pallas_fragment_dispatch(("a",), ok, fb)
+    assert isinstance(out, tuple) and dc._PALLAS_FRAGMENT_STATE[("a",)]
+    dc.pallas_fragment_dispatch(("a",), ok, fb)
+    assert calls == {"pallas": 2, "fallback": 0}
+
+    # First failing class: demoted, fallback served, build still alive.
+    assert dc.pallas_fragment_dispatch(("b",), boom, fb) == "fb"
+    assert dc._PALLAS_FRAGMENT_STATE[("b",)] is False
+    assert dc._PALLAS_FRAGMENT_STATE.get("build") is not False
+    # Known-bad class goes straight to fallback (no re-compile).
+    assert dc.pallas_fragment_dispatch(("b",), boom, fb) == "fb"
+
+    # Second distinct failing class: the whole build is demoted — even a
+    # would-succeed new class skips straight to the fallback.
+    assert dc.pallas_fragment_dispatch(("c",), boom, fb) == "fb"
+    assert dc._PALLAS_FRAGMENT_STATE["build"] is False
+    before = calls["pallas"]
+    assert dc.pallas_fragment_dispatch(("d",), ok, fb) == "fb"
+    assert calls["pallas"] == before
+
+    # Off-TPU backends never touch the kernel.
+    monkeypatch.setattr(dc.jax, "default_backend", lambda: "cpu")
+    monkeypatch.setattr(dc, "_PALLAS_FRAGMENT_STATE", {})
+    assert dc.pallas_fragment_dispatch(("e",), boom, fb) == "fb"
+    assert dc._PALLAS_FRAGMENT_STATE == {}

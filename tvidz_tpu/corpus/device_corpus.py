@@ -43,8 +43,52 @@ _AL_T0 = 256  # frame capacity of alignment bucket 0; bucket b holds T0<<b
 # can be shape-induced (e.g. a very long query whose per-tile VMEM
 # buffers exceed the ~16 MiB budget), so one failing shape demotes only
 # ITS OWN class to the XLA MXU variant — other buckets/queries keep the
-# fast kernel — while still never re-paying a failed compile.
-_PALLAS_FRAGMENT_STATE: Dict[tuple, bool] = {}
+# fast kernel — while still never re-paying a failed compile. Two
+# DISTINCT shape-class failures demote the BUILD (key "build"): a
+# toolchain that rejects the kernel outright must not re-pay a failed
+# 30-80 s compile per new shape class.
+_PALLAS_FRAGMENT_STATE: Dict[object, bool] = {}
+_PALLAS_BUILD_DEMOTE_AFTER = 2
+
+
+def pallas_fragment_dispatch(shape_key, pallas_fn, fallback_fn):
+    """The ONE policy for racing the fused Pallas fragment kernel against
+    its XLA fallback (used by DeviceCorpus, MeshCorpus and the
+    single-process paths; multi-host paths pick statically — a host-local
+    dynamic fallback would break the same-program-every-host invariant,
+    parallel/collective.py).
+
+    - off-TPU backends go straight to the fallback;
+    - the FIRST use of a shape class runs the kernel AND forces its
+      results to host inside the guard (on this tunnel runtime errors
+      surface only at the first host sync; the first call pays a compile
+      anyway, so the probe sync is ~free) — later calls dispatch async;
+    - a failure demotes that shape class; _PALLAS_BUILD_DEMOTE_AFTER
+      distinct failed classes demote the whole build."""
+    if jax.default_backend() != "tpu":
+        return fallback_fn()
+    if _PALLAS_FRAGMENT_STATE.get("build") is False:
+        return fallback_fn()
+    probed = shape_key in _PALLAS_FRAGMENT_STATE
+    if not _PALLAS_FRAGMENT_STATE.get(shape_key, True):
+        return fallback_fn()
+    try:
+        out = pallas_fn()
+        if not probed:
+            jax.tree_util.tree_map(np.asarray, out)   # sync probe
+            _PALLAS_FRAGMENT_STATE[shape_key] = True
+        return out
+    except Exception as e:  # noqa: BLE001 — Mosaic compile/runtime
+        _PALLAS_FRAGMENT_STATE[shape_key] = False
+        failed = sum(1 for k, v in _PALLAS_FRAGMENT_STATE.items()
+                     if v is False and k != "build")
+        if failed >= _PALLAS_BUILD_DEMOTE_AFTER:
+            _PALLAS_FRAGMENT_STATE["build"] = False
+        log("align", f"pallas fragment kernel unavailable for {shape_key} "
+            f"({str(e)[:160]}); falling back to the XLA variant"
+            + (" [build demoted]" if _PALLAS_FRAGMENT_STATE.get("build")
+               is False else ""))
+        return fallback_fn()
 
 
 class _AlignBucket:
@@ -610,25 +654,18 @@ class DeviceCorpus:
         variant as fallback if a Mosaic build rejects the kernel; the
         XOR+popcount variant wins off-TPU (CPU test meshes; chunk=16 is
         the measured VMEM knee there)."""
-        if jax.default_backend() == "tpu":
-            shape_key = (tuple(q.shape), tuple(al_dev.shape))
-            if _PALLAS_FRAGMENT_STATE.get(shape_key, True):
-                try:
-                    out = fragment_search_pallas(
-                        q, q_len, al_dev, len_dev, hamming_threshold=thr)
-                    _PALLAS_FRAGMENT_STATE[shape_key] = True
-                    return out
-                except Exception as e:  # noqa: BLE001 — Mosaic compile
-                    _PALLAS_FRAGMENT_STATE[shape_key] = False
-                    log("align", "pallas fragment kernel unavailable for "
-                        f"shapes {shape_key} ({str(e)[:160]}); using XLA "
-                        "MXU variant for this shape class")
-            search = fragment_search_mxu
-        else:
-            search = fragment_search
-        chunk = 16 if al_dev.shape[0] % 16 == 0 else al_dev.shape[0]
-        return search(q, q_len, al_dev, len_dev,
-                      hamming_threshold=thr, chunk=chunk)
+        def xla():
+            search = (fragment_search_mxu
+                      if jax.default_backend() == "tpu" else fragment_search)
+            chunk = 16 if al_dev.shape[0] % 16 == 0 else al_dev.shape[0]
+            return search(q, q_len, al_dev, len_dev,
+                          hamming_threshold=thr, chunk=chunk)
+
+        return pallas_fragment_dispatch(
+            (tuple(q.shape), tuple(al_dev.shape)),
+            lambda: fragment_search_pallas(
+                q, q_len, al_dev, len_dev, hamming_threshold=thr),
+            xla)
 
     def locate_fragment(
         self,

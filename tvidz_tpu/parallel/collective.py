@@ -203,6 +203,17 @@ class CollectiveRunner:
             with self._pending_lock:
                 self._pending.pop(op_id, None)
             raise
+        if self._stop.is_set():
+            # stop() raced the append (check-then-act above is lock-free):
+            # the op is in the log — other live hosts will apply it, which
+            # is semantically fine in an at-least-once world — but THIS
+            # host's executor is dead, so fail the caller fast instead of
+            # letting it hang the full op timeout.
+            with self._pending_lock:
+                self._pending.pop(op_id, None)
+            raise RuntimeError(
+                "CollectiveRunner stopped while submitting; op logged but "
+                "no local executor will resolve it")
         return fut
 
     # -- executor ------------------------------------------------------------
@@ -513,8 +524,7 @@ class MultiHostCorpusClient:
         qs = [np.ascontiguousarray(q, np.uint32) for q in query_fps_list]
         if sum(int(q.shape[0]) for q in qs) == 0:
             return [[] for _ in range(qn)]
-        flat = (np.concatenate([q for q in qs if q.shape[0]])
-                if any(q.shape[0] for q in qs) else np.zeros((0, 1)))
+        flat = np.concatenate([q for q in qs if q.shape[0]])
         res = self.runner.submit(
             "fragments",
             {"fp": base64.b64encode(

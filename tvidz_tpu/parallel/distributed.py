@@ -627,24 +627,11 @@ class MultiHostShardedCorpus:
         vcap = self.corpus_al.shape[0]
         per_shard = vcap // inner.n_shards
         chunk = next(c for c in (16, 8, 4, 2, 1) if per_shard % c == 0)
-        use_pallas = self._pallas_ok(
-            ("mh-frag", q.shape, tuple(self.corpus_al.shape)))
-        try:
-            offs, scores = sharded_fragment_search(
-                inner._replicate(q), tq, self.corpus_al,
-                self.corpus_al_len, self.mesh, hamming_threshold=thr,
-                chunk=chunk, use_pallas=use_pallas,
-            )
-        except Exception:
-            if not use_pallas:
-                raise
-            self._pallas_demote(
-                ("mh-frag", q.shape, tuple(self.corpus_al.shape)))
-            offs, scores = sharded_fragment_search(
-                inner._replicate(q), tq, self.corpus_al,
-                self.corpus_al_len, self.mesh, hamming_threshold=thr,
-                chunk=chunk,
-            )
+        offs, scores = sharded_fragment_search(
+            inner._replicate(q), tq, self.corpus_al,
+            self.corpus_al_len, self.mesh, hamming_threshold=thr,
+            chunk=chunk, use_pallas=self._pallas_static(),
+        )
         offs = inner._to_host(offs)
         scores = inner._to_host(scores)
         hits = [
@@ -657,24 +644,23 @@ class MultiHostShardedCorpus:
         return hits[:top_k]
 
     @staticmethod
-    def _pallas_ok(shape_key) -> bool:
-        """Per-shape-class Pallas availability on TPU backends (the
-        DeviceCorpus fallback policy; CPU meshes use the XLA core)."""
+    def _pallas_static() -> bool:
+        """Kernel choice for HOST-SPANNING collectives must be identical
+        on every process — a host-local dynamic fallback (the
+        DeviceCorpus/MeshCorpus per-shape demotion) could have one host
+        launch the XLA program while others launch Pallas, violating the
+        same-program-every-host invariant (parallel/collective.py) and
+        hanging the mesh. So multi-host picks STATICALLY: Pallas on TPU
+        backends unless TVIDZ_MH_PALLAS=0. Mosaic compiles are
+        deterministic on a homogeneous pod, so a rejected kernel raises
+        identically on every host (the documented collective failure
+        contract) and the operator flips the env."""
+        import os
+
         import jax
 
-        if jax.default_backend() != "tpu":
-            return False
-        from tvidz_tpu.corpus.device_corpus import _PALLAS_FRAGMENT_STATE
-
-        return _PALLAS_FRAGMENT_STATE.get(shape_key, True)
-
-    @staticmethod
-    def _pallas_demote(shape_key) -> None:
-        from tvidz_tpu.corpus.device_corpus import _PALLAS_FRAGMENT_STATE
-        from tvidz_tpu.utils import log
-
-        _PALLAS_FRAGMENT_STATE[shape_key] = False
-        log("align", f"pallas fragment kernel demoted for {shape_key}")
+        return (jax.default_backend() == "tpu"
+                and os.environ.get("TVIDZ_MH_PALLAS", "1") != "0")
 
     def fragment_search_batch(self, query_fps_list, top_k: int = 5,
                               hamming_threshold: Optional[int] = None,
@@ -718,35 +704,30 @@ class MultiHostShardedCorpus:
         # local slice — the data axis never crosses hosts).
         q_dev = inner._replicate(qbuf)
         ql_dev = inner._replicate(qlens)
-        key = ("mh-frag-batch", qbuf.shape, tuple(self.corpus_al.shape))
-        use_pallas = self._pallas_ok(key)
-        try:
-            offs, scores = sharded_fragment_search_batch(
-                q_dev, ql_dev, self.corpus_al, self.corpus_al_len,
-                self.mesh, hamming_threshold=thr, chunk=chunk,
-                use_pallas=use_pallas,
-            )
-        except Exception:
-            if not use_pallas:
-                raise
-            self._pallas_demote(key)
-            offs, scores = sharded_fragment_search_batch(
-                q_dev, ql_dev, self.corpus_al, self.corpus_al_len,
-                self.mesh, hamming_threshold=thr, chunk=chunk,
-            )
-        offs = inner._to_host(offs)
-        scores = inner._to_host(scores)
+        offs, scores = sharded_fragment_search_batch(
+            q_dev, ql_dev, self.corpus_al, self.corpus_al_len,
+            self.mesh, hamming_threshold=thr, chunk=chunk,
+            use_pallas=self._pallas_static(),
+        )
+        offs = inner._to_host(offs)[:qn]
+        scores = inner._to_host(scores)[:qn]
+        # Vectorized post-processing (the VERDICT r2 #5 lesson): one
+        # (Q, V) mask + top-k instead of a Python double loop — the host
+        # share must not scale with Q x V behind the executor thread.
+        vids = np.asarray(self.al_video_ids[:vcap], np.int64)
+        excl_arr = np.asarray(
+            [e if e is not None else -(1 << 31) for e in excl], np.int64)
+        valid = ((vids[None, :] >= 0) & (scores > 0)
+                 & (vids[None, :] != excl_arr[:, None]))
+        masked = np.where(valid, scores, -1)
+        k = min(top_k, vcap)
+        top = np.argsort(-masked, axis=1, kind="stable")[:, :k]
         out = []
         for i in range(qn):
-            hits = [
-                (int(self.al_video_ids[v]), int(offs[i, v]),
-                 int(scores[i, v]))
-                for v in range(vcap)
-                if self.al_video_ids[v] >= 0 and scores[i, v] > 0
-                and self.al_video_ids[v] != excl[i]
-            ]
-            hits.sort(key=lambda h: -h[2])
-            out.append(hits[:top_k])
+            out.append([
+                (int(vids[v]), int(offs[i, v]), int(scores[i, v]))
+                for v in top[i] if masked[i, v] > 0
+            ])
         return out
 
     def _local_range(self, n_pad: int) -> Tuple[int, int]:

@@ -190,39 +190,24 @@ class MeshCorpus(DeviceCorpus):
         return jax.device_put(q, self._rep)
 
     def _fragment_query(self, q, q_len, al_dev, len_dev, thr):
+        # Pod-scale promotion of the fused Pallas fragment kernel: each
+        # corpus shard runs the single-chip production kernel on its
+        # local videos; only the (V,) evidence vectors cross the mesh.
+        # Shared dispatch policy (per-shape Mosaic fallback, sync probe).
+        from tvidz_tpu.corpus.device_corpus import pallas_fragment_dispatch
+
         local_v = al_dev.shape[0] // self.n_shards
         chunk = 16 if local_v % 16 == 0 else local_v
-        if jax.default_backend() == "tpu":
-            # Pod-scale promotion of the fused Pallas fragment kernel:
-            # each corpus shard runs the single-chip production kernel on
-            # its local videos; only the (V,) evidence vectors cross the
-            # mesh. Same per-shape-class fallback as DeviceCorpus — a
-            # Mosaic rejection demotes only this shape to fragment_core.
-            from tvidz_tpu.corpus.device_corpus import _PALLAS_FRAGMENT_STATE
 
-            shape_key = ("mesh", tuple(q.shape), tuple(al_dev.shape),
-                         self.n_shards)
-            if _PALLAS_FRAGMENT_STATE.get(shape_key, True):
-                try:
-                    out = sharded_fragment_search(
-                        q, q_len, al_dev, len_dev, self.mesh,
-                        hamming_threshold=thr, chunk=chunk,
-                        use_pallas=True,
-                    )
-                    _PALLAS_FRAGMENT_STATE[shape_key] = True
-                    return out
-                except Exception as e:  # noqa: BLE001 — Mosaic compile
-                    _PALLAS_FRAGMENT_STATE[shape_key] = False
-                    from tvidz_tpu.utils import log
+        def run(use_pallas):
+            return lambda: sharded_fragment_search(
+                q, q_len, al_dev, len_dev, self.mesh,
+                hamming_threshold=thr, chunk=chunk, use_pallas=use_pallas,
+            )
 
-                    log("align", "sharded pallas fragment kernel "
-                        f"unavailable for shapes {shape_key} "
-                        f"({str(e)[:160]}); using fragment_core for this "
-                        "shape class")
-        return sharded_fragment_search(
-            q, q_len, al_dev, len_dev, self.mesh,
-            hamming_threshold=thr, chunk=chunk,
-        )
+        return pallas_fragment_dispatch(
+            ("mesh", tuple(q.shape), tuple(al_dev.shape), self.n_shards),
+            run(True), run(False))
 
     def locate_fragments(self, query_fps_list, top_k=5,
                          hamming_threshold=None, exclude_video_ids=None):
@@ -267,42 +252,26 @@ class MeshCorpus(DeviceCorpus):
         ql_sh = NamedSharding(self.mesh, P("data"))
         q_dev = jax.device_put(qbuf, q_sh)
         ql_dev = jax.device_put(qlens, ql_sh)
+        # Batched Pallas kernel per (Q/data, V/corpus) device tile (2.4x
+        # the vmapped XLA core on chip), shared dispatch policy.
+        from tvidz_tpu.corpus.device_corpus import pallas_fragment_dispatch
+
         pending = []
         for dev, len_dev, vids, count in views:
             local_v = dev.shape[0] // self.n_shards
             chunk = 16 if local_v % 16 == 0 else local_v
-            res = None
-            if jax.default_backend() == "tpu":
-                # Batched Pallas kernel per (Q/data, V/corpus) device tile
-                # (2.4x the vmapped XLA core on chip), same per-shape
-                # Mosaic fallback as the single-query path.
-                from tvidz_tpu.corpus.device_corpus import (
-                    _PALLAS_FRAGMENT_STATE,
-                )
 
-                shape_key = ("mesh-batch", tuple(q_dev.shape),
-                             tuple(dev.shape), self.n_shards)
-                if _PALLAS_FRAGMENT_STATE.get(shape_key, True):
-                    try:
-                        res = sharded_fragment_search_batch(
-                            q_dev, ql_dev, dev, len_dev, self.mesh,
-                            hamming_threshold=thr, chunk=chunk,
-                            use_pallas=True,
-                        )
-                        _PALLAS_FRAGMENT_STATE[shape_key] = True
-                    except Exception as e:  # noqa: BLE001 — Mosaic compile
-                        _PALLAS_FRAGMENT_STATE[shape_key] = False
-                        from tvidz_tpu.utils import log
-
-                        log("align", "batched pallas fragment kernel "
-                            f"unavailable for shapes {shape_key} "
-                            f"({str(e)[:160]}); using fragment_core for "
-                            "this shape class")
-            if res is None:
-                res = sharded_fragment_search_batch(
+            def run(use_pallas, dev=dev, len_dev=len_dev, chunk=chunk):
+                return lambda: sharded_fragment_search_batch(
                     q_dev, ql_dev, dev, len_dev, self.mesh,
                     hamming_threshold=thr, chunk=chunk,
+                    use_pallas=use_pallas,
                 )
+
+            res = pallas_fragment_dispatch(
+                ("mesh-batch", tuple(q_dev.shape), tuple(dev.shape),
+                 self.n_shards),
+                run(True), run(False))
             pending.append((res, vids, count))
         # Vectorized post-processing (VERDICT r2 #5): one (Q, V_total)
         # mask/select/top-k instead of a per-query Python loop — the host
