@@ -69,10 +69,23 @@ def test_streamed_blocks_extend_alignment_row(stack, rng):
     assert hits[0][1] == 70       # offset: 40 + 30
     assert hits[0][2] == frag.shape[0]
 
-    # Batch variant agrees.
+    # Batch variant agrees — one "fragments" op row for the whole batch.
+    import tvidz_tpu.corpus.store as store_mod  # noqa: F401 (doc anchor)
+
+    seq_before = _runner._applied_seq
     batch = client.locate_fragments([frag, blocks[0][:16]], top_k=2)
     assert batch[0][0][0] == 7
     assert batch[1][0][:2] == (7, 0)
+    assert _runner._applied_seq == seq_before + 1
+
+    # Edge: an empty query inside the batch yields [] for that slot
+    # without disturbing its neighbors; exclusions apply per query.
+    batch = client.locate_fragments(
+        [frag, np.zeros((0, 2), np.uint32), blocks[0][:16]],
+        top_k=2, exclude_video_ids=[None, None, 7])
+    assert batch[0][0][0] == 7
+    assert batch[1] == []
+    assert batch[2] == []
 
 
 def test_remove_video_tombstones_everywhere(stack, rng):

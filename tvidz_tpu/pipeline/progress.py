@@ -82,17 +82,25 @@ class AnalysisRegistry:
         matches RESTORED (post-restart) entries by clean name: the store
         only holds the clean filename, so a frontend polling with its
         epoch-prefixed upload name ('1723-test.mp4') would otherwise sit at
-        'pending' forever after a restart. Restricted to restored_ keys so
-        live same-named uploads keep the reference's exact resolution."""
+        'pending' forever after a restart. Passes 2 AND 3 are partitioned
+        live-vs-restored: boot-time restored entries precede live seeds in
+        dict order, so an unpartitioned scan would return a stale restored
+        'done' (whose SSE stream then terminates) ahead of an in-flight
+        re-analysis of the same name."""
+        # Lazy import (circular with analyzer at module scope), kept
+        # OUTSIDE the lock so a first-touch import chain can't block
+        # every analyzer update for its duration.
+        from tvidz_tpu.pipeline.analyzer import extract_filenames
+
+        _, clean = extract_filenames(filename)
         with self._lock:
             if filename in self._results:
                 return dict(self._results[filename])
-            for data in self._results.values():
-                if isinstance(data, dict) and data.get("original_filename") == filename:
+            for key, data in self._results.items():
+                if (not str(key).startswith("restored_")
+                        and isinstance(data, dict)
+                        and data.get("original_filename") == filename):
                     return dict(data)
-            from tvidz_tpu.pipeline.analyzer import extract_filenames
-
-            _, clean = extract_filenames(filename)
             for key, data in self._results.items():
                 if (str(key).startswith("restored_")
                         and isinstance(data, dict)

@@ -43,8 +43,11 @@ def _quote(s: str, safe: str = "-_.~") -> str:
     return urllib.parse.quote(s, safe=safe)
 
 
-def _canonical_query(params: Mapping[str, str]) -> str:
-    pairs = sorted((_quote(k), _quote(str(v))) for k, v in params.items())
+def _canonical_query(params) -> str:
+    """Accepts a mapping or a sequence of (key, value) pairs — repeated
+    keys are legal in SigV4 and canonicalize sorted by key THEN value."""
+    items = params.items() if hasattr(params, "items") else params
+    pairs = sorted((_quote(k), _quote(str(v))) for k, v in items)
     return "&".join(f"{k}={v}" for k, v in pairs)
 
 
@@ -112,14 +115,17 @@ def sign_headers(
     parsed = urllib.parse.urlsplit(url)
     amz_date = _now_amz(now)
     out = dict(headers or {})
+    # Case-insensitive dedup BEFORE injecting the signed headers: a caller
+    # 'Host'/'X-Amz-Date' would otherwise survive alongside the lowercase
+    # keys and canonicalize as a doubled header ('host;host') — guaranteed
+    # SignatureDoesNotMatch at the server.
+    for k in [k for k in out if k.lower() in ("host", "x-amz-date")]:
+        del out[k]
     out["host"] = parsed.netloc
     out["x-amz-date"] = amz_date
     payload_hash = _sha256(body)
-    query = {
-        k: v[0] for k, v in urllib.parse.parse_qs(
-            parsed.query, keep_blank_values=True
-        ).items()
-    }
+    # parse_qsl (not parse_qs first-value): repeated keys must all sign.
+    query = urllib.parse.parse_qsl(parsed.query, keep_blank_values=True)
     sig = signature_for(
         method=method,
         canonical_uri=parsed.path or "/",

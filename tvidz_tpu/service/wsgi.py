@@ -25,13 +25,13 @@ from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple
 from urllib.parse import parse_qs, quote, unquote
 from wsgiref.simple_server import WSGIRequestHandler, WSGIServer, make_server
 
-_STATUS_TEXT = {
-    200: "200 OK",
-    400: "400 BAD REQUEST",
-    404: "404 NOT FOUND",
-    405: "405 METHOD NOT ALLOWED",
-    500: "500 INTERNAL SERVER ERROR",
-}
+import http.client as _http_client
+
+
+def _status_line(code: int) -> str:
+    # Standard reason phrases (strict proxies surface them): "503 Service
+    # Unavailable", not a hand-rolled subset with "503 UNKNOWN" holes.
+    return f"{code} {_http_client.responses.get(code, 'UNKNOWN')}"
 
 
 class Request:
@@ -90,7 +90,13 @@ class Response:
 
     def body_bytes(self) -> bytes:
         if self.is_streaming:
-            return b"".join(self.body)
+            # Encode str chunks (SSE generators yield str frames) and
+            # CACHE: generators are one-shot, so a second call must not
+            # silently return b"".
+            self.body = b"".join(
+                c.encode("utf-8") if isinstance(c, str) else c
+                for c in self.body
+            )
         return bytes(self.body)
 
     def get_json(self) -> Any:
@@ -117,8 +123,15 @@ def _compile_rule(rule: str) -> re.Pattern:
         cls = ".+" if m.group(1) == "path" else "[^/]+"
         return f"(?P<{m.group(2)}>{cls})"
 
-    pattern = _PARAM_RE.sub(sub, rule)
-    return re.compile(f"^{pattern}$")
+    # Literal segments between parameters are escaped: '/index.html' must
+    # not match '/indexZhtml' via a bare '.'.
+    parts, last = [], 0
+    for m in _PARAM_RE.finditer(rule):
+        parts.append(re.escape(rule[last:m.start()]))
+        parts.append(sub(m))
+        last = m.end()
+    parts.append(re.escape(rule[last:]))
+    return re.compile(f"^{''.join(parts)}$")
 
 
 class App:
@@ -162,7 +175,12 @@ class App:
             if not m:
                 continue
             path_matched = True
-            if request.method not in methods:
+            # Flask-parity: HEAD is implicitly allowed on every GET route
+            # (uptime checkers / load balancers HEAD /healthz); __call__
+            # drops the body for HEAD.
+            if request.method not in methods and not (
+                request.method == "HEAD" and "GET" in methods
+            ):
                 continue
             try:
                 rv = handler(request, **m.groupdict())
@@ -204,14 +222,17 @@ class App:
     def __call__(self, environ: dict, start_response: Callable):
         request = Request(environ)
         resp = self.dispatch(request)
-        status_line = _STATUS_TEXT.get(resp.status, f"{resp.status} UNKNOWN")
+        status_line = _status_line(resp.status)
         headers = list(resp.headers.items())
         if not resp.is_streaming:
             body = resp.body_bytes()
             headers.append(("Content-Length", str(len(body))))
             start_response(status_line, headers)
-            return [body]
+            # HEAD: same status/headers (incl. Content-Length), no body.
+            return [] if request.method == "HEAD" else [body]
         start_response(status_line, headers)
+        if request.method == "HEAD":
+            return []
         return (chunk.encode("utf-8") if isinstance(chunk, str) else chunk
                 for chunk in resp.body)
 
