@@ -70,8 +70,6 @@ def test_streamed_blocks_extend_alignment_row(stack, rng):
     assert hits[0][2] == frag.shape[0]
 
     # Batch variant agrees — one "fragments" op row for the whole batch.
-    import tvidz_tpu.corpus.store as store_mod  # noqa: F401 (doc anchor)
-
     seq_before = _runner._applied_seq
     batch = client.locate_fragments([frag, blocks[0][:16]], top_k=2)
     assert batch[0][0][0] == 7

@@ -186,7 +186,9 @@ def test_alignment_bucket_migration_on_streamed_growth(rng):
 def test_pallas_dispatch_policy(monkeypatch):
     """The shared Pallas-vs-XLA dispatch policy (pallas_fragment_dispatch):
     sync-probe on first use of a shape class, per-shape demotion on
-    failure, build-wide demotion after two distinct failed classes."""
+    failure; build-wide demotion requires two distinct failed QUERY shapes
+    with no prior success (a success proves the build works, so later
+    failures are shape-induced)."""
     from tvidz_tpu.corpus import device_corpus as dc
 
     monkeypatch.setattr(dc.jax, "default_backend", lambda: "tpu")
@@ -210,19 +212,38 @@ def test_pallas_dispatch_policy(monkeypatch):
     dc.pallas_fragment_dispatch(("a",), ok, fb)
     assert calls == {"pallas": 2, "fallback": 0}
 
-    # First failing class: demoted, fallback served, build still alive.
+    # Failing classes after a success NEVER demote the build: the success
+    # proves the toolchain compiles the kernel, so these are shape-induced
+    # (e.g. oversized-query VMEM overflows) and stay per-shape.
     assert dc.pallas_fragment_dispatch(("b",), boom, fb) == "fb"
     assert dc._PALLAS_FRAGMENT_STATE[("b",)] is False
-    assert dc._PALLAS_FRAGMENT_STATE.get("build") is not False
     # Known-bad class goes straight to fallback (no re-compile).
     assert dc.pallas_fragment_dispatch(("b",), boom, fb) == "fb"
-
-    # Second distinct failing class: the whole build is demoted — even a
-    # would-succeed new class skips straight to the fallback.
     assert dc.pallas_fragment_dispatch(("c",), boom, fb) == "fb"
+    assert dc._PALLAS_FRAGMENT_STATE.get("build") is not False
+    assert isinstance(dc.pallas_fragment_dispatch(("d",), ok, fb), tuple)
+
+    # With NO prior success: one oversized query scanned across several
+    # alignment buckets fails several (q, bucket) classes but is ONE query
+    # shape — the build survives and other shapes still run the kernel.
+    monkeypatch.setattr(dc, "_PALLAS_FRAGMENT_STATE", {})
+    long_q = (4096, 2)
+    assert dc.pallas_fragment_dispatch((long_q, (16, 256, 2)), boom, fb) == "fb"
+    assert dc.pallas_fragment_dispatch((long_q, (32, 512, 2)), boom, fb) == "fb"
+    assert dc._PALLAS_FRAGMENT_STATE.get("build") is not False
+    assert isinstance(
+        dc.pallas_fragment_dispatch(((64, 2), (16, 256, 2)), ok, fb), tuple)
+
+    # Two distinct failing query shapes with no success anywhere: the
+    # toolchain rejects the kernel outright — demote the build so no new
+    # shape class re-pays a failed 30-80 s compile.
+    monkeypatch.setattr(dc, "_PALLAS_FRAGMENT_STATE", {})
+    assert dc.pallas_fragment_dispatch(((64, 2), (16, 256, 2)), boom, fb) == "fb"
+    assert dc._PALLAS_FRAGMENT_STATE.get("build") is not False
+    assert dc.pallas_fragment_dispatch(((128, 2), (16, 256, 2)), boom, fb) == "fb"
     assert dc._PALLAS_FRAGMENT_STATE["build"] is False
     before = calls["pallas"]
-    assert dc.pallas_fragment_dispatch(("d",), ok, fb) == "fb"
+    assert dc.pallas_fragment_dispatch(((256, 2), (16, 256, 2)), ok, fb) == "fb"
     assert calls["pallas"] == before
 
     # Off-TPU backends never touch the kernel.

@@ -36,3 +36,58 @@ def test_two_process_served_integration():
     )
     assert proc.returncode == 0, (proc.stdout[-3000:], proc.stderr[-1000:])
     assert "ALL CHECKS PASSED" in proc.stdout
+
+
+def test_mh_dispatch_pallas_deterministic_fallback(monkeypatch):
+    """A shape-induced Mosaic rejection must not 500 /search/fragment
+    forever: _dispatch_pallas retries the SAME XLA program (deterministic
+    on every host — the rejection raises at compile time, before any
+    collective launches) and memoizes the failed shape class so it never
+    re-pays the failed compile. TVIDZ_MH_PALLAS=0 keeps Pallas off
+    statically, and non-Pallas failures still propagate."""
+    import jax
+
+    from tvidz_tpu.parallel import distributed as dist
+
+    mh = object.__new__(dist.MultiHostShardedCorpus)
+    monkeypatch.setattr(dist, "_MH_PALLAS_FAILED", set())
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("TVIDZ_MH_PALLAS", raising=False)
+    calls = []
+
+    def run(use_pallas):
+        calls.append(use_pallas)
+        if use_pallas:
+            raise RuntimeError("mosaic: VMEM overflow")
+        return "xla"
+
+    key = ("mh", (4096, 2), (64, 1024, 2))
+    assert mh._dispatch_pallas(key, run) == "xla"
+    assert calls == [True, False]              # one failed probe, one retry
+    assert key in dist._MH_PALLAS_FAILED
+    assert mh._dispatch_pallas(key, run) == "xla"
+    assert calls == [True, False, False]       # memoized: no re-compile
+
+    # Other shapes still choose Pallas.
+    calls.clear()
+    ok_key = ("mh", (64, 2), (64, 1024, 2))
+    def run_ok(use_pallas):
+        calls.append(use_pallas)
+        return "pallas" if use_pallas else "xla"
+    assert mh._dispatch_pallas(ok_key, run_ok) == "pallas"
+
+    # Static off-switch: Pallas never tried, and an XLA failure is not
+    # swallowed into a second identical attempt.
+    monkeypatch.setenv("TVIDZ_MH_PALLAS", "0")
+    calls.clear()
+
+    def run_fail(use_pallas):
+        calls.append(use_pallas)
+        raise RuntimeError("transient")
+
+    try:
+        mh._dispatch_pallas(ok_key, run_fail)
+        raise AssertionError("expected the XLA failure to propagate")
+    except RuntimeError as e:
+        assert "transient" in str(e)
+    assert calls == [False]

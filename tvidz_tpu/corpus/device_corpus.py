@@ -28,7 +28,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tvidz_tpu.ops.align import fragment_search, fragment_search_mxu
+from tvidz_tpu.ops.align import (
+    fragment_chunk,
+    fragment_search,
+    fragment_search_mxu,
+)
 from tvidz_tpu.ops.align_pallas import fragment_search_pallas
 from tvidz_tpu.ops.hamming import corpus_min_distance_t_auto
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
@@ -43,12 +47,27 @@ _AL_T0 = 256  # frame capacity of alignment bucket 0; bucket b holds T0<<b
 # can be shape-induced (e.g. a very long query whose per-tile VMEM
 # buffers exceed the ~16 MiB budget), so one failing shape demotes only
 # ITS OWN class to the XLA MXU variant — other buckets/queries keep the
-# fast kernel — while still never re-paying a failed compile. Two
-# DISTINCT shape-class failures demote the BUILD (key "build"): a
-# toolchain that rejects the kernel outright must not re-pay a failed
-# 30-80 s compile per new shape class.
+# fast kernel — while still never re-paying a failed compile. The BUILD
+# (key "build") is demoted — a toolchain that rejects the kernel
+# outright must not re-pay a failed 30-80 s compile per new shape
+# class — only when BOTH hold: no shape class has ever succeeded (a
+# success proves the build is fine, so later failures are shape-
+# induced) AND two distinct QUERY shapes failed (one oversized query
+# scanned across several alignment buckets yields several failing
+# (q, bucket) classes but is ONE query-shape failure, and must not
+# globally demote).
 _PALLAS_FRAGMENT_STATE: Dict[object, bool] = {}
 _PALLAS_BUILD_DEMOTE_AFTER = 2
+
+
+def _query_shape_of(key):
+    """The query-shape component of a dispatch shape key (the first
+    tuple-typed element: keys are (q, al) or ("tag", q, al, ...))."""
+    if isinstance(key, tuple):
+        for part in key:
+            if isinstance(part, tuple):
+                return part
+    return key
 
 
 def pallas_fragment_dispatch(shape_key, pallas_fn, fallback_fn):
@@ -63,8 +82,9 @@ def pallas_fragment_dispatch(shape_key, pallas_fn, fallback_fn):
       results to host inside the guard (on this tunnel runtime errors
       surface only at the first host sync; the first call pays a compile
       anyway, so the probe sync is ~free) — later calls dispatch async;
-    - a failure demotes that shape class; _PALLAS_BUILD_DEMOTE_AFTER
-      distinct failed classes demote the whole build."""
+    - a failure demotes that shape class; the whole build is demoted
+      only when no class ever succeeded AND _PALLAS_BUILD_DEMOTE_AFTER
+      distinct query shapes failed (see the state-dict comment)."""
     if jax.default_backend() != "tpu":
         return fallback_fn()
     if _PALLAS_FRAGMENT_STATE.get("build") is False:
@@ -80,9 +100,12 @@ def pallas_fragment_dispatch(shape_key, pallas_fn, fallback_fn):
         return out
     except Exception as e:  # noqa: BLE001 — Mosaic compile/runtime
         _PALLAS_FRAGMENT_STATE[shape_key] = False
-        failed = sum(1 for k, v in _PALLAS_FRAGMENT_STATE.items()
-                     if v is False and k != "build")
-        if failed >= _PALLAS_BUILD_DEMOTE_AFTER:
+        any_ok = any(v is True for k, v in _PALLAS_FRAGMENT_STATE.items()
+                     if k != "build")
+        failed_q = {_query_shape_of(k)
+                    for k, v in _PALLAS_FRAGMENT_STATE.items()
+                    if v is False and k != "build"}
+        if not any_ok and len(failed_q) >= _PALLAS_BUILD_DEMOTE_AFTER:
             _PALLAS_FRAGMENT_STATE["build"] = False
         log("align", f"pallas fragment kernel unavailable for {shape_key} "
             f"({str(e)[:160]}); falling back to the XLA variant"
@@ -657,7 +680,7 @@ class DeviceCorpus:
         def xla():
             search = (fragment_search_mxu
                       if jax.default_backend() == "tpu" else fragment_search)
-            chunk = 16 if al_dev.shape[0] % 16 == 0 else al_dev.shape[0]
+            chunk = fragment_chunk(al_dev.shape[0])
             return search(q, q_len, al_dev, len_dev,
                           hamming_threshold=thr, chunk=chunk)
 

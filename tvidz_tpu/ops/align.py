@@ -86,6 +86,15 @@ def _diag_scores(match: jnp.ndarray) -> jnp.ndarray:
     return x[0, : n + m - 1].astype(jnp.int32)
 
 
+def fragment_chunk(local_v: int) -> int:
+    """The ONE chunk-divisor policy for fragment_core callers: the largest
+    of the measured-good chunk sizes that divides the (per-shard) video
+    count — 16 is the VMEM knee (see fragment_core's docstring); bucket
+    capacities double, so smaller powers of two only occur for tiny
+    buckets where any chunk is fine."""
+    return next(c for c in (16, 8, 4, 2, 1) if local_v % c == 0)
+
+
 def fragment_core(
     q_fp: jnp.ndarray,          # (Tq_pad, W) query, rows >= q_len are padding
     q_len: jnp.ndarray,         # () int32 — number of REAL query rows

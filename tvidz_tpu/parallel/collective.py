@@ -255,8 +255,12 @@ class CollectiveRunner:
                         self._gap_seq = None
                     break
                 self._gap_seq = None
-                self._apply(seq, kind, meta)
+                # Advance the watermark BEFORE _apply resolves the
+                # submitter's Future: a submitter whose wait() returned
+                # must observe the watermark past its op (the restart
+                # warm-read logic and tests rely on that ordering).
                 self._applied_seq = seq
+                self._apply(seq, kind, meta)
             else:
                 continue
             time.sleep(self.poll_s)
@@ -527,9 +531,7 @@ class MultiHostCorpusClient:
         flat = np.concatenate([q for q in qs if q.shape[0]])
         res = self.runner.submit(
             "fragments",
-            {"fp": base64.b64encode(
-                np.ascontiguousarray(flat, np.uint32).tobytes()
-             ).decode("ascii"),
+            {"fp": base64.b64encode(flat.tobytes()).decode("ascii"),
              "rows": [int(q.shape[0]) for q in qs],
              "top_k": int(top_k), "threshold": hamming_threshold,
              "excludes": [int(e) if e is not None else None for e in excl]},

@@ -31,6 +31,12 @@ import numpy as np
 
 from tvidz_tpu.utils import log
 
+# Fragment shape classes whose Pallas compile was rejected: the rejection
+# is deterministic across a homogeneous pod, so every host records the
+# same entries and the XLA re-dispatch stays in lockstep (see
+# MultiHostShardedCorpus._dispatch_pallas).
+_MH_PALLAS_FAILED: set = set()
+
 
 def init_distributed(
     coordinator_address: Optional[str] = None,
@@ -620,20 +626,27 @@ class MultiHostShardedCorpus:
         query_fps = np.asarray(query_fps, np.uint32)
         if self.corpus_al is None or query_fps.shape[0] == 0:
             return []
+        from tvidz_tpu.ops.align import fragment_chunk
+
         tq = query_fps.shape[0]
         tq_pad = max(64, -(-tq // 64) * 64)
         q = np.full((tq_pad, inner.words), 0xFFFFFFFF, np.uint32)
         q[:tq] = query_fps
         vcap = self.corpus_al.shape[0]
-        per_shard = vcap // inner.n_shards
-        chunk = next(c for c in (16, 8, 4, 2, 1) if per_shard % c == 0)
-        offs, scores = sharded_fragment_search(
-            inner._replicate(q), tq, self.corpus_al,
-            self.corpus_al_len, self.mesh, hamming_threshold=thr,
-            chunk=chunk, use_pallas=self._pallas_static(),
-        )
-        offs = inner._to_host(offs)
-        scores = inner._to_host(scores)
+        chunk = fragment_chunk(vcap // inner.n_shards)
+        q_dev = inner._replicate(q)
+
+        def run(use_pallas: bool):
+            offs, scores = sharded_fragment_search(
+                q_dev, tq, self.corpus_al, self.corpus_al_len, self.mesh,
+                hamming_threshold=thr, chunk=chunk, use_pallas=use_pallas,
+            )
+            # Host pull inside the guard: on this tunnel runtime errors
+            # surface only at the first host sync.
+            return inner._to_host(offs), inner._to_host(scores)
+
+        offs, scores = self._dispatch_pallas(
+            ("mh", tuple(q.shape), tuple(self.corpus_al.shape)), run)
         hits = [
             (int(self.al_video_ids[i]), int(offs[i]), int(scores[i]))
             for i in range(vcap)
@@ -646,21 +659,44 @@ class MultiHostShardedCorpus:
     @staticmethod
     def _pallas_static() -> bool:
         """Kernel choice for HOST-SPANNING collectives must be identical
-        on every process — a host-local dynamic fallback (the
-        DeviceCorpus/MeshCorpus per-shape demotion) could have one host
+        on every process — a host-LOCAL dynamic fallback (the
+        DeviceCorpus/MeshCorpus per-shape race) could have one host
         launch the XLA program while others launch Pallas, violating the
         same-program-every-host invariant (parallel/collective.py) and
-        hanging the mesh. So multi-host picks STATICALLY: Pallas on TPU
-        backends unless TVIDZ_MH_PALLAS=0. Mosaic compiles are
-        deterministic on a homogeneous pod, so a rejected kernel raises
-        identically on every host (the documented collective failure
-        contract) and the operator flips the env."""
+        hanging the mesh. So the static gate is: Pallas on TPU backends
+        unless TVIDZ_MH_PALLAS=0. Per-shape fallback still exists but is
+        DETERMINISTIC — see _dispatch_pallas."""
         import os
 
         import jax
 
         return (jax.default_backend() == "tpu"
                 and os.environ.get("TVIDZ_MH_PALLAS", "1") != "0")
+
+    def _dispatch_pallas(self, shape_key, run):
+        """Deterministic per-shape Pallas->XLA fallback for host-spanning
+        fragment collectives. A host-local race is forbidden (see
+        _pallas_static), but this fallback is identical on every host:
+        Mosaic shape rejections (e.g. a long query whose per-tile VMEM
+        buffers overflow) raise at compile time — before any collective
+        launches — and deterministically on a homogeneous pod, so every
+        host catches the same failure, records the same shape class in
+        _MH_PALLAS_FAILED and re-dispatches the same XLA program in
+        lockstep. Without this, one oversized query shape would 500 every
+        /search/fragment of that shape until an operator restarted the
+        cluster with TVIDZ_MH_PALLAS=0 (disabling Pallas for good shapes
+        too)."""
+        use_p = self._pallas_static() and shape_key not in _MH_PALLAS_FAILED
+        try:
+            return run(use_p)
+        except Exception as e:  # noqa: BLE001 — Mosaic compile/runtime
+            if not use_p:
+                raise
+            _MH_PALLAS_FAILED.add(shape_key)
+            log("align",
+                f"multi-host pallas fragment kernel unavailable for "
+                f"{shape_key} ({str(e)[:160]}); using the XLA program")
+            return run(False)
 
     def fragment_search_batch(self, query_fps_list, top_k: int = 5,
                               hamming_threshold: Optional[int] = None,
@@ -672,8 +708,11 @@ class MultiHostShardedCorpus:
         Collective: ALL processes must call with the same arguments.
         Returns one DeviceCorpus.locate_fragment-style hit list per query.
         """
+        from tvidz_tpu.ops.align import fragment_chunk
         from tvidz_tpu.parallel.mesh import DATA_AXIS
         from tvidz_tpu.parallel.sharded_search import (
+            build_fragment_query_batch,
+            rank_fragment_hits,
             sharded_fragment_search_batch,
         )
 
@@ -686,49 +725,31 @@ class MultiHostShardedCorpus:
         if self.corpus_al is None:
             return [[] for _ in range(qn)]
         excl = exclude_video_ids or [None] * qn
-        tq_max = max((int(np.asarray(q).shape[0]) for q in query_fps_list),
-                     default=0)
-        tq_pad = max(64, -(-max(tq_max, 1) // 64) * 64)
         data_n = self.mesh.shape[DATA_AXIS]
-        q_pad = -(-qn // data_n) * data_n
-        qbuf = np.full((q_pad, tq_pad, inner.words), 0xFFFFFFFF, np.uint32)
-        qlens = np.zeros(q_pad, np.int32)
-        for i, q in enumerate(query_fps_list):
-            q = np.asarray(q, np.uint32)
-            qbuf[i, : q.shape[0]] = q
-            qlens[i] = q.shape[0]
+        qbuf, qlens = build_fragment_query_batch(
+            query_fps_list, inner.words, data_n)
         vcap = self.corpus_al.shape[0]
-        per_shard = vcap // inner.n_shards
-        chunk = next(c for c in (16, 8, 4, 2, 1) if per_shard % c == 0)
+        chunk = fragment_chunk(vcap // inner.n_shards)
         # Replicated placement; shard_map reshards to the data axis (a
         # local slice — the data axis never crosses hosts).
         q_dev = inner._replicate(qbuf)
         ql_dev = inner._replicate(qlens)
-        offs, scores = sharded_fragment_search_batch(
-            q_dev, ql_dev, self.corpus_al, self.corpus_al_len,
-            self.mesh, hamming_threshold=thr, chunk=chunk,
-            use_pallas=self._pallas_static(),
-        )
-        offs = inner._to_host(offs)[:qn]
-        scores = inner._to_host(scores)[:qn]
-        # Vectorized post-processing (the VERDICT r2 #5 lesson): one
-        # (Q, V) mask + top-k instead of a Python double loop — the host
-        # share must not scale with Q x V behind the executor thread.
+
+        def run(use_pallas: bool):
+            offs, scores = sharded_fragment_search_batch(
+                q_dev, ql_dev, self.corpus_al, self.corpus_al_len,
+                self.mesh, hamming_threshold=thr, chunk=chunk,
+                use_pallas=use_pallas,
+            )
+            return inner._to_host(offs)[:qn], inner._to_host(scores)[:qn]
+
+        offs, scores = self._dispatch_pallas(
+            ("mh-batch", tuple(qbuf.shape), tuple(self.corpus_al.shape)),
+            run)
+        # Shared vectorized post-processing — same implementation as the
+        # single-host MeshCorpus batch path, so the contracts can't fork.
         vids = np.asarray(self.al_video_ids[:vcap], np.int64)
-        excl_arr = np.asarray(
-            [e if e is not None else -(1 << 31) for e in excl], np.int64)
-        valid = ((vids[None, :] >= 0) & (scores > 0)
-                 & (vids[None, :] != excl_arr[:, None]))
-        masked = np.where(valid, scores, -1)
-        k = min(top_k, vcap)
-        top = np.argsort(-masked, axis=1, kind="stable")[:, :k]
-        out = []
-        for i in range(qn):
-            out.append([
-                (int(vids[v]), int(offs[i, v]), int(scores[i, v]))
-                for v in top[i] if masked[i, v] > 0
-            ])
-        return out
+        return rank_fragment_hits(vids, offs, scores, excl, top_k)
 
     def _local_range(self, n_pad: int) -> Tuple[int, int]:
         """Row range owned by this host: corpus axis is host-major, so the

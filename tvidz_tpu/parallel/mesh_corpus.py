@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.ops.align import fragment_chunk
 from tvidz_tpu.parallel.mesh import CORPUS_AXIS
 from tvidz_tpu.parallel.sharded_search import (
     sharded_fragment_search,
@@ -197,7 +198,7 @@ class MeshCorpus(DeviceCorpus):
         from tvidz_tpu.corpus.device_corpus import pallas_fragment_dispatch
 
         local_v = al_dev.shape[0] // self.n_shards
-        chunk = 16 if local_v % 16 == 0 else local_v
+        chunk = fragment_chunk(local_v)
 
         def run(use_pallas):
             return lambda: sharded_fragment_search(
@@ -237,17 +238,13 @@ class MeshCorpus(DeviceCorpus):
                 self._sync_al_bucket(bu)
                 views.append((bu.dev, bu.len_dev, bu.vid[: bu.count].copy(),
                               bu.count))
-        tq_max = max(int(q.shape[0]) for q in query_fps_list)
-        tq_pad = max(64, -(-tq_max // 64) * 64)
-        data_n = self.mesh.shape[DATA_AXIS]
-        q_pad = -(-qn // data_n) * data_n
-        from tvidz_tpu.corpus.device_corpus import _FP_SENTINEL
+        from tvidz_tpu.parallel.sharded_search import (
+            build_fragment_query_batch,
+        )
 
-        qbuf = np.full((q_pad, tq_pad, self.words), _FP_SENTINEL, np.uint32)
-        qlens = np.zeros(q_pad, np.int32)
-        for i, q in enumerate(query_fps_list):
-            qbuf[i, : q.shape[0]] = np.asarray(q, np.uint32)
-            qlens[i] = q.shape[0]
+        data_n = self.mesh.shape[DATA_AXIS]
+        qbuf, qlens = build_fragment_query_batch(
+            query_fps_list, self.words, data_n)
         q_sh = NamedSharding(self.mesh, P("data", None, None))
         ql_sh = NamedSharding(self.mesh, P("data"))
         q_dev = jax.device_put(qbuf, q_sh)
@@ -259,7 +256,7 @@ class MeshCorpus(DeviceCorpus):
         pending = []
         for dev, len_dev, vids, count in views:
             local_v = dev.shape[0] // self.n_shards
-            chunk = 16 if local_v % 16 == 0 else local_v
+            chunk = fragment_chunk(local_v)
 
             def run(use_pallas, dev=dev, len_dev=len_dev, chunk=chunk):
                 return lambda: sharded_fragment_search_batch(
@@ -273,9 +270,10 @@ class MeshCorpus(DeviceCorpus):
                  self.n_shards),
                 run(True), run(False))
             pending.append((res, vids, count))
-        # Vectorized post-processing (VERDICT r2 #5): one (Q, V_total)
-        # mask/select/top-k instead of a per-query Python loop — the host
-        # share stops scaling with Q x V at large corpora.
+        # Shared vectorized post-processing (rank_fragment_hits keeps the
+        # single-host and multi-host result contracts identical).
+        from tvidz_tpu.parallel.sharded_search import rank_fragment_hits
+
         all_vids = np.concatenate([vids for _, vids, _ in pending])
         all_offs = np.concatenate(
             [np.asarray(offs)[:qn, :count]
@@ -283,40 +281,4 @@ class MeshCorpus(DeviceCorpus):
         all_scores = np.concatenate(
             [np.asarray(scores)[:qn, :count]
              for (_, scores), _, count in pending], axis=1)
-        vtot = all_vids.shape[0]
-        # Disqualify: tombstoned rows, per-query exclusions, zero scores
-        # (padding-artifact rows are not matches).
-        excl_arr = np.asarray(
-            [x if x is not None else -(1 << 31) for x in excl], np.int64)
-        ranked = np.where(
-            (all_vids[None, :] >= 0)
-            & (all_vids[None, :] != excl_arr[:, None])
-            & (all_scores > 0),
-            all_scores, -1,
-        )
-        k = min(top_k, vtot)
-        if vtot > 4096 and k < vtot:
-            # argpartition bounds the sort to O(V + k log k) per query. Ties
-            # that straddle the partition boundary may admit a different
-            # (equal-score) member than the exact stable order below.
-            cand = np.argpartition(-ranked, k - 1, axis=1)[:, :k]
-        else:
-            cand = np.argsort(-ranked, axis=1, kind="stable")[:, :k]
-        rows = np.arange(qn)[:, None]
-        cand_scores = ranked[rows, cand]
-        # Stable (-score, index) order within the candidate set — matches
-        # the single-query path's tie-breaking.
-        order = np.lexsort((cand, -cand_scores), axis=1)
-        cand = np.take_along_axis(cand, order, axis=1)
-        cand_scores = np.take_along_axis(cand_scores, order, axis=1)
-        out: list = []
-        for i in range(qn):
-            row = []
-            for j in range(k):
-                if cand_scores[i, j] <= 0:
-                    break
-                c = cand[i, j]
-                row.append((int(all_vids[c]), int(all_offs[i, c]),
-                            int(cand_scores[i, j])))
-            out.append(row)
-        return out
+        return rank_fragment_hits(all_vids, all_offs, all_scores, excl, top_k)

@@ -340,6 +340,83 @@ def sharded_fragment_search_batch(
     return fn(q_fp, q_len, corpus_fp, corpus_len)
 
 
+def build_fragment_query_batch(
+    query_fps_list, words: int, data_n: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side batch-query packing shared by MeshCorpus.locate_fragments
+    and MultiHostShardedCorpus.fragment_search_batch (one implementation so
+    the single-host and multi-host result contracts can't diverge).
+
+    Returns a sentinel-padded (Q_pad, Tq_pad, W) uint32 buffer and (Q_pad,)
+    int32 lengths: Tq padded to a multiple of 64 (>=64), Q padded to a
+    multiple of the data axis; empty queries keep length 0 (their validity
+    mask empties, so they rank to [])."""
+    qn = len(query_fps_list)
+    tq_max = max((int(np.asarray(q).shape[0]) for q in query_fps_list),
+                 default=0)
+    tq_pad = max(64, -(-max(tq_max, 1) // 64) * 64)
+    q_pad = -(-max(qn, 1) // data_n) * data_n
+    qbuf = np.full((q_pad, tq_pad, words), 0xFFFFFFFF, np.uint32)
+    qlens = np.zeros(q_pad, np.int32)
+    for i, q in enumerate(query_fps_list):
+        q = np.asarray(q, np.uint32)
+        qbuf[i, : q.shape[0]] = q
+        qlens[i] = q.shape[0]
+    return qbuf, qlens
+
+
+def rank_fragment_hits(all_vids, all_offs, all_scores,
+                       exclude_video_ids, top_k: int):
+    """Vectorized (Q, V) -> per-query [(video_id, offset, score)] lists,
+    shared by the single-host and multi-host batch paths. Disqualifies
+    tombstoned rows (vid < 0), per-query exclusions and zero scores
+    (padding-artifact rows are not matches); one (Q, V) mask + top-k
+    instead of a Python double loop so the host share doesn't scale with
+    Q x V (VERDICT r2 #5)."""
+    all_scores = np.asarray(all_scores)
+    all_offs = np.asarray(all_offs)
+    vids = np.asarray(all_vids, np.int64)
+    qn = all_scores.shape[0]
+    vtot = vids.shape[0]
+    if vtot == 0:
+        return [[] for _ in range(qn)]
+    excl = exclude_video_ids or [None] * qn
+    excl_arr = np.asarray(
+        [x if x is not None else -(1 << 31) for x in excl], np.int64)
+    ranked = np.where(
+        (vids[None, :] >= 0)
+        & (vids[None, :] != excl_arr[:, None])
+        & (all_scores > 0),
+        all_scores, -1,
+    )
+    k = min(top_k, vtot)
+    if vtot > 4096 and k < vtot:
+        # argpartition bounds the sort to O(V + k log k) per query. Ties
+        # that straddle the partition boundary may admit a different
+        # (equal-score) member than the exact stable order below.
+        cand = np.argpartition(-ranked, k - 1, axis=1)[:, :k]
+    else:
+        cand = np.argsort(-ranked, axis=1, kind="stable")[:, :k]
+    rows = np.arange(qn)[:, None]
+    cand_scores = ranked[rows, cand]
+    # Stable (-score, index) order within the candidate set — matches the
+    # single-query path's tie-breaking.
+    order = np.lexsort((cand, -cand_scores), axis=1)
+    cand = np.take_along_axis(cand, order, axis=1)
+    cand_scores = np.take_along_axis(cand_scores, order, axis=1)
+    out = []
+    for i in range(qn):
+        row = []
+        for j in range(k):
+            if cand_scores[i, j] <= 0:
+                break
+            c = cand[i, j]
+            row.append((int(vids[c]), int(all_offs[i, c]),
+                        int(cand_scores[i, j])))
+        out.append(row)
+    return out
+
+
 class ShardedCorpus:
     """Host-side wrapper placing corpus arrays with corpus-axis shardings and
     issuing sharded queries. The multi-chip sibling of DeviceCorpus (same
