@@ -83,6 +83,10 @@ def main() -> int:
                 # Run every analysis to completion so both videos are fully
                 # ingested (fragment check needs the copy's whole index row).
                 "TVIDZ_EARLY_EXIT": "0",
+                # Fast op-log pruning so this 2-process run also proves the
+                # hygiene loop (min-live-watermark delete) over real hosts.
+                "TVIDZ_MH_PRUNE_INTERVAL_S": "2",
+                "TVIDZ_MH_PRUNE_LIVENESS_S": "120",
             }
             # Server logs go to FILES (an undrained pipe blocks the server).
             lf = open(os.path.join(workdir, f"host{pid}.log"), "w")
@@ -215,6 +219,21 @@ def main() -> int:
         n1 = n_videos(requests.get(f"{bases[1]}/debug/videos",
                                    timeout=10).json())
         check("both hosts see 2 videos", n0 == n1 == 2, (n0, n1))
+
+        # 6. Op-log hygiene across real hosts: with the fast prune cadence
+        # above, applied op rows (ingest payloads included) are reclaimed
+        # down to the live floor; both hosts' watermarks gate the delete.
+        deadline = time.time() + 30
+        oplog = {}
+        while time.time() < deadline:
+            oplog = requests.get(f"{bases[0]}/metrics", timeout=10
+                                 ).json().get("collective_oplog", {})
+            if oplog.get("pruned_total", 0) > 0 and oplog.get("rows", 99) <= 2:
+                break
+            time.sleep(1.0)
+        check("op log pruned to the min live watermark",
+              oplog.get("pruned_total", 0) > 0 and oplog.get("rows", 99) <= 2,
+              oplog)
 
     finally:
         for p in servers:

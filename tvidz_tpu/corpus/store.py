@@ -74,6 +74,11 @@ CREATE TABLE IF NOT EXISTS collective_ops (
     kind TEXT NOT NULL,
     meta TEXT NOT NULL
 );
+CREATE TABLE IF NOT EXISTS collective_watermarks (
+    host_id TEXT PRIMARY KEY,
+    seq BIGINT NOT NULL,
+    updated_at DOUBLE PRECISION NOT NULL
+);
 CREATE TABLE IF NOT EXISTS analysis_states (
     clean_filename TEXT PRIMARY KEY,
     video_id INTEGER,
@@ -112,6 +117,11 @@ CREATE TABLE IF NOT EXISTS collective_ops (
     seq SERIAL PRIMARY KEY,
     kind VARCHAR NOT NULL,
     meta TEXT NOT NULL
+);
+CREATE TABLE IF NOT EXISTS collective_watermarks (
+    host_id VARCHAR PRIMARY KEY,
+    seq BIGINT NOT NULL,
+    updated_at DOUBLE PRECISION NOT NULL
 );
 CREATE TABLE IF NOT EXISTS analysis_states (
     clean_filename VARCHAR PRIMARY KEY,
@@ -494,6 +504,64 @@ class Store:
         with self._lock:
             cur = self._conn.cursor()
             cur.execute("SELECT COALESCE(MAX(seq), 0) FROM collective_ops")
+            return int(cur.fetchone()[0])
+
+    def set_collective_watermark(self, host_id: str, seq: int,
+                                 now: float) -> None:
+        """Upsert a host's applied-seq heartbeat (epoch seconds). The
+        pruner treats hosts with a fresh updated_at as live and never
+        prunes past their watermark; a dead host's stale row is ignored —
+        its restart re-warms from the durable tables, not the log."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"INSERT INTO collective_watermarks (host_id, seq, updated_at) "
+                f"VALUES ({ph}, {ph}, {ph}) "
+                f"ON CONFLICT (host_id) DO UPDATE SET "
+                f"seq = excluded.seq, updated_at = excluded.updated_at",
+                (host_id, int(seq), float(now)),
+            )
+            self._conn.commit()
+
+    def min_live_collective_watermark(self, liveness_s: float,
+                                      now: float) -> Optional[int]:
+        """Min applied seq over hosts heartbeating within liveness_s, or
+        None when no host is live (prune nothing — better to let the log
+        grow than to outrun an executor whose clock view we lack)."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT MIN(seq) FROM collective_watermarks "
+                f"WHERE updated_at >= {ph}",
+                (float(now) - float(liveness_s),),
+            )
+            row = cur.fetchone()
+        return int(row[0]) if row and row[0] is not None else None
+
+    def prune_collective_ops(self, upto_seq: int) -> int:
+        """Delete applied op rows with seq <= upto_seq, always retaining
+        the max-seq row: a restarting host snapshots max_collective_seq()
+        as its watermark, and with the log fully emptied a fresh sqlite
+        file (no AUTOINCREMENT memory) could reissue seq 1 while peers sit
+        at a higher watermark. Returns rows deleted."""
+        ph = self._ph()
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"DELETE FROM collective_ops WHERE seq <= {ph} "
+                f"AND seq < (SELECT MAX(seq) FROM collective_ops)",
+                (int(upto_seq),),
+            )
+            n = cur.rowcount
+            self._conn.commit()
+        return int(n if n and n > 0 else 0)
+
+    def collective_op_count(self) -> int:
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute("SELECT COUNT(*) FROM collective_ops")
             return int(cur.fetchone()[0])
 
     # -- durable analysis states (multi-host /status; VERDICT r3 review) --------

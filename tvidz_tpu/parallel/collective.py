@@ -81,7 +81,9 @@ class CollectiveRunner:
 
     def __init__(self, store, mh_corpus, *, hamming_threshold: int = 10,
                  poll_s: float = 0.05, ts_capacity: int = 4096,
-                 fp_capacity: int = 1 << 18, warm_barrier=None):
+                 fp_capacity: int = 1 << 18, warm_barrier=None,
+                 wm_interval_s: float = 5.0, prune_interval_s: float = 60.0,
+                 prune_liveness_s: float = 900.0):
         import jax
 
         self.store = store
@@ -91,6 +93,26 @@ class CollectiveRunner:
         self.ts_capacity = ts_capacity
         self.fp_capacity = fp_capacity
         self.process_index = jax.process_index()
+        # Op-log hygiene: every applied op's row (ingest payloads included)
+        # would otherwise live in the store forever. Each host heartbeats
+        # its applied watermark every wm_interval_s; every prune_interval_s
+        # it deletes rows at or below the minimum watermark of LIVE hosts
+        # (heartbeat within prune_liveness_s). Safe because every op is a
+        # collective all hosts must join — applied watermarks advance in
+        # lockstep, so a live host can never need a row below a peer's
+        # watermark — and a DEAD host rejoins via cluster restart, which
+        # re-warms from the durable tables, never by replaying the log.
+        # prune_liveness_s is deliberately generous (15 min): excluding a
+        # host wedged in a long device op costs nothing while its peers
+        # are blocked on the same collective anyway, but the margin keeps
+        # clock skew between hosts harmless.
+        self.wm_interval_s = wm_interval_s
+        self.prune_interval_s = prune_interval_s
+        self.prune_liveness_s = prune_liveness_s
+        self.oplog_pruned_total = 0
+        self._wm_written_seq = -1
+        self._wm_last = 0.0
+        self._prune_last = time.monotonic()
         # Cross-host rendezvous run between warm and ready (see start()).
         # Injectable for tests; None = sync_global_devices when the
         # cluster has >1 process, no-op single-process.
@@ -220,6 +242,7 @@ class CollectiveRunner:
 
     def _run(self) -> None:
         while not self._stop.is_set():
+            self._hygiene()
             try:
                 ops = self.store.collective_ops_after(self._applied_seq)
             except Exception as e:  # noqa: BLE001 — transient store errors
@@ -264,6 +287,36 @@ class CollectiveRunner:
             else:
                 continue
             time.sleep(self.poll_s)
+
+    def _hygiene(self) -> None:
+        """Throttled watermark heartbeat + op-log pruning (see __init__).
+        Runs on the executor thread so a written watermark always reflects
+        truly-applied ops; failures are logged and retried next loop —
+        hygiene must never stall op application."""
+        now = time.monotonic()
+        if now - self._wm_last >= self.wm_interval_s or self._wm_last == 0.0:
+            try:
+                self.store.set_collective_watermark(
+                    f"host-{self.process_index}", self._applied_seq,
+                    time.time())
+                self._wm_written_seq = self._applied_seq
+                self._wm_last = now
+            except Exception as e:  # noqa: BLE001
+                log("collective", f"watermark heartbeat failed: {e}")
+        if now - self._prune_last >= self.prune_interval_s:
+            self._prune_last = now
+            try:
+                m = self.store.min_live_collective_watermark(
+                    self.prune_liveness_s, time.time())
+                if m is not None and m > 0:
+                    n = self.store.prune_collective_ops(m)
+                    if n:
+                        self.oplog_pruned_total += n
+                        log("collective",
+                            f"pruned {n} applied op rows (<= seq {m}); "
+                            f"{self.oplog_pruned_total} total")
+            except Exception as e:  # noqa: BLE001
+                log("collective", f"op-log prune failed: {e}")
 
     def _take_pending(self, meta) -> Tuple[Optional[dict], Optional[_Future]]:
         with self._pending_lock:

@@ -614,6 +614,15 @@ class InspectorApp:
             footprint = getattr(self.corpus, "device_footprint", None)
             if footprint is not None:
                 out["corpus_footprint"] = footprint
+            # Multi-host op-log hygiene (collective.py _hygiene): live row
+            # count in the shared log + rows this host's pruner reclaimed.
+            runner = getattr(self, "collective_runner", None)
+            if runner is not None:
+                out["collective_oplog"] = {
+                    "rows": runner.store.collective_op_count(),
+                    "applied_seq": runner._applied_seq,
+                    "pruned_total": runner.oplog_pruned_total,
+                }
             return jsonify(out)
 
         return app

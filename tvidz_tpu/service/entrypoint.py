@@ -214,6 +214,10 @@ def main(argv=None) -> None:
                     os.environ.get("TVIDZ_MH_TS_CAPACITY", "4096")),
                 fp_capacity=int(
                     os.environ.get("TVIDZ_MH_FP_CAPACITY", str(1 << 18))),
+                prune_interval_s=float(
+                    os.environ.get("TVIDZ_MH_PRUNE_INTERVAL_S", "60")),
+                prune_liveness_s=float(
+                    os.environ.get("TVIDZ_MH_PRUNE_LIVENESS_S", "900")),
             )
             corpus = MultiHostCorpusClient(
                 runner, max_cuts=config.match.max_cuts)
