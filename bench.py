@@ -656,12 +656,15 @@ def main() -> None:
     e2e_curve = None
     e2e_curve_fast = None
     decode_roofline = None
+    verdict = None
+    verdict16 = None
     if not cpu_fallback:
         try:
             bench_reference_python_scan()
-            bench_verdict_latency()
+            verdict = bench_verdict_latency()
             # Scale margin: the same scan at 16x the north-star corpus.
-            bench_verdict_latency(corpus_n=1 << 24, iters=3, chain_k=10)
+            verdict16 = bench_verdict_latency(
+                corpus_n=1 << 24, iters=3, chain_k=10)
             bench_timestamp_match()
             bench_batched_clips()
             frag_p50 = bench_fragment_search()
@@ -695,6 +698,14 @@ def main() -> None:
         record["vs_baseline_e2e_fast"] = round(e2e_fps_fast / 20000.0, 4)
     if decode_roofline:
         record["decode_only_frames_per_sec"] = decode_roofline
+    if verdict is not None:
+        # Duplicate-verdict corpus scan (north star: <1 s vs 1M on 1 chip):
+        # device-only latency of the winning kernel (MXU pm1-matmul on TPU)
+        # with a 16M-row scale-margin point and the compare rate.
+        record["verdict_1m_device_ms"] = round(verdict[0] * 1e3, 3)
+        record["verdict_compares_per_sec"] = round(verdict[1])
+    if verdict16 is not None:
+        record["verdict_16m_device_ms"] = round(verdict16[0] * 1e3, 3)
     if frag_p50 is not None:
         record["fragment_search_1m_p50_ms"] = round(frag_p50 * 1e3, 2)
     if frag10_p50 is not None:

@@ -97,8 +97,49 @@ def child(process_id: int, num_processes: int, port: int) -> int:
             d0, _, vid0 = nn2[m][0]
             assert d0 == 0 and vid0 == vid, (m, vid, nn2[m])
 
+    # Churn hygiene across the host boundary: tombstoned ts/al slots are
+    # reused by the next claim, and a full fingerprint tail with tombstones
+    # triggers the collective compaction (all_gather + replicated-perm
+    # gather) on both hosts at the same op.
+    churn = MultiHostShardedCorpus(mesh, max_cuts=16, hamming_threshold=5,
+                                   al_tcap=64)
+    churn.load_timestamps([], [], min_rows=8)
+    churn.load_fingerprints(
+        np.zeros((0, 2), np.uint32), np.zeros(0, np.int32), min_rows=256)
+    cap = churn._inner.corpus_fp.shape[0]
+    per = 128
+    vids_fps = {}
+    for i in range(cap // per):
+        vf = rng.integers(1, 2**32 - 1, size=(per, 2), dtype=np.uint32)
+        vids_fps[600 + i] = vf
+        src = i % num_processes
+        churn.append_video(600 + i, ts=[1.0 + i, 2.0 + i] if process_id == src
+                           else None, fps=vf if process_id == src else None,
+                           n_ts=2, n_fp=per, src_process=src)
+    assert churn._fp_count == cap
+    churn.remove_video(600)
+    ts_rows, al_rows = churn._ts_rows, churn._al_rows
+    vf_new = rng.integers(1, 2**32 - 1, size=(per, 2), dtype=np.uint32)
+    churn.append_video(777, ts=[50.0, 60.0] if process_id == 0 else None,
+                       fps=vf_new if process_id == 0 else None,
+                       n_ts=2, n_fp=per, src_process=0)
+    assert churn.fp_compactions == 1, churn.fp_compactions
+    assert churn._fp_count == cap
+    assert (churn._ts_rows, churn._al_rows) == (ts_rows, al_rows)
+    assert churn.match_timestamps([50.0, 60.0], min_match=2) == [(777, 2)]
+    assert churn.match_timestamps([1.0, 2.0], min_match=2) == []
+    nn3 = churn.nearest_fingerprints(vf_new[:4], k=1)
+    assert all(nn3[m][0][0] == 0 and nn3[m][0][2] == 777 for m in range(4))
+    survivor = 601
+    nn4 = churn.nearest_fingerprints(vids_fps[survivor][:4], k=1)
+    assert all(nn4[m][0][0] == 0 and nn4[m][0][2] == survivor
+               for m in range(4)), nn4
+    fh = churn.fragment_search(vf_new[30:62], top_k=2)
+    assert fh and fh[0][:2] == (777, 30), fh
+
     print(f"[host {process_id}] OK: sharded search verified "
-          f"(ts hits {hits}, nearest exact, collective append x2)", flush=True)
+          f"(ts hits {hits}, nearest exact, collective append x2, "
+          f"churn compaction #{churn.fp_compactions})", flush=True)
     return 0
 
 

@@ -223,7 +223,7 @@ def main() -> int:
         # 6. Op-log hygiene across real hosts: with the fast prune cadence
         # above, applied op rows (ingest payloads included) are reclaimed
         # down to the live floor; both hosts' watermarks gate the delete.
-        deadline = time.time() + 30
+        deadline = time.time() + 60
         oplog = {}
         while time.time() < deadline:
             oplog = requests.get(f"{bases[0]}/metrics", timeout=10

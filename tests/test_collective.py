@@ -315,3 +315,64 @@ def test_oplog_pruned_to_min_live_watermark(rng):
     finally:
         runner2.stop()
         store.close()
+
+
+def test_multihost_churn_reclaims_capacity(rng):
+    """Churn hygiene on the host-sharded corpus (the multi-host analog of
+    tests/test_churn.py): tombstoned timestamp/alignment slots are reused
+    by the next claim, and when the fingerprint tail hits capacity with
+    tombstones present, the collective compaction reclaims them instead of
+    forcing a cluster restart — with verdicts and fragment localization
+    intact across the compaction."""
+    store = Store("sqlite:///:memory:")
+    mesh = make_multihost_mesh()
+    mh = MultiHostShardedCorpus(mesh, max_cuts=16, hamming_threshold=5,
+                                al_tcap=64)
+    runner = CollectiveRunner(store, mh, hamming_threshold=5, poll_s=0.01,
+                              ts_capacity=16, fp_capacity=256)
+    client = MultiHostCorpusClient(runner, max_cuts=16, op_timeout_s=60)
+    runner.start()
+    try:
+        cap = mh._inner.corpus_fp.shape[0]
+        per = 128  # append unit: keeps the psum pad (multiples of 128) exact
+        n_fill = cap // per
+        assert n_fill >= 2
+        all_fps = {}
+        for i in range(n_fill):
+            vid = i + 1
+            fps = rng.integers(0, 2**32, size=(per, 2), dtype=np.uint32)
+            all_fps[vid] = fps
+            client.upsert_timestamps(vid, [0.5 + vid, 2.0 + vid])
+            client.append_fingerprints(vid, fps)
+        assert mh._fp_count == cap          # tail full
+        assert mh.fp_compactions == 0
+
+        client.remove_video(1)
+        ts_rows = mh._ts_rows
+        al_rows = mh._al_rows
+
+        # New video after removal: ts/al slots are REUSED (row counts flat)
+        # and the full fingerprint append triggers ONE compaction.
+        new_fps = rng.integers(0, 2**32, size=(per, 2), dtype=np.uint32)
+        client.upsert_timestamps(99, [7.5, 8.0])
+        client.append_fingerprints(99, new_fps)
+        assert mh.fp_compactions == 1
+        assert mh._fp_count == cap          # full again, no dead rows
+        assert mh._ts_rows == ts_rows       # tombstoned ts slot reused
+        assert mh._al_rows == al_rows       # tombstoned al row reused
+
+        # Verdicts across the compaction: survivors keep exact evidence,
+        # the removed video is gone, the new video is searchable.
+        vid2 = 2
+        assert client.match_timestamps([0.5 + vid2, 2.0 + vid2],
+                                       min_match=2) == [(vid2, 2)]
+        assert client.match_timestamps([1.5, 3.0], min_match=2) == []
+        assert client.nearest_video_counts(all_fps[vid2][10:18]) == {vid2: 8}
+        counts = client.nearest_video_counts(new_fps[:8])
+        assert counts == {99: 8}
+        hits = client.locate_fragment(new_fps[20:52], top_k=2)
+        assert hits and hits[0][:2] == (99, 20), hits
+        assert all(h[0] != 1 for h in hits)
+    finally:
+        runner.stop()
+        store.close()

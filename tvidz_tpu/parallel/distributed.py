@@ -174,6 +174,8 @@ class MultiHostShardedCorpus:
         self._append_ts_jit = None
         self._append_fp_jit = None
         self._remove_jit = None
+        self._compact_fp_jit = None
+        self.fp_compactions = 0     # hygiene counter (tests/metrics)
         # Alignment (fragment-search) index: one (al_tcap, words) row per
         # video, row-sharded host-major like the fingerprint index. Videos
         # longer than al_tcap frames are clamped (localization inside the
@@ -287,8 +289,13 @@ class MultiHostShardedCorpus:
         """Collective tombstone (ALL processes must call with the same id):
         host-side video id mirrors go to -1 (filters every query's output)
         and the removed fingerprint rows' device valid mask is cleared so
-        distance-0 tombstones cannot absorb top-k slots. Row slots are not
-        reclaimed (same policy as DeviceCorpus.remove_video)."""
+        distance-0 tombstones cannot absorb top-k slots. Slot reclamation
+        under churn: timestamp/alignment rows are whole-row upserts, so
+        tombstoned slots are simply reused by the next new video's claim;
+        fingerprint rows append at the tail, so their slots are reclaimed
+        by the collective compaction _append_fingerprints triggers when
+        the tail hits capacity (growth-by-restart otherwise forces a
+        cluster restart on a churning corpus that never actually grows)."""
         import jax
         import jax.numpy as jnp
 
@@ -298,10 +305,12 @@ class MultiHostShardedCorpus:
                 inner.video_ids == video_id, -1, inner.video_ids)
         if self.al_video_ids is not None:
             # Alignment tombstone: host vid mirror -1 filters the video out
-            # of every fragment result (the device row still scans; slots
-            # are reclaimed only by a reload, same policy as DeviceCorpus).
-            self.al_video_ids = np.where(
-                self.al_video_ids == video_id, -1, self.al_video_ids)
+            # of every fragment result; the host length is zeroed so a
+            # reusing claim restarts the row at [0, n) — the stale device
+            # row keeps scanning until then (masked from results by vid).
+            hit_al = self.al_video_ids == video_id
+            self.al_len_host[hit_al] = 0
+            self.al_video_ids[hit_al] = -1
         if inner.fp_video_ids is None or inner.corpus_fp_valid is None:
             return
         hit = inner.fp_video_ids == video_id
@@ -410,9 +419,16 @@ class MultiHostShardedCorpus:
         if inner.corpus_ts is None:
             raise RuntimeError("load_timestamps(min_rows=...) first")
         cap = inner.corpus_ts.shape[0]
-        # Upsert: reuse the video's existing row, else claim the next one.
+        # Upsert: reuse the video's existing row, else a tombstoned slot
+        # (remove_video leaves -1 ids; the program overwrites the FULL row,
+        # so reuse is free and churn doesn't burn capacity), else the tail.
+        # Host mirrors are identical on every process, so the choice is too.
         existing = np.nonzero(inner.video_ids[: self._ts_rows] == video_id)[0]
-        row = int(existing[0]) if existing.size else self._ts_rows
+        if existing.size:
+            row = int(existing[0])
+        else:
+            freed = np.nonzero(inner.video_ids[: self._ts_rows] == -1)[0]
+            row = int(freed[0]) if freed.size else self._ts_rows
         if row >= cap:
             raise RuntimeError(
                 f"timestamp capacity {cap} exhausted; reload with min_rows")
@@ -473,6 +489,15 @@ class MultiHostShardedCorpus:
         cap = inner.corpus_fp.shape[0]
         start = self._fp_count
         if start + n_fp > cap:
+            # Tail full but tombstoned slots exist (removed/re-uploaded
+            # videos): compact instead of forcing a cluster restart.
+            # Deterministic: every host applies the same op against the
+            # same mirrors, so all compact together.
+            live = int((inner.fp_video_ids[:start] >= 0).sum())
+            if live + n_fp <= cap:
+                self._compact_fingerprints()
+                start = self._fp_count
+        if start + n_fp > cap:
             raise RuntimeError(
                 f"fingerprint capacity {cap} exhausted "
                 f"({start}+{n_fp}); reload with min_rows")
@@ -518,6 +543,61 @@ class MultiHostShardedCorpus:
         inner.fp_video_ids[start : start + n_fp] = video_id
         self._fp_count += n_fp
 
+    def _compact_fingerprints(self) -> None:
+        """Collective in-place compaction of the fingerprint index: every
+        valid row slides down to close tombstone gaps, preserving order
+        (frame indices in query results are computed fresh per query, so
+        nothing external references the old positions). ALL processes run
+        this at the same op with identical mirrors. Device side, each
+        shard all_gathers the full table once (O(cap x W) over ICI/DCN —
+        rare: only when the tail hits capacity) and gathers its local
+        slice through the replicated permutation."""
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        cap = inner.corpus_fp.shape[0]
+        keep = np.nonzero(inner.fp_video_ids[: self._fp_count] >= 0)[0]
+        k = keep.size
+        perm = np.zeros(cap, np.int32)     # NEW slot -> OLD row to read
+        perm[:k] = keep
+        perm_dev = inner._replicate(perm)
+        k_dev = inner._replicate(np.asarray([k], np.int32))
+
+        if self._compact_fp_jit is None:
+            def local(p, kk, c_fp, c_valid):
+                full = jax.lax.all_gather(
+                    c_fp, CORPUS_AXIS, tiled=True)          # (cap, W)
+                nloc = c_fp.shape[0]
+                base = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * nloc
+                gi = base + jnp.arange(nloc, dtype=jnp.int32)
+                return full[p[gi]], gi < kk[0]
+
+            fn = shard_map(
+                local, mesh=self.mesh,
+                in_specs=(P(), P(), P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+                out_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+                check_vma=False,
+            )
+            self._compact_fp_jit = jax.jit(fn, donate_argnums=(2, 3))
+
+        inner.corpus_fp, inner.corpus_fp_valid = self._compact_fp_jit(
+            perm_dev, k_dev, inner.corpus_fp, inner.corpus_fp_valid
+        )
+        new_vids = np.full(cap, -1, inner.fp_video_ids.dtype)
+        new_vids[:k] = inner.fp_video_ids[keep]
+        inner.fp_video_ids = new_vids
+        reclaimed = self._fp_count - k
+        self._fp_count = k
+        self.fp_compactions += 1
+        log("distributed",
+            f"fingerprint index compacted: {reclaimed} tombstoned rows "
+            f"reclaimed, {k} live rows (compaction #{self.fp_compactions})")
+
     def _append_alignment(self, video_id: int, fps, n_fp: int) -> None:
         """Collective extension of the video's alignment row (same psum
         broadcast as _append_fingerprints; streamed blocks extend the same
@@ -545,7 +625,13 @@ class MultiHostShardedCorpus:
         if existing.size:
             row = int(existing[0])
         else:
-            row = self._al_rows
+            # Claim a tombstoned slot first (remove_video zeroes its host
+            # length, so the program's len overwrite restarts the row at
+            # [0, n); stale device bits beyond the new length are masked
+            # by corpus_al_len), else the tail. Deterministic: host
+            # mirrors are identical on every process.
+            freed = np.nonzero(self.al_video_ids[: self._al_rows] == -1)[0]
+            row = int(freed[0]) if freed.size else self._al_rows
             if row >= vcap:
                 raise RuntimeError(
                     f"alignment video capacity {vcap} exhausted; "
@@ -556,7 +642,8 @@ class MultiHostShardedCorpus:
             if not existing.size:
                 # Still claim the row so the video exists in the index.
                 self.al_video_ids[row] = video_id
-                self._al_rows += 1
+                if row == self._al_rows:
+                    self._al_rows += 1
             return
         words = inner.words
         fp_pad = -(-n_eff // 128) * 128
@@ -606,7 +693,8 @@ class MultiHostShardedCorpus:
         self.al_len_host[row] = cur + n_eff
         if not existing.size:
             self.al_video_ids[row] = video_id
-            self._al_rows += 1
+            if row == self._al_rows:
+                self._al_rows += 1
 
     def fragment_search(self, query_fps: np.ndarray, top_k: int = 5,
                         hamming_threshold: Optional[int] = None,
