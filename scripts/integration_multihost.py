@@ -84,9 +84,8 @@ def main() -> int:
                 # ingested (fragment check needs the copy's whole index row).
                 "TVIDZ_EARLY_EXIT": "0",
                 # Fast op-log pruning so this 2-process run also proves the
-                # hygiene loop (min-live-watermark delete) over real hosts.
+                # hygiene loop (min-member-watermark delete) over real hosts.
                 "TVIDZ_MH_PRUNE_INTERVAL_S": "2",
-                "TVIDZ_MH_PRUNE_LIVENESS_S": "120",
             }
             # Server logs go to FILES (an undrained pipe blocks the server).
             lf = open(os.path.join(workdir, f"host{pid}.log"), "w")
@@ -231,7 +230,7 @@ def main() -> int:
             if oplog.get("pruned_total", 0) > 0 and oplog.get("rows", 99) <= 2:
                 break
             time.sleep(1.0)
-        check("op log pruned to the min live watermark",
+        check("op log pruned to the min member watermark",
               oplog.get("pruned_total", 0) > 0 and oplog.get("rows", 99) <= 2,
               oplog)
 

@@ -241,12 +241,14 @@ def test_remove_video_with_interleaved_appends(stack, rng):
     assert client.nearest_video_counts(a2[:8]) == {}
 
 
-def test_oplog_pruned_to_min_live_watermark(rng):
+def test_oplog_pruned_to_min_member_watermark(rng):
     """Applied op rows are reclaimed from the shared store: the pruner
-    deletes at or below the minimum watermark of LIVE hosts, keeps the
-    max-seq row for restart watermark snapshots, never outruns a lagging
-    (still-heartbeating) host, and ignores stale heartbeats — a dead host
-    re-warms from the durable tables on restart, not from the log."""
+    deletes at or below the minimum watermark of ALL members, keeps the
+    max-seq row for restart watermark snapshots, and NEVER outruns a
+    lagging member — even one that has stopped heartbeating entirely
+    (remove ops are host-local, so a silent member could otherwise miss
+    pruned rows and diverge via gap-skip). Departed members' ghost rows
+    are cleared by the membership cleanup at cluster start."""
     import time as _time
 
     store = Store("sqlite:///:memory:")
@@ -255,12 +257,11 @@ def test_oplog_pruned_to_min_live_watermark(rng):
                                 al_tcap=256)
     runner = CollectiveRunner(store, mh, hamming_threshold=5, poll_s=0.01,
                               ts_capacity=64, fp_capacity=2048,
-                              wm_interval_s=0.0, prune_interval_s=0.05,
-                              prune_liveness_s=5.0)
+                              wm_interval_s=0.0, prune_interval_s=0.05)
     client = MultiHostCorpusClient(runner, max_cuts=16, op_timeout_s=60)
     runner.start()
     try:
-        # A lagging LIVE peer (registered before any op) pins the prune
+        # A lagging member (registered before any op) pins the prune
         # point at its watermark even while this host races ahead.
         store.set_collective_watermark("host-peer", 2, _time.time())
         fps = rng.integers(0, 2**32, size=(40, 2), dtype=np.uint32)
@@ -284,24 +285,29 @@ def test_oplog_pruned_to_min_live_watermark(rng):
         assert remaining == set(range(3, n_ops + 1))
         assert runner.oplog_pruned_total == 2
 
-        # Peer goes stale -> everything applied is reclaimed except the
-        # max-seq row (restart snapshot anchor).
-        store.set_collective_watermark("host-peer", 2, _time.time() - 60.0)
-        runner.prune_liveness_s = 0.5
-        _time.sleep(0.6)
+        # The peer stays SILENT: no liveness cutoff may outrun it — the
+        # prune point must stay pinned across many prune intervals.
+        _time.sleep(0.5)
+        assert store.collective_op_count() == n_ops - 2
+
+        # The peer catches up -> everything applied is reclaimed except
+        # the max-seq row (restart snapshot anchor).
+        store.set_collective_watermark("host-peer", n_ops, _time.time())
         deadline = _time.time() + 5
         while store.collective_op_count() > 1:
             assert _time.time() < deadline, store.collective_op_count()
             _time.sleep(0.05)
         assert {s for s, _, _ in store.collective_ops_after(0)} == {n_ops}
 
-        # The corpus is intact after pruning, and a restart warm (fresh
-        # runner on the same store) serves the same verdicts from the
-        # durable tables.
+        # The corpus is intact after pruning.
         assert client.match_timestamps([1.0, 4.0], min_match=2) == [(2, 2)]
     finally:
         runner.stop()
 
+    # Cluster restart: start() clears watermark rows outside the current
+    # 1-process membership (the departed peer's ghost row must not pin
+    # pruning forever), snapshots the watermark from the retained max-seq
+    # row, and serves the same verdicts warmed from the durable tables.
     mh2 = MultiHostShardedCorpus(make_multihost_mesh(), max_cuts=16,
                                  hamming_threshold=5, al_tcap=256)
     runner2 = CollectiveRunner(store, mh2, hamming_threshold=5, poll_s=0.01,
@@ -309,9 +315,11 @@ def test_oplog_pruned_to_min_live_watermark(rng):
     client2 = MultiHostCorpusClient(runner2, max_cuts=16, op_timeout_s=60)
     runner2.start()
     try:
+        assert store.min_collective_watermark() == store.max_collective_seq()
         assert runner2._applied_seq == store.max_collective_seq()
         assert client2.match_timestamps([1.0, 4.0], min_match=2) == [(2, 2)]
         assert client2.num_videos == 3
+        assert client2.num_fingerprints == mh2._fp_count
     finally:
         runner2.stop()
         store.close()

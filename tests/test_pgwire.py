@@ -115,14 +115,14 @@ def test_store_collective_ops_over_the_wire(store):
     assert [o[1] for o in ops] == ["append", "ts_query"]
     assert ops[0][2]["video_id"] == 5
     assert store.max_collective_seq() == s2
-    # Watermark heartbeat upsert + live-min + pruning over the wire
-    # (collective.py _hygiene's exact statement sequence).
+    # Watermark upsert + min-member + membership cleanup + pruning over
+    # the wire (collective.py _hygiene's exact statement sequence).
     store.set_collective_watermark("host-0", s1, 1000.0)
     store.set_collective_watermark("host-0", s2, 1001.0)   # UPDATE path
-    store.set_collective_watermark("host-1", s1, 100.0)    # stale peer
-    assert store.min_live_collective_watermark(60.0, 1002.0) == s2
-    assert store.min_live_collective_watermark(60.0, 120.0) == s1
-    assert store.min_live_collective_watermark(1.0, 99999.0) is None
+    store.set_collective_watermark("host-1", s1, 100.0)    # lagging member
+    assert store.min_collective_watermark() == s1
+    store.prune_collective_watermarks(["host-0"])          # host-1 departed
+    assert store.min_collective_watermark() == s2
     assert store.prune_collective_ops(s2) == 1             # keeps max row
     assert store.collective_op_count() == 1
     assert store.max_collective_seq() == s2

@@ -508,10 +508,13 @@ class Store:
 
     def set_collective_watermark(self, host_id: str, seq: int,
                                  now: float) -> None:
-        """Upsert a host's applied-seq heartbeat (epoch seconds). The
-        pruner treats hosts with a fresh updated_at as live and never
-        prunes past their watermark; a dead host's stale row is ignored —
-        its restart re-warms from the durable tables, not the log."""
+        """Upsert a host's applied-seq watermark (updated_at is epoch
+        seconds, informational). The pruner never deletes past ANY
+        member's watermark — a stalled member blocks pruning rather than
+        being outrun (remove ops are host-local, so a silent host could
+        otherwise diverge via gap-skip once its unread rows vanish);
+        rows of departed members are cleared at cluster start
+        (prune_collective_watermarks)."""
         ph = self._ph()
         with self._lock:
             cur = self._conn.cursor()
@@ -524,21 +527,33 @@ class Store:
             )
             self._conn.commit()
 
-    def min_live_collective_watermark(self, liveness_s: float,
-                                      now: float) -> Optional[int]:
-        """Min applied seq over hosts heartbeating within liveness_s, or
-        None when no host is live (prune nothing — better to let the log
-        grow than to outrun an executor whose clock view we lack)."""
+    def min_collective_watermark(self) -> Optional[int]:
+        """Min applied seq over every registered member, or None when no
+        member has registered (prune nothing). No liveness cutoff: a
+        member that stops heartbeating pins the prune point until it
+        recovers or the cluster restarts — better an unbounded log than a
+        recovered host silently gap-skipping pruned ops."""
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute("SELECT MIN(seq) FROM collective_watermarks")
+            row = cur.fetchone()
+        return int(row[0]) if row and row[0] is not None else None
+
+    def prune_collective_watermarks(self, keep_host_ids) -> None:
+        """Delete watermark rows of hosts outside the current membership
+        (cluster restarts can shrink the host count; a departed member's
+        stale row must not pin pruning forever)."""
+        keep = list(keep_host_ids)
         ph = self._ph()
+        marks = ", ".join([ph] * len(keep)) if keep else "NULL"
         with self._lock:
             cur = self._conn.cursor()
             cur.execute(
-                f"SELECT MIN(seq) FROM collective_watermarks "
-                f"WHERE updated_at >= {ph}",
-                (float(now) - float(liveness_s),),
+                f"DELETE FROM collective_watermarks "
+                f"WHERE host_id NOT IN ({marks})",
+                tuple(keep),
             )
-            row = cur.fetchone()
-        return int(row[0]) if row and row[0] is not None else None
+            self._conn.commit()
 
     def prune_collective_ops(self, upto_seq: int) -> int:
         """Delete applied op rows with seq <= upto_seq, always retaining

@@ -82,8 +82,7 @@ class CollectiveRunner:
     def __init__(self, store, mh_corpus, *, hamming_threshold: int = 10,
                  poll_s: float = 0.05, ts_capacity: int = 4096,
                  fp_capacity: int = 1 << 18, warm_barrier=None,
-                 wm_interval_s: float = 5.0, prune_interval_s: float = 60.0,
-                 prune_liveness_s: float = 900.0):
+                 wm_interval_s: float = 5.0, prune_interval_s: float = 60.0):
         import jax
 
         self.store = store
@@ -94,21 +93,19 @@ class CollectiveRunner:
         self.fp_capacity = fp_capacity
         self.process_index = jax.process_index()
         # Op-log hygiene: every applied op's row (ingest payloads included)
-        # would otherwise live in the store forever. Each host heartbeats
-        # its applied watermark every wm_interval_s; every prune_interval_s
-        # it deletes rows at or below the minimum watermark of LIVE hosts
-        # (heartbeat within prune_liveness_s). Safe because every op is a
-        # collective all hosts must join — applied watermarks advance in
-        # lockstep, so a live host can never need a row below a peer's
-        # watermark — and a DEAD host rejoins via cluster restart, which
-        # re-warms from the durable tables, never by replaying the log.
-        # prune_liveness_s is deliberately generous (15 min): excluding a
-        # host wedged in a long device op costs nothing while its peers
-        # are blocked on the same collective anyway, but the margin keeps
-        # clock skew between hosts harmless.
+        # would otherwise live in the store forever. Each host records its
+        # applied watermark (at most every wm_interval_s, only when it
+        # advanced); every prune_interval_s it deletes rows at or below the
+        # minimum watermark of ALL members. No liveness cutoff: query and
+        # append ops are collectives that keep watermarks in lockstep, but
+        # remove/reset are host-local, so a stalled member could silently
+        # fall behind on a run of them — it must PIN pruning (bounded-log
+        # sacrificed) rather than be outrun and later gap-skip rows it
+        # never read (silent mirror divergence). Members depart only via
+        # cluster restart, where start() clears rows outside the new
+        # membership so a shrunk cluster doesn't pin on ghosts.
         self.wm_interval_s = wm_interval_s
         self.prune_interval_s = prune_interval_s
-        self.prune_liveness_s = prune_liveness_s
         self.oplog_pruned_total = 0
         self._wm_written_seq = -1
         self._wm_last = 0.0
@@ -134,11 +131,11 @@ class CollectiveRunner:
         self.gap_timeout_s = 120.0
         self._gap_seq: Optional[int] = None
         self._gap_since = 0.0
-        # Host-side state mirrors, maintained from applied ops so every
-        # host answers num_videos/num_fingerprints identically without a
-        # store round-trip.
+        # Host-side video-id mirror, maintained from applied ops so every
+        # host answers num_videos identically without a store round-trip
+        # (num_fingerprints delegates to the corpus row count, which
+        # remove/compaction keep honest).
         self._video_ids: set = set()
-        self._fp_count = 0
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -159,6 +156,8 @@ class CollectiveRunner:
         persisted (analyzer persists store-first) and logged strictly
         after every warm read. Restarts are therefore exact with no
         ingest drain (docs/multihost.md)."""
+        import jax
+
         self._applied_seq = self.store.max_collective_seq()
         self.corpus.refresh_from_store(
             self.store, min_ts_rows=self.ts_capacity,
@@ -166,11 +165,19 @@ class CollectiveRunner:
         for vid, ts in self.store.all_timestamps():
             if ts:
                 self._video_ids.add(int(vid))
-        self._fp_count = self.corpus._fp_count
+        # Watermark registration BEFORE the barrier: every member has a
+        # row in collective_watermarks before any post-barrier op can be
+        # logged, so pruning can never outrun a member that simply hasn't
+        # heartbeated yet. Process 0 also clears rows of departed members
+        # (cluster restarts can shrink the host count).
+        if self.process_index == 0:
+            self.store.prune_collective_watermarks(
+                [f"host-{i}" for i in range(jax.process_count())])
+        self.store.set_collective_watermark(
+            f"host-{self.process_index}", self._applied_seq, time.time())
+        self._wm_written_seq = self._applied_seq
         barrier = self._warm_barrier
         if barrier is None:
-            import jax
-
             if jax.process_count() > 1:
                 from jax.experimental import multihost_utils
 
@@ -184,7 +191,8 @@ class CollectiveRunner:
         self._thread.start()
         log("collective",
             f"host {self.process_index} runner up at seq {self._applied_seq} "
-            f"({len(self._video_ids)} videos, {self._fp_count} fingerprints)")
+            f"({len(self._video_ids)} videos, "
+            f"{self.num_fingerprints} fingerprints)")
 
     def stop(self) -> None:
         # Clear readiness FIRST so post-stop submits fail fast instead of
@@ -294,7 +302,8 @@ class CollectiveRunner:
         truly-applied ops; failures are logged and retried next loop —
         hygiene must never stall op application."""
         now = time.monotonic()
-        if now - self._wm_last >= self.wm_interval_s or self._wm_last == 0.0:
+        if (self._applied_seq != self._wm_written_seq
+                and now - self._wm_last >= self.wm_interval_s):
             try:
                 self.store.set_collective_watermark(
                     f"host-{self.process_index}", self._applied_seq,
@@ -306,8 +315,7 @@ class CollectiveRunner:
         if now - self._prune_last >= self.prune_interval_s:
             self._prune_last = now
             try:
-                m = self.store.min_live_collective_watermark(
-                    self.prune_liveness_s, time.time())
+                m = self.store.min_collective_watermark()
                 if m is not None and m > 0:
                     n = self.store.prune_collective_ops(m)
                     if n:
@@ -364,7 +372,6 @@ class CollectiveRunner:
                            n_ts=n_ts, n_fp=n_fp)
             if n_ts:
                 self._video_ids.add(vid)
-            self._fp_count += n_fp
             return None
         if kind == "ts_query":
             return c.match_timestamps(
@@ -416,7 +423,6 @@ class CollectiveRunner:
                 _EmptyStore(), min_ts_rows=self.ts_capacity,
                 min_fp_rows=self.fp_capacity)
             self._video_ids.clear()
-            self._fp_count = 0
             c._fp_count = 0
             c._ts_rows = 0
             return None
@@ -430,7 +436,10 @@ class CollectiveRunner:
 
     @property
     def num_fingerprints(self) -> int:
-        return self._fp_count
+        # Rows in the device index (DeviceCorpus._fp_count parity):
+        # includes tombstones until compaction reclaims them, shrinks when
+        # it does — the mirror this replaced only ever grew (review r3).
+        return int(self.corpus._fp_count)
 
 
 class _EmptyStore:

@@ -216,8 +216,6 @@ def main(argv=None) -> None:
                     os.environ.get("TVIDZ_MH_FP_CAPACITY", str(1 << 18))),
                 prune_interval_s=float(
                     os.environ.get("TVIDZ_MH_PRUNE_INTERVAL_S", "60")),
-                prune_liveness_s=float(
-                    os.environ.get("TVIDZ_MH_PRUNE_LIVENESS_S", "900")),
             )
             corpus = MultiHostCorpusClient(
                 runner, max_cuts=config.match.max_cuts)
