@@ -1,0 +1,251 @@
+"""Property-based tests (hypothesis) — the generative tier over the
+golden models and wire-format code.
+
+The example-based suites pin known cases; these pin the INVARIANTS:
+kernels agree with ops/golden.py for arbitrary content, the SigV4 signer
+round-trips through its own server-side validator for arbitrary keys,
+canonicalization is input-order independent, and the store round-trips
+the analyzer's 6-decimal timestamp contract exactly.
+
+Shapes are FIXED inside each kernel property (content varies via a drawn
+rng seed) so jit compiles once per test, keeping the suite fast.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from tvidz_tpu.ops import golden
+
+# Keep hypothesis fast and deterministic under the hermetic suite.
+_SETTINGS = dict(max_examples=25, deadline=None, derandomize=True)
+
+
+# -- kernels vs golden models -------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_corpus_min_distance_matches_golden(seed):
+    from tvidz_tpu.ops.hamming import corpus_min_distance
+
+    rng = np.random.default_rng(seed)
+    n, m, w = 257, 9, 2     # deliberately unaligned: exercises padding
+    corpus = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+    frame_min, q_min, q_arg = corpus_min_distance(q, corpus)
+    h = golden.hamming_matrix(q, corpus)          # (M, N)
+    np.testing.assert_array_equal(np.asarray(frame_min), h.min(axis=0))
+    np.testing.assert_array_equal(np.asarray(q_min), h.min(axis=1))
+    # argmin ties break to the FIRST index (golden np.argmin semantics).
+    np.testing.assert_array_equal(np.asarray(q_arg), h.argmin(axis=1))
+
+
+@settings(**_SETTINGS)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    tolerance=st.sampled_from([0.0, 0.05, 0.5]),
+)
+def test_timestamp_match_counts_matches_golden(seed, tolerance):
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.timestamps import timestamp_match_counts
+
+    rng = np.random.default_rng(seed)
+    n, max_cuts, k = 33, 8, 6
+    # Timestamps on a coarse grid so exact (tolerance=0) collisions occur.
+    corpus = np.full((n, max_cuts), np.nan, np.float32)
+    lens = rng.integers(0, max_cuts + 1, size=n).astype(np.int32)
+    for i in range(n):
+        corpus[i, : lens[i]] = np.sort(
+            rng.choice(np.arange(0, 40, 0.5, dtype=np.float32),
+                       size=lens[i], replace=False))
+    q = np.full(k, np.nan, np.float32)
+    k_real = int(rng.integers(1, k + 1))
+    q[:k_real] = rng.choice(np.arange(0, 40, 0.5, dtype=np.float32),
+                            size=k_real, replace=False)
+    counts = np.asarray(timestamp_match_counts(
+        jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(lens),
+        tolerance=tolerance))
+    expect = golden.timestamp_match_counts(q, corpus, lens, tolerance)
+    np.testing.assert_array_equal(counts, expect)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_fragment_search_localizes_planted_fragment(seed):
+    from tvidz_tpu.ops.align import fragment_search
+
+    rng = np.random.default_rng(seed)
+    v, tc, w, tq = 4, 96, 2, 24
+    corpus = rng.integers(0, 2**32, size=(v, tc, w), dtype=np.uint32)
+    lens = np.full(v, tc, np.int32)
+    vid = int(rng.integers(0, v))
+    off = int(rng.integers(0, tc - tq + 1))
+    frag = corpus[vid, off : off + tq].copy()
+    q = np.full((64, w), 0xFFFFFFFF, np.uint32)
+    q[:tq] = frag
+    offs, scores = fragment_search(q, tq, corpus, lens,
+                                   hamming_threshold=0, chunk=4)
+    offs, scores = np.asarray(offs), np.asarray(scores)
+    # The planted video aligns the full fragment at the planted offset.
+    assert scores[vid] == tq
+    got_off = int(offs[vid])
+    # Random uint32 frames collide with ~0 probability, but an identical
+    # window elsewhere in the same video is legal — accept any offset
+    # whose window is bit-identical to the fragment.
+    np.testing.assert_array_equal(corpus[vid, got_off : got_off + tq], frag)
+    # No other video can beat the full-length score without containing the
+    # exact window (threshold 0 = bit-exact diagonal matches only).
+    for other in range(v):
+        if other != vid and scores[other] == tq:
+            o = int(offs[other])
+            np.testing.assert_array_equal(
+                corpus[other, o : o + tq], frag)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_phash_matches_golden(seed):
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.hashes import phash64_batched
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(3, 90, 160), dtype=np.uint8)
+    got = np.asarray(phash64_batched(jnp.asarray(frames)))
+    expect = np.stack([golden.phash(f) for f in frames])
+    np.testing.assert_array_equal(got, expect)
+
+
+# -- SigV4 signer <-> validator -----------------------------------------------
+
+_KEY_ALPHABET = st.characters(
+    codec="utf-8", blacklist_categories=("Cs", "Cc"),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    key=st.text(_KEY_ALPHABET, min_size=1, max_size=60),
+    expires=st.integers(1, 604800),
+)
+def test_presign_validates_for_arbitrary_keys(key, expires):
+    import datetime
+    import urllib.parse
+
+    from tvidz_tpu.service import sigv4
+
+    now = datetime.datetime(2026, 8, 17, 12, 0, 0,
+                            tzinfo=datetime.timezone.utc)
+    url = sigv4.presign_url(
+        method="PUT", endpoint="http://s3.local:4566", bucket="videos",
+        key=key, access_key="AK", secret_key="SK", region="us-east-1",
+        expires_in=expires, now=now,
+    )
+    parsed = urllib.parse.urlsplit(url)
+    query = {k: v[0] for k, v in urllib.parse.parse_qs(
+        parsed.query, keep_blank_values=True).items()}
+    ok, reason = sigv4.validate_presigned(
+        method="PUT", host=parsed.netloc, path=parsed.path, query=query,
+        secret_key="SK", now=now,
+    )
+    assert ok, (reason, key)
+    # Wrong secret, tampered path, or expiry must all fail.
+    ok2, _ = sigv4.validate_presigned(
+        method="PUT", host=parsed.netloc, path=parsed.path, query=query,
+        secret_key="WRONG", now=now)
+    assert not ok2
+    ok3, _ = sigv4.validate_presigned(
+        method="PUT", host=parsed.netloc, path=parsed.path + "x",
+        query=query, secret_key="SK", now=now)
+    assert not ok3
+    late = now + datetime.timedelta(seconds=expires + 1)
+    ok4, reason4 = sigv4.validate_presigned(
+        method="PUT", host=parsed.netloc, path=parsed.path, query=query,
+        secret_key="SK", now=late)
+    assert not ok4 and reason4 == "expired"
+
+
+@settings(**_SETTINGS)
+@given(
+    pairs=st.lists(
+        st.tuples(st.text(_KEY_ALPHABET, max_size=12),
+                  st.text(_KEY_ALPHABET, max_size=12)),
+        min_size=1, max_size=8,
+    ),
+    seed=st.integers(0, 2**31),
+)
+def test_signature_is_param_order_independent(pairs, seed):
+    """SigV4 canonicalization sorts (key, value) pairs, so the signature
+    must be identical for any submission order — including repeated keys
+    (legal in SigV4; the parse_qs first-value bug this pins regressed
+    exactly this)."""
+    from tvidz_tpu.service import sigv4
+
+    rng = np.random.default_rng(seed)
+    shuffled = list(pairs)
+    rng.shuffle(shuffled)
+
+    def sig(p):
+        return sigv4.signature_for(
+            method="GET", canonical_uri="/videos/x", query=p,
+            headers={"host": "h"}, payload_hash="UNSIGNED-PAYLOAD",
+            secret_key="SK", amz_date="20260817T120000Z",
+            region="us-east-1", service="s3",
+        )
+
+    assert sig(pairs) == sig(shuffled)
+
+
+# -- store & pipeline contracts -----------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    ts=st.lists(
+        st.floats(0, 1e5, allow_nan=False, allow_infinity=False),
+        min_size=0, max_size=32,
+    )
+)
+def test_store_roundtrips_rounded_timestamps(ts):
+    """The analyzer rounds cuts to 6 decimals at its boundary; the store
+    must hand back EXACTLY those floats (exact-equality dedup depends on
+    it) through add_timestamps' upsert path."""
+    from tvidz_tpu.corpus.store import Store
+
+    ts = sorted({round(t, 6) for t in ts})
+    store = Store("sqlite:///:memory:")
+    try:
+        vid = store.add_video("p.mp4").id
+        store.add_timestamps(vid, ts[: len(ts) // 2])   # upsert once...
+        store.add_timestamps(vid, ts)                   # ...then replace
+        got = store.get_timestamps(vid)
+        assert got == ts
+    finally:
+        store.close()
+
+
+@settings(**_SETTINGS)
+@given(
+    name=st.text(
+        st.characters(codec="utf-8", blacklist_categories=("Cs", "Cc"),
+                      blacklist_characters="/"),
+        min_size=1, max_size=40,
+    ),
+    epoch=st.integers(0, 10**14),
+)
+def test_extract_filenames_strips_epoch_prefix(name, epoch):
+    """Reference parity (app.py:121-132): '<digits>-name' recovers the
+    logical name; non-digit prefixes pass through; S3 folder prefixes are
+    dropped first."""
+    from tvidz_tpu.pipeline.analyzer import extract_filenames
+
+    original, clean = extract_filenames(f"{epoch}-{name}")
+    assert original == f"{epoch}-{name}"
+    assert clean == name
+    original2, clean2 = extract_filenames(f"uploads/{epoch}-{name}")
+    assert original2 == f"{epoch}-{name}" and clean2 == name
+    if not name.split("-")[0].isdigit():
+        _, clean3 = extract_filenames(name)
+        assert clean3 == name
