@@ -192,3 +192,20 @@ def test_param_and_result_codecs_roundtrip(server):
     cur.execute("SELECT %s", (None,))
     assert cur.fetchone() == (None,)
     conn.close()
+
+
+def test_placeholder_conversion_respects_literals():
+    """%s -> $N must skip quoted literals/identifiers and honor the %%
+    escape (psycopg2 paramstyle) — a naive regex rewrites "LIKE '%s...'"
+    text and silently diverges the two drivers."""
+    from tvidz_tpu.corpus.pgwire import _convert_placeholders as conv
+
+    assert conv("SELECT %s, %s") == "SELECT $1, $2"
+    assert conv("SELECT '%s' || %s") == "SELECT '%s' || $1"
+    assert conv('SELECT "%s col", %s') == 'SELECT "%s col", $1'
+    assert (conv("SELECT 'it''s %s here', %s")
+            == "SELECT 'it''s %s here', $1")
+    assert conv("SELECT x LIKE '%suf' AND y = %s") \
+        == "SELECT x LIKE '%suf' AND y = $1"
+    assert conv("SELECT 100%% , %s") == "SELECT 100% , $1"
+    assert conv("no params at all") == "no params at all"

@@ -203,6 +203,12 @@ class ServiceConfig:
     # host) or evicted. Default off = exact reference resolution; the
     # entrypoint enables it in multi-host mode.
     status_store_fallback: bool = False
+    # Cadence of the STORE leg of the fallback inside SSE streams: the
+    # in-memory registry still polls every sse_poll_s, but a stream whose
+    # analysis lives on another host would otherwise issue 2 SQL queries
+    # per 0.2 s tick against the shared store (and each can stall behind a
+    # writer's busy_timeout), for the stream's whole lifetime.
+    sse_store_poll_s: float = 1.0
     s3_endpoint: str = "http://localstack:4566"   # app.py:163,422
     # Separate SQS endpoint (same-host default matches LocalStack; real AWS
     # deployments point this at the regional SQS endpoint).

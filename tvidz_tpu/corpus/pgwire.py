@@ -439,6 +439,44 @@ class Connection:
                 raise PgError(f"unexpected message {tag!r}")
 
 
+def _convert_placeholders(sql: str) -> str:
+    """psycopg2-style %s -> $N, honoring the full paramstyle: %s inside
+    single-quoted literals (incl. '' escapes) or double-quoted identifiers
+    is text, and %% is a literal percent (psycopg2 unescapes it). A naive
+    re.sub would rewrite "LIKE '%suffix'"-style literals and silently
+    diverge from the psycopg2 driver the Store treats as interchangeable."""
+    out = []
+    n = 0
+    i = 0
+    ln = len(sql)
+    while i < ln:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            quote = ch
+            j = i + 1
+            while j < ln:
+                if sql[j] == quote:
+                    if quote == "'" and j + 1 < ln and sql[j + 1] == "'":
+                        j += 2          # '' escape inside a literal
+                        continue
+                    j += 1
+                    break
+                j += 1
+            out.append(sql[i:j])
+            i = j
+        elif ch == "%" and i + 1 < ln and sql[i + 1] == "s":
+            n += 1
+            out.append(f"${n}")
+            i += 2
+        elif ch == "%" and i + 1 < ln and sql[i + 1] == "%":
+            out.append("%")
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _error_text(payload: bytes) -> str:
     fields = {}
     for part in payload.split(b"\x00"):
@@ -471,13 +509,7 @@ class Cursor:
             conn._ensure_txn()
             self._rows, self.description, self.rowcount = conn._simple(sql)
         else:
-            n = [0]
-
-            def repl(_m):
-                n[0] += 1
-                return f"${n[0]}"
-
-            converted = re.sub(r"%s", repl, sql)
+            converted = _convert_placeholders(sql)
             conn._ensure_txn()
             self._rows, self.description, self.rowcount = conn._extended(
                 converted, list(params or ()))

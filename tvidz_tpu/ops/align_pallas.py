@@ -63,6 +63,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tvidz_tpu.ops.hamming import pm1_planes
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -104,8 +106,6 @@ def _fragment_kernel(
     rows = jax.lax.broadcasted_iota(jnp.int32, (rt, nw), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (rt, nw), 1)
     q_len = lens_ref[pl.program_id(0)]
-    shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
-        jnp.uint32, (32, nw), 0)
 
     def shift_cols(v, s):
         rolled = pltpu.roll(v, shift=s, axis=1)
@@ -119,14 +119,9 @@ def _fragment_kernel(
     offs_acc = jnp.zeros((VB, 128), jnp.int32)
 
     for j in range(VB):
-        # 1. unpack video j to ±1 (32*W, NW), bit planes on sublanes.
-        planes = []
-        for wi in range(w):
-            word = c_ref[j, wi, :][None, :].astype(jnp.uint32)
-            b01 = ((jnp.broadcast_to(word, (32, nw)) >> shifts)
-                   & jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32)
-            planes.append((b01 * 2.0 - 1.0).astype(jnp.bfloat16))
-        pm1 = planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
+        # 1. unpack video j to ±1 (32*W, NW) — the shared bit-plane
+        #    unpack (ops.hamming.pm1_planes, golden pack_bits order).
+        pm1 = pm1_planes(lambda wi, j=j: c_ref[j, wi, :], w, nw)
 
         c_len = lens_ref[q_count + VB * pl.program_id(1) + j]
 

@@ -68,6 +68,28 @@ def unpack_bits_pm1(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (bits.reshape(n, 32 * w).astype(jnp.float32) * 2.0 - 1.0).astype(dtype)
 
 
+def pm1_planes(get_word, w: int, n: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """The ONE MSB-first ±1 bit-plane unpack (golden.pack_bits order):
+    ``get_word(wi)`` yields the (n,) uint32 word row; returns (32*w, n)
+    ±1 values in ``dtype``, bit planes on sublanes. Pure 2-D ops that are
+    Mosaic-safe inside Pallas kernels (``broadcasted_iota`` shifts;
+    uint32->int32->f32 staging because Mosaic lacks a direct
+    uint32->float cast) and equally valid in host-traced jnp code —
+    shared by ``unpack_bits_pm1_t``, the MXU corpus-scan kernel and the
+    fused fragment kernel, so a bit-order or cast-workaround change
+    cannot silently diverge the three."""
+    shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
+        jnp.uint32, (32, n), 0)
+    planes = []
+    for wi in range(w):
+        word = jnp.broadcast_to(
+            get_word(wi).astype(jnp.uint32)[None, :], (32, n))
+        b01 = ((word >> shifts) & jnp.uint32(1)
+               ).astype(jnp.int32).astype(jnp.float32)
+        planes.append((b01 * 2.0 - 1.0).astype(dtype))
+    return planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
+
+
 def unpack_bits_pm1_t(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """(N, W) uint32 -> (32*W, N) ±1 — ``unpack_bits_pm1(x).T`` built
     NATIVELY in the transposed layout with pure 2-D ops (bit planes on
@@ -76,14 +98,7 @@ def unpack_bits_pm1_t(packed: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     the RHS; on v5e the 3-D unpack + ``.T`` was 70% of fragment search's
     wall time (25 of 36 ms at the 1M config) and this form removes it."""
     n, w = packed.shape
-    shifts = (jnp.uint32(31) - jnp.arange(32, dtype=jnp.uint32))[:, None]
-    planes = [
-        ((packed[:, wi][None, :] >> shifts) & jnp.uint32(1))
-        for wi in range(w)
-    ]
-    bits = planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
-    return (bits.astype(jnp.int32).astype(jnp.float32) * 2.0 - 1.0
-            ).astype(dtype)
+    return pm1_planes(lambda wi: packed[:, wi], w, n, dtype)
 
 
 def hamming_matrix_pm1(q_pm1: jnp.ndarray, c_pm1: jnp.ndarray) -> jnp.ndarray:
@@ -227,16 +242,7 @@ def _corpus_scan_kernel_mxu(
     # single (32*W, BN) operand, and run ONE K=32*W matmul: the systolic
     # array pipelines K through its 128 rows, so one K=64 pass is ~2x the
     # utilization of two K=32 passes.
-    shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
-        jnp.uint32, (32, block_n), 0)
-    planes = []
-    for wi in range(w):
-        word = c_ref[wi, :][None, :].astype(jnp.uint32)
-        # uint32 -> int32 -> f32: Mosaic has no direct uint32->float cast.
-        b01 = ((jnp.broadcast_to(word, (32, block_n)) >> shifts)
-               & jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32)
-        planes.append((b01 * 2.0 - 1.0).astype(jnp.bfloat16))
-    pm1 = planes[0] if w == 1 else jnp.concatenate(planes, axis=0)
+    pm1 = pm1_planes(lambda wi: c_ref[wi, :], w, block_n)
     dots = jnp.dot(q_ref[:], pm1, preferred_element_type=jnp.float32)
 
     # Epilogue on dots directly (hamming = (bits - dots)/2), reductions

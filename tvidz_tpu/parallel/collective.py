@@ -116,7 +116,7 @@ class CollectiveRunner:
         self._warm_barrier = warm_barrier
         self._ready = threading.Event()
         self._applied_seq = 0
-        self._pending: Dict[str, Tuple[Optional[dict], _Future]] = {}
+        self._pending: Dict[str, _Future] = {}
         self._pending_lock = threading.Lock()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -205,8 +205,7 @@ class CollectiveRunner:
 
     # -- submit side (any thread) --------------------------------------------
 
-    def submit(self, kind: str, meta: dict,
-               payload: Optional[dict] = None) -> _Future:
+    def submit(self, kind: str, meta: dict) -> _Future:
         """Append an op to the shared log and return a Future resolved when
         THIS host's executor applies it. meta is written to the log and
         must be everything any host needs to apply the op — ingest
@@ -226,7 +225,7 @@ class CollectiveRunner:
         meta = dict(meta, op=op_id, src=self.process_index)
         fut = _Future()
         with self._pending_lock:
-            self._pending[op_id] = (payload, fut)
+            self._pending[op_id] = fut
         try:
             self.store.append_collective_op(kind, meta)
         except Exception:
@@ -326,16 +325,15 @@ class CollectiveRunner:
             except Exception as e:  # noqa: BLE001
                 log("collective", f"op-log prune failed: {e}")
 
-    def _take_pending(self, meta) -> Tuple[Optional[dict], Optional[_Future]]:
+    def _take_pending(self, meta) -> Optional[_Future]:
         with self._pending_lock:
-            entry = self._pending.pop(meta.get("op", ""), None)
-        return entry if entry is not None else (None, None)
+            return self._pending.pop(meta.get("op", ""), None)
 
     def _apply(self, seq: int, kind: str, meta: dict) -> None:
-        payload, fut = self._take_pending(meta)
+        fut = self._take_pending(meta)
         mine = fut is not None
         try:
-            result = self._execute(kind, meta, payload, mine)
+            result = self._execute(kind, meta)
         except Exception as e:  # noqa: BLE001
             # Deterministic corpus state => every host raises identically
             # (e.g. capacity exhausted); the log stays aligned.
@@ -346,8 +344,7 @@ class CollectiveRunner:
         if mine:
             fut.resolve(result)
 
-    def _execute(self, kind: str, meta: dict, payload: Optional[dict],
-                 mine: bool):
+    def _execute(self, kind: str, meta: dict):
         c = self.corpus
         if kind == "append":
             vid = int(meta["video_id"])
@@ -374,12 +371,16 @@ class CollectiveRunner:
                 self._video_ids.add(vid)
             return None
         if kind == "ts_query":
+            if c._inner.corpus_ts is None:
+                return []
             return c.match_timestamps(
                 list(meta["ts"]), min_match=int(meta["min_match"]),
                 tolerance=float(meta.get("tolerance", 0.0)),
                 exclude_video_id=meta.get("exclude"),
             )
         if kind == "fp_query":
+            if c._inner.corpus_fp is None:
+                return [[] for _ in range(int(meta["rows"]))]
             q = np.frombuffer(
                 base64.b64decode(meta["fp"]), np.uint32
             ).reshape(int(meta["rows"]), -1).copy()
@@ -512,7 +513,11 @@ class MultiHostCorpusClient:
                          exclude_video_id: Optional[int] = None
                          ) -> List[Tuple[int, int]]:
         ts = [float(t) for t in query_ts][: self.max_cuts]
-        if not ts or self.runner.num_videos == 0:
+        # Empty-QUERY fast path only: corpus emptiness must be decided by
+        # the executor at the op's position in the total order — the local
+        # num_videos/num_fingerprints mirrors lag the log (review r3: a
+        # query racing a peer's un-applied append wrongly returned []).
+        if not ts:
             return []
         res = self.runner.submit(
             "ts_query",
@@ -527,7 +532,7 @@ class MultiHostCorpusClient:
                              exclude_video_id: Optional[int] = None
                              ) -> Dict[int, int]:
         q = np.ascontiguousarray(query, np.uint32)
-        if q.shape[0] == 0 or self.runner.num_fingerprints == 0:
+        if q.shape[0] == 0:
             return {}
         nn = self.runner.submit(
             "fp_query",
@@ -562,7 +567,7 @@ class MultiHostCorpusClient:
                         exclude_video_id: Optional[int] = None
                         ) -> List[Tuple[int, int, int]]:
         q = np.ascontiguousarray(query_fps, np.uint32)
-        if q.shape[0] == 0 or self.runner.num_fingerprints == 0:
+        if q.shape[0] == 0:
             return []
         res = self.runner.submit(
             "fragment",
@@ -585,8 +590,6 @@ class MultiHostCorpusClient:
         if qn == 0:
             return []
         excl = list(exclude_video_ids or [None] * qn)
-        if self.runner.num_fingerprints == 0:
-            return [[] for _ in range(qn)]
         qs = [np.ascontiguousarray(q, np.uint32) for q in query_fps_list]
         if sum(int(q.shape[0]) for q in qs) == 0:
             return [[] for _ in range(qn)]

@@ -391,10 +391,14 @@ def rank_fragment_hits(all_vids, all_offs, all_scores,
     )
     k = min(top_k, vtot)
     if vtot > 4096 and k < vtot:
-        # argpartition bounds the sort to O(V + k log k) per query. Ties
-        # that straddle the partition boundary may admit a different
-        # (equal-score) member than the exact stable order below.
-        cand = np.argpartition(-ranked, k - 1, axis=1)[:, :k]
+        # argpartition bounds the sort to O(V + k log k) per query. The
+        # partition key is the COMPOSITE (-score, index) rank — score
+        # scaled past the index range — so equal-score ties at the
+        # partition boundary admit exactly the members the stable order
+        # below would (otherwise /search/fragments could name a different
+        # equal-score video than /search/fragment at large corpora).
+        key = ranked * np.int64(vtot + 1) - np.arange(vtot, dtype=np.int64)
+        cand = np.argpartition(-key, k - 1, axis=1)[:, :k]
     else:
         cand = np.argsort(-ranked, axis=1, kind="stable")[:, :k]
     rows = np.arange(qn)[:, None]

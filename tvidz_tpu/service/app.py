@@ -671,11 +671,25 @@ class InspectorApp:
         poll every sse_poll_s, terminate after 'done'/'error'."""
         poll = self.config.service.sse_poll_s
         pending_timeout = self.config.service.sse_pending_timeout_s
+        # Store-fallback throttle: the registry polls at the reference's
+        # exact 0.2 s, but the store leg (2 SQL queries against the SHARED
+        # db, each able to stall behind a writer's busy_timeout) runs at
+        # sse_store_poll_s — a stream for an analysis on another host
+        # would otherwise hammer the store 10x/s for its whole life.
+        store_poll = max(poll, self.config.service.sse_store_poll_s)
+        last_store_check = 0.0
+        last_store_result = None
         pending_since = time.time()
         last_status = last_progress = None
         last_cuts_len = last_dups_len = None
         while True:
-            result = self._lookup_state(filename)
+            result = self.registry.lookup(filename)
+            if not result and self.config.service.status_store_fallback:
+                now_t = time.time()
+                if now_t - last_store_check >= store_poll:
+                    last_store_check = now_t
+                    last_store_result = self._lookup_state(filename)
+                result = last_store_result
             if not result:
                 status, progress, cuts_len, dups_len = "pending", 0.0, 0, 0
                 # A stream that never leaves 'pending' (unknown filename,
