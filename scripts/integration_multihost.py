@@ -65,14 +65,16 @@ def main() -> int:
         if not cond:
             failures.append(name)
 
-    try:
+    gen = [0]   # restart generation (log file suffix)
+
+    def spawn_cluster(coord):
         for pid, port in enumerate(PORTS):
             env = {
                 **os.environ,
                 "TVIDZ_JAX_PLATFORM": "cpu",
                 "JAX_PLATFORMS": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
-                "TVIDZ_COORDINATOR": f"127.0.0.1:{coord_port}",
+                "TVIDZ_COORDINATOR": f"127.0.0.1:{coord}",
                 "TVIDZ_NUM_PROCESSES": "2",
                 "TVIDZ_PROCESS_ID": str(pid),
                 "TVIDZ_FAKE_S3_ROOT": fake_root,
@@ -88,7 +90,8 @@ def main() -> int:
                 "TVIDZ_MH_PRUNE_INTERVAL_S": "2",
             }
             # Server logs go to FILES (an undrained pipe blocks the server).
-            lf = open(os.path.join(workdir, f"host{pid}.log"), "w")
+            lf = open(os.path.join(
+                workdir, f"host{pid}.gen{gen[0]}.log"), "w")
             logs.append(lf)
             servers.append(subprocess.Popen(
                 [sys.executable, "-m", "tvidz_tpu.service.entrypoint",
@@ -96,8 +99,20 @@ def main() -> int:
                  "--host", "127.0.0.1", "--port", str(port)],
                 cwd=ROOT, env=env, stdout=lf, stderr=subprocess.STDOUT,
             ))
+        gen[0] += 1
 
-        bases = [f"http://127.0.0.1:{p}" for p in PORTS]
+    def stop_cluster():
+        for p in servers:
+            p.terminate()
+        for p in servers:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        servers.clear()
+
+    def wait_healthy(tag=""):
         deadline = time.time() + 420
         ready = [False, False]
         while time.time() < deadline and not all(ready):
@@ -110,9 +125,14 @@ def main() -> int:
                 except (requests.RequestException, ValueError):
                     pass
             time.sleep(0.5)
-        check("both hosts healthy", all(ready))
+        check(f"both hosts healthy{tag}", all(ready))
         if not all(ready):
             raise TimeoutError("hosts never became healthy")
+
+    try:
+        spawn_cluster(coord_port)
+        bases = [f"http://127.0.0.1:{p}" for p in PORTS]
+        wait_healthy()
 
         luma, pts = synthetic_video(num_frames=160, height=240, width=320,
                                     cut_frames=(50, 110), seed=5)
@@ -234,21 +254,43 @@ def main() -> int:
               oplog.get("pruned_total", 0) > 0 and oplog.get("rows", 99) <= 2,
               oplog)
 
+        # 7. DRAIN-FREE CLUSTER RESTART (docs/multihost.md "Membership &
+        # restarts"): stop both hosts, restart them on the same store +
+        # bucket with a fresh coordinator. The restarted cluster must
+        # serve pre-restart verdicts warmed from the durable tables (the
+        # pruned op log holds only its anchor row), and a NEW upload must
+        # ingest collectively and dedup against pre-restart content.
+        stop_cluster()
+        spawn_cluster(free_port())
+        wait_healthy(" after cluster restart")
+        b0r = requests.get(f"{bases[0]}/status/mh-copy.y4m",
+                           timeout=10).json()
+        check("restarted host 0 serves pre-restart verdict",
+              b0r.get("status") == "done"
+              and b0r.get("duplicates") == ["mh-orig.y4m"], b0r)
+        check("upload C delivered post-restart (host 1)",
+              deliver(1, "1755500000000-mh-third.y4m"))
+        c = wait_done(1, "1755500000000-mh-third.y4m")
+        check("C done on restarted cluster", c.get("status") == "done", c)
+        check("C dedups against pre-restart corpus",
+              sorted(c.get("duplicates") or [])
+              == ["mh-copy.y4m", "mh-orig.y4m"], c)
+        c0 = requests.get(f"{bases[0]}/status/mh-third.y4m",
+                          timeout=10).json()
+        check("host 0 serves C's verdict cross-host",
+              c0.get("status") == "done"
+              and sorted(c0.get("duplicates") or [])
+              == ["mh-copy.y4m", "mh-orig.y4m"], c0)
+
     finally:
-        for p in servers:
-            p.terminate()
-        for p in servers:
-            try:
-                p.wait(timeout=20)
-            except subprocess.TimeoutExpired:
-                p.kill()
-                p.wait()
+        stop_cluster()
         for lf in logs:
             lf.close()
-        for pid in range(len(PORTS)):
-            path = os.path.join(workdir, f"host{pid}.log")
-            if failures and os.path.exists(path):
-                print(f"---- host {pid} log tail ----")
+        if failures:
+            import glob
+
+            for path in sorted(glob.glob(os.path.join(workdir, "host*.log"))):
+                print(f"---- {os.path.basename(path)} tail ----")
                 print("\n".join(open(path).read().splitlines()[-40:]))
         shutil.rmtree(workdir, ignore_errors=True)
 
