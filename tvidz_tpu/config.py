@@ -231,6 +231,7 @@ class ServiceConfig:
             sse_pending_timeout_s=_env("SSE_PENDING_TIMEOUT_S", 300.0, float),
             max_analysis_results=_env("MAX_ANALYSIS_RESULTS", 10_000, int),
             status_store_fallback=_env("STATUS_STORE_FALLBACK", False, bool),
+            sse_store_poll_s=_env("SSE_STORE_POLL_S", 1.0, float),
             s3_endpoint=_env("S3_ENDPOINT", "http://localstack:4566"),
             sqs_endpoint=_env("SQS_ENDPOINT", ""),
             s3_bucket=_env("S3_BUCKET", "videos"),
