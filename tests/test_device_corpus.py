@@ -78,6 +78,50 @@ def test_load_from_store(rng):
     s.close()
 
 
+def test_bulk_load_presizes_each_index_once(rng, monkeypatch):
+    """A cold-start restore must presize every index from the store totals
+    (at most ONE growth allocation per index/bucket) — incremental doubling
+    paid O(N log N) host copies at 10M fingerprints (~24 s per boot)."""
+    from tvidz_tpu.corpus import device_corpus as dc
+
+    s = Store("sqlite:///:memory:")
+    expect = {}
+    for i in range(40):  # 40 videos x 300 fps >> fp/ts/bucket initial caps
+        v = s.add_video(f"v{i}.mp4")
+        s.add_timestamps(v.id, [float(i), float(i) + 1.5])
+        fp = rng.integers(0, 2**32, size=(300, 2), dtype=np.uint32)
+        s.add_fingerprints(v.id, fp)
+        expect[v.id] = fp
+
+    calls = {"fp": 0, "ts": 0, "al": 0}
+    orig_fp, orig_ts = dc.DeviceCorpus._grow_fp, dc.DeviceCorpus._grow_ts
+    orig_al = dc._AlignBucket.grow
+    monkeypatch.setattr(dc.DeviceCorpus, "_grow_fp",
+                        lambda self, min_cap=None: (calls.__setitem__("fp", calls["fp"] + 1),
+                                                    orig_fp(self, min_cap))[1])
+    monkeypatch.setattr(dc.DeviceCorpus, "_grow_ts",
+                        lambda self, min_cap=None: (calls.__setitem__("ts", calls["ts"] + 1),
+                                                    orig_ts(self, min_cap))[1])
+    monkeypatch.setattr(dc._AlignBucket, "grow",
+                        lambda self, min_vcap=None: (calls.__setitem__("al", calls["al"] + 1),
+                                                     orig_al(self, min_vcap))[1])
+
+    c = DeviceCorpus(fp_initial_capacity=256, fp_block_n=128,
+                     ts_initial_capacity=4)
+    c.load(s)
+    assert calls["fp"] <= 1 and calls["ts"] <= 1 and calls["al"] <= 1
+    assert c.num_videos == 40 and c.num_fingerprints == 40 * 300
+    # Content round-trips: fp tail, alignment row, timestamp match.
+    vid = max(expect)
+    fp = expect[vid]
+    b, r = c._al_row[vid]
+    bu = c._al_buckets[b]
+    assert int(bu.len[r]) == 300
+    assert np.array_equal(bu.buf[r, :300], fp)
+    assert c.match_timestamps([39.0, 40.5], min_match=2) == [(vid, 2)]
+    s.close()
+
+
 # -- persistent alignment index (VERDICT r1 weak #3) -------------------------------
 
 

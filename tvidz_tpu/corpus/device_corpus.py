@@ -141,16 +141,23 @@ class _AlignBucket:
         # re-upload/removal until reset (VERDICT r2 weak #3).
         self.free: List[int] = []
 
-    def grow(self) -> None:
-        add = self.vcap
-        self.buf = np.concatenate(
-            [self.buf,
-             np.full((add, self.tcap, self.buf.shape[2]), _FP_SENTINEL,
-                     np.uint32)]
-        )
-        self.len = np.concatenate([self.len, np.zeros(add, np.int32)])
-        self.vid = np.concatenate([self.vid, np.full(add, -1, np.int32)])
-        self.vcap += add
+    def grow(self, min_vcap: Optional[int] = None) -> None:
+        """Double vcap until >= min_vcap (one doubling when None) in ONE
+        allocation — repeated-concatenate doubling made bulk restore pay
+        O(N log N) copies (23.7 s host time at 10M fingerprints). vcap
+        stays initial<<k, preserving MeshCorpus's shard-even multiple."""
+        new_vcap = self.vcap * 2
+        while min_vcap is not None and new_vcap < min_vcap:
+            new_vcap *= 2
+        buf = np.full((new_vcap, self.tcap, self.buf.shape[2]), _FP_SENTINEL,
+                      np.uint32)
+        buf[: self.vcap] = self.buf
+        ln = np.zeros(new_vcap, np.int32)
+        ln[: self.vcap] = self.len
+        vid = np.full(new_vcap, -1, np.int32)
+        vid[: self.vcap] = self.vid
+        self.buf, self.len, self.vid = buf, ln, vid
+        self.vcap = new_vcap
         self.full_resync = True
 
 
@@ -273,13 +280,33 @@ class DeviceCorpus:
         from tvidz_tpu.utils import log
 
         with self._lock:
-            for video_id, ts in store.all_timestamps():
+            ts_rows = store.all_timestamps()
+            fp_rows = store.all_fingerprints()
+            good = [(v, f) for v, f in fp_rows
+                    if f.ndim == 2 and f.shape[1] == self.words]
+            skipped = len(fp_rows) - len(good)
+            # Presize every index once from the known totals: incremental
+            # doubling during a bulk restore pays O(N log N) copies (23.7 s
+            # host-side at 10M fingerprints; ~1 s presized). Counts are a
+            # hint — on-demand growth still covers any miss (e.g. loading
+            # into a non-empty corpus where appends extend existing rows).
+            if ts_rows and self._ts_count + len(ts_rows) > self._ts_cap:
+                self._grow_ts(min_cap=self._ts_count + len(ts_rows))
+            total_fp = sum(f.shape[0] for _, f in good)
+            if total_fp and self._fp_count + total_fp > self._fp_cap:
+                self._grow_fp(min_cap=self._fp_count + total_fp)
+            per_bucket: Dict[int, int] = {}
+            for _, f in good:
+                b = self._al_bucket_for(f.shape[0])
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+            for b, n in per_bucket.items():
+                bu = self._al_ensure_bucket(b)
+                need = bu.count + max(0, n - len(bu.free))
+                if need > bu.vcap:
+                    bu.grow(min_vcap=need)
+            for video_id, ts in ts_rows:
                 self._upsert_ts_locked(video_id, ts)
-            skipped = 0
-            for video_id, fps in store.all_fingerprints():
-                if fps.ndim != 2 or fps.shape[1] != self.words:
-                    skipped += 1
-                    continue
+            for video_id, fps in good:
                 self._append_fp_locked(video_id, fps)
             if skipped:
                 log("corpus",
@@ -345,13 +372,17 @@ class DeviceCorpus:
         self._ts_len[row] = len(ts)
         self._ts_dirty_rows.append(row)
 
-    def _grow_ts(self) -> None:
+    def _grow_ts(self, min_cap: Optional[int] = None) -> None:
         new_cap = self._ts_cap * 2
-        self._ts = np.concatenate(
-            [self._ts, np.full((self._ts_cap, self.max_cuts), np.nan, np.float32)]
-        )
-        self._ts_len = np.concatenate([self._ts_len, np.zeros(self._ts_cap, np.int32)])
-        self._ts_vid = np.concatenate([self._ts_vid, np.full(self._ts_cap, -1, np.int32)])
+        while min_cap is not None and new_cap < min_cap:
+            new_cap *= 2
+        ts = np.full((new_cap, self.max_cuts), np.nan, np.float32)
+        ts[: self._ts_count] = self._ts[: self._ts_count]
+        ln = np.zeros(new_cap, np.int32)
+        ln[: self._ts_count] = self._ts_len[: self._ts_count]
+        vid = np.full(new_cap, -1, np.int32)
+        vid[: self._ts_count] = self._ts_vid[: self._ts_count]
+        self._ts, self._ts_len, self._ts_vid = ts, ln, vid
         self._ts_cap = new_cap
         self._ts_full_resync = True
 
@@ -367,8 +398,8 @@ class DeviceCorpus:
                 f"words={self.words} (hash algorithm mismatch?)"
             )
         t = fp.shape[0]
-        while self._fp_count + t > self._fp_cap:
-            self._grow_fp()
+        if self._fp_count + t > self._fp_cap:
+            self._grow_fp(min_cap=self._fp_count + t)
         self._fp[self._fp_count : self._fp_count + t] = fp
         self._fp_vid[self._fp_count : self._fp_count + t] = video_id
         self._fp_count += t
@@ -456,13 +487,19 @@ class DeviceCorpus:
         self._fp_dirty_cols.clear()
         self._fp_full_resync = True
 
-    def _grow_fp(self) -> None:
-        add = self._fp_cap
-        self._fp = np.concatenate(
-            [self._fp, np.full((add, self.words), _FP_SENTINEL, np.uint32)]
-        )
-        self._fp_vid = np.concatenate([self._fp_vid, np.full(add, -1, np.int32)])
-        self._fp_cap += add
+    def _grow_fp(self, min_cap: Optional[int] = None) -> None:
+        """Double capacity until >= min_cap (one doubling when None) in ONE
+        allocation (see _AlignBucket.grow for why). Capacity stays
+        initial*2^k — a power-of-two multiple of _fp_block_n."""
+        new_cap = self._fp_cap * 2
+        while min_cap is not None and new_cap < min_cap:
+            new_cap *= 2
+        fp = np.full((new_cap, self.words), _FP_SENTINEL, np.uint32)
+        fp[: self._fp_count] = self._fp[: self._fp_count]
+        vid = np.full(new_cap, -1, np.int32)
+        vid[: self._fp_count] = self._fp_vid[: self._fp_count]
+        self._fp, self._fp_vid = fp, vid
+        self._fp_cap = new_cap
         self._fp_full_resync = True
 
     # -- queries ------------------------------------------------------------------
