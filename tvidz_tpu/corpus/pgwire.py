@@ -247,6 +247,10 @@ class Connection:
         self._sock = socket.create_connection((host, port),
                                               timeout=connect_timeout)
         self._sock.settimeout(connect_timeout)
+        # Each statement is a small request/response exchange; without
+        # NODELAY, Nagle + delayed ACK serializes writes at ~13 stmt/s
+        # (measured ~75 ms/statement against MiniPG on loopback).
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._buf = _Buf(self._sock)
         self._in_txn = False
         self._closed = False

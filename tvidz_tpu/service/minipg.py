@@ -358,6 +358,13 @@ class MiniPGServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
+    def process_request(self, request, client_address):
+        # Mirror the client-side NODELAY (pgwire.Connection): response
+        # frames are small and latency-bound.
+        import socket as _socket
+        request.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+        super().process_request(request, client_address)
+
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  auth_mode: str = "trust",
                  users: Optional[dict] = None):

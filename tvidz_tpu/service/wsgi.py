@@ -301,6 +301,10 @@ class _ThreadingWSGIServer(ThreadingMixIn, WSGIServer):
 
 
 class _QuietHandler(WSGIRequestHandler):
+    # SSE frames and small JSON responses are latency-bound: without this,
+    # Nagle + delayed ACK can hold a data: frame for ~40 ms per write.
+    disable_nagle_algorithm = True
+
     def log_message(self, fmt, *args):  # route access logs through our logger
         from tvidz_tpu.utils import log
 
