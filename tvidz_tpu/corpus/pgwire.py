@@ -210,23 +210,40 @@ def _decode_value(oid: int, raw: Optional[bytes]):
 # -- protocol framing --------------------------------------------------------
 
 class _Buf:
+    """Buffered reader with a position cursor: one 64 KiB recv serves many
+    small protocol messages, and consuming a message advances an index
+    instead of re-slicing the tail (tail slicing made large result sets
+    quadratic — every DataRow copied the rest of the buffer)."""
+
     def __init__(self, sock: socket.socket):
         self._sock = sock
         self._buf = b""
+        self._pos = 0
 
     def read_exact(self, n: int) -> bytes:
-        while len(self._buf) < n:
-            chunk = self._sock.recv(65536)
-            if not chunk:
-                raise PgError("server closed the connection")
-            self._buf += chunk
-        out, self._buf = self._buf[:n], self._buf[n:]
+        avail = len(self._buf) - self._pos
+        if avail < n:
+            parts = [self._buf[self._pos:]] if avail else []
+            need = n - avail
+            while need > 0:
+                chunk = self._sock.recv(65536)
+                if not chunk:
+                    raise PgError("server closed the connection")
+                parts.append(chunk)
+                need -= len(chunk)
+            self._buf = b"".join(parts)
+            self._pos = 0
+        out = self._buf[self._pos : self._pos + n]
+        self._pos += n
+        if self._pos == len(self._buf):
+            self._buf = b""
+            self._pos = 0
         return out
 
     def read_message(self) -> Tuple[bytes, bytes]:
-        tag = self.read_exact(1)
-        (length,) = struct.unpack("!i", self.read_exact(4))
-        return tag, self.read_exact(length - 4)
+        head = self.read_exact(5)
+        (length,) = struct.unpack("!i", head[1:])
+        return head[:1], self.read_exact(length - 4)
 
 
 def _msg(tag: bytes, payload: bytes) -> bytes:
