@@ -86,7 +86,10 @@ def test_bulk_load_presizes_each_index_once(rng, monkeypatch):
 
     s = Store("sqlite:///:memory:")
     expect = {}
-    for i in range(40):  # 40 videos x 300 fps >> fp/ts/bucket initial caps
+    # 80 videos x 300 fps exceeds ALL initial capacities, including the
+    # alignment bucket's initial vcap of 64 — every index must grow, and
+    # each exactly once.
+    for i in range(80):
         v = s.add_video(f"v{i}.mp4")
         s.add_timestamps(v.id, [float(i), float(i) + 1.5])
         fp = rng.integers(0, 2**32, size=(300, 2), dtype=np.uint32)
@@ -109,8 +112,8 @@ def test_bulk_load_presizes_each_index_once(rng, monkeypatch):
     c = DeviceCorpus(fp_initial_capacity=256, fp_block_n=128,
                      ts_initial_capacity=4)
     c.load(s)
-    assert calls["fp"] <= 1 and calls["ts"] <= 1 and calls["al"] <= 1
-    assert c.num_videos == 40 and c.num_fingerprints == 40 * 300
+    assert calls == {"fp": 1, "ts": 1, "al": 1}, calls
+    assert c.num_videos == 80 and c.num_fingerprints == 80 * 300
     # Content round-trips: fp tail, alignment row, timestamp match.
     vid = max(expect)
     fp = expect[vid]
@@ -118,7 +121,7 @@ def test_bulk_load_presizes_each_index_once(rng, monkeypatch):
     bu = c._al_buckets[b]
     assert int(bu.len[r]) == 300
     assert np.array_equal(bu.buf[r, :300], fp)
-    assert c.match_timestamps([39.0, 40.5], min_match=2) == [(vid, 2)]
+    assert c.match_timestamps([79.0, 80.5], min_match=2) == [(vid, 2)]
     s.close()
 
 

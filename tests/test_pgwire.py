@@ -209,3 +209,26 @@ def test_placeholder_conversion_respects_literals():
         == "SELECT x LIKE '%suf' AND y = $1"
     assert conv("SELECT 100%% , %s") == "SELECT 100% , $1"
     assert conv("no params at all") == "no params at all"
+
+
+def test_buf_rejects_negative_payload_length():
+    """A frame whose length field is < 4 must raise instead of rewinding
+    the read cursor (which would re-deliver consumed bytes as protocol
+    data)."""
+    import struct
+
+    class _FakeSock:
+        def __init__(self, data):
+            self._data = data
+
+        def recv(self, n):
+            out, self._data = self._data[:n], self._data[n:]
+            return out
+
+    good = b"Z" + struct.pack("!i", 5) + b"I"
+    bad = b"D" + struct.pack("!i", 0)          # length 0 < 4
+    buf = pgwire._Buf(_FakeSock(good + bad + b"XXXX"))
+    tag, payload = buf.read_message()
+    assert (tag, payload) == (b"Z", b"I")
+    with pytest.raises(pgwire.PgError, match="malformed"):
+        buf.read_message()

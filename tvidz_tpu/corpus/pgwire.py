@@ -243,6 +243,10 @@ class _Buf:
     def read_message(self) -> Tuple[bytes, bytes]:
         head = self.read_exact(5)
         (length,) = struct.unpack("!i", head[1:])
+        if length < 4:
+            # A negative payload size would move the cursor backward and
+            # re-deliver consumed bytes as fresh protocol data.
+            raise PgError(f"malformed message: length {length} < 4")
         return head[:1], self.read_exact(length - 4)
 
 
