@@ -1,0 +1,80 @@
+"""Verdict corpus-scan scale sweep: device latency vs corpus size.
+
+Measures the production MXU corpus scan (ops.hamming.corpus_min_distance_t_mxu)
+at 16M / 32M / 64M / 128M fingerprints on the real chip — the capacity-headroom
+study above bench.py's 1M north-star point (BASELINE: <1 s vs 1M; this shows
+how far one v5e chip actually scales before HBM runs out: 128M fp = 1 GiB of
+packed bits + the frame->video map).
+
+Run directly on TPU (no supervisor):  python scripts/scale_verdict.py
+Probe tunnel health first (CLAUDE.md): timeout 60 python bench.py --probe
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(*xs):
+    # jax.block_until_ready does not wait on the axon tunnel; pull a scalar.
+    import jax.numpy as jnp
+
+    for x in xs:
+        float(jnp.sum(x.astype(jnp.float32)))
+
+
+def sweep(sizes=(1 << 24, 1 << 25, 1 << 26, 1 << 27), query_m=128,
+          chain_k=8, block_n=8192):
+    import jax
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.hamming import corpus_min_distance_t_mxu as fn
+
+    rng = np.random.default_rng(1)
+    results = []
+    for n in sizes:
+        corpus_t = jnp.asarray(
+            rng.integers(0, 2**32, size=(2, n), dtype=np.uint32))
+        qs = jnp.asarray(
+            rng.integers(0, 2**32, size=(chain_k, query_m, 2),
+                         dtype=np.uint32))
+        _sync(corpus_t)
+
+        @jax.jit
+        def chained(qs_, c_t):
+            def step(acc, qq):
+                fmin, qmin, _ = fn(qq, c_t, block_n=block_n)
+                return acc + jnp.sum(qmin), None
+            acc, _ = jax.lax.scan(step, jnp.int32(0), qs_)
+            return acc
+
+        acc = chained(qs, corpus_t)   # compile + warm
+        _sync(acc)
+        trials = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = chained(qs, corpus_t)
+            _sync(acc)
+            trials.append((time.perf_counter() - t0) / chain_k)
+        dev = float(np.median(trials))
+        compares = query_m * n / dev
+        row = {
+            "corpus_fingerprints": n,
+            "device_ms": round(dev * 1e3, 2),
+            "compares_per_sec": round(compares),
+            "corpus_gib": round(n * 8 / 2**30, 3),
+        }
+        print(json.dumps(row), flush=True)
+        results.append(row)
+        # Free the corpus before the next (larger) size.
+        del corpus_t, qs, acc, chained
+    return results
+
+
+if __name__ == "__main__":
+    import jax
+
+    print(f"backend: {jax.default_backend()}, devices: {jax.devices()}",
+          flush=True)
+    sweep()
