@@ -249,3 +249,46 @@ def test_extract_filenames_strips_epoch_prefix(name, epoch):
     if not name.split("-")[0].isdigit():
         _, clean3 = extract_filenames(name)
         assert clean3 == name
+
+
+# -- pgwire message framing ---------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    payload_sizes=st.lists(st.integers(min_value=0, max_value=300),
+                           min_size=1, max_size=30),
+    chunk_cap=st.integers(min_value=1, max_value=97),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_pgwire_buf_reassembles_any_chunking(payload_sizes, chunk_cap, seed):
+    """_Buf must reassemble an arbitrary message stream exactly, no matter
+    how the transport fragments it (the cursor-indexed buffer rewrite must
+    never drop, duplicate, or reorder bytes across refills/resets)."""
+    import struct
+
+    from tvidz_tpu.corpus import pgwire
+
+    rng = np.random.default_rng(seed)
+    msgs = []
+    wire = b""
+    for i, n in enumerate(payload_sizes):
+        tag = bytes([65 + (i % 26)])
+        payload = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        msgs.append((tag, payload))
+        wire += tag + struct.pack("!i", n + 4) + payload
+
+    class _ChunkySock:
+        """Returns at most chunk_cap bytes per recv (worst case 1)."""
+
+        def __init__(self, data):
+            self._data = data
+
+        def recv(self, n):
+            k = min(n, chunk_cap, len(self._data))
+            out, self._data = self._data[:k], self._data[k:]
+            return out
+
+    buf = pgwire._Buf(_ChunkySock(wire))
+    got = [buf.read_message() for _ in msgs]
+    assert got == msgs
