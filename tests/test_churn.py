@@ -149,3 +149,33 @@ def test_mixed_tiers_with_migration_and_removal_churn(rng):
     assert hits and hits[0][:2] == (v, 180)
     # Removed short videos never match.
     assert all(h[0] != 3 for h in c.locate_fragment(_mk(rng, 32), top_k=8))
+
+
+def test_timestamp_rows_reused_on_removal_churn(rng):
+    """Tombstoned timestamp rows must be reused by the next new video —
+    the ts index was the one remaining per-cycle leak (fp rows compact,
+    alignment rows have free lists)."""
+    c = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                     fp_block_n=128)
+    for cycle in range(50):
+        vid = 2000 + cycle
+        c.upsert_timestamps(vid, [float(cycle), float(cycle) + 1.0])
+        c.append_fingerprints(vid, _mk(rng, 16))
+        fp = c.device_footprint
+        assert fp["ts_capacity_rows"] == 8, (cycle, fp)
+        # Steady state of 1 live video: remove before the next add.
+        if cycle >= 0:
+            c.remove_video(vid)
+    assert c.num_videos == 0
+    fp = c.device_footprint
+    assert fp["ts_rows"] <= 2          # high-water claimed rows, not 50
+    assert fp["ts_free_rows"] >= 1
+    # Reused rows must serve queries correctly: add two live videos into
+    # recycled slots and match against them.
+    c.upsert_timestamps(9001, [5.0, 6.0, 7.0])
+    c.upsert_timestamps(9002, [8.0, 9.0])
+    assert c.num_videos == 2
+    assert c.match_timestamps([5.0, 6.0], min_match=2) == [(9001, 2)]
+    assert c.match_timestamps([8.0, 9.0], min_match=2) == [(9002, 2)]
+    # The tombstoned generation never resurfaces.
+    assert c.match_timestamps([0.0, 1.0], min_match=2) == []

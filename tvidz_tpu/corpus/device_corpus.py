@@ -196,7 +196,13 @@ class DeviceCorpus:
         self._ts_len = np.zeros(self._ts_cap, np.int32)
         self._ts_vid = np.full(self._ts_cap, -1, np.int32)
         self._vid_to_row: Dict[int, int] = {}
-        self._ts_count = 0
+        self._ts_count = 0          # rows ever claimed (high-water mark)
+        # Tombstoned timestamp rows (remove_video) available for reuse by
+        # the next new video — without this, re-upload/removal churn grew
+        # the timestamp index one row per cycle forever (fp rows get
+        # compaction, alignment rows get per-bucket free lists; this was
+        # the one remaining leak).
+        self._ts_free: List[int] = []
         self._ts_dev: Optional[jnp.ndarray] = None
         self._ts_len_dev: Optional[jnp.ndarray] = None
         self._ts_dirty_rows: List[int] = []
@@ -240,7 +246,8 @@ class DeviceCorpus:
 
     @property
     def num_videos(self) -> int:
-        return self._ts_count
+        """Live videos (tombstoned rows excluded)."""
+        return len(self._vid_to_row)
 
     @property
     def num_fingerprints(self) -> int:
@@ -257,6 +264,7 @@ class DeviceCorpus:
             return {
                 "ts_capacity_rows": self._ts_cap,
                 "ts_rows": self._ts_count,
+                "ts_free_rows": len(self._ts_free),
                 "fp_capacity_rows": self._fp_cap,
                 "fp_rows": self._fp_count,
                 "fp_tombstones": self._fp_tombstones,
@@ -328,6 +336,7 @@ class DeviceCorpus:
                 self._ts_len[row] = 0
                 self._ts_vid[row] = -1
                 self._ts_dirty_rows.append(row)
+                self._ts_free.append(row)
             frames = np.nonzero(
                 self._fp_vid[: self._fp_count] == video_id)[0]
             if frames.size:
@@ -360,10 +369,14 @@ class DeviceCorpus:
     def _upsert_ts_locked(self, video_id: int, timestamps: Sequence[float]) -> None:
         row = self._vid_to_row.get(video_id)
         if row is None:
-            if self._ts_count == self._ts_cap:
-                self._grow_ts()
-            row = self._ts_count
-            self._ts_count += 1
+            if self._ts_free:
+                # Reuse a tombstoned row (bounded footprint under churn).
+                row = self._ts_free.pop()
+            else:
+                if self._ts_count == self._ts_cap:
+                    self._grow_ts()
+                row = self._ts_count
+                self._ts_count += 1
             self._vid_to_row[video_id] = row
             self._ts_vid[row] = video_id
         ts = np.asarray(list(timestamps)[: self.max_cuts], np.float32)
