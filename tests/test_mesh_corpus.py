@@ -225,3 +225,25 @@ def test_locate_fragments_batch_2d_parallel(mesh, rng):
         dc.append_fingerprints(vid, s)
     assert dc.locate_fragments(queries, top_k=3,
                                exclude_video_ids=excl) == batch
+
+
+def test_ts_row_reuse_syncs_correctly_across_shards(mesh, rng):
+    """A reused (tombstoned) timestamp row must reach its owning shard via
+    the dirty-row incremental sync and serve queries correctly: the reuse
+    path touches rows OUT of append order, which is exactly what the
+    per-shard reassembly has to get right."""
+    mc = _mk(mesh)
+    for cycle in range(20):
+        vid = 3000 + cycle
+        mc.upsert_timestamps(vid, [float(cycle), float(cycle) + 0.25])
+        assert mc.match_timestamps(
+            [float(cycle), float(cycle) + 0.25], min_match=2) == [(vid, 2)]
+        mc.remove_video(vid)
+        assert mc.match_timestamps(
+            [float(cycle), float(cycle) + 0.25], min_match=2) == []
+    fp = mc.device_footprint
+    assert fp["ts_capacity_rows"] == 8          # never grew
+    assert fp["ts_rows"] <= 2 and fp["ts_free_rows"] >= 1
+    mc.upsert_timestamps(4001, [100.0, 200.0])
+    assert mc.num_videos == 1
+    assert mc.match_timestamps([100.0, 200.0], min_match=2) == [(4001, 2)]
