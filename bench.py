@@ -208,6 +208,34 @@ def bench_timestamp_match(n_videos: int = 1 << 20, max_cuts: int = 32,
     return p50
 
 
+def bench_boot_restore(n_videos: int = 1000, fp_per_video: int = 1000):
+    """Host-side cold-start restore: warm a DeviceCorpus from a populated
+    store (the boot path that makes verdicts survive restarts). Presized
+    bulk load — was ~24 s at 10M fingerprints before round 3's presizing,
+    now sub-second at 1M. No device traffic (the corpus syncs lazily)."""
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+    from tvidz_tpu.corpus.store import Store
+
+    rng = np.random.default_rng(5)
+    store = Store("sqlite:///:memory:")
+    for v in range(n_videos):
+        vid = store.add_video(f"bench_{v}.mp4").id
+        store.add_timestamps(
+            vid, [float(x) for x in sorted(rng.uniform(0, 600, 12))])
+        store.add_fingerprints(
+            vid, rng.integers(0, 2**32, size=(fp_per_video, 2),
+                              dtype=np.uint32))
+    t0 = time.perf_counter()
+    c = DeviceCorpus()
+    c.load(store)
+    dt = time.perf_counter() - t0
+    assert c.num_fingerprints == n_videos * fp_per_video
+    store.close()
+    _log(f"boot restore: {dt:.3f} s for {n_videos:,} videos / "
+         f"{n_videos * fp_per_video:,} fingerprints (host-side)")
+    return dt
+
+
 def bench_reference_python_scan(n_videos: int = 10_000, cuts: int = 32,
                                 query_cuts: int = 16):
     """The CPU baseline the reference never published (BASELINE.md): its
@@ -676,6 +704,7 @@ def main() -> None:
     decode_roofline = None
     verdict = None
     verdict16 = None
+    restore_s = None
     if not cpu_fallback:
         try:
             bench_reference_python_scan()
@@ -692,6 +721,7 @@ def main() -> None:
             e2e_fps_fast = bench_e2e_decode_hash(lowres=True)
             e2e_curve = bench_e2e_scaling()
             e2e_curve_fast = bench_e2e_scaling(lowres=True)
+            restore_s = bench_boot_restore()
         except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
             _log(f"secondary benches failed: {e}")
 
@@ -736,6 +766,9 @@ def main() -> None:
         record["e2e_streams_frames_per_sec_fast"] = {
             str(k): round(v, 1) for k, v in e2e_curve_fast.items()
         }
+    if restore_s is not None:
+        # Cold-start corpus warm from the durable store (host-side).
+        record["boot_restore_1m_s"] = round(restore_s, 3)
     print(json.dumps(record))
 
 
