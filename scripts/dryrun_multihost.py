@@ -1,6 +1,7 @@
-"""2-process multi-host (DCN) dryrun — SURVEY §7 step 6 / VERDICT r1 #5.
+"""Multi-process multi-host (DCN) dryrun — SURVEY §7 step 6 / VERDICT r1 #5.
 
-Parent mode (no args): spawns 2 child OS processes, each a separate "host"
+Parent mode (no args): spawns N (default 2) child OS processes, each a
+separate "host"
 with 4 virtual CPU devices, connected by jax.distributed + gloo TCP
 collectives — the multi-process analog of the 8-device single-process test
 mesh. Child mode (--child <pid> <port>): joins the cluster, builds the
@@ -173,7 +174,8 @@ def parent(num_processes: int = 2) -> int:
         if p.returncode != 0 or f"[host {i}] OK" not in out:
             ok = False
     print("dryrun_multihost "
-          + ("OK: 2-host DCN corpus sharding verified" if ok else "FAILED"))
+          + (f"OK: {num_processes}-host DCN corpus sharding verified"
+             if ok else "FAILED"))
     return 0 if ok else 1
 
 
