@@ -676,6 +676,7 @@ def supervise() -> None:
         "value": 0.0,
         "unit": "frames/s",
         "vs_baseline": 0.0,
+        "tpu_unavailable": True,
     }))
 
 
@@ -737,6 +738,11 @@ def main() -> None:
         "device_only": True,
         "vs_baseline": round(frames_per_s / 20000.0, 4),
     }
+    if cpu_fallback:
+        # The record was measured on the host CPU because the axon tunnel
+        # was unreachable for the whole supervisor window — mark it so a
+        # degraded number is never read as a TPU regression.
+        record["cpu_fallback"] = True
     if e2e_fps is not None:
         record["e2e_decoded_frames_per_sec"] = round(e2e_fps, 1)
         record["vs_baseline_e2e"] = round(e2e_fps / 20000.0, 4)
