@@ -42,6 +42,12 @@ class PgError(Exception):
     """Server-reported error (ErrorResponse) or protocol violation."""
 
 
+class PgConnectionError(PgError):
+    """Transport-level failure (socket error, closed connection, unsynced
+    stream) — the connection is dead and must be re-established. Server
+    SQL errors stay plain PgError: the connection remains usable."""
+
+
 # -- OIDs (pg_type.h) --------------------------------------------------------
 
 OID_BOOL = 16
@@ -228,7 +234,7 @@ class _Buf:
             while need > 0:
                 chunk = self._sock.recv(65536)
                 if not chunk:
-                    raise PgError("server closed the connection")
+                    raise PgConnectionError("server closed the connection")
                 parts.append(chunk)
                 need -= len(chunk)
             self._buf = b"".join(parts)
@@ -245,8 +251,9 @@ class _Buf:
         (length,) = struct.unpack("!i", head[1:])
         if length < 4:
             # A negative payload size would move the cursor backward and
-            # re-deliver consumed bytes as fresh protocol data.
-            raise PgError(f"malformed message: length {length} < 4")
+            # re-deliver consumed bytes as fresh protocol data; the stream
+            # is unsynced, so the connection is unusable.
+            raise PgConnectionError(f"malformed message: length {length} < 4")
         return head[:1], self.read_exact(length - 4)
 
 
@@ -275,6 +282,9 @@ class Connection:
         self._buf = _Buf(self._sock)
         self._in_txn = False
         self._closed = False
+        # Set on transport failure: the Store's lazy-reconnect property
+        # checks it before every operation (corpus/store.py).
+        self.broken = False
         self._startup(dbname)
 
     # -- DB-API surface ------------------------------------------------------
@@ -379,10 +389,25 @@ class Connection:
             self._simple("BEGIN")
             self._in_txn = True
 
+    def _guard(self, fn):
+        """Run one wire exchange; transport failures mark the connection
+        broken (and surface as PgConnectionError) so the owner can
+        re-establish it. Server SQL errors pass through untouched."""
+        try:
+            return fn()
+        except PgConnectionError:
+            self.broken = True
+            raise
+        except (OSError, socket.timeout) as e:
+            self.broken = True
+            raise PgConnectionError(f"connection lost: {e}") from e
+
     def _simple(self, sql: str) -> Tuple[List[tuple], Optional[list], int]:
         """Simple-protocol Query — multi-statement capable."""
-        self._sock.sendall(_msg(b"Q", _cstr(sql)))
-        return self._collect()
+        def run():
+            self._sock.sendall(_msg(b"Q", _cstr(sql)))
+            return self._collect()
+        return self._guard(run)
 
     def _extended(self, sql: str, params: Sequence
                   ) -> Tuple[List[tuple], Optional[list], int]:
@@ -398,12 +423,15 @@ class Connection:
             else:
                 bind += struct.pack("!i", len(data)) + data
         bind += struct.pack("!h", 0)   # all result columns text
-        self._sock.sendall(
-            _msg(b"P", parse) + _msg(b"B", bind)
-            + _msg(b"D", b"P" + _cstr("")) + _msg(b"E", _cstr("") +
-                                                  struct.pack("!i", 0))
-            + _msg(b"S", b""))
-        return self._collect(until_sync=True)
+
+        def run():
+            self._sock.sendall(
+                _msg(b"P", parse) + _msg(b"B", bind)
+                + _msg(b"D", b"P" + _cstr("")) + _msg(b"E", _cstr("") +
+                                                      struct.pack("!i", 0))
+                + _msg(b"S", b""))
+            return self._collect(until_sync=True)
+        return self._guard(run)
 
     def _collect(self, until_sync: bool = False
                  ) -> Tuple[List[tuple], Optional[list], int]:

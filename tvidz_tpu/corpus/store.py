@@ -140,6 +140,7 @@ class Store:
     def __init__(self, url: str = "sqlite:///tvidz.db"):
         self.url = url
         self._lock = threading.RLock()
+        self._explicitly_closed = False
         if url.startswith("sqlite://"):
             path = url[len("sqlite:///"):] if url.startswith("sqlite:///") else url[len("sqlite://"):]
             self._backend = "sqlite"
@@ -169,11 +170,46 @@ class Store:
                     driver = None
             if driver is None:
                 from tvidz_tpu.corpus import pgwire as driver
+            self._driver = driver
             self._conn = driver.connect(url)
             with self._lock, self._conn, self._conn.cursor() as cur:
                 cur.execute(_PG_SCHEMA)
         else:
             raise ValueError(f"unsupported store URL: {url}")
+
+    # -- connection health (postgres) -----------------------------------------
+
+    @property
+    def _conn(self):
+        """Lazy reconnect: a PG server restart/blip kills the single
+        connection (the wire driver marks it ``broken``; psycopg2 sets
+        ``closed``). The operation that hit the failure raises — retrying
+        it blindly could double-apply a write whose commit raced the
+        failure — but the NEXT operation reconnects instead of the store
+        staying poisoned for the life of the process. Callers hold
+        self._lock around every use, so the swap is race-free."""
+        c = self._c
+        if (self._backend == "postgres" and not self._explicitly_closed
+                and (getattr(c, "broken", False)
+                     or getattr(c, "closed", 0))):
+            try:
+                c.close()
+            except Exception:  # noqa: BLE001 — already dead
+                pass
+            self._c = self._driver.connect(self.url)
+            # Re-apply the idempotent schema: one extra round trip per
+            # reconnect (rare), and a failover to a pristine server still
+            # works.
+            with self._c, self._c.cursor() as cur:
+                cur.execute(_PG_SCHEMA)
+            from tvidz_tpu.utils import log
+
+            log("store", "postgres connection re-established after failure")
+        return self._c
+
+    @_conn.setter
+    def _conn(self, value):
+        self._c = value
 
     # -- placeholder style ---------------------------------------------------
 
@@ -639,4 +675,5 @@ class Store:
 
     def close(self) -> None:
         with self._lock:
-            self._conn.close()
+            self._explicitly_closed = True
+            self._c.close()

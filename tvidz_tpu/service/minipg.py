@@ -361,9 +361,34 @@ class MiniPGServer(socketserver.ThreadingTCPServer):
     def process_request(self, request, client_address):
         # Mirror the client-side NODELAY (pgwire.Connection): response
         # frames are small and latency-bound.
-        import socket as _socket
-        request.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+        request.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        with self._socks_lock:
+            self._client_socks.add(request)
         super().process_request(request, client_address)
+
+    def shutdown_request(self, request):
+        with self._socks_lock:
+            self._client_socks.discard(request)
+        super().shutdown_request(request)
+
+    def shutdown(self):
+        """Stop accepting AND drop established connections — a real server
+        stop closes client sockets; handler threads blocked in recv would
+        otherwise keep serving the old sockets forever (daemon threads).
+        Also releases the listening socket so the port can be rebound."""
+        super().shutdown()
+        self.server_close()
+        with self._socks_lock:
+            socks, self._client_socks = list(self._client_socks), set()
+        for s in socks:
+            try:
+                s.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                s.close()
+            except OSError:
+                pass
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  auth_mode: str = "trust",
@@ -374,6 +399,8 @@ class MiniPGServer(socketserver.ThreadingTCPServer):
         self._db = sqlite3.connect(":memory:", check_same_thread=False)
         self._db.isolation_level = None     # explicit BEGIN/COMMIT only
         self._lock = threading.Lock()
+        self._client_socks: set = set()
+        self._socks_lock = threading.Lock()
 
     @property
     def port(self) -> int:
