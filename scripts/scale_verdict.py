@@ -29,7 +29,16 @@ def sweep(sizes=(1 << 24, 1 << 25, 1 << 26, 1 << 27), query_m=128,
     import jax
     import jax.numpy as jnp
 
-    from tvidz_tpu.ops.hamming import corpus_min_distance_t_mxu as fn
+    from tvidz_tpu.ops.hamming import (
+        corpus_min_distance_t_mxu,
+        corpus_min_distance_t_mxu_hoisted,
+    )
+
+    # Race the production kernel against the hoisted-iota epilogue
+    # variant (docs/kernels.md §2 round-4 lever (a); bit-parity pinned in
+    # tests) at every size.
+    variants = (("mxu", corpus_min_distance_t_mxu),
+                ("mxu_hoisted", corpus_min_distance_t_mxu_hoisted))
 
     rng = np.random.default_rng(1)
     results = []
@@ -40,35 +49,35 @@ def sweep(sizes=(1 << 24, 1 << 25, 1 << 26, 1 << 27), query_m=128,
             rng.integers(0, 2**32, size=(chain_k, query_m, 2),
                          dtype=np.uint32))
         _sync(corpus_t)
-
-        @jax.jit
-        def chained(qs_, c_t):
-            def step(acc, qq):
-                fmin, qmin, _ = fn(qq, c_t, block_n=block_n)
-                return acc + jnp.sum(qmin), None
-            acc, _ = jax.lax.scan(step, jnp.int32(0), qs_)
-            return acc
-
-        acc = chained(qs, corpus_t)   # compile + warm
-        _sync(acc)
-        trials = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            acc = chained(qs, corpus_t)
-            _sync(acc)
-            trials.append((time.perf_counter() - t0) / chain_k)
-        dev = float(np.median(trials))
-        compares = query_m * n / dev
         row = {
             "corpus_fingerprints": n,
-            "device_ms": round(dev * 1e3, 2),
-            "compares_per_sec": round(compares),
             "corpus_gib": round(n * 8 / 2**30, 3),
         }
+        for name, fn in variants:
+            @jax.jit
+            def chained(qs_, c_t, fn=fn):
+                def step(acc, qq):
+                    fmin, qmin, _ = fn(qq, c_t, block_n=block_n)
+                    return acc + jnp.sum(qmin), None
+                acc, _ = jax.lax.scan(step, jnp.int32(0), qs_)
+                return acc
+
+            acc = chained(qs, corpus_t)   # compile + warm
+            _sync(acc)
+            trials = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = chained(qs, corpus_t)
+                _sync(acc)
+                trials.append((time.perf_counter() - t0) / chain_k)
+            dev = float(np.median(trials))
+            row[f"device_ms_{name}"] = round(dev * 1e3, 2)
+            row[f"compares_per_sec_{name}"] = round(query_m * n / dev)
+            del acc, chained
         print(json.dumps(row), flush=True)
         results.append(row)
         # Free the corpus before the next (larger) size.
-        del corpus_t, qs, acc, chained
+        del corpus_t, qs
     return results
 
 

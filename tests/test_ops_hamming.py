@@ -157,3 +157,31 @@ def test_corpus_min_distance_mxu_non_pow2_block(rng):
     np.testing.assert_array_equal(np.asarray(q_arg), d.argmin(axis=1))
     np.testing.assert_array_equal(np.asarray(frame_min), d.min(axis=0))
     assert int(q_min[0]) == 1 and int(q_arg[0]) == 0
+
+
+def test_corpus_min_distance_mxu_hoisted_bit_identical(rng):
+    """The hoisted-iota epilogue variant (docs/kernels.md §2 round-4
+    lever (a)) must be bit-identical to the production MXU kernel on all
+    three outputs, including first-index argmin ties and non-power-of-two
+    block sizes."""
+    from tvidz_tpu.ops.hamming import (
+        corpus_min_distance_t_mxu,
+        corpus_min_distance_t_mxu_hoisted,
+    )
+
+    m, w = 24, 2
+    for block_n, blocks in ((256, 8), (5248, 2)):   # pow2 and 41*128
+        n = block_n * blocks
+        q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+        c = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+        c[block_n - 1] = q[3]       # hit at a block boundary
+        c[block_n] = q[3]           # tie in the NEXT block: argmin stays put
+        c[0] = q[0]
+        c[0, 0] ^= np.uint32(1)     # dist-1 at col 0 (the decode edge)
+        ct = jnp.asarray(np.ascontiguousarray(c.T))
+        ref = corpus_min_distance_t_mxu(jnp.asarray(q), ct, block_n=block_n)
+        out = corpus_min_distance_t_mxu_hoisted(
+            jnp.asarray(q), ct, block_n=block_n)
+        for r, o in zip(ref, out):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+        assert int(out[2][3]) == block_n - 1
