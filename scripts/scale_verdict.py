@@ -32,13 +32,15 @@ def sweep(sizes=(1 << 24, 1 << 25, 1 << 26, 1 << 27), query_m=128,
     from tvidz_tpu.ops.hamming import (
         corpus_min_distance_t_mxu,
         corpus_min_distance_t_mxu_hoisted,
+        corpus_min_distance_t_mxu_twophase,
     )
 
-    # Race the production kernel against the hoisted-iota epilogue
-    # variant (docs/kernels.md §2 round-4 lever (a); bit-parity pinned in
-    # tests) at every size.
+    # Race the production kernel against the epilogue variants
+    # (docs/kernels.md §2 round-4 levers; bit-parity pinned in tests)
+    # at every size.
     variants = (("mxu", corpus_min_distance_t_mxu),
-                ("mxu_hoisted", corpus_min_distance_t_mxu_hoisted))
+                ("mxu_hoisted", corpus_min_distance_t_mxu_hoisted),
+                ("mxu_twophase", corpus_min_distance_t_mxu_twophase))
 
     rng = np.random.default_rng(1)
     results = []

@@ -185,3 +185,39 @@ def test_corpus_min_distance_mxu_hoisted_bit_identical(rng):
         for r, o in zip(ref, out):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
         assert int(out[2][3]) == block_n - 1
+
+
+def test_corpus_min_distance_mxu_twophase_bit_identical(rng):
+    """The two-phase epilogue (argmin pass skipped for non-improving
+    blocks, round-4 lever (b)) must be bit-identical to the production
+    kernel — including when improvements land in EVERY block (descending
+    minima), in NO later block, and on argmin ties across blocks."""
+    from tvidz_tpu.ops import golden
+    from tvidz_tpu.ops.hamming import (
+        corpus_min_distance_t_mxu,
+        corpus_min_distance_t_mxu_twophase,
+    )
+
+    m, w, block_n, blocks = 16, 2, 256, 8
+    n = block_n * blocks
+    q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+    c = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    # Query 0: strictly descending minima — every block improves.
+    for b in range(blocks):
+        fp = q[0].copy()
+        for k in range(blocks - b):
+            fp[k % w] ^= np.uint32(1 << k)
+        c[b * block_n + 7] = fp
+    # Query 1: exact hit in block 0, tie in block 5 — argmin stays early.
+    c[5] = q[1]
+    c[5 * block_n + 5] = q[1]
+    ct = jnp.asarray(np.ascontiguousarray(c.T))
+    ref = corpus_min_distance_t_mxu(jnp.asarray(q), ct, block_n=block_n)
+    out = corpus_min_distance_t_mxu_twophase(
+        jnp.asarray(q), ct, block_n=block_n)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+    d = golden.hamming_matrix(q, c)
+    np.testing.assert_array_equal(np.asarray(out[1]), d.min(axis=1))
+    np.testing.assert_array_equal(np.asarray(out[2]), d.argmin(axis=1))
+    assert int(out[2][1]) == 5

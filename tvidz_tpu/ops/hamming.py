@@ -437,6 +437,112 @@ def corpus_min_distance_t_mxu_hoisted(
     return frame_min[0], q_min[0], q_arg[0]
 
 
+def _corpus_scan_kernel_mxu_twophase(
+    q_ref,          # (M, 32*W) ±1 bf16 in VMEM
+    c_ref,          # (W, BN) uint32 in VMEM
+    cols_ref,       # (1, BN) f32 in VMEM — precomputed 0..BN-1
+    frame_min_ref,  # (1, BN) int32 out
+    q_min_ref,      # (1, M) int32 out (final block)
+    q_arg_ref,      # (1, M) int32 out (final block)
+    acc_min_ref,    # (1, M) int32 scratch
+    acc_arg_ref,    # (1, M) int32 scratch
+    *,
+    block_n: int,
+):
+    """Two-phase epilogue (docs/kernels.md §2 round-4 lever (b)): compute
+    per-query block minima from the row max of dots (1 cheap reduction),
+    and run the argmin pass (combined build + min reduction — the two
+    heaviest (M, BN) passes) ONLY when some query actually improves on
+    the global accumulator. For a random corpus the global min improves
+    O(log blocks) times, so almost every block skips the argmin entirely.
+    Data-dependent pl.when — raced on-chip before any promotion."""
+    pid = pl.program_id(0)
+    m = q_ref.shape[0]
+    bits = q_ref.shape[1]
+    w = bits // 32
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_min_ref[:] = jnp.full((1, m), 1 << 30, jnp.int32)
+        acc_arg_ref[:] = jnp.zeros((1, m), jnp.int32)
+
+    pm1 = pm1_planes(lambda wi: c_ref[wi, :], w, block_n)
+    dots = jnp.dot(q_ref[:], pm1, preferred_element_type=jnp.float32)
+
+    frame_min_ref[:] = (
+        (jnp.float32(bits) - jnp.max(dots, axis=0)[None, :]) * 0.5
+    ).astype(jnp.int32)
+
+    blk_min = ((jnp.float32(bits) - jnp.max(dots, axis=1)) * 0.5
+               ).astype(jnp.int32)
+    better = blk_min < acc_min_ref[0, :]
+
+    @pl.when(jnp.any(better))
+    def _update():
+        combined = ((jnp.float32(bits) - dots)
+                    * jnp.float32(0.5 * block_n)) + cols_ref[0, :][None, :]
+        best = jnp.min(combined, axis=1)
+        blk_arg = (best.astype(jnp.int32) - blk_min * block_n
+                   ) + pid * block_n
+        acc_min_ref[0, :] = jnp.where(better, blk_min, acc_min_ref[0, :])
+        acc_arg_ref[0, :] = jnp.where(better, blk_arg, acc_arg_ref[0, :])
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _final():
+        q_min_ref[:] = acc_min_ref[:]
+        q_arg_ref[:] = acc_arg_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def corpus_min_distance_t_mxu_twophase(
+    q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """EXPERIMENTAL two-phase epilogue variant (see the kernel docstring).
+    Same contract; bit-parity pinned by tests. Not the production path
+    until it wins the on-chip race in scripts/scale_verdict.py."""
+    m, w = q.shape
+    n = corpus_t.shape[1]
+    assert corpus_t.shape[0] == w, (corpus_t.shape, q.shape)
+    assert block_n % 128 == 0, f"block_n must be a multiple of 128, got {block_n}"
+    assert n % block_n == 0, (n, block_n)
+    assert 32 * w * block_n + block_n < (1 << 24), (
+        f"block_n={block_n} too large for {32*w}-bit fingerprints")
+    q_pm1 = unpack_bits_pm1(q)
+    cols = jnp.arange(block_n, dtype=jnp.float32)[None, :]
+    grid = (n // block_n,)
+    kernel = functools.partial(_corpus_scan_kernel_mxu_twophase,
+                               block_n=block_n)
+    frame_min, q_min, q_arg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, 32 * w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m), jnp.int32),
+            pltpu.VMEM((1, m), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(q_pm1, corpus_t, cols)
+    return frame_min[0], q_min[0], q_arg[0]
+
+
 def corpus_min_distance_t_auto(
     q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
