@@ -128,6 +128,7 @@ def bench_verdict_latency(corpus_n: int = 1 << 20, query_m: int = 128,
     from tvidz_tpu.ops.hamming import (
         corpus_min_distance_t,
         corpus_min_distance_t_mxu,
+        corpus_min_distance_t_mxu_twophase,
     )
 
     rng = np.random.default_rng(1)
@@ -141,7 +142,8 @@ def bench_verdict_latency(corpus_n: int = 1 << 20, query_m: int = 128,
 
     best = None
     for name, fn, blk in (("vpu", corpus_min_distance_t, 8192),
-                          ("mxu", corpus_min_distance_t_mxu, 8192)):
+                          ("mxu", corpus_min_distance_t_mxu, 8192),
+                          ("mxu2p", corpus_min_distance_t_mxu_twophase, 8192)):
         out = fn(query, corpus_t, block_n=blk)
         _sync(*out)
 

@@ -1,0 +1,221 @@
+"""Store-outage policy (pipeline/analyzer.py): an analysis rides out a
+TRANSIENT store outage (server restart, failover, connection blip) because
+every mid-stream store write is re-upserted at finalization.
+
+The reference fails the whole analysis on any DB error (app.py:303's blanket
+handler around every DB call); here:
+  - CRITICAL ops (add_video, finalization persist) retry with backoff,
+    riding Store's lazy reconnect; exhausted retries surface as the error.
+  - SKIPPABLE mid-stream ops (add_timestamps, update_duplicates, duplicate
+    filename resolution, checkpoints) log + skip on transient errors; the
+    durable state they maintain is re-applied at finalization via
+    _DeferredStoreWrites.
+  - Non-transient errors (SQL/programming bugs) always propagate.
+"""
+
+import os
+import shutil
+import sqlite3
+from collections import Counter
+
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store, is_transient_store_error
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.decode.y4m import write_y4m
+from tvidz_tpu.pipeline.analyzer import Analyzer
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+
+class FlakyStore:
+    """Delegates to a real Store; raises a configurable error for the named
+    methods while a failure budget remains (budget None = fail forever)."""
+
+    def __init__(self, inner, fail_methods=(), budget=None,
+                 exc_factory=lambda m: ConnectionError(f"store down: {m}")):
+        self._inner = inner
+        self.fail_methods = set(fail_methods)
+        self.budget = budget
+        self.exc_factory = exc_factory
+        self.calls = Counter()
+        self.failed = Counter()
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if not callable(attr):
+            return attr
+
+        def wrapper(*a, **k):
+            self.calls[name] += 1
+            if name in self.fail_methods and (
+                self.budget is None or self.budget > 0
+            ):
+                if self.budget is not None:
+                    self.budget -= 1
+                self.failed[name] += 1
+                raise self.exc_factory(name)
+            return attr(*a, **k)
+
+        return wrapper
+
+
+@pytest.fixture
+def env(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.decode_prefetch_blocks = 0
+    cfg.pipeline.store_retry_attempts = 4
+    cfg.pipeline.store_retry_wait_s = 0.01
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+    luma, _ = synthetic_video(num_frames=128, height=72, width=96,
+                              cut_frames=(40, 90), seed=11)
+    write_y4m(str(bucket / "orig.y4m"), luma)
+    shutil.copy(bucket / "orig.y4m", bucket / "copy.y4m")
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    def mk_analyzer(store):
+        corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                              fp_block_n=256)
+        return Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+
+    return cfg, bucket, mk_analyzer
+
+
+def test_classifier():
+    from tvidz_tpu.corpus.pgwire import PgConnectionError
+
+    assert is_transient_store_error(PgConnectionError("conn reset"))
+    assert is_transient_store_error(ConnectionError("refused"))
+    assert is_transient_store_error(TimeoutError())
+    assert is_transient_store_error(OSError(32, "broken pipe"))
+    assert is_transient_store_error(sqlite3.OperationalError("database is locked"))
+    assert not is_transient_store_error(sqlite3.OperationalError("no such table: x"))
+    assert not is_transient_store_error(ValueError("bad arg"))
+    assert not is_transient_store_error(RuntimeError("bug"))
+
+
+def test_verdict_writes_deferred_through_outage(env):
+    """The store is down exactly when the duplicate verdict fires:
+    update_duplicates and the filename lookup both fail transiently, the
+    analysis keeps going, and finalization re-applies both — the verdict,
+    the duplicates column, and the resolved name all land."""
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"))
+    analyzer = mk(store)
+    r1 = analyzer.analyze("videos", "orig.y4m")
+    assert r1.status == "done" and r1.scene_cuts
+
+    # Outage window: exactly the two verdict-time writes fail once each.
+    store.fail_methods = {"update_duplicates", "get_video_by_id"}
+    store.budget = 2
+    r2 = analyzer.analyze("videos", "copy.y4m")
+    assert r2.status == "done"
+    assert r2.duplicates == ["orig.y4m"]
+    assert store.failed["update_duplicates"] == 1
+    assert store.failed["get_video_by_id"] == 1
+    # Durable mirror re-applied at finalization.
+    assert store.get_video_by_id(r2.video_id).duplicates == [r1.video_id]
+    assert store.get_timestamps(r2.video_id) == r2.scene_cuts
+
+
+def test_midstream_timestamp_writes_skipped_then_final(env):
+    """Mid-stream add_timestamps failures are skipped; the finalization
+    write persists the full cut array (upsert semantics make the
+    mid-stream writes redundant)."""
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_timestamps"}, budget=1)
+    analyzer = mk(store)
+    r = analyzer.analyze("videos", "orig.y4m")
+    assert r.status == "done"
+    assert store.failed["add_timestamps"] == 1
+    assert store.get_timestamps(r.video_id) == r.scene_cuts
+
+
+def test_checkpoint_save_outage_never_fails_analysis(env):
+    """save_checkpoint down for the whole run: analysis still completes
+    (a missed checkpoint only widens the resume window)."""
+    cfg, bucket, mk = env
+    cfg.pipeline.checkpoint_every_blocks = 1
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"save_checkpoint", "load_checkpoint",
+                                     "delete_checkpoint"})
+    analyzer = mk(store)
+    r = analyzer.analyze("videos", "orig.y4m")
+    assert r.status == "done"
+    assert store.failed["save_checkpoint"] > 0
+    assert store.get_timestamps(r.video_id) == r.scene_cuts
+    cfg.pipeline.checkpoint_every_blocks = 0
+
+
+def test_add_video_retries_through_brief_outage(env):
+    """add_video (critical) rides out two transient failures via retry."""
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_video"}, budget=2)
+    analyzer = mk(store)
+    r = analyzer.analyze("videos", "orig.y4m")
+    assert r.status == "done"
+    assert store.calls["add_video"] == 3 and store.failed["add_video"] == 2
+
+
+def test_add_video_permanent_outage_exhausts_retries(env):
+    """A store that never recovers fails the analysis after exactly
+    store_retry_attempts tries (reference-parity error surface), and the
+    registry records a terminal error state so /status and SSE watchers
+    don't hang at 'pending'."""
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_video"})
+    analyzer = mk(store)
+    with pytest.raises(ConnectionError):
+        analyzer.analyze("videos", "orig.y4m")
+    assert store.calls["add_video"] == cfg.pipeline.store_retry_attempts
+    state = analyzer.registry.lookup("orig.y4m")
+    assert state is not None and state["status"] == "error"
+    assert "store down" in state["error"]
+
+
+def test_non_transient_error_propagates_immediately(env):
+    """A programming/SQL error is NOT retried or skipped: it surfaces as
+    the analysis error on the first call, mirroring the reference."""
+    cfg, bucket, mk = env
+    store = FlakyStore(
+        Store("sqlite:///:memory:"),
+        exc_factory=lambda m: sqlite3.OperationalError("no such table: videos"),
+    )
+    analyzer = mk(store)
+    r1 = analyzer.analyze("videos", "orig.y4m")
+    assert r1.status == "done"
+
+    store.fail_methods = {"update_duplicates"}
+    r2 = analyzer.analyze("videos", "copy.y4m")
+    assert r2.status == "error"
+    assert "no such table" in (r2.error or "")
+    assert store.failed["update_duplicates"] == 1  # no retry
+
+
+def test_final_persist_retries_through_recovery(env):
+    """Finalization add_timestamps is critical: it retries through a brief
+    outage and the durable record lands."""
+    cfg, bucket, mk = env
+    # No cuts mid-stream failure path: fail the final writes twice.
+    store = FlakyStore(Store("sqlite:///:memory:"))
+    analyzer = mk(store)
+    # Arm the outage only after decode starts: fail the next 2
+    # add_fingerprints calls (only finalization calls it).
+    store.fail_methods = {"add_fingerprints"}
+    store.budget = 2
+    r = analyzer.analyze("videos", "orig.y4m")
+    assert r.status == "done"
+    assert store.failed["add_fingerprints"] == 2
+    assert store.get_fingerprints(r.video_id).shape[0] > 0

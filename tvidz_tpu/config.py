@@ -142,6 +142,13 @@ class PipelineConfig:
     download_chunk_bytes: int = 8192
     # Working directory for downloaded files (app.py:135).
     tmp_dir: str = "/tmp"
+    # Store-outage policy (pipeline/analyzer.py): CRITICAL store writes
+    # (add_video, finalization persist) retry transient transport failures
+    # this many times with this backoff, riding Store's lazy reconnect;
+    # mid-stream writes that finalization re-upserts anyway are skipped
+    # for the duration of an outage instead of failing the analysis.
+    store_retry_attempts: int = 4
+    store_retry_wait_s: float = 1.0
     # Checkpoint streaming progress every N blocks so interrupted long-video
     # analyses resume instead of restarting (SURVEY.md §5; reference loses
     # everything on restart). 0 disables.

@@ -36,6 +36,34 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def is_transient_store_error(e: BaseException) -> bool:
+    """True when ``e`` is a TRANSPORT-level store failure (server down,
+    connection dropped, file briefly locked) that a later retry against a
+    recovered backend can succeed on — as opposed to a SQL/programming
+    error that will fail identically forever.
+
+    Used by the analyzer's outage policy (pipeline/analyzer.py): mid-stream
+    writes whose state is re-upserted at finalization may be SKIPPED on a
+    transient error, and finalization writes are RETRIED with backoff,
+    riding the Store's lazy reconnect (Store._conn property above)."""
+    from tvidz_tpu.corpus.pgwire import PgConnectionError
+
+    if isinstance(e, (PgConnectionError, ConnectionError, TimeoutError, OSError)):
+        return True
+    try:
+        import psycopg2  # type: ignore
+
+        if isinstance(e, (psycopg2.OperationalError, psycopg2.InterfaceError)):
+            return True
+    except ImportError:
+        pass
+    if isinstance(e, sqlite3.OperationalError):
+        # sqlite's transient class: cross-process lock contention / busy.
+        msg = str(e).lower()
+        return "locked" in msg or "busy" in msg
+    return False
+
+
 @dataclasses.dataclass
 class VideoRecord:
     id: int

@@ -35,7 +35,7 @@ import numpy as np
 
 from tvidz_tpu.config import Config
 from tvidz_tpu.corpus.device_corpus import DeviceCorpus
-from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.corpus.store import Store, is_transient_store_error
 from tvidz_tpu.decode.base import DecodeError, get_decoder
 from tvidz_tpu.ops.fused import initial_fingerprint_carry
 from tvidz_tpu.ops.scene import NativeSceneScorer
@@ -44,6 +44,24 @@ from tvidz_tpu.utils import StageTimer, log
 
 # fetch(bucket, key, local_path) -> None; raises on failure.
 Fetcher = Callable[[str, str, str], None]
+
+# Distinguishes "store unavailable" from a legitimate None/empty result in
+# _store_soft call sites (e.g. get_video_by_id of a vanished row).
+_OUTAGE = object()
+
+
+@dataclasses.dataclass
+class _DeferredStoreWrites:
+    """Store writes skipped during a transient store outage, re-applied at
+    finalization (pipeline store-outage policy). The duplicate VERDICT
+    itself never depends on the store — it comes from the device corpus —
+    only its durable mirror (videos.duplicates) and the duplicate FILENAME
+    resolution do."""
+
+    # Latest update_duplicates payload not yet persisted (None = persisted).
+    dup_ids: Optional[List[int]] = None
+    # Duplicate video ids whose filenames could not be resolved mid-stream.
+    unresolved: List[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -122,7 +140,21 @@ class Analyzer:
                 log("cleanup", f"Failed to remove stale file: {local_path} ({e})")
 
         log("analysis-triggered", f"Starting analysis for {filename}")
-        video = self.store.add_video(original_filename)
+        try:
+            video = self._store_retry(
+                "add_video", lambda: self.store.add_video(original_filename))
+        except Exception as e:  # noqa: BLE001
+            # Store down for the WHOLE retry window before a row even
+            # exists: record an error verdict so /status and SSE watchers
+            # see a terminal state instead of 'pending' until timeout.
+            self.registry.seed(analysis_key, original_filename=filename,
+                               clean_filename=original_filename)
+            self.registry.finish(
+                analysis_key, status="error", error=str(e), progress=0.0,
+                total_cuts=0, duplicates=[], original_filename=filename,
+                clean_filename=original_filename,
+            )
+            raise
         video_id = video.id
         with self._active_lock:
             self._active_vids.add(video_id)
@@ -197,9 +229,57 @@ class Analyzer:
         from /status (service/app._lookup_state). Never fatal: the
         in-memory state is already correct."""
         try:
-            self.store.save_analysis_state(clean_filename, video_id, state)
+            # Retry transient outages (store-outage policy below) — this is
+            # the payload a restarted/multi-host /status serves — but stay
+            # non-fatal on exhaustion: in-memory state is already correct.
+            self._store_retry(
+                "save_analysis_state",
+                lambda: self.store.save_analysis_state(
+                    clean_filename, video_id, state))
         except Exception as e:  # noqa: BLE001
             log("analysis-state", f"failed to persist final state: {e}")
+
+    # -- store-outage policy -----------------------------------------------------
+    #
+    # The reference fails the whole analysis on any DB error (app.py:303).
+    # Here an analysis rides out a transient store outage (server restart,
+    # failover, connection blip) because every mid-stream store write is
+    # re-upserted at finalization anyway: add_timestamps writes the FULL
+    # cut array each time (db.py:43-64 upsert semantics), checkpoints are
+    # whole-state blobs, and the duplicate verdict comes from the device
+    # corpus, not the store. Policy:
+    #   - CRITICAL ops (add_video, finalization persist) retry transient
+    #     errors store_retry_attempts times, riding Store's lazy reconnect;
+    #     exhausted retries surface as the analysis error (reference parity).
+    #   - SKIPPABLE mid-stream ops log + skip on transient errors; anything
+    #     the final state needs (duplicates column, duplicate filenames) is
+    #     recorded in _DeferredStoreWrites and re-applied at finalization.
+    # Non-transient errors (SQL/programming bugs) always propagate.
+
+    def _store_retry(self, what: str, fn):
+        cfg = self.config.pipeline
+        attempts = max(1, cfg.store_retry_attempts)
+        for attempt in range(attempts):
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if not is_transient_store_error(e) or attempt == attempts - 1:
+                    raise
+                log("store-outage",
+                    f"{what} failed transiently (attempt {attempt + 1}/"
+                    f"{attempts}): {e}; retrying in {cfg.store_retry_wait_s}s")
+                time.sleep(cfg.store_retry_wait_s)
+
+    def _store_soft(self, what: str, fn, default=None):
+        """One attempt; a transient failure is logged and swallowed
+        (returns ``default``) because finalization re-applies the state."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if not is_transient_store_error(e):
+                raise
+            log("store-outage", f"{what} skipped during store outage: {e}")
+            return default
 
     # -- internals -----------------------------------------------------------------
 
@@ -241,6 +321,7 @@ class Analyzer:
         scene_cuts: List[float] = []
         all_fps: List[np.ndarray] = []
         dups_to_report: List[str] = []
+        deferred = _DeferredStoreWrites()
         fp_evidence: dict = {}
         duplicate_found = False
         last_progress = 0.0
@@ -271,7 +352,10 @@ class Analyzer:
             # attempt, the clean name and content don't).
             logical = clean_filename or filename
             ckpt_key = f"{logical}:{content_signature(local_path)}"
-            blob = self.store.load_checkpoint(ckpt_key)
+            # A transient store outage degrades to a fresh analysis
+            # (checkpointing is an optimization, never a dependency).
+            blob = self._store_soft(
+                "load_checkpoint", lambda: self.store.load_checkpoint(ckpt_key))
             if blob is not None:
                 try:
                     ckpt = AnalysisCheckpoint.from_blob(blob)
@@ -299,25 +383,39 @@ class Analyzer:
                             log("checkpoint",
                                 f"not resuming: attempt {old_vid} is live")
                         else:
-                            resume_from = ckpt.frames_done
-                            resume_catchup = True
                             # Supersede the crashed attempt's orphaned
-                            # partial row: its timestamps are an exact copy
-                            # of what this analysis will re-store, so
+                            # partial row FIRST: its timestamps are an exact
+                            # copy of what this analysis will re-store, so
                             # leaving it would report the video as a
-                            # duplicate OF ITSELF at catch-up.
+                            # duplicate OF ITSELF at catch-up. If the store
+                            # is mid-outage, restart cleanly instead of
+                            # resuming next to the live orphan row.
+                            supersede_ok = True
                             if old_vid is not None and old_vid != video_id:
-                                self.store.delete_video(old_vid)
-                                self.corpus.remove_video(old_vid)
+                                try:
+                                    self.store.delete_video(old_vid)
+                                except Exception as e:  # noqa: BLE001
+                                    if not is_transient_store_error(e):
+                                        raise
+                                    supersede_ok = False
+                                    log("store-outage",
+                                        "cannot supersede crashed attempt "
+                                        f"{old_vid} during store outage; "
+                                        "restarting cleanly")
+                                else:
+                                    self.corpus.remove_video(old_vid)
+                                    log("checkpoint",
+                                        f"superseded crashed attempt row {old_vid}")
+                            if supersede_ok:
+                                resume_from = ckpt.frames_done
+                                resume_catchup = True
+                                scene_cuts = list(ckpt.scene_cuts)
+                                if ckpt.fingerprints.shape[0]:
+                                    all_fps = [ckpt.fingerprints]
+                                carry = ckpt.restore_carry()
                                 log("checkpoint",
-                                    f"superseded crashed attempt row {old_vid}")
-                            scene_cuts = list(ckpt.scene_cuts)
-                            if ckpt.fingerprints.shape[0]:
-                                all_fps = [ckpt.fingerprints]
-                            carry = ckpt.restore_carry()
-                            log("checkpoint",
-                                f"resuming {filename} at frame {resume_from} "
-                                f"({len(scene_cuts)} cuts so far)")
+                                    f"resuming {filename} at frame {resume_from} "
+                                    f"({len(scene_cuts)} cuts so far)")
                 except Exception as e:  # noqa: BLE001 — corrupt ckpt = restart
                     log("checkpoint", f"ignoring unreadable checkpoint: {e}")
 
@@ -331,7 +429,7 @@ class Analyzer:
             resume_catchup = False
             if scene_cuts:
                 duplicate_found = self._apply_timestamp_duplicates(
-                    video_id, scene_cuts, dups_to_report
+                    video_id, scene_cuts, dups_to_report, deferred
                 )
             if (
                 cfg.match.use_fingerprint_evidence
@@ -347,7 +445,7 @@ class Analyzer:
                     fp_evidence[vid] = fp_evidence.get(vid, 0) + count
                 if not duplicate_found:
                     duplicate_found = self._apply_fp_duplicates(
-                        video_id, fp_evidence, dups_to_report
+                        video_id, fp_evidence, dups_to_report, deferred
                     )
             if duplicate_found:
                 self.registry.update(
@@ -399,7 +497,7 @@ class Analyzer:
 
                 if new_cut and not duplicate_found:
                     duplicate_found = self._apply_timestamp_duplicates(
-                        video_id, scene_cuts, dups_to_report
+                        video_id, scene_cuts, dups_to_report, deferred
                     )
 
                 # Fingerprint evidence (north-star Hamming path): catches content
@@ -421,7 +519,7 @@ class Analyzer:
                     for vid, count in block_hits.items():
                         fp_evidence[vid] = fp_evidence.get(vid, 0) + count
                     duplicate_found = self._apply_fp_duplicates(
-                        video_id, fp_evidence, dups_to_report
+                        video_id, fp_evidence, dups_to_report, deferred
                     )
 
                 progress = self._progress(current_frame, total_frames, scene_cuts)
@@ -456,13 +554,15 @@ class Analyzer:
                     from tvidz_tpu.pipeline.checkpoint import AnalysisCheckpoint
 
                     blocks_since_ckpt = 0
-                    self.store.save_checkpoint(
-                        ckpt_key,
-                        AnalysisCheckpoint.capture(
-                            ckpt_key, current_frame, scene_cuts, all_fps,
-                            carry, video_id=video_id,
-                        ).to_blob(),
-                    )
+                    blob_out = AnalysisCheckpoint.capture(
+                        ckpt_key, current_frame, scene_cuts, all_fps,
+                        carry, video_id=video_id,
+                    ).to_blob()
+                    # Missing one checkpoint during an outage only widens
+                    # the resume window — never worth failing the analysis.
+                    self._store_soft(
+                        "save_checkpoint",
+                        lambda: self.store.save_checkpoint(ckpt_key, blob_out))
 
                 if duplicate_found and cfg.pipeline.early_exit:
                     # Early termination — the analog of process.terminate()
@@ -489,15 +589,44 @@ class Analyzer:
 
         # Persist artifacts: timestamps (final) + packed fingerprints — makes
         # re-analysis idempotent (checkpoint/resume story, SURVEY.md §5).
+        # These are the CRITICAL durable record: retry transient outages
+        # with backoff; exhausted retries fail the analysis (ref parity).
         if scene_cuts:
-            self.store.add_timestamps(video_id, scene_cuts)
+            self._store_retry(
+                "add_timestamps(final)",
+                lambda: self.store.add_timestamps(video_id, scene_cuts))
             self.corpus.upsert_timestamps(video_id, scene_cuts)
         if all_fps:
             fps_full = np.concatenate(all_fps)
-            self.store.add_fingerprints(video_id, fps_full)
+            self._store_retry(
+                "add_fingerprints(final)",
+                lambda: self.store.add_fingerprints(video_id, fps_full))
             self.corpus.append_fingerprints(video_id, fps_full)
+
+        # Re-apply store writes skipped during a mid-stream outage: the
+        # latest duplicates payload, and duplicate ids whose filenames the
+        # store couldn't resolve at verdict time.
+        if deferred.dup_ids is not None:
+            self._store_retry(
+                "update_duplicates(deferred)",
+                lambda: self.store.update_duplicates(video_id, deferred.dup_ids))
+            deferred.dup_ids = None
+        for dup_id in deferred.unresolved:
+            dup_video = self._store_retry(
+                "get_video_by_id(deferred)",
+                lambda d=dup_id: self.store.get_video_by_id(d))
+            if dup_video and dup_video.filename not in dups_to_report:
+                dups_to_report.append(dup_video.filename)
+                log("duplicate",
+                    f"Match found: {dup_video.filename} "
+                    "(resolved after store outage)")
+
         if ckpt_key is not None:
-            self.store.delete_checkpoint(ckpt_key)
+            # A leftover checkpoint row is harmless (superseded on the next
+            # run) — never worth failing a finished analysis over.
+            self._store_soft(
+                "delete_checkpoint",
+                lambda: self.store.delete_checkpoint(ckpt_key))
 
         return scene_cuts, dups_to_report
 
@@ -524,13 +653,21 @@ class Analyzer:
             log("thumbnail", f"skipped for video {video_id}: {e}")
 
     def _apply_timestamp_duplicates(
-        self, video_id: int, scene_cuts: List[float], dups_to_report: List[str]
+        self, video_id: int, scene_cuts: List[float],
+        dups_to_report: List[str], deferred: _DeferredStoreWrites,
     ) -> bool:
         """Persist the cuts, query the corpus, record any duplicates
-        (app.py:233-255 semantics). Returns True on a verdict."""
+        (app.py:233-255 semantics). Returns True on a verdict.
+
+        Store writes here are SOFT (store-outage policy above): the verdict
+        comes from the device corpus; the durable mirror (timestamps,
+        duplicates column, duplicate filenames) is re-applied at
+        finalization via ``deferred`` if the store is mid-outage."""
         cfg = self.config
         with self.timer.stage("dedup-search"):
-            self.store.add_timestamps(video_id, scene_cuts)
+            self._store_soft(
+                "add_timestamps",
+                lambda: self.store.add_timestamps(video_id, scene_cuts))
             self.corpus.upsert_timestamps(video_id, scene_cuts)
             dups = self.corpus.match_timestamps(
                 scene_cuts,
@@ -540,25 +677,23 @@ class Analyzer:
             )
         if not dups:
             return False
-        self.store.update_duplicates(video_id, [d[0] for d in dups])
-        del dups_to_report[:]
-        for dup_id, match_count in dups:
-            dup_video = self.store.get_video_by_id(dup_id)
-            if dup_video:
-                dups_to_report.append(dup_video.filename)
-                log("duplicate",
-                    f"Match found: {dup_video.filename} "
-                    f"({match_count} matching timestamps)")
+        self._record_duplicates(
+            video_id, [d[0] for d in dups], deferred, replace=True,
+            dups_to_report=dups_to_report,
+            detail={d[0]: f"{d[1]} matching timestamps" for d in dups},
+        )
         log("duplicate",
             f"Found {len(dups_to_report)} duplicates: {dups_to_report}")
         log("duplicate", f"Current scene cuts: {scene_cuts}")
         return True
 
     def _apply_fp_duplicates(
-        self, video_id: int, fp_evidence: dict, dups_to_report: List[str]
+        self, video_id: int, fp_evidence: dict,
+        dups_to_report: List[str], deferred: _DeferredStoreWrites,
     ) -> bool:
         """Verdict once any video's accumulated fingerprint evidence crosses
-        fp_min_match. Returns True on a verdict."""
+        fp_min_match. Returns True on a verdict. Store writes are SOFT —
+        see _apply_timestamp_duplicates."""
         cfg = self.config
         strong = [
             (vid, total) for vid, total in fp_evidence.items()
@@ -567,18 +702,50 @@ class Analyzer:
         if not strong:
             return False
         strong.sort(key=lambda vc: -vc[1])
-        self.store.update_duplicates(video_id, [v for v, _ in strong])
-        for dup_id, total in strong:
-            dup_video = self.store.get_video_by_id(dup_id)
-            if dup_video and dup_video.filename not in dups_to_report:
-                dups_to_report.append(dup_video.filename)
-                log("duplicate",
-                    f"Match found: {dup_video.filename} "
-                    f"({total} matching fingerprint frames)")
+        self._record_duplicates(
+            video_id, [v for v, _ in strong], deferred, replace=False,
+            dups_to_report=dups_to_report,
+            detail={v: f"{t} matching fingerprint frames" for v, t in strong},
+        )
         log("duplicate",
             f"Found {len(dups_to_report)} duplicates via "
             f"fingerprints: {dups_to_report}")
         return True
+
+    def _record_duplicates(
+        self, video_id: int, dup_ids: List[int],
+        deferred: _DeferredStoreWrites, *, replace: bool,
+        dups_to_report: List[str], detail: dict,
+    ) -> None:
+        """Shared duplicate-recording path: persist the duplicates column
+        (soft — latest payload is kept in ``deferred`` until a write lands)
+        and resolve duplicate ids to filenames, deferring ids the store
+        could not resolve mid-outage to finalization."""
+        deferred.dup_ids = list(dup_ids)
+        persisted = self._store_soft(
+            "update_duplicates",
+            lambda: (self.store.update_duplicates(video_id, dup_ids), True)[1],
+            default=False,
+        )
+        if persisted:
+            deferred.dup_ids = None
+        if replace:
+            del dups_to_report[:]
+            del deferred.unresolved[:]
+        for dup_id in dup_ids:
+            dup_video = self._store_soft(
+                "get_video_by_id",
+                lambda d=dup_id: self.store.get_video_by_id(d),
+                default=_OUTAGE,
+            )
+            if dup_video is _OUTAGE:
+                if dup_id not in deferred.unresolved:
+                    deferred.unresolved.append(dup_id)
+                continue
+            if dup_video and dup_video.filename not in dups_to_report:
+                dups_to_report.append(dup_video.filename)
+                log("duplicate",
+                    f"Match found: {dup_video.filename} ({detail[dup_id]})")
 
     @staticmethod
     def _progress(current_frame: int, total_frames: int, cuts: List[float]) -> float:

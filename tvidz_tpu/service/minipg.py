@@ -392,11 +392,17 @@ class MiniPGServer(socketserver.ThreadingTCPServer):
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  auth_mode: str = "trust",
-                 users: Optional[dict] = None):
+                 users: Optional[dict] = None,
+                 db_path: Optional[str] = None):
         super().__init__((host, port), _Handler)
         self.auth_mode = auth_mode
         self.users = users or {}
-        self._db = sqlite3.connect(":memory:", check_same_thread=False)
+        # db_path makes the server durable across restarts (the real-PG
+        # failover shape: server goes away, data doesn't) — used by the
+        # integration failover leg; default stays in-memory.
+        self.db_path = db_path
+        self._db = sqlite3.connect(db_path or ":memory:",
+                                   check_same_thread=False)
         self._db.isolation_level = None     # explicit BEGIN/COMMIT only
         self._lock = threading.Lock()
         self._client_socks: set = set()
@@ -443,11 +449,15 @@ class MiniPGServer(socketserver.ThreadingTCPServer):
             return rows, desc, count, tagname
 
 
-def start_minipg(auth_mode: str = "trust", users: Optional[dict] = None
+def start_minipg(auth_mode: str = "trust", users: Optional[dict] = None,
+                 db_path: Optional[str] = None, port: int = 0
                  ) -> MiniPGServer:
-    """Start a MiniPG server on an ephemeral port; returns the server
-    (shut down with .shutdown(); .port has the bound port)."""
-    server = MiniPGServer(auth_mode=auth_mode, users=users)
+    """Start a MiniPG server (ephemeral port by default; pass an explicit
+    ``port`` to rebind a restarted server on the address clients already
+    hold, and ``db_path`` for durable storage across restarts). Returns the
+    server (shut down with .shutdown(); .port has the bound port)."""
+    server = MiniPGServer(port=port, auth_mode=auth_mode, users=users,
+                          db_path=db_path)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server
