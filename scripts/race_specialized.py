@@ -1,0 +1,84 @@
+"""Race the specialized half-kernels against the full two-phase scan.
+
+The two production verdict surfaces each consume a disjoint half of the
+3-output corpus-scan contract (docs/kernels.md §2 "frame_min-optional
+variant"): search_fingerprints needs only frame_min; nearest_video_counts
+needs only (q_min, q_arg). This measures what each half saves on-chip at
+1M and 16M fingerprints.
+
+Run directly on TPU: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/race_specialized.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    float(jnp.sum(x.astype(jnp.float32)))
+
+
+def race(sizes=(1 << 20, 1 << 24), query_m=128, chain_k=8, block_n=8192):
+    import jax
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.hamming import (
+        corpus_frame_min_t_mxu,
+        corpus_min_distance_t_mxu_twophase,
+        corpus_query_nearest_t_mxu,
+    )
+
+    def out_full(qq, c_t):
+        f, qm, _ = corpus_min_distance_t_mxu_twophase(qq, c_t, block_n=block_n)
+        return jnp.sum(f[:128]) + jnp.sum(qm)
+
+    def out_fmin(qq, c_t):
+        f = corpus_frame_min_t_mxu(qq, c_t, block_n=block_n)
+        return jnp.sum(f[:128])
+
+    def out_qnear(qq, c_t):
+        qm, qa = corpus_query_nearest_t_mxu(qq, c_t, block_n=block_n)
+        return jnp.sum(qm) + jnp.sum(qa)
+
+    variants = (("full_twophase", out_full), ("frame_min_only", out_fmin),
+                ("query_nearest_only", out_qnear))
+    rng = np.random.default_rng(1)
+    for n in sizes:
+        corpus_t = jnp.asarray(
+            rng.integers(0, 2**32, size=(2, n), dtype=np.uint32))
+        qs = jnp.asarray(
+            rng.integers(0, 2**32, size=(chain_k, query_m, 2),
+                         dtype=np.uint32))
+        _sync(corpus_t)
+        row = {"corpus_fingerprints": n}
+        for name, fn in variants:
+            @jax.jit
+            def chained(qs_, c_t, fn=fn):
+                def step(acc, qq):
+                    return acc + fn(qq, c_t).astype(jnp.int32), None
+                acc, _ = jax.lax.scan(step, jnp.int32(0), qs_)
+                return acc
+
+            acc = chained(qs, corpus_t)
+            _sync(acc)
+            trials = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                acc = chained(qs, corpus_t)
+                _sync(acc)
+                trials.append((time.perf_counter() - t0) / chain_k)
+            dev = float(np.median(trials))
+            row[f"device_ms_{name}"] = round(dev * 1e3, 3)
+            del acc, chained
+        print(json.dumps(row), flush=True)
+        del corpus_t, qs
+
+
+if __name__ == "__main__":
+    import jax
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    race()

@@ -221,3 +221,91 @@ def test_corpus_min_distance_mxu_twophase_bit_identical(rng):
     np.testing.assert_array_equal(np.asarray(out[1]), d.min(axis=1))
     np.testing.assert_array_equal(np.asarray(out[2]), d.argmin(axis=1))
     assert int(out[2][1]) == 5
+
+
+def test_corpus_frame_min_specialized_bit_identical(rng):
+    """The frame_min-only MXU kernel (the search_fingerprints production
+    path) must be bit-identical to the full scan's frame_min output,
+    including tie blocks and non-power-of-two block sizes."""
+    from tvidz_tpu.ops.hamming import (
+        corpus_frame_min_t_mxu,
+        corpus_min_distance_t_mxu,
+    )
+
+    m, w = 24, 2
+    for block_n, blocks in ((256, 8), (5248, 2)):   # pow2 and 41*128
+        n = block_n * blocks
+        q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+        c = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+        c[block_n - 1] = q[3]       # exact hit at a block boundary
+        c[0] = q[0]
+        c[0, 0] ^= np.uint32(1)     # dist-1 at col 0
+        ct = jnp.asarray(np.ascontiguousarray(c.T))
+        ref = corpus_min_distance_t_mxu(jnp.asarray(q), ct, block_n=block_n)
+        out = corpus_frame_min_t_mxu(jnp.asarray(q), ct, block_n=block_n)
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(out))
+        d = golden.hamming_matrix(q, c)
+        np.testing.assert_array_equal(np.asarray(out), d.min(axis=0))
+
+
+def test_corpus_query_nearest_specialized_bit_identical(rng):
+    """The query-nearest-only MXU kernel (the nearest_video_counts
+    production path) must be bit-identical to the full scan's
+    (q_min, q_arg) — including every-block-improving descending minima,
+    first-index argmin ties across blocks, and the dist-1 decode edge."""
+    from tvidz_tpu.ops import golden as g
+    from tvidz_tpu.ops.hamming import (
+        corpus_min_distance_t_mxu,
+        corpus_query_nearest_t_mxu,
+    )
+
+    m, w, block_n, blocks = 16, 2, 256, 8
+    n = block_n * blocks
+    q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+    c = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    # Query 0: strictly descending minima — every block improves.
+    for b in range(blocks):
+        fp = q[0].copy()
+        for k in range(blocks - b):
+            fp[k % w] ^= np.uint32(1 << k)
+        c[b * block_n + 7] = fp
+    # Query 1: exact hit in block 0, tie in block 5 — argmin stays early.
+    c[5] = q[1]
+    c[5 * block_n + 5] = q[1]
+    # Query 2: dist-1 at col 0 (the exact-decode edge).
+    c[0] = q[2]
+    c[0, 0] ^= np.uint32(1)
+    ct = jnp.asarray(np.ascontiguousarray(c.T))
+    ref = corpus_min_distance_t_mxu(jnp.asarray(q), ct, block_n=block_n)
+    q_min, q_arg = corpus_query_nearest_t_mxu(
+        jnp.asarray(q), ct, block_n=block_n)
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(q_min))
+    np.testing.assert_array_equal(np.asarray(ref[2]), np.asarray(q_arg))
+    d = g.hamming_matrix(q, c)
+    np.testing.assert_array_equal(np.asarray(q_min), d.min(axis=1))
+    np.testing.assert_array_equal(np.asarray(q_arg), d.argmin(axis=1))
+    assert int(q_arg[1]) == 5
+
+
+def test_specialized_autos_dispatch_and_agree(rng):
+    """corpus_frame_min_t_auto / corpus_query_nearest_t_auto (what
+    DeviceCorpus actually calls) agree with the 3-output auto on every
+    backend."""
+    from tvidz_tpu.ops.hamming import (
+        corpus_frame_min_t_auto,
+        corpus_min_distance_t_auto,
+        corpus_query_nearest_t_auto,
+    )
+
+    m, w, block_n, n = 16, 2, 256, 1024
+    q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+    c = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    c[300] = q[4]
+    ct = jnp.asarray(np.ascontiguousarray(c.T))
+    f_ref, qm_ref, qa_ref = corpus_min_distance_t_auto(
+        jnp.asarray(q), ct, block_n=block_n)
+    fm = corpus_frame_min_t_auto(jnp.asarray(q), ct, block_n=block_n)
+    qm, qa = corpus_query_nearest_t_auto(jnp.asarray(q), ct, block_n=block_n)
+    np.testing.assert_array_equal(np.asarray(f_ref), np.asarray(fm))
+    np.testing.assert_array_equal(np.asarray(qm_ref), np.asarray(qm))
+    np.testing.assert_array_equal(np.asarray(qa_ref), np.asarray(qa))

@@ -267,3 +267,48 @@ def test_multichip_step_rounds_pts_to_analyzer_boundary(mesh, rng):
     want = np.clip(np.minimum(mafd[0], np.abs(mafd[0] - prev)) / 100, 0, 1)
     want[0] = 0.0
     np.testing.assert_allclose(np.asarray(out.scores)[0], want, atol=1e-6)
+
+
+def test_sharded_verdict_scan_pallas_matches_xla(mesh, rng):
+    """Mesh promotion of the specialized MXU verdict kernels: per-shard
+    Pallas (interpret mode on the CPU test mesh; compiled on TPU meshes)
+    must be bit-identical to the XLA composition for BOTH halves —
+    frame_min evidence and query-nearest — including argmin ties across
+    shards (both resolve to the lowest global index)."""
+    from tvidz_tpu.parallel.sharded_search import (
+        sharded_frame_min,
+        sharded_nearest,
+    )
+
+    m, w, n = 16, 2, 2048          # corpus axis = 4 -> nloc = 512
+    q = rng.integers(0, 2**32, size=(m, w), dtype=np.uint32)
+    c = rng.integers(0, 2**32, size=(n, w), dtype=np.uint32)
+    c[511] = q[3]                  # exact hit at a shard boundary
+    c[512] = q[1]                  # hit at the start of shard 1...
+    c[1536 + 5] = q[1]             # ...tied in shard 3: argmin stays low
+    ct = jnp.asarray(np.ascontiguousarray(c.T))
+    qj = jnp.asarray(q)
+    with mesh:
+        fm_p = sharded_frame_min(qj, ct, mesh, use_pallas=True)
+        fm_x = sharded_frame_min(qj, ct, mesh, use_pallas=False)
+        qm_p, qa_p = sharded_nearest(qj, ct, mesh, use_pallas=True)
+        qm_x, qa_x = sharded_nearest(qj, ct, mesh, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fm_p), np.asarray(fm_x))
+    np.testing.assert_array_equal(np.asarray(qm_p), np.asarray(qm_x))
+    np.testing.assert_array_equal(np.asarray(qa_p), np.asarray(qa_x))
+    d = golden.hamming_matrix(q, c)
+    np.testing.assert_array_equal(np.asarray(fm_p), d.min(axis=0))
+    np.testing.assert_array_equal(np.asarray(qm_p), d.min(axis=1))
+    np.testing.assert_array_equal(np.asarray(qa_p), d.argmin(axis=1))
+    assert int(np.asarray(qa_p)[1]) == 512
+    assert int(np.asarray(qa_p)[3]) == 511
+
+
+def test_pallas_block_n_divisors():
+    from tvidz_tpu.parallel.sharded_search import _pallas_block_n
+
+    assert _pallas_block_n(8192, 8192) == 8192
+    assert _pallas_block_n(512, 8192) == 512
+    assert _pallas_block_n(3 * 4096, 8192) == 6144   # largest 128-mult divisor
+    assert _pallas_block_n(640, 512) == 128          # 640 = 5*128
+    assert _pallas_block_n(100, 8192) == 0           # not 128-aligned

@@ -34,7 +34,10 @@ from tvidz_tpu.ops.align import (
     fragment_search_mxu,
 )
 from tvidz_tpu.ops.align_pallas import fragment_search_pallas
-from tvidz_tpu.ops.hamming import corpus_min_distance_t_auto
+from tvidz_tpu.ops.hamming import (
+    corpus_frame_min_t_auto,
+    corpus_query_nearest_t_auto,
+)
 from tvidz_tpu.ops.timestamps import timestamp_match_counts
 from tvidz_tpu.utils.logging import log
 
@@ -590,16 +593,16 @@ class DeviceCorpus:
         return timestamp_match_counts(q, ts_dev, len_dev, tolerance=tolerance)
 
     def _frame_min(self, q, fp_dev):
-        frame_min, _, _ = corpus_min_distance_t_auto(
-            q, fp_dev, block_n=self._fp_block_n)
-        return frame_min
+        # Specialized frame_min-only scan: each verdict surface consumes a
+        # disjoint half of the full 3-output contract, so the production
+        # paths dispatch the half-kernels (docs/kernels.md §2).
+        return corpus_frame_min_t_auto(q, fp_dev, block_n=self._fp_block_n)
 
     def _query_nearest(self, q, fp_dev):
         """Per query row: (min distance, global corpus index of the nearest
         fingerprint)."""
-        _, q_min, q_arg = corpus_min_distance_t_auto(
+        return corpus_query_nearest_t_auto(
             q, fp_dev, block_n=self._fp_block_n)
-        return q_min, q_arg
 
     def match_timestamps(
         self,

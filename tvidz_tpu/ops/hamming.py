@@ -550,6 +550,197 @@ def corpus_min_distance_t_mxu_twophase(
     return frame_min[0], q_min[0], q_arg[0]
 
 
+def _corpus_frame_min_kernel_mxu(
+    q_ref,          # (M, 32*W) ±1 bf16 in VMEM
+    c_ref,          # (W, BN) uint32 in VMEM
+    frame_min_ref,  # (1, BN) int32 out
+    *,
+    block_n: int,
+):
+    """frame_min-only epilogue (docs/kernels.md §2 "frame_min-optional
+    variant"): the search_fingerprints evidence path consumes ONLY the
+    per-corpus-frame minima, so the per-query min/argmin machinery of the
+    full scan (row max + gated combined-argmin pass + accumulators) is
+    pure overhead there. Epilogue = exactly one (M, BN) column reduction —
+    the minimum any frame_min formulation can do after the matmul."""
+    m = q_ref.shape[0]
+    bits = q_ref.shape[1]
+    w = bits // 32
+    pm1 = pm1_planes(lambda wi: c_ref[wi, :], w, block_n)
+    dots = jnp.dot(q_ref[:], pm1, preferred_element_type=jnp.float32)
+    frame_min_ref[:] = (
+        (jnp.float32(bits) - jnp.max(dots, axis=0)[None, :]) * 0.5
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def corpus_frame_min_t_mxu(
+    q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
+) -> jnp.ndarray:
+    """frame_min output of corpus_min_distance_t only (same layout
+    contract: q (M, W) packed uint32, corpus word-major (W, N),
+    N % block_n == 0). Bit-identical to corpus_min_distance_t[0] (pinned
+    by tests). Production path for DeviceCorpus.search_fingerprints via
+    corpus_frame_min_t_auto."""
+    m, w = q.shape
+    n = corpus_t.shape[1]
+    assert corpus_t.shape[0] == w, (corpus_t.shape, q.shape)
+    assert block_n % 128 == 0, f"block_n must be a multiple of 128, got {block_n}"
+    assert n % block_n == 0, (n, block_n)
+    q_pm1 = unpack_bits_pm1(q)
+    grid = (n // block_n,)
+    kernel = functools.partial(_corpus_frame_min_kernel_mxu, block_n=block_n)
+    frame_min = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, 32 * w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        interpret=_interpret(),
+    )(q_pm1, corpus_t)
+    return frame_min[0]
+
+
+def _corpus_query_nearest_kernel_mxu(
+    q_ref,          # (M, 32*W) ±1 bf16 in VMEM
+    c_ref,          # (W, BN) uint32 in VMEM
+    cols_ref,       # (1, BN) f32 in VMEM — precomputed 0..BN-1
+    q_min_ref,      # (1, M) int32 out (final block)
+    q_arg_ref,      # (1, M) int32 out (final block)
+    acc_min_ref,    # (1, M) int32 scratch
+    acc_arg_ref,    # (1, M) int32 scratch
+    *,
+    block_n: int,
+):
+    """query-nearest-only epilogue: the nearest_video_counts verdict path
+    consumes ONLY (q_min, q_arg), so the two-phase kernel's unconditional
+    per-block frame_min pass — an (M, BN) column reduction PLUS a (1, BN)
+    VMEM->HBM store per block (4 bytes written per corpus fingerprint) —
+    is pure overhead there. Identical two-phase argmin semantics
+    (first-attaining index; gated on jnp.any(better))."""
+    pid = pl.program_id(0)
+    m = q_ref.shape[0]
+    bits = q_ref.shape[1]
+    w = bits // 32
+
+    @pl.when(pid == 0)
+    def _init():
+        acc_min_ref[:] = jnp.full((1, m), 1 << 30, jnp.int32)
+        acc_arg_ref[:] = jnp.zeros((1, m), jnp.int32)
+
+    pm1 = pm1_planes(lambda wi: c_ref[wi, :], w, block_n)
+    dots = jnp.dot(q_ref[:], pm1, preferred_element_type=jnp.float32)
+
+    blk_min = ((jnp.float32(bits) - jnp.max(dots, axis=1)) * 0.5
+               ).astype(jnp.int32)
+    better = blk_min < acc_min_ref[0, :]
+
+    @pl.when(jnp.any(better))
+    def _update():
+        combined = ((jnp.float32(bits) - dots)
+                    * jnp.float32(0.5 * block_n)) + cols_ref[0, :][None, :]
+        best = jnp.min(combined, axis=1)
+        blk_arg = (best.astype(jnp.int32) - blk_min * block_n
+                   ) + pid * block_n
+        acc_min_ref[0, :] = jnp.where(better, blk_min, acc_min_ref[0, :])
+        acc_arg_ref[0, :] = jnp.where(better, blk_arg, acc_arg_ref[0, :])
+
+    @pl.when(pid == pl.num_programs(0) - 1)
+    def _final():
+        q_min_ref[:] = acc_min_ref[:]
+        q_arg_ref[:] = acc_arg_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def corpus_query_nearest_t_mxu(
+    q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(query_min, query_argmin) outputs of corpus_min_distance_t only
+    (same layout contract). Bit-identical to corpus_min_distance_t[1:]
+    incl. first-index argmin ties (pinned by tests).
+
+    MEASURED AND REJECTED as the nearest_video_counts production path
+    (scripts/race_specialized.py, v5e-1, M=128): 0.73 vs 0.77 ms at 1M but
+    **7.3 vs 5.8 ms at 16M** — dropping the block-indexed frame_min output
+    makes the kernel ~26% SLOWER at scale (with no grid-varying output the
+    Mosaic pipeliner evidently degrades the corpus-stream overlap), so
+    corpus_query_nearest_t_auto dispatches the full two-phase kernel and
+    discards frame_min instead. Kept as the raced variant + parity
+    reference. Contrast corpus_frame_min_t_mxu, where the specialization
+    WON (-12..18%) and is production."""
+    m, w = q.shape
+    n = corpus_t.shape[1]
+    assert corpus_t.shape[0] == w, (corpus_t.shape, q.shape)
+    assert block_n % 128 == 0, f"block_n must be a multiple of 128, got {block_n}"
+    assert n % block_n == 0, (n, block_n)
+    assert 32 * w * block_n + block_n < (1 << 24), (
+        f"block_n={block_n} too large for {32*w}-bit fingerprints")
+    q_pm1 = unpack_bits_pm1(q)
+    cols = jnp.arange(block_n, dtype=jnp.float32)[None, :]
+    grid = (n // block_n,)
+    kernel = functools.partial(_corpus_query_nearest_kernel_mxu,
+                               block_n=block_n)
+    q_min, q_arg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, 32 * w), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+            jax.ShapeDtypeStruct((1, m), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, m), jnp.int32),
+            pltpu.VMEM((1, m), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(q_pm1, corpus_t, cols)
+    return q_min[0], q_arg[0]
+
+
+def corpus_frame_min_t_auto(
+    q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
+) -> jnp.ndarray:
+    """Backend-raced frame_min-only scan: the specialized MXU kernel on
+    TPU (skips the per-query epilogue entirely), the VPU full kernel's
+    frame_min elsewhere (off-TPU both run interpreted; the full kernel is
+    the tested baseline there)."""
+    if jax.default_backend() == "tpu":
+        return corpus_frame_min_t_mxu(q, corpus_t, block_n=block_n)
+    return corpus_min_distance_t(q, corpus_t, block_n=block_n)[0]
+
+
+def corpus_query_nearest_t_auto(
+    q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Backend-raced (query_min, query_argmin) scan. On TPU this is the
+    FULL two-phase kernel with frame_min discarded — the specialized
+    query-nearest-only kernel measured SLOWER at scale (see its
+    docstring); off-TPU the VPU full kernel."""
+    if jax.default_backend() == "tpu":
+        _, q_min, q_arg = corpus_min_distance_t_mxu_twophase(
+            q, corpus_t, block_n=block_n)
+        return q_min, q_arg
+    _, q_min, q_arg = corpus_min_distance_t(q, corpus_t, block_n=block_n)
+    return q_min, q_arg
+
+
 def corpus_min_distance_t_auto(
     q: jnp.ndarray, corpus_t: jnp.ndarray, block_n: int = 8192
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -560,8 +751,10 @@ def corpus_min_distance_t_auto(
     kernel, 525 B compares/s at 128M), the VPU xor+popcount kernel
     elsewhere (both run interpreted off-TPU, where the matmul formulation
     only adds work). Bit-exact across all three (pinned by
-    tests/test_ops_hamming.py). The production verdict path (DeviceCorpus)
-    calls this."""
+    tests/test_ops_hamming.py). The general 3-output API; the production
+    verdict surfaces (DeviceCorpus) each consume a disjoint half and call
+    the specialized corpus_frame_min_t_auto / corpus_query_nearest_t_auto
+    instead."""
     if jax.default_backend() == "tpu":
         return corpus_min_distance_t_mxu_twophase(q, corpus_t, block_n=block_n)
     return corpus_min_distance_t(q, corpus_t, block_n=block_n)

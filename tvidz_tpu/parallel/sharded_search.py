@@ -116,11 +116,26 @@ def sharded_hamming_topk(
     return fn(*args)
 
 
+def _pallas_block_n(nloc: int, block_n: int) -> int:
+    """Largest 128-multiple divisor of nloc that is <= block_n (0 if none
+    fits the VMEM budget) — per-shard corpus columns are always a multiple
+    of 128 (DeviceCorpus/ShardedCorpus pad to 128 x shards), but a
+    non-power-of-two shard count can leave nloc % block_n != 0."""
+    if nloc % 128:
+        return 0
+    blk = min(block_n, nloc)
+    blk -= blk % 128
+    while blk >= 128 and nloc % blk:
+        blk -= 128
+    return blk
+
+
 def sharded_frame_min(
     q: jnp.ndarray,            # (M, W) uint32 — replicated
     corpus_t: jnp.ndarray,     # (W, N) uint32 word-major — sharded over N
     mesh: Mesh,
     block_n: int = 8192,
+    use_pallas: Optional[bool] = None,
 ) -> jnp.ndarray:
     """(N,) int32: per corpus fingerprint, min Hamming distance over queries.
 
@@ -128,10 +143,25 @@ def sharded_frame_min(
     output: each shard scans its local corpus columns (blocked to bound the
     broadcast working set); the evidence vector is then all_gathered so the
     OUTPUT IS REPLICATED (multi-host callers read it locally).
+
+    ``use_pallas`` (default: backend-raced — True on TPU) runs the
+    specialized frame_min-only MXU Pallas kernel per shard instead of the
+    XLA XOR+popcount composition — the single-chip production verdict
+    kernel scaled to the mesh (bit-identical; M must be a multiple of 8,
+    which every production caller already pads to).
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def local(qq, c_t):
         nloc = c_t.shape[1]
+        blk_p = _pallas_block_n(nloc, block_n) if use_pallas else 0
+        if blk_p and qq.shape[0] % 8 == 0:
+            from tvidz_tpu.ops.hamming import corpus_frame_min_t_mxu
+
+            out = corpus_frame_min_t_mxu(qq, c_t, block_n=blk_p)
+            return jax.lax.all_gather(out, CORPUS_AXIS, tiled=True)
+
         blk = min(block_n, nloc)
         if nloc % blk:
             blk = nloc  # fall back to one block (capacities are pow2)
@@ -165,36 +195,58 @@ def sharded_nearest(
     corpus_t: jnp.ndarray,     # (W, N) uint32 word-major — sharded over N
     mesh: Mesh,
     block_n: int = 8192,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per query row: (global min distance (M,), global argmin index (M,)).
 
     Per-shard blocked scan + argmin, merged across the corpus axis with an
     all_gather of (S, M) candidates — the sharded counterpart of
     corpus_min_distance_t's query_min/query_argmin outputs.
+
+    ``use_pallas`` (default: backend-raced — True on TPU) runs the full
+    two-phase MXU kernel per shard (frame_min discarded — the
+    query-nearest-only specialization raced SLOWER at scale, see its
+    docstring in ops.hamming) instead of the XLA composition. NOTE the
+    cross-shard argmin tie-break: ties resolve to the LOWEST shard index
+    (each shard's local argmin is its first-attaining index, and the
+    (S, M) merge below takes the first minimal shard), identical in both
+    formulations.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def local(qq, c_t):
         m = qq.shape[0]
         w, nloc = c_t.shape
-        blk = min(block_n, nloc)
-        if nloc % blk:
-            blk = nloc
-        nb = nloc // blk
-
-        def one(cb):  # (W, blk) -> per-query (min, argmin-within-block)
-            x = qq[:, :, None] ^ cb[None, :, :]
-            d = jnp.sum(
-                jax.lax.population_count(x).astype(jnp.int32), axis=1
-            )                                            # (M, blk)
-            return jnp.min(d, axis=1), jnp.argmin(d, axis=1).astype(jnp.int32)
-
-        mins, args = jax.lax.map(
-            one, c_t.reshape(w, nb, blk).transpose(1, 0, 2)
-        )                                                # (nb, M) each
         m_idx = jnp.arange(m)
-        best_b = jnp.argmin(mins, axis=0)                # (M,)
-        loc_min = mins[best_b, m_idx]
-        loc_arg = args[best_b, m_idx] + best_b.astype(jnp.int32) * blk
+        blk_p = _pallas_block_n(nloc, block_n) if use_pallas else 0
+        if blk_p and m % 8 == 0:
+            from tvidz_tpu.ops.hamming import (
+                corpus_min_distance_t_mxu_twophase,
+            )
+
+            _, loc_min, loc_arg = corpus_min_distance_t_mxu_twophase(
+                qq, c_t, block_n=blk_p)
+        else:
+            blk = min(block_n, nloc)
+            if nloc % blk:
+                blk = nloc
+            nb = nloc // blk
+
+            def one(cb):  # (W, blk) -> per-query (min, argmin-within-block)
+                x = qq[:, :, None] ^ cb[None, :, :]
+                d = jnp.sum(
+                    jax.lax.population_count(x).astype(jnp.int32), axis=1
+                )                                            # (M, blk)
+                return (jnp.min(d, axis=1),
+                        jnp.argmin(d, axis=1).astype(jnp.int32))
+
+            mins, args = jax.lax.map(
+                one, c_t.reshape(w, nb, blk).transpose(1, 0, 2)
+            )                                                # (nb, M) each
+            best_b = jnp.argmin(mins, axis=0)                # (M,)
+            loc_min = mins[best_b, m_idx]
+            loc_arg = args[best_b, m_idx] + best_b.astype(jnp.int32) * blk
         shard = jax.lax.axis_index(CORPUS_AXIS)
         g_arg = loc_arg + shard * nloc
         all_min = jax.lax.all_gather(loc_min, CORPUS_AXIS)   # (S, M)
