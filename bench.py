@@ -151,8 +151,7 @@ def bench_verdict_latency(corpus_n: int = 1 << 20, query_m: int = 128,
         ("mxu", corpus_min_distance_t_mxu, 8192),
         ("mxu2p", corpus_min_distance_t_mxu_twophase, 8192),
     ]
-    import jax as _jax
-    if _jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         variants.append(
             ("fmin", lambda qq, ct, block_n: (
                 corpus_frame_min_t_mxu(qq, ct, block_n=block_n),) * 3, 8192))

@@ -204,6 +204,119 @@ def test_non_transient_error_propagates_immediately(env):
     assert store.failed["update_duplicates"] == 1  # no retry
 
 
+def test_add_video_retry_adopts_landed_insert(env):
+    """add_video's INSERT lands server-side but the transport dies before
+    the client reads the response: the retry must ADOPT the landed row via
+    the pinned (filename, upload_time) identity instead of blind-reinserting
+    a second videos row (the non-idempotent-retry hazard Store._conn's
+    reconnect policy warns about)."""
+    cfg, bucket, mk = env
+    inner = Store("sqlite:///:memory:")
+    real_add = inner.add_video
+    landed = []
+
+    def add_video_commit_then_drop(filename, thumbnail_path=None,
+                                   upload_time=None):
+        rec = real_add(filename, thumbnail_path, upload_time=upload_time)
+        if not landed:
+            landed.append(rec)
+            raise ConnectionError("connection reset before response read")
+        return rec
+
+    inner.add_video = add_video_commit_then_drop
+    analyzer = mk(FlakyStore(inner))
+    r = analyzer.analyze("videos", "orig.y4m")
+    assert r.status == "done"
+    rows = [v for v in inner.all_videos() if v.filename == "orig.y4m"]
+    assert [v.id for v in rows] == [landed[0].id]   # exactly one row: adopted
+    assert r.video_id == landed[0].id
+    assert inner.get_timestamps(r.video_id) == r.scene_cuts
+
+
+def test_supersede_outage_no_self_duplicate_and_deferred_delete(env):
+    """delete_video of a crashed attempt's orphan row fails transiently at
+    checkpoint resume: the orphan must STILL leave the device corpus (a
+    resident orphan is an exact copy of what this analysis re-stores, so it
+    would verdict the video a duplicate OF ITSELF), the resume proceeds, and
+    the durable row delete lands via the finalization deferred re-apply."""
+    cfg, bucket, mk = env
+    cfg.pipeline.checkpoint_every_blocks = 1
+    try:
+        store = FlakyStore(Store("sqlite:///:memory:"))
+        analyzer = mk(store)
+        from tvidz_tpu.decode.y4m import Y4MDecoder
+
+        real_blocks = Y4MDecoder.blocks
+
+        def dying_blocks(self, path, block_frames, height, width):
+            for i, blk in enumerate(
+                real_blocks(self, path, block_frames, height, width)
+            ):
+                if i == 3:
+                    raise RuntimeError("injected decode fault")
+                yield blk
+
+        Y4MDecoder.blocks = dying_blocks
+        try:
+            r1 = analyzer.analyze("videos", "orig.y4m")
+        finally:
+            Y4MDecoder.blocks = real_blocks
+        assert r1.status == "error"
+        orphan_vid = r1.video_id
+
+        # Outage hits exactly the supersede delete; the deferred retry at
+        # finalization runs against a healed store.
+        store.fail_methods = {"delete_video"}
+        store.budget = 1
+        r2 = analyzer.analyze("videos", "orig.y4m")
+        assert r2.status == "done"
+        assert store.failed["delete_video"] == 1    # the supersede attempt
+        assert r2.duplicates == []                  # no self-duplicate
+        # Deferred delete re-applied: only the finished row is durable.
+        assert store.get_video_by_id(orphan_vid) is None
+        rows = [v for v in store.all_videos() if v.filename == "orig.y4m"]
+        assert [v.id for v in rows] == [r2.video_id]
+    finally:
+        cfg.pipeline.checkpoint_every_blocks = 0
+
+
+def test_minipg_shutdown_releases_write_lock(tmp_path):
+    """A client severed between BEGIN and COMMIT must not leave the
+    file-backed db write-locked: shutdown() rolls back and closes the shared
+    sqlite handle, so a restarted server on the same path serves writes
+    immediately instead of 'database is locked' (a NON-transient error to
+    is_transient_store_error — it would fail the analysis the failover leg
+    exists to prove survives)."""
+    from tvidz_tpu.corpus import pgwire
+    from tvidz_tpu.service.minipg import start_minipg
+
+    db_path = str(tmp_path / "pg.db")
+    srv = start_minipg(db_path=db_path)
+    conn = pgwire.connect(f"postgresql://t:t@127.0.0.1:{srv.port}/t")
+    with conn.cursor() as cur:
+        cur.execute("CREATE TABLE IF NOT EXISTS t (x INTEGER)")
+    conn.commit()
+    # Open a write transaction (the client's lazy BEGIN) and sever the
+    # server mid-transaction, before any COMMIT.
+    with conn.cursor() as cur:
+        cur.execute("INSERT INTO t (x) VALUES (%s)", (1,))
+    srv.shutdown()
+
+    srv2 = start_minipg(db_path=db_path, port=srv.port)
+    try:
+        conn2 = pgwire.connect(f"postgresql://t:t@127.0.0.1:{srv2.port}/t")
+        with conn2.cursor() as cur:
+            cur.execute("INSERT INTO t (x) VALUES (%s)", (2,))
+        conn2.commit()
+        with conn2.cursor() as cur:
+            cur.execute("SELECT x FROM t")
+            # The severed transaction was rolled back; the new write landed.
+            assert cur.fetchall() == [(2,)]
+        conn2.close()
+    finally:
+        srv2.shutdown()
+
+
 def test_final_persist_retries_through_recovery(env):
     """Finalization add_timestamps is critical: it retries through a brief
     outage and the durable record lands."""

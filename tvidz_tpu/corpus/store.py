@@ -259,8 +259,18 @@ class Store:
 
     # -- reference helper parity (db.py:32-110) -------------------------------
 
-    def add_video(self, filename: str, thumbnail_path: Optional[str] = None) -> VideoRecord:
-        now = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+    @staticmethod
+    def utcnow() -> datetime.datetime:
+        """Naive-UTC timestamp in the ``videos.upload_time`` encoding —
+        exposed so callers can pin a row's identity across insert retries
+        (see ``find_video_by_upload``)."""
+        return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+
+    def add_video(
+        self, filename: str, thumbnail_path: Optional[str] = None,
+        upload_time: Optional[datetime.datetime] = None,
+    ) -> VideoRecord:
+        now = upload_time if upload_time is not None else self.utcnow()
         ph = self._ph()
         with self._lock:
             cur = self._conn.cursor()
@@ -353,6 +363,29 @@ class Store:
                 f"SELECT id, filename, upload_time, thumbnail_path, duplicates "
                 f"FROM videos WHERE filename = {ph}",
                 (filename,),
+            )
+            row = cur.fetchone()
+        return self._row_to_video(row)
+
+    def find_video_by_upload(
+        self, filename: str, upload_time: datetime.datetime,
+    ) -> Optional[VideoRecord]:
+        """Newest row matching (filename, caller-pinned upload_time) — the
+        retry-adoption lookup for ``add_video``: a transport failure can
+        race a commit that actually landed, and a blind INSERT retry would
+        double-insert. A caller that pinned ``upload_time`` can find the row
+        the first attempt created and adopt it instead (analyzer store-
+        outage policy). Encodes the timestamp exactly as the INSERT does."""
+        ph = self._ph()
+        ts = (upload_time.isoformat() if self._backend == "sqlite"
+              else upload_time)
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"SELECT id, filename, upload_time, thumbnail_path, duplicates "
+                f"FROM videos WHERE filename = {ph} AND upload_time = {ph} "
+                f"ORDER BY id DESC LIMIT 1",
+                (filename, ts),
             )
             row = cur.fetchone()
         return self._row_to_video(row)

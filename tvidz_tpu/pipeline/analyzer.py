@@ -62,6 +62,10 @@ class _DeferredStoreWrites:
     dup_ids: Optional[List[int]] = None
     # Duplicate video ids whose filenames could not be resolved mid-stream.
     unresolved: List[int] = dataclasses.field(default_factory=list)
+    # Superseded crashed-attempt rows whose store delete failed during an
+    # outage (they ARE already removed from the device corpus, which is what
+    # the verdict reads — only the durable row is pending).
+    delete_vids: List[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -141,8 +145,28 @@ class Analyzer:
 
         log("analysis-triggered", f"Starting analysis for {filename}")
         try:
-            video = self._store_retry(
-                "add_video", lambda: self.store.add_video(original_filename))
+            # add_video is a plain INSERT (every upload is a new row), so a
+            # blind retry after a transport failure that raced a commit that
+            # actually LANDED would double-insert. Pin the row's identity
+            # (filename, upload_time) up front; retries first look for a row
+            # the lost first attempt may have created and adopt it.
+            upload_ts = self.store.utcnow()
+            attempted = [False]
+
+            def _add_video_once():
+                if attempted[0]:
+                    existing = self.store.find_video_by_upload(
+                        original_filename, upload_ts)
+                    if existing is not None:
+                        log("store-outage",
+                            f"adopting video row {existing.id}: the INSERT "
+                            "landed before the transport failure")
+                        return existing
+                attempted[0] = True
+                return self.store.add_video(
+                    original_filename, upload_time=upload_ts)
+
+            video = self._store_retry("add_video", _add_video_once)
         except Exception as e:  # noqa: BLE001
             # Store down for the WHOLE retry window before a row even
             # exists: record an error verdict so /status and SSE watchers
@@ -387,35 +411,37 @@ class Analyzer:
                             # partial row FIRST: its timestamps are an exact
                             # copy of what this analysis will re-store, so
                             # leaving it would report the video as a
-                            # duplicate OF ITSELF at catch-up. If the store
-                            # is mid-outage, restart cleanly instead of
-                            # resuming next to the live orphan row.
-                            supersede_ok = True
+                            # duplicate OF ITSELF. The device-side removal
+                            # is process-local and must happen even
+                            # mid-outage (the verdict reads the corpus, not
+                            # the store — a resident orphan self-matches
+                            # whether we resume OR restart); only the
+                            # durable delete can be deferred.
                             if old_vid is not None and old_vid != video_id:
-                                try:
-                                    self.store.delete_video(old_vid)
-                                except Exception as e:  # noqa: BLE001
-                                    if not is_transient_store_error(e):
-                                        raise
-                                    supersede_ok = False
-                                    log("store-outage",
-                                        "cannot supersede crashed attempt "
-                                        f"{old_vid} during store outage; "
-                                        "restarting cleanly")
-                                else:
-                                    self.corpus.remove_video(old_vid)
+                                self.corpus.remove_video(old_vid)
+                                deleted = self._store_soft(
+                                    "delete_video(supersede)",
+                                    lambda: (self.store.delete_video(old_vid),
+                                             True)[1],
+                                    default=False)
+                                if deleted:
                                     log("checkpoint",
                                         f"superseded crashed attempt row {old_vid}")
-                            if supersede_ok:
-                                resume_from = ckpt.frames_done
-                                resume_catchup = True
-                                scene_cuts = list(ckpt.scene_cuts)
-                                if ckpt.fingerprints.shape[0]:
-                                    all_fps = [ckpt.fingerprints]
-                                carry = ckpt.restore_carry()
-                                log("checkpoint",
-                                    f"resuming {filename} at frame {resume_from} "
-                                    f"({len(scene_cuts)} cuts so far)")
+                                else:
+                                    deferred.delete_vids.append(old_vid)
+                                    log("store-outage",
+                                        f"crashed attempt {old_vid} removed "
+                                        "from corpus; store delete deferred "
+                                        "to finalization")
+                            resume_from = ckpt.frames_done
+                            resume_catchup = True
+                            scene_cuts = list(ckpt.scene_cuts)
+                            if ckpt.fingerprints.shape[0]:
+                                all_fps = [ckpt.fingerprints]
+                            carry = ckpt.restore_carry()
+                            log("checkpoint",
+                                f"resuming {filename} at frame {resume_from} "
+                                f"({len(scene_cuts)} cuts so far)")
                 except Exception as e:  # noqa: BLE001 — corrupt ckpt = restart
                     log("checkpoint", f"ignoring unreadable checkpoint: {e}")
 
@@ -603,9 +629,25 @@ class Analyzer:
                 lambda: self.store.add_fingerprints(video_id, fps_full))
             self.corpus.append_fingerprints(video_id, fps_full)
 
-        # Re-apply store writes skipped during a mid-stream outage: the
-        # latest duplicates payload, and duplicate ids whose filenames the
-        # store couldn't resolve at verdict time.
+        # Re-apply store writes skipped during a mid-stream outage: deferred
+        # orphan-row deletes first (so nothing below can resolve against a
+        # superseded row), then the latest duplicates payload, and duplicate
+        # ids whose filenames the store couldn't resolve at verdict time.
+        for dead_vid in deferred.delete_vids:
+            try:
+                self._store_retry(
+                    "delete_video(deferred)",
+                    lambda d=dead_vid: self.store.delete_video(d))
+            except Exception as e:  # noqa: BLE001 — filtered below
+                if not is_transient_store_error(e):
+                    raise
+                # The orphan is already gone from the device corpus (what
+                # verdicts read); a still-durable row is cleanup debt the
+                # next resume of this content retries — never worth failing
+                # a finished analysis.
+                log("store-outage",
+                    f"orphan row {dead_vid} still durable (store outage): {e}")
+        deferred.delete_vids = []
         if deferred.dup_ids is not None:
             self._store_retry(
                 "update_duplicates(deferred)",

@@ -389,6 +389,21 @@ class MiniPGServer(socketserver.ThreadingTCPServer):
                 s.close()
             except OSError:
                 pass
+        # Release the shared sqlite handle: a handler severed between BEGIN
+        # and COMMIT would otherwise leave a RESERVED write lock on a
+        # file-backed db until this object is GC'd, so a restarted server
+        # on the same path gets 'database is locked' — the failure the
+        # failover leg exists to rule out. Taking _lock first lets any
+        # in-flight statement finish.
+        with self._lock:
+            try:
+                self._db.rollback()
+            except sqlite3.Error:
+                pass
+            try:
+                self._db.close()
+            except sqlite3.Error:
+                pass
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
                  auth_mode: str = "trust",
