@@ -665,15 +665,17 @@ def corpus_query_nearest_t_mxu(
     (same layout contract). Bit-identical to corpus_min_distance_t[1:]
     incl. first-index argmin ties (pinned by tests).
 
-    MEASURED AND REJECTED as the nearest_video_counts production path
-    (scripts/race_specialized.py, v5e-1, M=128): 0.73 vs 0.77 ms at 1M but
-    **7.3 vs 5.8 ms at 16M** — dropping the block-indexed frame_min output
-    makes the kernel ~26% SLOWER at scale (with no grid-varying output the
-    Mosaic pipeliner evidently degrades the corpus-stream overlap), so
-    corpus_query_nearest_t_auto dispatches the full two-phase kernel and
-    discards frame_min instead. Kept as the raced variant + parity
-    reference. Contrast corpus_frame_min_t_mxu, where the specialization
-    WON (-12..18%) and is production."""
+    MEASURED AND NOT ADOPTED as the nearest_video_counts production path
+    (scripts/race_specialized.py, v5e-1, M=128, raced repeatedly): within
+    noise of the full two-phase kernel (−3% at 16M, −1% at 128M in the
+    cleanest in-run comparison; one contended session even measured it
+    slower) — dropping the unconditional frame_min pass saves almost
+    nothing because the two-phase epilogue already gates the heavy argmin
+    work behind improving blocks. With no reliable win,
+    corpus_query_nearest_t_auto dispatches the full kernel (the
+    more-exercised path) and discards frame_min. Kept as the raced
+    variant + parity reference. Contrast corpus_frame_min_t_mxu, where
+    the specialization reliably wins ~12% and is production."""
     m, w = q.shape
     n = corpus_t.shape[1]
     assert corpus_t.shape[0] == w, (corpus_t.shape, q.shape)
@@ -731,8 +733,8 @@ def corpus_query_nearest_t_auto(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Backend-raced (query_min, query_argmin) scan. On TPU this is the
     FULL two-phase kernel with frame_min discarded — the specialized
-    query-nearest-only kernel measured SLOWER at scale (see its
-    docstring); off-TPU the VPU full kernel."""
+    query-nearest-only kernel raced within noise of it with no reliable
+    win (see its docstring); off-TPU the VPU full kernel."""
     if jax.default_backend() == "tpu":
         _, q_min, q_arg = corpus_min_distance_t_mxu_twophase(
             q, corpus_t, block_n=block_n)
