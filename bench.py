@@ -461,10 +461,19 @@ def bench_decode_roofline(num_frames: int = 120):
         fixtures["mpeg4"] = p
     except Exception as e:  # noqa: BLE001
         _log(f"decode roofline: mpeg4 fixture failed ({e})")
+    # h264 is the dominant real-upload codec; it has no avcodec lowres
+    # (max_lowres == 0 — decoder.cpp), so report full-res only.
+    p = os.path.join(tempfile.gettempdir(), "bench_roofline_h264.mp4")
+    try:
+        encode_video(p, luma, fps=25.0, codec="libx264", bit_rate=8_000_000)
+        fixtures["h264"] = p
+    except Exception as e:  # noqa: BLE001
+        _log(f"decode roofline: h264 fixture failed ({e})")
 
     out = {}
     for codec, path in fixtures.items():
-        for mode in ("full", "lowres"):
+        modes = ("full",) if codec == "h264" else ("full", "lowres")
+        for mode in modes:
             dec = NativeDecoder(lowres=(mode == "lowres"))
             best = 0.0
             for _ in range(3):
