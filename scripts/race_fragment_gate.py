@@ -1,0 +1,66 @@
+"""Race the gated fragment kernel (skip threshold+tree for hit-free tiles)
+against the ungated kernel, on-chip, at the BASELINE config-#3 shape and a
+larger mixed-scale shape. Also asserts bit-parity between the two on the
+planted-hit results.
+
+Run on TPU: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/race_fragment_gate.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    float(jnp.sum(x.astype(jnp.float32)))
+
+
+def race_shape(v, tc, tq_pad, tq, iters=7, dense=False):
+    import jax.numpy as jnp
+
+    from tvidz_tpu.ops.align_pallas import fragment_search_pallas
+
+    rng = np.random.default_rng(3)
+    corpus = rng.integers(0, 2**32, size=(v, tc, 2), dtype=np.uint32)
+    q = np.full((tq_pad, 2), 0xFFFFFFFF, np.uint32)
+    q[:tq] = corpus[v // 2, 64 : 64 + tq]
+    if dense:
+        # Adversarial: every video contains the query content.
+        corpus = np.broadcast_to(corpus[v // 2], corpus.shape).copy()
+    lens = np.full(v, tc, np.int32)
+    qj, cj, lj = jnp.asarray(q), jnp.asarray(corpus), jnp.asarray(lens)
+    tqj = jnp.int32(tq)
+
+    row = {"videos": v, "tc": tc, "tq": tq, "dense": dense}
+    outs = {}
+    for gate in (True, False):
+        offs, scores = fragment_search_pallas(
+            qj, tqj, cj, lj, hamming_threshold=5, gate=gate)
+        _sync(scores)
+        outs[gate] = (np.asarray(offs), np.asarray(scores))
+        times = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            offs, scores = fragment_search_pallas(
+                qj, tqj, cj, lj, hamming_threshold=5, gate=gate)
+            _sync(scores)
+            times.append(time.perf_counter() - t0)
+        row[f"wall_p50_ms_gate_{gate}"] = round(
+            float(np.median(times)) * 1e3, 2)
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_array_equal(outs[True][1], outs[False][1])
+    if not dense:
+        assert outs[True][1][v // 2] == tq
+    print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    import jax
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    race_shape(1024, 1024, 768, 700)            # BASELINE config #3 shape
+    race_shape(1024, 1024, 768, 700, dense=True)  # adversarial worst case
+    race_shape(4096, 2048, 768, 700)            # ~8.4M-fp single tier

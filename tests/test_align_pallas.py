@@ -133,3 +133,39 @@ def test_pallas_fragment_batch_matches_single(rng):
         np.testing.assert_array_equal(np.asarray(ob)[i], np.asarray(o1))
         assert np.asarray(sb)[i, tv] == qlens[i]
         assert np.asarray(ob)[i, tv] == ts
+
+
+def test_pallas_fragment_gate_parity_dense_and_sparse(rng):
+    """The tile gate (skip threshold+tree when no cell passes) must be
+    bit-identical to the ungated kernel in BOTH regimes: the sparse common
+    case (one planted hit) and the adversarial dense case where EVERY video
+    matches in every tile (all-duplicates corpus at a loose threshold)."""
+    v, t, tq_pad, tq = 8, 512, 320, 300
+    # Sparse: random corpus, one planted fragment.
+    corpus = rng.integers(0, 2**32, size=(v, t, 2), dtype=np.uint32)
+    lens = np.full(v, t, np.int32)
+    q = np.full((tq_pad, 2), 0xFFFFFFFF, np.uint32)
+    q[:tq] = corpus[6, 100 : 100 + tq]
+    for thr in (0, 5):
+        og, sg = fragment_search_pallas(
+            jnp.asarray(q), jnp.int32(tq), jnp.asarray(corpus),
+            jnp.asarray(lens), hamming_threshold=thr, gate=True)
+        ou, su = fragment_search_pallas(
+            jnp.asarray(q), jnp.int32(tq), jnp.asarray(corpus),
+            jnp.asarray(lens), hamming_threshold=thr, gate=False)
+        np.testing.assert_array_equal(np.asarray(sg), np.asarray(su))
+        np.testing.assert_array_equal(np.asarray(og), np.asarray(ou))
+        assert np.asarray(sg)[6] == tq and np.asarray(og)[6] == 100
+
+    # Dense worst case: every video IS the query content (shifted), so
+    # every (tile, video) pair has passing cells and no tile can skip.
+    dense = np.stack([np.roll(corpus[6], i, axis=0) for i in range(v)])
+    og, sg = fragment_search_pallas(
+        jnp.asarray(q), jnp.int32(tq), jnp.asarray(dense),
+        jnp.asarray(lens), hamming_threshold=5, gate=True)
+    ou, su = fragment_search_pallas(
+        jnp.asarray(q), jnp.int32(tq), jnp.asarray(dense),
+        jnp.asarray(lens), hamming_threshold=5, gate=False)
+    np.testing.assert_array_equal(np.asarray(sg), np.asarray(su))
+    np.testing.assert_array_equal(np.asarray(og), np.asarray(ou))
+    assert (np.asarray(sg) > 0).all()

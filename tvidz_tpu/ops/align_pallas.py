@@ -36,10 +36,18 @@ Structure per grid step (VB=8 candidate videos):
    trace time.
 5. max + first-index argmax of the final score row -> (offset, score).
 
-Measured (v5e-1, 1k videos x 1024f / 768f query): 6.1 ms device
-(rt=256; rt=512 6.5, monolithic ~13, XLA composition 15.3) — the
-device-side floor for ~2.2 G thresholded match cells plus diagonal
-reduction; dispatch-inclusive p50 ~28 ms vs 40 ms XLA.
+Measured (v5e-1, 1k videos x 1024f / 768f query): 5.85 ms device
+(scan-chained; rt=256; rt=512 6.5, monolithic ~13, XLA composition 15.3)
+— dispatch-inclusive p50 ~28 ms vs 40 ms XLA. Two refinements raced
+(scripts/race_fragment_gate.py + the r0 A/B):
+- R0 as an rt-MULTIPLE instead of pow2 (a 768-row query padded to 1024
+  widened every tile and the score row by 256 dead columns): 6.03 ->
+  5.85 ms at the 1k config, 20.7 -> 19.65 ms at 4096x2048 (~8.4M fps).
+  ADOPTED.
+- Hit-gating the threshold+tree per tile (pl.when on a masked max):
+  bit-identical but 6.28/23.9 ms at the same shapes — the kernel is not
+  tree-bound and the branch disrupts pipelining. REJECTED (gate=False
+  default; kept as the raced variant).
 
 Batched variant (fragment_search_pallas_batch): grid (Q, V/VB) with the
 corpus tile axis innermost, so each query's ±1 buffer stays VMEM-resident
@@ -88,6 +96,7 @@ def _fragment_kernel(
                   # W=2) layout would tile 2/128 lanes: 64x VMEM bloat)
     off_ref,      # (1, VB, 128) int32 out (col 0 carries the value)
     score_ref,    # (1, VB, 128) int32 out
+    acc_ref,      # (1, NW) f32 VMEM scratch — the score row being built
     *,
     r0: int,
     tq_pad: int,
@@ -96,6 +105,7 @@ def _fragment_kernel(
     nw: int,
     rt: int,
     q_count: int,
+    gate: bool,
 ):
     # Grid is (Q, V/VB): program_id(0) picks the query (its ±1 buffer
     # arrives via the block spec; its length via the prefetch vector),
@@ -130,27 +140,50 @@ def _fragment_kernel(
         #    1M config is 16 MiB — guaranteed spill). Each tile runs
         #    matmul -> threshold -> halves-split log-tree locally, then
         #    shifts its (1, NW) partial by the tile's global row base
-        #    (shift_a(shift_b(v)) = shift_{a+b}(v)) and accumulates.
+        #    (shift_a(shift_b(v)) = shift_{a+b}(v)) and accumulates into
+        #    the VMEM score row.
         #    Buffer row t holds q[r0-1-t] (the host reversed the buffer),
         #    so real query rows are t >= r0 - q_len and the tree's
         #    shift t aligns diagonal d = col + t onto score column d.
         #    Tiles entirely inside the static zero pad (t < r0 - tq_pad)
         #    are skipped at trace time.
-        final = jnp.zeros((1, nw), jnp.float32)
+        #    GATING (the two-phase verdict-kernel trick, kept as the raced
+        #    variant): a fragment query matches ~one video, so for almost
+        #    every (tile, video) pair no cell passes the threshold and the
+        #    tree would add exact zeros; one masked max over dots detects
+        #    that and pl.when skips threshold + tree. Bit-identical, but
+        #    MEASURED SLOWER (see fragment_search_pallas_batch docstring):
+        #    the kernel is not tree-bound, so the skip buys nothing while
+        #    the gate pass + branch disrupt Mosaic's pipelining. Off by
+        #    default.
+        acc_ref[:] = jnp.zeros((1, nw), jnp.float32)
         for k in range((r0 - tq_pad) // rt, r0 // rt):
             base = k * rt
             dots = jnp.dot(qp_ref[0, base:base + rt, :], pm1,
                            preferred_element_type=jnp.float32)
             valid = (rows + base >= r0 - q_len) & (cols < c_len)
-            x = jnp.where((dots >= thr_f) & valid,
-                          jnp.float32(1.0), jnp.float32(0.0))
-            r = rt
-            while r > 1:
-                half = r // 2
-                x = x[:half, :] + shift_cols(x[half:r, :], half)
-                r = half
-            final = final + (shift_cols(x[0:1, :], base) if base
-                             else x[0:1, :])
+
+            def _accumulate(dots=dots, valid=valid, base=base):
+                x = jnp.where((dots >= thr_f) & valid,
+                              jnp.float32(1.0), jnp.float32(0.0))
+                r = rt
+                while r > 1:
+                    half = r // 2
+                    x = x[:half, :] + shift_cols(x[half:r, :], half)
+                    r = half
+                acc_ref[:] = acc_ref[:] + (
+                    shift_cols(x[0:1, :], base) if base else x[0:1, :])
+
+            if gate:
+                # -1e9 fill: dots range [-bits, bits] and thr_f can be
+                # negative for large thresholds, so the fill must sit
+                # below any representable masked value.
+                hit = jnp.max(
+                    jnp.where(valid, dots, jnp.float32(-1e9))) >= thr_f
+                pl.when(hit)(_accumulate)
+            else:
+                _accumulate()
+        final = acc_ref[:]
         best = jnp.max(final)
         # First-index argmax, floored at the reference's column base
         # (columns < r0 - tq_pad are impossible alignments that exist only
@@ -170,7 +203,7 @@ def _fragment_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hamming_threshold", "row_tile")
+    jax.jit, static_argnames=("hamming_threshold", "row_tile", "gate")
 )
 def fragment_search_pallas_batch(
     q_fps: jnp.ndarray,         # (Q, Tq_pad, W) packed queries (sentinel pad)
@@ -179,12 +212,21 @@ def fragment_search_pallas_batch(
     corpus_len: jnp.ndarray,    # (V,) valid lengths
     hamming_threshold: int = 10,
     row_tile: int = 256,
+    gate: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched fragment_search in one Pallas dispatch: grid (Q, V/VB),
     each step scanning one query against a VB-video corpus tile. The
     corpus tile axis is innermost, so a query's ±1 buffer stays resident
     while its row of tiles streams. Returns (Q, V) offsets / scores —
-    row q identical to fragment_search_pallas(q_fps[q], ...)."""
+    row q identical to fragment_search_pallas(q_fps[q], ...).
+
+    ``gate`` skips the threshold + log-tree for (tile, video) pairs with
+    no passing cell — bit-identical, but MEASURED AND REJECTED as the
+    default (scripts/race_fragment_gate.py, v5e-1, scan-chained device
+    time): 6.28 vs 5.85 ms at the 1k-video config and 23.9 vs 19.65 ms at
+    4096x2048 — the kernel is NOT tree-bound, so the skipped work buys
+    nothing while the masked-max gate pass and the per-tile branch disrupt
+    Mosaic's pipelining. Kept off by default as the raced variant."""
     qn, tq_pad, w = q_fps.shape
     v, tc, w2 = corpus_fp.shape
     assert w == w2, (q_fps.shape, corpus_fp.shape)
@@ -196,8 +238,12 @@ def fragment_search_pallas_batch(
         corpus_len = jnp.pad(jnp.asarray(corpus_len, jnp.int32),
                              (0, v_pad - v))
     bits = 32 * w
-    r0 = _next_pow2(tq_pad)
-    rt = min(_next_pow2(row_tile), r0)  # pow2 -> divides r0
+    # The tree needs rt pow2; r0 only needs to be an rt-MULTIPLE (not pow2:
+    # a 768-row query used to pad to 1024, widening every tile and the
+    # score row by 256 dead columns — ~12% of all kernel work at the
+    # 1k-video config).
+    rt = min(_next_pow2(row_tile), _next_pow2(tq_pad))
+    r0 = -(-tq_pad // rt) * rt
     nw = -(-(tc + r0) // 128) * 128
 
     from tvidz_tpu.ops.hamming import unpack_bits_pm1
@@ -225,6 +271,7 @@ def fragment_search_pallas_batch(
     kernel = functools.partial(
         _fragment_kernel, r0=r0, tq_pad=tq_pad, bits=bits,
         hamming_threshold=hamming_threshold, nw=nw, rt=rt, q_count=qn,
+        gate=gate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -237,6 +284,7 @@ def fragment_search_pallas_batch(
             pl.BlockSpec((1, VB, 128), lambda q, i, lens: (q, i, 0)),
             pl.BlockSpec((1, VB, 128), lambda q, i, lens: (q, i, 0)),
         ],
+        scratch_shapes=[pltpu.VMEM((1, nw), jnp.float32)],
     )
     offs, scores = pl.pallas_call(
         kernel,
@@ -251,7 +299,7 @@ def fragment_search_pallas_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hamming_threshold", "row_tile")
+    jax.jit, static_argnames=("hamming_threshold", "row_tile", "gate")
 )
 def fragment_search_pallas(
     q_fp: jnp.ndarray,          # (Tq_pad, W) packed query (sentinel pad)
@@ -260,6 +308,7 @@ def fragment_search_pallas(
     corpus_len: jnp.ndarray,    # (V,) valid lengths
     hamming_threshold: int = 10,
     row_tile: int = 256,
+    gate: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """fragment_search with the whole per-video pipeline in one Pallas
     kernel. Same contract/outputs as ops.align.fragment_search. The Q=1
@@ -267,5 +316,5 @@ def fragment_search_pallas(
     offs, scores = fragment_search_pallas_batch(
         q_fp[None], jnp.asarray(q_len, jnp.int32).reshape(1),
         corpus_fp, corpus_len,
-        hamming_threshold=hamming_threshold, row_tile=row_tile)
+        hamming_threshold=hamming_threshold, row_tile=row_tile, gate=gate)
     return offs[0], scores[0]
