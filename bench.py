@@ -462,7 +462,8 @@ def bench_decode_roofline(num_frames: int = 120):
     except Exception as e:  # noqa: BLE001
         _log(f"decode roofline: mpeg4 fixture failed ({e})")
     # h264 is the dominant real-upload codec; it has no avcodec lowres
-    # (max_lowres == 0 — decoder.cpp), so report full-res only.
+    # (max_lowres == 0 — decoder.cpp), so its fast mode is loop-filter
+    # skip + FLAG2_FAST instead (still reported under the "lowres" key).
     p = os.path.join(tempfile.gettempdir(), "bench_roofline_h264.mp4")
     try:
         encode_video(p, luma, fps=25.0, codec="libx264", bit_rate=8_000_000)
@@ -472,8 +473,7 @@ def bench_decode_roofline(num_frames: int = 120):
 
     out = {}
     for codec, path in fixtures.items():
-        modes = ("full",) if codec == "h264" else ("full", "lowres")
-        for mode in modes:
+        for mode in ("full", "lowres"):
             dec = NativeDecoder(lowres=(mode == "lowres"))
             best = 0.0
             for _ in range(3):

@@ -121,3 +121,31 @@ def test_decode_lowres_env_knob():
         assert PipelineConfig.from_env().decode_lowres is True
     finally:
         del os.environ["TVIDZ_DECODE_LOWRES"]
+
+
+def test_h264_fast_mode_loop_filter_levers():
+    """h264 has no avcodec lowres (max_lowres == 0); its fast-mode levers
+    are skip_loop_filter=AVDISCARD_ALL + AV_CODEC_FLAG2_FAST. Contract:
+    same frame count and pts, near-identical downscaled luma (deblock
+    drift only), native geometry preserved, and — because lowres never
+    engages — native-res mafd stays AVAILABLE (decoder.cpp tvz_open)."""
+    try:
+        luma, _ = synthetic_video(num_frames=48, height=720, width=1280,
+                                  cut_frames=(20,), seed=7)
+        import tempfile
+        path = os.path.join(tempfile.mkdtemp(), "fast264.mp4")
+        native.encode_video(path, luma, fps=25.0, codec="libx264",
+                            bit_rate=6_000_000)
+    except Exception as e:  # noqa: BLE001 — image-dependent encoder
+        pytest.skip(f"libx264 encoder unavailable: {e}")
+    dec_full, luma_full, pts_full, mafd_full = _decode_all(path, False)
+    dec_fast, luma_fast, pts_fast, mafd_fast = _decode_all(path, True)
+    assert dec_fast.active_lowres == 0  # no lowres for h264, ever
+    assert luma_fast.shape == luma_full.shape
+    np.testing.assert_array_equal(pts_fast, pts_full)
+    # Deblock skip drifts pixels slightly, never grossly.
+    diff = np.abs(luma_full.astype(int) - luma_fast.astype(int))
+    assert diff.mean() < 2.0
+    # Loop-filter skip keeps native geometry -> mafd contract holds.
+    assert mafd_full is not None and (mafd_full >= 0).all()
+    assert mafd_fast is not None and (mafd_fast >= 0).all()

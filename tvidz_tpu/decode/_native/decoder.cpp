@@ -24,14 +24,20 @@
 //     exclusively, so skipping chroma IDCT/deblock is free throughput on
 //     codecs that honor the flag (and a no-op where ffmpeg was built
 //     without --enable-gray).
-//   TVZ_FLAG_LOWRES (2): pick the highest avcodec `lowres` level the
-//     decoder supports that still decodes at >= the requested output
-//     geometry (MJPEG/mpeg1/2 decode 1/2..1/8-scale directly in the DCT
-//     domain, skipping most IDCT work). Decoded pixels then differ from a
-//     full-resolution decode -> hashes/cut scores are NOT bit-comparable
-//     with non-lowres analyses, and native-resolution mafd is reported
-//     unavailable (callers fall back to downscaled scene scoring). Fast
-//     mode is therefore an explicit per-deployment choice
+//   TVZ_FLAG_LOWRES (2): fast-decode mode. Picks the highest avcodec
+//     `lowres` level the decoder supports that still decodes at >= the
+//     requested output geometry (MJPEG/mpeg1/2 decode 1/2..1/8-scale
+//     directly in the DCT domain, skipping most IDCT work), and for
+//     codecs with no lowres (h264/hevc: max_lowres == 0) applies the
+//     loop-filter/spec-relaxation levers instead: skip_loop_filter =
+//     AVDISCARD_ALL (skip in-loop deblocking — the pixels drift slightly
+//     as undeblocked frames are referenced) and AV_CODEC_FLAG2_FAST.
+//     Either way decoded pixels differ from a full-resolution spec
+//     decode -> hashes/cut scores are NOT bit-comparable with non-fast
+//     analyses. Under lowres > 0 native-resolution mafd is additionally
+//     reported unavailable (callers fall back to downscaled scene
+//     scoring); loop-filter skip keeps native geometry so mafd stays on.
+//     Fast mode is therefore an explicit per-deployment choice
 //     (PipelineConfig.decode_lowres), never a silent default.
 
 #include <cstdint>
@@ -258,20 +264,29 @@ int open_input(const char* path, AVFormatContext** fmt, AVCodecContext** codec,
     // either way).
     (*codec)->flags |= AV_CODEC_FLAG_GRAY;
   }
-  if ((flags & TVZ_FLAG_LOWRES) && dec->max_lowres > 0 && out_w > 0 &&
-      out_h > 0 && st->codecpar->width > 0 && st->codecpar->height > 0) {
-    // Highest DCT-domain downscale that still decodes at >= the output
-    // geometry (the box filter / sws handles the remainder).
-    int max_l = dec->max_lowres;
-    const char* cap = getenv("TVIDZ_DECODE_LOWRES_MAX");  // tuning/tests
-    if (cap && cap[0] >= '0' && cap[0] <= '9' && atoi(cap) < max_l)
-      max_l = atoi(cap);
-    int l = 0;
-    while (l < max_l && (st->codecpar->width >> (l + 1)) >= out_w &&
-           (st->codecpar->height >> (l + 1)) >= out_h) {
-      ++l;
+  if (flags & TVZ_FLAG_LOWRES) {
+    if (dec->max_lowres > 0 && out_w > 0 && out_h > 0 &&
+        st->codecpar->width > 0 && st->codecpar->height > 0) {
+      // Highest DCT-domain downscale that still decodes at >= the output
+      // geometry (the box filter / sws handles the remainder).
+      int max_l = dec->max_lowres;
+      const char* cap = getenv("TVIDZ_DECODE_LOWRES_MAX");  // tuning/tests
+      if (cap && cap[0] >= '0' && cap[0] <= '9' && atoi(cap) < max_l)
+        max_l = atoi(cap);
+      int l = 0;
+      while (l < max_l && (st->codecpar->width >> (l + 1)) >= out_w &&
+             (st->codecpar->height >> (l + 1)) >= out_h) {
+        ++l;
+      }
+      (*codec)->lowres = l;
     }
-    (*codec)->lowres = l;
+    // Codec-agnostic fast levers (the only ones h264/hevc have — their
+    // max_lowres is 0). Skipping the in-loop deblock filter lets decoded
+    // pixels drift from the spec output (undeblocked frames get referenced),
+    // which is exactly the fast-mode contract; it is a no-op for codecs
+    // without a loop filter (MJPEG/mpeg1/2/4).
+    (*codec)->skip_loop_filter = AVDISCARD_ALL;
+    (*codec)->flags2 |= AV_CODEC_FLAG2_FAST;
   }
   rc = avcodec_open2(*codec, dec, nullptr);
   if (rc < 0) {

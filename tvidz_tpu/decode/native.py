@@ -135,13 +135,16 @@ _FLAG_LOWRES = 2
 class NativeDecoder(Decoder):
     """C++/libav decoder.
 
-    ``lowres=True`` requests DCT-domain reduced-resolution decode where the
-    codec supports it (MJPEG/mpeg1/2 up to 1/8 scale — most of the IDCT
-    work skipped; h264 ignores it). Decoded pixels then differ from a
-    full-resolution decode, so hashes / cut timestamps are not
-    bit-comparable across the two modes and native-resolution mafd is
-    unavailable (scene scoring falls back to the downscaled path). Deploy
-    fleet-wide or not at all — see PipelineConfig.decode_lowres.
+    ``lowres=True`` enables fast-decode mode: DCT-domain reduced-resolution
+    decode where the codec supports it (MJPEG/mpeg1/2 up to 1/8 scale —
+    most of the IDCT work skipped), and for codecs without lowres
+    (h264/hevc) in-loop deblock skip + AV_CODEC_FLAG2_FAST instead.
+    Decoded pixels then differ from a full-resolution spec decode, so
+    hashes / cut timestamps are not bit-comparable across the two modes;
+    when a lowres level actually engages, native-resolution mafd is
+    additionally unavailable (scene scoring falls back to the downscaled
+    path — loop-filter skip keeps native geometry, so mafd stays on).
+    Deploy fleet-wide or not at all — see PipelineConfig.decode_lowres.
 
     Grayscale-only decode (AV_CODEC_FLAG_GRAY — skip chroma, luma
     unchanged) is always requested; TVIDZ_DECODE_GRAY=0 disables it for
