@@ -332,3 +332,97 @@ def test_final_persist_retries_through_recovery(env):
     assert r.status == "done"
     assert store.failed["add_fingerprints"] == 2
     assert store.get_fingerprints(r.video_id).shape[0] > 0
+
+
+def test_service_level_whole_analysis_retry(env, tmp_path):
+    """Store-outage policy, second half (service layer): when the store is
+    down for an ENTIRE analysis (add_video exhausts the analyzer's
+    in-analysis retry window), InspectorApp._run_analysis re-runs the
+    analysis from the still-present S3 object, bounded by
+    ServiceConfig.analysis_retry_attempts."""
+    import time
+
+    from tvidz_tpu.service.app import create_app
+    from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+    cfg, bucket, _ = env
+    cfg.pipeline.store_retry_attempts = 2
+    cfg.service.analysis_retry_attempts = 3
+    cfg.service.analysis_retry_wait_s = 0.05
+    cfg.service.sse_poll_s = 0.02
+    # Attempt 1 exhausts both in-analysis add_video tries; attempt 2 lands.
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_video"}, budget=2)
+    s3 = FakeS3(str(tmp_path / "s3"))
+    sqs = FakeSQS()
+    sqs.create_queue(cfg.service.sqs_queue)
+    s3.create_bucket(cfg.service.s3_bucket)
+    app = create_app(config=cfg, store=store,
+                     corpus=DeviceCorpus(ts_initial_capacity=8,
+                                         fp_initial_capacity=1024,
+                                         fp_block_n=256),
+                     s3=s3, sqs=sqs)
+    try:
+        with open(bucket / "orig.y4m", "rb") as f:
+            s3.put_object(cfg.service.s3_bucket, "orig.y4m", f.read())
+        client = app.wsgi.test_client()
+        r = client.post("/notify", json_body={"Records": [{"s3": {
+            "bucket": {"name": cfg.service.s3_bucket},
+            "object": {"key": "orig.y4m"}}}]})
+        assert r.status_code == 200
+        final = {}
+        for _ in range(600):
+            final = client.get("/status/orig.y4m").get_json()
+            if final.get("status") == "done":
+                break
+            time.sleep(0.05)
+        assert final.get("status") == "done", final
+        assert len(final.get("scene_cuts", [])) == 2
+        assert app._poller_stats["analysis_retries"] == 1
+        # 2 failed + 1 landed INSERT; exactly one row exists (the failed
+        # attempt never created one).
+        assert store.calls["add_video"] == 3
+        assert len(store.all_videos()) == 1
+    finally:
+        app.stop()
+
+
+def test_service_retry_skips_non_transient_analysis_errors(env, tmp_path):
+    """A non-transient failure (bad video bytes) must NOT trigger the
+    whole-analysis retry: one attempt, terminal error verdict."""
+    import time
+
+    from tvidz_tpu.service.app import create_app
+    from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+    cfg, bucket, _ = env
+    cfg.service.analysis_retry_attempts = 3
+    cfg.service.analysis_retry_wait_s = 0.05
+    store = FlakyStore(Store("sqlite:///:memory:"))
+    s3 = FakeS3(str(tmp_path / "s3"))
+    sqs = FakeSQS()
+    sqs.create_queue(cfg.service.sqs_queue)
+    s3.create_bucket(cfg.service.s3_bucket)
+    app = create_app(config=cfg, store=store,
+                     corpus=DeviceCorpus(ts_initial_capacity=8,
+                                         fp_initial_capacity=1024,
+                                         fp_block_n=256),
+                     s3=s3, sqs=sqs)
+    try:
+        s3.put_object(cfg.service.s3_bucket, "junk.y4m", b"not a video")
+        client = app.wsgi.test_client()
+        client.post("/notify", json_body={"Records": [{"s3": {
+            "bucket": {"name": cfg.service.s3_bucket},
+            "object": {"key": "junk.y4m"}}}]})
+        final = {}
+        for _ in range(400):
+            final = client.get("/status/junk.y4m").get_json()
+            if final.get("status") == "error":
+                break
+            time.sleep(0.05)
+        assert final.get("status") == "error", final
+        assert app._poller_stats["analysis_retries"] == 0
+        # add_video is called once per attempt: exactly one attempt ran.
+        assert store.calls["add_video"] == 1
+    finally:
+        app.stop()

@@ -188,6 +188,8 @@ class PipelineConfig:
             checkpoint_every_blocks=_env("CHECKPOINT_EVERY_BLOCKS", 8, int),
             decode_prefetch_blocks=_env("DECODE_PREFETCH_BLOCKS", 2, int),
             decode_lowres=_env("DECODE_LOWRES", False, bool),
+            store_retry_attempts=_env("STORE_RETRY_ATTEMPTS", 4, int),
+            store_retry_wait_s=_env("STORE_RETRY_WAIT_S", 1.0, float),
         )
 
 
@@ -225,6 +227,17 @@ class ServiceConfig:
     sqs_wait_s: int = 10             # app.py:459
     sqs_idle_sleep_s: float = 1.0    # app.py:480
     sqs_create_retries: int = 10     # app.py:428
+    # Whole-analysis retry when the durable store was down for an ENTIRE
+    # analysis (a CRITICAL store op — add_video / finalization persist —
+    # exhausted the analyzer's in-analysis retry window, store-outage
+    # policy in pipeline/analyzer.py): the service re-runs the analysis
+    # from the still-present S3 object after a wait. The superseded
+    # crashed-attempt row (if one was created) is adopted/removed by the
+    # checkpoint orphan-supersede path. 1 = reference parity (fail the
+    # upload on exhausted store retries). Non-transient analysis errors
+    # (bad video, SQL bugs) never retry.
+    analysis_retry_attempts: int = 3
+    analysis_retry_wait_s: float = 10.0
     aws_region: str = "us-east-1"
     aws_access_key: str = "test"
     aws_secret_key: str = "test"
@@ -246,6 +259,8 @@ class ServiceConfig:
             sqs_wait_s=_env("SQS_WAIT_S", 10, int),
             sqs_idle_sleep_s=_env("SQS_IDLE_SLEEP_S", 1.0, float),
             sqs_create_retries=_env("SQS_CREATE_RETRIES", 10, int),
+            analysis_retry_attempts=_env("ANALYSIS_RETRY_ATTEMPTS", 3, int),
+            analysis_retry_wait_s=_env("ANALYSIS_RETRY_WAIT_S", 10.0, float),
             # Standard AWS env first (what real deployments set), LocalStack
             # test creds as the fallback (docker-compose.yaml:53-55).
             aws_region=os.environ.get(

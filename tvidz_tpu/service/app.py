@@ -27,7 +27,7 @@ from typing import Optional
 
 from tvidz_tpu.config import Config
 from tvidz_tpu.corpus.device_corpus import DeviceCorpus
-from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.corpus.store import Store, is_transient_store_error
 from tvidz_tpu.pipeline.analyzer import Analyzer
 from tvidz_tpu.pipeline.progress import AnalysisRegistry
 from tvidz_tpu.service.wsgi import App, Request, Response, jsonify
@@ -68,7 +68,8 @@ class InspectorApp:
         self.build_env = build_env or {}
         self._stop = threading.Event()
         self._poller_thread: Optional[threading.Thread] = None
-        self._poller_stats = {"processed": 0, "malformed": 0, "receive_errors": 0}
+        self._poller_stats = {"processed": 0, "malformed": 0,
+                              "receive_errors": 0, "analysis_retries": 0}
         # Set by the entrypoint once the accelerator is warm; in-process
         # embedders (tests) are considered ready immediately. Worker threads
         # that would first-touch the device concurrently with the main
@@ -182,7 +183,35 @@ class InspectorApp:
             while not self._device_ready_evt.wait(timeout=1.0):
                 if self._stop.is_set():
                     return
-            self.analyzer.analyze(bucket, key)
+            # Whole-analysis retry (store-outage policy, second half): if a
+            # CRITICAL store op exhausted the analyzer's in-analysis retry
+            # window — the store was down for the whole analysis — re-run
+            # from the still-present S3 object, bounded. Each failed attempt
+            # has already recorded a terminal error verdict, so /status and
+            # SSE watchers see 'error' between attempts rather than a stuck
+            # 'pending'; a later attempt reseeds and overwrites it.
+            attempts = max(1, self.config.service.analysis_retry_attempts)
+            for attempt in range(attempts):
+                try:
+                    self.analyzer.analyze(bucket, key)
+                    return
+                except Exception as e:  # noqa: BLE001 — classified below
+                    if (not is_transient_store_error(e)
+                            or attempt == attempts - 1):
+                        raise
+                    self._poller_stats["analysis_retries"] += 1
+                    wait_s = self.config.service.analysis_retry_wait_s
+                    log("analysis-retry",
+                        f"store was down for the whole analysis of {key} "
+                        f"(attempt {attempt + 1}/{attempts}): {e}; "
+                        f"re-running in {wait_s}s")
+                    if self._stop.wait(wait_s):
+                        return
+                    # The failed attempt recorded a terminal error verdict;
+                    # /status scans return the FIRST insertion-order match,
+                    # so it would shadow the retry's entry forever.
+                    from tvidz_tpu.pipeline.analyzer import extract_filenames
+                    self.registry.remove_errored(extract_filenames(key)[0])
         except Exception as e:  # noqa: BLE001 — worker threads never die loudly
             log("analysis", f"unhandled analysis error for {key}: {e}")
 
