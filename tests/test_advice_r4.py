@@ -1,0 +1,290 @@
+"""Regression tests for the round-3 advisor findings (ADVICE.md r3).
+
+1. (medium) A store outage that persists through FINALIZATION (the
+   add_timestamps/add_fingerprints final persist exhausts the analyzer's
+   in-analysis retry window) must propagate to the service's whole-analysis
+   retry loop — previously analyze()'s blanket handler swallowed it and the
+   upload ended terminally with no re-run.
+2. (low) A lost-ack add_video INSERT (row committed server-side, transport
+   died before the response, and every in-analysis adoption probe also
+   failed) must be ADOPTED by the service-level re-run via the original
+   attempt's pinned upload_ts — not leaked as a dead duplicate row.
+3. (low) The retry's shadow-entry cleanup is scoped to the failed attempt's
+   OWN analysis_key: a concurrent analysis of the same original_filename
+   that ended in a legitimate terminal error keeps its entry.
+4. (low) Between service retry attempts the registry state is the
+   NON-terminal 'retrying', not a terminal 'error' (SSE watchers would act
+   on a false permanent failure) — sanctioned deviation, CLAUDE.md.
+"""
+
+import os
+import shutil
+import time
+
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.decode.y4m import write_y4m
+from tvidz_tpu.pipeline.analyzer import (
+    Analyzer,
+    AnalysisRetryContext,
+    TransientAnalysisError,
+)
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+from tests.test_store_outage import FlakyStore
+
+
+@pytest.fixture
+def env(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.decode_prefetch_blocks = 0
+    cfg.pipeline.store_retry_attempts = 2
+    cfg.pipeline.store_retry_wait_s = 0.01
+    cfg.pipeline.checkpoint_every_blocks = 0
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+    luma, _ = synthetic_video(num_frames=96, height=72, width=96,
+                              cut_frames=(30, 70), seed=7)
+    write_y4m(str(bucket / "orig.y4m"), luma)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    def mk_analyzer(store):
+        corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                              fp_block_n=256)
+        return Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+
+    return cfg, bucket, mk_analyzer
+
+
+def _service(cfg, store, tmp_path):
+    from tvidz_tpu.service.app import create_app
+    from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+    s3 = FakeS3(str(tmp_path / "s3"))
+    sqs = FakeSQS()
+    sqs.create_queue(cfg.service.sqs_queue)
+    s3.create_bucket(cfg.service.s3_bucket)
+    app = create_app(config=cfg, store=store,
+                     corpus=DeviceCorpus(ts_initial_capacity=8,
+                                         fp_initial_capacity=1024,
+                                         fp_block_n=256),
+                     s3=s3, sqs=sqs)
+    return app, s3
+
+
+def _notify_and_wait(app, s3, cfg, bucket, key, want="done", ticks=600):
+    with open(bucket / key, "rb") as f:
+        s3.put_object(cfg.service.s3_bucket, key, f.read())
+    client = app.wsgi.test_client()
+    r = client.post("/notify", json_body={"Records": [{"s3": {
+        "bucket": {"name": cfg.service.s3_bucket},
+        "object": {"key": key}}}]})
+    assert r.status_code == 200
+    final = {}
+    for _ in range(ticks):
+        final = client.get(f"/status/{key}").get_json()
+        if final.get("status") == want:
+            break
+        time.sleep(0.02)
+    return final
+
+
+# -- 1. medium: finalization-persist exhaustion reaches the service retry --
+
+
+def test_finalization_outage_triggers_service_retry(env, tmp_path):
+    cfg, bucket, _ = env
+    cfg.service.analysis_retry_attempts = 3
+    cfg.service.analysis_retry_wait_s = 0.05
+    # Only finalization calls add_fingerprints; fail the first attempt's
+    # entire in-analysis window (store_retry_attempts=2), then recover.
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_fingerprints"}, budget=2)
+    app, s3 = _service(cfg, store, tmp_path)
+    try:
+        final = _notify_and_wait(app, s3, cfg, bucket, "orig.y4m")
+        assert final.get("status") == "done", final
+        assert app._poller_stats["analysis_retries"] == 1
+        # No self-duplicate: the failed attempt's resident fingerprints
+        # were removed from the device corpus before the re-run.
+        assert final.get("duplicates") == []
+        # Exactly one durable row: the failed attempt's orphan was
+        # superseded by the re-run.
+        rows = [v for v in store.all_videos() if v.filename == "orig.y4m"]
+        assert len(rows) == 1
+        assert store.get_fingerprints(rows[0].id).shape[0] > 0
+    finally:
+        app.stop()
+
+
+def test_finalization_outage_with_checkpoints(env, tmp_path):
+    """Same, with checkpointing on: the re-run resumes from the failed
+    attempt's checkpoint and the supersede paths (retry_ctx + checkpoint
+    orphan-supersede) compose idempotently."""
+    cfg, bucket, _ = env
+    cfg.pipeline.checkpoint_every_blocks = 1
+    cfg.service.analysis_retry_attempts = 3
+    cfg.service.analysis_retry_wait_s = 0.05
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_fingerprints"}, budget=2)
+    app, s3 = _service(cfg, store, tmp_path)
+    try:
+        final = _notify_and_wait(app, s3, cfg, bucket, "orig.y4m")
+        assert final.get("status") == "done", final
+        assert final.get("duplicates") == []
+        rows = [v for v in store.all_videos() if v.filename == "orig.y4m"]
+        assert len(rows) == 1
+    finally:
+        app.stop()
+
+
+# -- 2. low: lost-ack add_video adopted across service attempts --
+
+
+def test_lost_ack_add_video_adopted_across_attempts(env, tmp_path):
+    cfg, bucket, _ = env
+    cfg.service.analysis_retry_attempts = 2
+    cfg.service.analysis_retry_wait_s = 0.05
+    inner = Store("sqlite:///:memory:")
+    real_add = inner.add_video
+    landed = []
+
+    def add_video_commit_then_drop(filename, thumbnail_path=None,
+                                   upload_time=None):
+        rec = real_add(filename, thumbnail_path, upload_time=upload_time)
+        landed.append(rec)
+        raise ConnectionError("connection reset before response read")
+
+    inner.add_video = add_video_commit_then_drop
+    # Attempt 1: add_video commits+drops, then the adoption probe fails
+    # too (store still down) -> in-analysis window (2) exhausts with NO
+    # video_id known. Attempt 2 probes with the pinned upload_ts first.
+    store = FlakyStore(inner, fail_methods={"find_video_by_upload"},
+                       budget=1)
+    app, s3 = _service(cfg, store, tmp_path)
+    try:
+        final = _notify_and_wait(app, s3, cfg, bucket, "orig.y4m")
+        assert final.get("status") == "done", final
+        assert len(landed) == 1  # the INSERT landed exactly once
+        rows = [v for v in inner.all_videos() if v.filename == "orig.y4m"]
+        # The landed row was ADOPTED, not superseded-and-reinserted.
+        assert [v.id for v in rows] == [landed[0].id]
+        assert inner.get_timestamps(landed[0].id) == final["scene_cuts"]
+    finally:
+        app.stop()
+
+
+# -- 3. low: cleanup scoped to the failed attempt's own analysis_key --
+
+
+def test_retry_preserves_concurrent_same_name_error_entry(env, tmp_path):
+    cfg, bucket, _ = env
+    cfg.service.analysis_retry_attempts = 2
+    cfg.service.analysis_retry_wait_s = 0.05
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_video"}, budget=2)
+    app, s3 = _service(cfg, store, tmp_path)
+    try:
+        # A DIFFERENT analysis of the same S3 key ended in a legitimate
+        # terminal error before our upload's retry runs.
+        app.registry.seed("999_deadbeef_orig.y4m",
+                          original_filename="orig.y4m",
+                          clean_filename="orig.y4m")
+        app.registry.finish(
+            "999_deadbeef_orig.y4m", status="error",
+            error="unrelated terminal failure", progress=0.0, total_cuts=0,
+            duplicates=[], original_filename="orig.y4m",
+            clean_filename="orig.y4m")
+        with open(bucket / "orig.y4m", "rb") as f:
+            s3.put_object(cfg.service.s3_bucket, "orig.y4m", f.read())
+        client = app.wsgi.test_client()
+        client.post("/notify", json_body={"Records": [{"s3": {
+            "bucket": {"name": cfg.service.s3_bucket},
+            "object": {"key": "orig.y4m"}}}]})
+        # Wait until the retry finished a 'done' entry somewhere in the
+        # registry (the foreign error entry shadows /status by design —
+        # reference first-match resolution — so inspect the registry).
+        deadline = time.time() + 12
+        while time.time() < deadline:
+            snap = app.registry.snapshot()
+            if any(d.get("status") == "done" for d in snap.values()):
+                break
+            time.sleep(0.02)
+        snap = app.registry.snapshot()
+        assert any(d.get("status") == "done" for d in snap.values()), snap
+        # The concurrent analysis's terminal-error entry survived.
+        assert snap.get("999_deadbeef_orig.y4m", {}).get("status") == "error"
+        assert snap["999_deadbeef_orig.y4m"]["error"] == \
+            "unrelated terminal failure"
+    finally:
+        app.stop()
+
+
+# -- 4. low: non-terminal 'retrying' between attempts --
+
+
+def test_transient_failure_records_retrying_when_more_attempts(env):
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_video"})
+    analyzer = mk(store)
+    with pytest.raises(TransientAnalysisError) as ei:
+        analyzer.analyze("videos", "orig.y4m",
+                         retry_ctx=AnalysisRetryContext(more_attempts=True))
+    state = analyzer.registry.lookup("orig.y4m")
+    assert state is not None and state["status"] == "retrying"
+    assert ei.value.video_id is None and ei.value.upload_ts is not None
+
+
+def test_transient_failure_terminal_error_on_last_attempt(env):
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_video"})
+    analyzer = mk(store)
+    with pytest.raises(TransientAnalysisError):
+        analyzer.analyze("videos", "orig.y4m",
+                         retry_ctx=AnalysisRetryContext(more_attempts=False))
+    state = analyzer.registry.lookup("orig.y4m")
+    assert state is not None and state["status"] == "error"
+
+
+def test_finalization_transient_raise_removes_device_residue(env):
+    """The raising attempt's fingerprints must leave the device corpus (a
+    re-run would otherwise verdict the video a duplicate OF ITSELF), and
+    the raised context must carry the attempt's video_id for supersede."""
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_fingerprints"})
+    analyzer = mk(store)
+    with pytest.raises(TransientAnalysisError) as ei:
+        analyzer.analyze("videos", "orig.y4m",
+                         retry_ctx=AnalysisRetryContext(more_attempts=True))
+    assert ei.value.video_id is not None
+    assert analyzer.corpus.num_videos == 0
+    state = analyzer.registry.lookup("orig.y4m")
+    assert state is not None and state["status"] == "retrying"
+
+
+def test_direct_analyze_keeps_terminal_error_contract(env):
+    """Without a retry context (CLI path / reference parity), a transient
+    finalization exhaustion still raises — but the recorded verdict is the
+    terminal 'error', exactly as before."""
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_fingerprints"})
+    analyzer = mk(store)
+    with pytest.raises(TransientAnalysisError):
+        analyzer.analyze("videos", "orig.y4m")
+    state = analyzer.registry.lookup("orig.y4m")
+    assert state is not None and state["status"] == "error"

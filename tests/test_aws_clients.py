@@ -181,7 +181,7 @@ def test_poll_loop_with_real_wire_client(mock_aws, tmp_path, monkeypatch):
     seen = {}
     monkeypatch.setattr(
         app.analyzer, "analyze",
-        lambda bucket, key: seen.update(bucket=bucket, key=key),
+        lambda bucket, key, **kw: seen.update(bucket=bucket, key=key),
     )
     event = {"Records": [{"s3": {"bucket": {"name": "videos"},
                                  "object": {"key": "wire+test.mp4"}}}]}

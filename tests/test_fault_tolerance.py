@@ -36,7 +36,7 @@ def test_poller_survives_receive_errors(tmp_path, monkeypatch):
                      corpus=DeviceCorpus(), s3=s3, sqs=sqs)
     seen = {}
     monkeypatch.setattr(app.analyzer, "analyze",
-                        lambda b, k: seen.update(b=b, k=k))
+                        lambda b, k, **kw: seen.update(b=b, k=k))
     import json
 
     sqs.send(url, json.dumps(
@@ -63,7 +63,7 @@ def test_malformed_sqs_message_not_deleted_blindly(tmp_path, monkeypatch):
                      corpus=DeviceCorpus(), s3=s3, sqs=sqs)
     seen = []
     monkeypatch.setattr(app.analyzer, "analyze",
-                        lambda b, k: seen.append(k))
+                        lambda b, k, **kw: seen.append(k))
     import json
 
     sqs.send(url, "this is not json")

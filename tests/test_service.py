@@ -74,7 +74,7 @@ def test_notify_bad_event(client):
 def test_notify_valid_event(client, app, monkeypatch):
     called = {}
 
-    def fake_analyze(bucket, key):
+    def fake_analyze(bucket, key, **kw):
         called["bucket"] = bucket
         called["key"] = key
 

@@ -53,11 +53,31 @@ def _local_session(db_url: str):
     return Analyzer(store, corpus, AnalysisRegistry(), fetcher, config), store, corpus
 
 
+def _analyze_once(analyzer, directory: str, name: str):
+    """CLI surface for one analysis: a store down for the entire run
+    raises TransientAnalysisError (the service layer re-runs those); the
+    CLI has no retry loop, so keep the reference-parity error result."""
+    from tvidz_tpu.pipeline.analyzer import (
+        AnalysisResult,
+        TransientAnalysisError,
+    )
+
+    try:
+        return analyzer.analyze(directory, name)
+    except TransientAnalysisError as e:
+        return AnalysisResult(
+            analysis_key=e.analysis_key,
+            video_id=e.video_id if e.video_id is not None else -1,
+            status="error", scene_cuts=[], duplicates=[], error=str(e),
+        )
+
+
 def cmd_analyze(args) -> int:
     _platform_override()
     analyzer, store, corpus = _local_session(args.db)
     path = os.path.abspath(args.video)
-    result = analyzer.analyze(os.path.dirname(path), os.path.basename(path))
+    result = _analyze_once(analyzer, os.path.dirname(path),
+                           os.path.basename(path))
     out = {
         "file": args.video,
         "status": result.status,
@@ -110,7 +130,7 @@ def cmd_ingest(args) -> int:
     )
     results = []
     for name in files:
-        res = analyzer.analyze(args.directory, name)
+        res = _analyze_once(analyzer, args.directory, name)
         results.append({
             "file": name,
             "status": res.status,

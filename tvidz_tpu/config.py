@@ -228,14 +228,18 @@ class ServiceConfig:
     sqs_idle_sleep_s: float = 1.0    # app.py:480
     sqs_create_retries: int = 10     # app.py:428
     # Whole-analysis retry when the durable store was down for an ENTIRE
-    # analysis (a CRITICAL store op — add_video / finalization persist —
-    # exhausted the analyzer's in-analysis retry window, store-outage
-    # policy in pipeline/analyzer.py): the service re-runs the analysis
-    # from the still-present S3 object after a wait. The superseded
-    # crashed-attempt row (if one was created) is adopted/removed by the
-    # checkpoint orphan-supersede path. 1 = reference parity (fail the
-    # upload on exhausted store retries). Non-transient analysis errors
-    # (bad video, SQL bugs) never retry.
+    # analysis (a CRITICAL store op — add_video OR the finalization
+    # persist — exhausted the analyzer's in-analysis retry window and
+    # analyze() raised TransientAnalysisError, store-outage policy in
+    # pipeline/analyzer.py): the service re-runs the analysis from the
+    # still-present S3 object after a wait. The failed attempt's videos
+    # row (if one landed) is superseded by the re-run via
+    # AnalysisRetryContext.supersede_vids; a lost-ack INSERT (row landed,
+    # ack lost, no id known) is adopted via reuse_upload_ts. Between
+    # attempts the state is the NON-terminal 'retrying' (SSE watchers stay
+    # connected; sanctioned deviation, CLAUDE.md). 1 = reference parity
+    # (fail the upload on exhausted store retries). Non-transient analysis
+    # errors (bad video, SQL bugs) never retry.
     analysis_retry_attempts: int = 3
     analysis_retry_wait_s: float = 10.0
     aws_region: str = "us-east-1"

@@ -68,6 +68,60 @@ class _DeferredStoreWrites:
     delete_vids: List[int] = dataclasses.field(default_factory=list)
 
 
+class StoreOutageError(ConnectionError):
+    """A CRITICAL store op exhausted the analyzer's in-analysis retry window
+    on a TRANSIENT error class (store down for the whole window). Subclasses
+    ConnectionError so ``is_transient_store_error`` keeps classifying it.
+    Raised only by ``Analyzer._store_retry`` — the precise marker the
+    whole-analysis service retry keys on (a transient-class error from any
+    OTHER subsystem, e.g. an OSError inside decode, must NOT trigger a
+    service-level re-run)."""
+
+
+class TransientAnalysisError(ConnectionError):
+    """Raised by ``Analyzer.analyze`` when the analysis failed because the
+    durable store was down for its entire retry window. Carries the context
+    the service's whole-analysis retry (service/app._run_analysis) needs to
+    re-run cleanly:
+
+    - ``analysis_key``: the failed attempt's registry entry, so the retry
+      removes exactly ITS shadowing entry (never a concurrent same-name
+      analysis's verdict).
+    - ``video_id``: the attempt's videos row if one landed (the re-run
+      supersedes it — its partial state would otherwise self-match), else
+      None.
+    - ``upload_ts``: the attempt's pinned upload_time identity; when no row
+      id is known the re-run probes ``find_video_by_upload`` with it first,
+      adopting a row whose INSERT landed but whose ack was lost.
+    """
+
+    def __init__(self, msg: str, *, analysis_key: str,
+                 video_id: Optional[int], upload_ts) -> None:
+        super().__init__(msg)
+        self.analysis_key = analysis_key
+        self.video_id = video_id
+        self.upload_ts = upload_ts
+
+
+@dataclasses.dataclass
+class AnalysisRetryContext:
+    """Threaded by the service's whole-analysis retry into each re-run
+    attempt (``Analyzer.analyze(..., retry_ctx=...)``)."""
+
+    # A lost-ack attempt's pinned upload_time: probe find_video_by_upload
+    # BEFORE inserting so a row whose INSERT landed server-side is adopted,
+    # not leaked as a dead duplicate row.
+    reuse_upload_ts: Optional[object] = None
+    # Failed attempts' orphan rows: removed from the device corpus at raise
+    # time; this run deletes the durable rows (the store is presumably back).
+    supersede_vids: List[int] = dataclasses.field(default_factory=list)
+    # True while the service still has retry attempts left: a transient
+    # failure records the NON-terminal 'retrying' status instead of a
+    # terminal 'error', so SSE watchers stay connected through the re-run
+    # instead of acting on a false permanent failure.
+    more_attempts: bool = False
+
+
 @dataclasses.dataclass
 class AnalysisResult:
     analysis_key: str
@@ -125,7 +179,9 @@ class Analyzer:
 
     # -- public ----------------------------------------------------------------
 
-    def analyze(self, bucket: str, key: str) -> AnalysisResult:
+    def analyze(self, bucket: str, key: str,
+                retry_ctx: Optional[AnalysisRetryContext] = None,
+                ) -> AnalysisResult:
         cfg = self.config
         filename, original_filename = extract_filenames(key)
         log("filename-extraction",
@@ -150,8 +206,13 @@ class Analyzer:
             # actually LANDED would double-insert. Pin the row's identity
             # (filename, upload_time) up front; retries first look for a row
             # the lost first attempt may have created and adopt it.
-            upload_ts = self.store.utcnow()
-            attempted = [False]
+            # A service-level re-run of a lost-ack attempt reuses ITS pinned
+            # upload_ts so the probe below can adopt a row whose INSERT
+            # landed server-side during the outage (else that row is leaked
+            # as a dead duplicate: no in-analysis lookup ever saw it).
+            reuse = retry_ctx.reuse_upload_ts if retry_ctx else None
+            upload_ts = reuse if reuse is not None else self.store.utcnow()
+            attempted = [reuse is not None]
 
             def _add_video_once():
                 if attempted[0]:
@@ -169,17 +230,47 @@ class Analyzer:
             video = self._store_retry("add_video", _add_video_once)
         except Exception as e:  # noqa: BLE001
             # Store down for the WHOLE retry window before a row even
-            # exists: record an error verdict so /status and SSE watchers
-            # see a terminal state instead of 'pending' until timeout.
+            # exists: record a verdict so /status and SSE watchers see a
+            # state instead of 'pending' until timeout. While the service
+            # still has re-run attempts left the state is the NON-terminal
+            # 'retrying' (SSE stays open through the re-run); only the
+            # final attempt is terminal 'error'.
+            transient = isinstance(e, StoreOutageError)
+            retrying = transient and retry_ctx is not None \
+                and retry_ctx.more_attempts
             self.registry.seed(analysis_key, original_filename=filename,
                                clean_filename=original_filename)
             self.registry.finish(
-                analysis_key, status="error", error=str(e), progress=0.0,
+                analysis_key, status="retrying" if retrying else "error",
+                error=str(e), progress=0.0,
                 total_cuts=0, duplicates=[], original_filename=filename,
                 clean_filename=original_filename,
             )
+            if transient:
+                raise TransientAnalysisError(
+                    str(e), analysis_key=analysis_key, video_id=None,
+                    upload_ts=upload_ts) from e
             raise
         video_id = video.id
+        # Supersede failed prior attempts' orphan rows (service retry): the
+        # device-side removal already happened at raise time; the durable
+        # delete runs now against the recovered store. A still-failing
+        # delete is deferred to this run's finalization re-apply.
+        pending_deletes: List[int] = []
+        if retry_ctx:
+            for sv in retry_ctx.supersede_vids:
+                if sv == video_id:
+                    continue
+                self.corpus.remove_video(sv)
+                deleted = self._store_soft(
+                    "delete_video(retry-supersede)",
+                    lambda s=sv: (self.store.delete_video(s), True)[1],
+                    default=False)
+                if deleted:
+                    log("analysis-retry",
+                        f"superseded failed attempt row {sv}")
+                else:
+                    pending_deletes.append(sv)
         with self._active_lock:
             self._active_vids.add(video_id)
         self.registry.seed(analysis_key, original_filename=filename,
@@ -198,6 +289,7 @@ class Analyzer:
             scene_cuts, dups_to_report = self._stream_analyze(
                 local_path, analysis_key, filename, video_id, total_frames,
                 clean_filename=original_filename,
+                pending_deletes=pending_deletes,
             )
             status = "done"
             final_state = dict(
@@ -213,9 +305,22 @@ class Analyzer:
             self._persist_final_state(original_filename, video_id, final_state)
         except Exception as e:  # noqa: BLE001 — mirrors app.py:303's blanket handler
             error_msg = str(e)
+            # Store down through FINALIZATION too (add_timestamps /
+            # add_fingerprints final persist exhausted, StoreOutageError):
+            # propagate to the service's whole-analysis retry after
+            # recording the verdict. The attempt's fingerprints are
+            # resident on device and its row may be durable — remove the
+            # device side NOW (a re-run would verdict the video a
+            # duplicate OF ITSELF); the durable row is the re-run's
+            # supersede_vids job, the store being down here.
+            transient = isinstance(e, StoreOutageError)
+            retrying = transient and retry_ctx is not None \
+                and retry_ctx.more_attempts
+            if transient:
+                self.corpus.remove_video(video_id)
             existing_duplicates = self.registry.get_existing_duplicates(analysis_key)
             final_state = dict(
-                status="error",
+                status="retrying" if retrying else "error",
                 error=error_msg,
                 progress=0.0,
                 total_cuts=0,
@@ -224,7 +329,17 @@ class Analyzer:
                 clean_filename=original_filename,
             )
             self.registry.finish(analysis_key, **final_state)
-            self._persist_final_state(original_filename, video_id, final_state)
+            if not retrying:
+                # (When retrying, the store is down and a successful re-run
+                # overwrites this state anyway — skip the doomed persist.)
+                self._persist_final_state(
+                    original_filename, video_id, final_state)
+            if transient:
+                # (the finally below still discards _active_vids and
+                # removes the local file on this raise path)
+                raise TransientAnalysisError(
+                    error_msg, analysis_key=analysis_key,
+                    video_id=video_id, upload_ts=upload_ts) from e
             dups_to_report = existing_duplicates
         finally:
             with self._active_lock:
@@ -287,8 +402,14 @@ class Analyzer:
             try:
                 return fn()
             except Exception as e:  # noqa: BLE001 — filtered below
-                if not is_transient_store_error(e) or attempt == attempts - 1:
+                if not is_transient_store_error(e):
                     raise
+                if attempt == attempts - 1:
+                    # Marker the service's whole-analysis retry keys on:
+                    # transient class + CRITICAL store op + window exhausted.
+                    raise StoreOutageError(
+                        f"{what} failed after {attempts} attempts: {e}"
+                    ) from e
                 log("store-outage",
                     f"{what} failed transiently (attempt {attempt + 1}/"
                     f"{attempts}): {e}; retrying in {cfg.store_retry_wait_s}s")
@@ -334,6 +455,7 @@ class Analyzer:
         video_id: int,
         total_frames: int,
         clean_filename: Optional[str] = None,
+        pending_deletes: Optional[List[int]] = None,
     ) -> Tuple[List[float], List[str]]:
         cfg = self.config
         block_t = cfg.pipeline.block_frames
@@ -346,6 +468,12 @@ class Analyzer:
         all_fps: List[np.ndarray] = []
         dups_to_report: List[str] = []
         deferred = _DeferredStoreWrites()
+        if pending_deletes:
+            # Orphan rows from superseded service-retry attempts whose
+            # durable delete failed even against the supposedly-recovered
+            # store: re-applied at this run's finalization like any other
+            # outage-deferred delete.
+            deferred.delete_vids.extend(pending_deletes)
         fp_evidence: dict = {}
         duplicate_found = False
         last_progress = 0.0

@@ -70,27 +70,6 @@ class AnalysisRegistry:
             self._results[key] = fields
             self._evict_locked()
 
-    def remove_errored(self, original_filename: str) -> int:
-        """Drop terminal-ERROR entries for a filename (non-restored only).
-
-        Used by the service's whole-analysis retry: lookup() returns the
-        FIRST insertion-order match for a polled filename, so a failed
-        attempt's error entry would shadow the retry's fresh analysis
-        forever. Live (pending/analyzing) and restored entries are never
-        touched — a concurrent identical-name upload keeps its state."""
-        removed = 0
-        with self._lock:
-            for key in [
-                k for k, d in self._results.items()
-                if not str(k).startswith("restored_")
-                and isinstance(d, dict)
-                and d.get("original_filename") == original_filename
-                and d.get("status") == "error"
-            ]:
-                del self._results[key]
-                removed += 1
-        return removed
-
     def get_existing_duplicates(self, key: str) -> List[str]:
         with self._lock:
             return list(self._results.get(key, {}).get("duplicates", []))

@@ -27,7 +27,7 @@ from typing import Optional
 
 from tvidz_tpu.config import Config
 from tvidz_tpu.corpus.device_corpus import DeviceCorpus
-from tvidz_tpu.corpus.store import Store, is_transient_store_error
+from tvidz_tpu.corpus.store import Store
 from tvidz_tpu.pipeline.analyzer import Analyzer
 from tvidz_tpu.pipeline.progress import AnalysisRegistry
 from tvidz_tpu.service.wsgi import App, Request, Response, jsonify
@@ -185,19 +185,25 @@ class InspectorApp:
                     return
             # Whole-analysis retry (store-outage policy, second half): if a
             # CRITICAL store op exhausted the analyzer's in-analysis retry
-            # window — the store was down for the whole analysis — re-run
-            # from the still-present S3 object, bounded. Each failed attempt
-            # has already recorded a terminal error verdict, so /status and
-            # SSE watchers see 'error' between attempts rather than a stuck
-            # 'pending'; a later attempt reseeds and overwrites it.
+            # window — the store was down for the whole analysis, from
+            # add_video through finalization persist — re-run from the
+            # still-present S3 object, bounded. Between attempts the failed
+            # attempt's state is the NON-terminal 'retrying' (SSE watchers
+            # stay connected through the re-run; sanctioned deviation, see
+            # CLAUDE.md); only the final attempt records terminal 'error'.
+            from tvidz_tpu.pipeline.analyzer import (
+                AnalysisRetryContext,
+                TransientAnalysisError,
+            )
+
             attempts = max(1, self.config.service.analysis_retry_attempts)
+            retry_ctx = AnalysisRetryContext(more_attempts=attempts > 1)
             for attempt in range(attempts):
                 try:
-                    self.analyzer.analyze(bucket, key)
+                    self.analyzer.analyze(bucket, key, retry_ctx=retry_ctx)
                     return
-                except Exception as e:  # noqa: BLE001 — classified below
-                    if (not is_transient_store_error(e)
-                            or attempt == attempts - 1):
+                except TransientAnalysisError as e:
+                    if attempt == attempts - 1:
                         raise
                     self._poller_stats["analysis_retries"] += 1
                     wait_s = self.config.service.analysis_retry_wait_s
@@ -206,12 +212,31 @@ class InspectorApp:
                         f"(attempt {attempt + 1}/{attempts}): {e}; "
                         f"re-running in {wait_s}s")
                     if self._stop.wait(wait_s):
+                        # Shutting down mid-retry: the non-terminal
+                        # 'retrying' state must not outlive the loop.
+                        self.registry.update(e.analysis_key, status="error")
                         return
-                    # The failed attempt recorded a terminal error verdict;
-                    # /status scans return the FIRST insertion-order match,
-                    # so it would shadow the retry's entry forever.
-                    from tvidz_tpu.pipeline.analyzer import extract_filenames
-                    self.registry.remove_errored(extract_filenames(key)[0])
+                    # Remove exactly the failed attempt's shadowing entry
+                    # (scoped by ITS analysis_key — /status scans return
+                    # the first insertion-order match, and a filename-wide
+                    # sweep would delete a concurrent same-name analysis's
+                    # legitimate verdict).
+                    self.registry.remove(e.analysis_key)
+                    nxt = AnalysisRetryContext(
+                        more_attempts=attempt + 1 < attempts - 1,
+                        supersede_vids=list(retry_ctx.supersede_vids),
+                    )
+                    if e.video_id is not None:
+                        # The attempt's row landed: the re-run supersedes
+                        # it (its partial state would self-match).
+                        nxt.supersede_vids.append(e.video_id)
+                    else:
+                        # No row id ever reached us — but the INSERT may
+                        # have landed server-side (lost ack). The re-run
+                        # probes find_video_by_upload with the attempt's
+                        # pinned upload_ts and adopts such a row.
+                        nxt.reuse_upload_ts = e.upload_ts
+                    retry_ctx = nxt
         except Exception as e:  # noqa: BLE001 — worker threads never die loudly
             log("analysis", f"unhandled analysis error for {key}: {e}")
 
