@@ -601,15 +601,15 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 240,
         p = os.path.join(tempfile.gettempdir(), f"bench_1080p_s{i}.avi")
         write_mjpeg_avi(p, luma, fps=25.0, quality=90)
         paths.append(p)
-    # Warm the compiled shapes once.
-    import jax.numpy as jnp
+    # Warm every batched-dispatch bucket the curve can hit (1, 2, 4, ...):
+    # a cold bucket otherwise pays its compile inside a measured window
+    # (the first curve point read ~3x low before this). Admission control
+    # caps concurrency at default_max_active, so larger buckets are
+    # unreachable and not worth their on-chip compile (~2-8 min total).
+    from tvidz_tpu.pipeline.multistream import default_max_active, warm_dispatch
 
-    warm = jnp.zeros((64, model.height, model.width), jnp.uint8)
-    s0, f0, _ = model.forward(warm, model.init_carry())
-    _sync(s0, f0)
-    # Warm the multistream scheduler's own compiled path too: a cold
-    # first point otherwise pays ~1.5 s of compile inside its measured
-    # window (first curve point read ~3x low).
+    warm_dispatch(model, min(max(stream_counts), default_max_active()))
+    # Warm the scheduler's own host path too (decoder threads, queues).
     fingerprint_streams(paths[:1], model=model)
 
     curve = {}
@@ -623,7 +623,8 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 240,
             f"decoded+hashed frames/s total ({stats.frames} frames in "
             f"{stats.wall_s:.2f} s; decode-starved {stats.decode_starved_s:.2f} s "
             f"= {100*stats.decode_starved_s/stats.wall_s:.0f}%, device+dispatch "
-            f"{stats.device_s:.2f} s = {100*stats.device_s/stats.wall_s:.0f}%)"
+            f"{stats.device_s:.2f} s = {100*stats.device_s/stats.wall_s:.0f}% "
+            f"in {stats.dispatches} batched dispatches)"
         )
     for p in paths:
         os.remove(p)

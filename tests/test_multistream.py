@@ -83,7 +83,7 @@ def test_dispatch_failure_does_not_leak_decoder_threads(tmp_path, monkeypatch):
 
     model = FingerprintModel(cfg)
     calls = {"n": 0}
-    real_forward = model.forward
+    real_forward = model.forward_streams
 
     def dying_forward(*a, **kw):
         calls["n"] += 1
@@ -91,7 +91,7 @@ def test_dispatch_failure_does_not_leak_decoder_threads(tmp_path, monkeypatch):
             raise RuntimeError("injected device fault")
         return real_forward(*a, **kw)
 
-    monkeypatch.setattr(model, "forward", dying_forward)
+    monkeypatch.setattr(model, "forward_streams", dying_forward)
     before = threading.active_count()
     with pytest.raises(RuntimeError, match="injected device fault"):
         ms.fingerprint_streams(paths, model=model)
@@ -99,3 +99,63 @@ def test_dispatch_failure_does_not_leak_decoder_threads(tmp_path, monkeypatch):
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
     assert threading.active_count() <= before, "decoder threads leaked"
+
+
+def test_admission_control_results_and_parity(tmp_path):
+    """max_active=1 time-shares N streams strictly sequentially; results
+    must be identical to the unbounded run and to single-stream analysis
+    (admission must not change any verdict-bearing output)."""
+    cfg = _cfg()
+    model = FingerprintModel(cfg)
+    paths = []
+    for i, (frames, cuts) in enumerate([(96, (30, 60)), (64, (20,)),
+                                        (128, (40, 80, 100))]):
+        luma, _ = synthetic_video(num_frames=frames, height=72, width=96,
+                                  cut_frames=cuts, seed=40 + i)
+        p = str(tmp_path / f"a{i}.y4m")
+        write_y4m(p, luma, fps=25.0)
+        paths.append(p)
+    seq_results, seq_stats = fingerprint_streams(paths, model=model,
+                                                 max_active=1)
+    wide_results, _ = fingerprint_streams(paths, model=model, max_active=8)
+    assert seq_stats.frames == 96 + 64 + 128
+    for rs, rw in zip(seq_results, wide_results):
+        assert rs.error is None and rw.error is None
+        assert rs.scene_cuts == rw.scene_cuts
+        np.testing.assert_array_equal(rs.fingerprints, rw.fingerprints)
+        want_cuts, want_fps = FingerprintModel(cfg).analyze_path(rs.path)
+        assert rs.scene_cuts == want_cuts
+        np.testing.assert_array_equal(rs.fingerprints, want_fps)
+
+
+def test_batched_dispatch_pads_to_bucket(tmp_path):
+    """3 concurrent streams pad to the 4-bucket: dummy slots must not
+    corrupt any real stream's carry/cuts, and the dispatch count must show
+    batching actually happened (fewer programs than blocks)."""
+    cfg = _cfg()
+    model = FingerprintModel(cfg)
+    paths = []
+    total_blocks = 0
+    for i in range(3):
+        frames = 96    # 3 blocks of 32 each
+        total_blocks += 3
+        luma, _ = synthetic_video(num_frames=frames, height=72, width=96,
+                                  cut_frames=(30, 60), seed=60 + i)
+        p = str(tmp_path / f"b{i}.y4m")
+        write_y4m(p, luma, fps=25.0)
+        paths.append(p)
+    results, stats = fingerprint_streams(paths, model=model, max_active=3)
+    assert all(r.error is None for r in results)
+    assert stats.dispatches <= total_blocks
+    for r in results:
+        want_cuts, want_fps = FingerprintModel(cfg).analyze_path(r.path)
+        assert r.scene_cuts == want_cuts
+        np.testing.assert_array_equal(r.fingerprints, want_fps)
+
+
+def test_warm_dispatch_compiles_buckets():
+    from tvidz_tpu.pipeline.multistream import warm_dispatch
+
+    cfg = _cfg()
+    model = FingerprintModel(cfg)
+    warm_dispatch(model, 3)   # buckets 1, 2, 4 — must not raise

@@ -111,15 +111,37 @@ class FingerprintModel:
             valid_t=jnp.int32(t) if t < bt else None)
         scores = scorer.scores(block, scores_dev, t)
         fps = np.asarray(fps_dev)[:t]
+        cuts = self.extract_cuts(scores, block.pts, t, last_cut)
+        return fps, carry, cuts, t
+
+    def extract_cuts(self, scores, pts, t: int, last_cut=None) -> List[float]:
+        """THE one cut-timestamp policy (threshold, 6-decimal rounding,
+        consecutive-dedupe honoring config), shared by process_block and
+        the batched multi-stream resolve so cut timestamps cannot fork
+        between surfaces (exact-equality dedup)."""
         cuts: List[float] = []
         dedupe = self.config.scene.dedupe_consecutive
         thr = self.config.scene.threshold
         for i in np.nonzero(scores[:t] > thr)[0]:
-            ts = round(float(block.pts[i]), 6)
+            ts = round(float(pts[i]), 6)
             prev = cuts[-1] if cuts else last_cut
             if not dedupe or prev is None or ts != prev:
                 cuts.append(ts)
-        return fps, carry, cuts, t
+        return cuts
+
+    # -- batched streaming API (multi-stream dispatch) ---------------------------
+
+    def forward_streams(self, lumas, carries, valid_ts):
+        """(K, T, H, W) blocks from K independent streams in one device
+        program: ((K, T) scores, (K, T, words) fps, tuple of K carries).
+        See ops/fused.fingerprint_blocks_batched."""
+        from tvidz_tpu.ops.fused import fingerprint_blocks_batched
+
+        return fingerprint_blocks_batched(
+            lumas, tuple(carries), valid_ts,
+            dct_size=self.dct_size, hash_size=self.hash_size,
+            algorithm=self.algorithm,
+        )
 
     # -- whole-array convenience (tests, bench) --------------------------------------
 

@@ -62,3 +62,55 @@ def fingerprint_block(
 
         fps = get_hash_fn(algorithm)(xf)
     return scores, fps, FingerprintCarry(scene=scene_carry)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dct_size", "hash_size", "algorithm")
+)
+def fingerprint_blocks_batched(
+    lumas: jnp.ndarray,               # (K, T, H, W) uint8/float luma
+    carries,                          # tuple of K FingerprintCarry
+    valid_ts: jnp.ndarray,            # (K,) int32 real frame counts
+    dct_size: int = 32,
+    hash_size: int = 8,
+    algorithm: str = "phash",
+):
+    """K independent streams' blocks in ONE device program — the
+    multi-stream dispatch path (pipeline/multistream.py). Per-stream
+    semantics are bit-identical to K ``fingerprint_block`` calls: the scene
+    recurrence is vmapped over the stacked per-stream carries (each stream's
+    carry continues ITS history), while hashing — per-frame independent —
+    runs as one (K*T,) batched op so the MXU sees a single large matmul
+    instead of K small ones.
+
+    Why this exists: on a remote-tunneled device each dispatch/host-pull
+    pays a full RTT, and one dispatch per (stream, block) made multi-stream
+    aggregate throughput REGRESS with stream count (BENCH_r03: 64% of
+    multi-stream wall was dispatch). One program per loop pass amortizes
+    that RTT over K streams.
+
+    Returns ((K, T) f32 scores, (K, T, words) uint32 fps, tuple of K new
+    carries). ``valid_ts`` is always dynamic here (T for full blocks) —
+    x[T-1] is the same frame the static path's x[-1] selects.
+    """
+    k, t, h, w = lumas.shape
+    xf = lumas.astype(jnp.float32)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)
+    scores, new_scene = jax.vmap(scene_scores_block)(
+        xf, stacked.scene, valid_ts)
+    flat = xf.reshape(k * t, h, w)
+    if algorithm == "phash":
+        fps = phash_batched(flat, dct_size=dct_size, hash_size=hash_size)
+    else:
+        from tvidz_tpu.ops.hashes import get_hash_fn
+
+        fps = get_hash_fn(algorithm)(flat)
+    new_carries = tuple(
+        FingerprintCarry(scene=SceneCarry(
+            prev_frame=new_scene.prev_frame[i],
+            prev_mafd=new_scene.prev_mafd[i],
+            has_prev=new_scene.has_prev[i],
+        ))
+        for i in range(k)
+    )
+    return scores, fps.reshape(k, t, -1), new_carries

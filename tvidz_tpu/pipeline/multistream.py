@@ -1,4 +1,4 @@
-"""Multi-stream decode feeding one shared device dispatch loop.
+"""Multi-stream decode feeding one shared BATCHED device dispatch loop.
 
 The e2e ceiling is host decode (SURVEY §7 "host decode throughput"): one
 1080p decode stream saturates roughly one CPU core while the chip is >99%
@@ -8,20 +8,38 @@ with its own decoder thread (libav's frame-threading adds intra-stream
 parallelism on multi-core hosts) — multiplexed onto the ONE device by a
 single dispatch loop holding a per-stream scene carry.
 
-This module is that dispatch loop, plus instrumentation that separates
-decode-starved wall time from device/dispatch time so the bench can report
-the decode-bound vs device-bound split and quantify the host-core ceiling
-(bench.py --e2e-streams; VERDICT r1 missing #4).
+Dispatch design (round 4; BENCH_r03 showed 64% of multi-stream wall was
+dispatch, with 4-stream aggregate REGRESSING below 2-stream):
+
+1. **Batched dispatch** — every loop pass collects all ready blocks and
+   issues ONE device program (ops/fused.fingerprint_blocks_batched) over
+   the stacked (K, T, H, W) blocks with vmapped per-stream carries, instead
+   of K sequential programs each paying the host-device RTT (~25-30 ms on a
+   tunneled device).
+2. **Deferred resolve** — the host pull of a pass's (scores, fps) happens
+   one pass LATER, so the transfer of pass i overlaps the decode of pass
+   i+1 and the device compute of pass i+1 (carries chain device-side with
+   no host sync).
+3. **Admission control** — at most ``max_active`` decoder threads run at
+   once (default: max(2, cpu_count)); queued paths start as streams finish,
+   so N >> cores streams time-share instead of thrashing the core(s) the
+   decoders need.
+
+Also carries the instrumentation that separates decode-starved wall time
+from device/dispatch time so the bench can report the decode-bound vs
+device-bound split (bench.py --e2e-streams; VERDICT r1 missing #4).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,8 +63,9 @@ class MultiStreamStats:
     frames: int
     wall_s: float
     decode_starved_s: float      # dispatch loop blocked, no block ready
-    device_s: float              # forward dispatch + host sync
+    device_s: float              # batched dispatch + deferred host pull
     streams: int
+    dispatches: int = 0          # batched device programs issued
 
     @property
     def frames_per_s(self) -> float:
@@ -107,65 +126,187 @@ class _Stream:
             pass
 
 
+def _bucket(k: int) -> int:
+    """Next power of two ≥ k — bounds the compiled batch shapes to
+    log2(max_streams) variants instead of one per live-stream count."""
+    return 1 << (k - 1).bit_length()
+
+
+def default_max_active() -> int:
+    """Decoder-thread admission default: decode is the per-core bottleneck,
+    so more concurrent decoders than cores just thrash; 2 minimum so one
+    stream's dispatch/pull latency hides behind another's decode."""
+    return max(2, os.cpu_count() or 1)
+
+
+def warm_dispatch(model: FingerprintModel, max_streams: int) -> None:
+    """Compile every batch bucket the dispatch loop can hit for up to
+    ``max_streams`` concurrent streams (benchmarks call this so bucket
+    compiles don't land inside a measured window)."""
+    bt, h, w = model.block_frames, model.height, model.width
+    k = 1
+    while True:
+        lumas = jnp.zeros((k, bt, h, w), jnp.uint8)
+        carries = [model.init_carry() for _ in range(k)]
+        valid = jnp.full((k,), bt, jnp.int32)
+        scores, fps, _ = model.forward_streams(lumas, carries, valid)
+        jax.device_get((scores, fps))
+        if k >= max_streams:
+            return
+        k = _bucket(k + 1)
+
+
+def _dispatch(model: FingerprintModel, ready):
+    """Issue ONE batched device program for the ready (stream, block)
+    pairs; returns the pending handle resolved one pass later. Updates each
+    stream's carry to the (device-resident) output immediately so the next
+    pass chains without a host sync."""
+    k = len(ready)
+    bucket = _bucket(k)
+    bt = model.block_frames
+    h, w = model.height, model.width
+    metas = []
+    carries = []
+    if bucket == k and all(b.luma.shape[0] == bt for _, b in ready):
+        # Fast path (steady state): full blocks, no pad slots.
+        lumas = np.stack([b.luma for _, b in ready])
+        valid = np.full((k,), bt, np.int32)
+        for s, block in ready:
+            metas.append((s, block, bt))
+            carries.append(s.carry)
+    else:
+        lumas = np.zeros((bucket, bt, h, w), np.uint8)
+        valid = np.full((bucket,), bt, np.int32)
+        for j, (s, block) in enumerate(ready):
+            t = block.luma.shape[0]
+            lumas[j, :t] = block.luma
+            if t < bt:
+                # Same pad convention as process_block: repeat the last
+                # real frame (pad rows then have mafd 0 and the dynamic
+                # valid_t keeps the carry on the last REAL frame).
+                lumas[j, t:] = block.luma[-1]
+            valid[j] = t
+            metas.append((s, block, t))
+            carries.append(s.carry)
+        for _ in range(k, bucket):
+            # Dummy slots: any live carry works — the outputs are dropped.
+            carries.append(carries[0])
+    scores_dev, fps_dev, new_carries = model.forward_streams(
+        jnp.asarray(lumas), carries, jnp.asarray(valid))
+    for j, (s, _block, _t) in enumerate(metas):
+        s.carry = new_carries[j]
+    return metas, scores_dev, fps_dev
+
+
+def _resolve(model: FingerprintModel, pending) -> None:
+    """Pull a previously dispatched pass to host and fold its results into
+    the streams (scores through each stream's NativeSceneScorer policy,
+    cuts through the ONE extract_cuts implementation)."""
+    metas, scores_dev, fps_dev = pending
+    scores_h, fps_h = jax.device_get((scores_dev, fps_dev))
+    for j, (s, block, t) in enumerate(metas):
+        scores = s.scorer.scores(block, scores_h[j], t)
+        new_cuts = model.extract_cuts(
+            scores, block.pts, t, last_cut=s.cuts[-1] if s.cuts else None)
+        s.fps_out.append(np.asarray(fps_h[j, :t]))
+        s.cuts.extend(new_cuts)
+        s.frames += t
+
+
 def fingerprint_streams(
     paths: Sequence[str],
     model: Optional[FingerprintModel] = None,
     config: Optional[Config] = None,
     queue_depth: int = 2,
+    max_active: Optional[int] = None,
 ) -> Tuple[List[StreamResult], MultiStreamStats]:
-    """Fingerprint N videos concurrently: N decoder threads, one device.
+    """Fingerprint N videos concurrently: ≤max_active decoder threads, one
+    device, one batched dispatch per loop pass.
 
-    The dispatch loop services whichever stream has a block ready (so a
+    The dispatch loop services whichever streams have a block ready (so a
     slow/long video never stalls the others), threads each stream's scene
-    carry, and accounts decode-starved vs device time.
+    carry device-side, and accounts decode-starved vs device time.
     """
     model = model or FingerprintModel(config or Config())
-    streams: Dict[int, _Stream] = {
-        i: _Stream(p, model, depth=queue_depth) for i, p in enumerate(paths)
-    }
-    live = set(streams)
+    if max_active is None:
+        max_active = default_max_active()
+    max_active = max(1, max_active)
+
+    order = list(range(len(paths)))
+    waiting = list(order)
+    streams: Dict[int, _Stream] = {}
+    active: Dict[int, _Stream] = {}
+
+    def admit() -> None:
+        while waiting and len(active) < max_active:
+            i = waiting.pop(0)
+            s = _Stream(paths[i], model, depth=queue_depth)
+            streams[i] = s
+            active[i] = s
+
+    admit()
     starved_s = 0.0
     device_s = 0.0
+    dispatches = 0
+    pending = None
     t_start = time.perf_counter()
 
     try:
-        while live:
-            progressed = False
-            for i in sorted(live):
-                s = streams[i]
+        while active or pending is not None:
+            ready = []
+            for i in sorted(active):
+                s = active[i]
                 try:
                     block = s.q.get_nowait()
                 except queue.Empty:
                     continue
-                progressed = True
                 if block is None:
                     s.done = True
-                    live.discard(i)
+                    del active[i]
+                    admit()
                     continue
+                if block.luma.shape[0] == 0:
+                    # Zero-frame block (decoder edge case): a no-op.
+                    continue
+                ready.append((s, block))
+            new_pending = None
+            if ready:
                 t0 = time.perf_counter()
-                fps, s.carry, new_cuts, t = model.process_block(
-                    block, s.carry, s.scorer,
-                    last_cut=s.cuts[-1] if s.cuts else None)
+                new_pending = _dispatch(model, ready)
                 device_s += time.perf_counter() - t0
-                s.fps_out.append(fps)
-                s.cuts.extend(new_cuts)
-                s.frames += t
-            if not progressed:
+                dispatches += 1
+            if pending is not None:
+                # Resolve the PREVIOUS pass while this pass's program runs
+                # and the decoder threads refill their queues.
+                t0 = time.perf_counter()
+                _resolve(model, pending)
+                device_s += time.perf_counter() - t0
+            pending = new_pending
+            if not ready and pending is None and active:
                 # Every live stream is still decoding: the chip is starved.
                 t0 = time.perf_counter()
                 time.sleep(0.001)
                 starved_s += time.perf_counter() - t0
     finally:
         # A dispatch failure (device error mid-forward) must not leave
-        # N decoder threads blocked in q.put forever, holding their
-        # libav handles for the life of the process.
+        # decoder threads blocked in q.put forever, holding their libav
+        # handles for the life of the process. Never-admitted paths have
+        # no thread to stop.
         for s in streams.values():
             s.stop()
 
     wall = time.perf_counter() - t_start
     words = model.config.hash.words
-    results = [
-        StreamResult(
+    results = []
+    for i in order:
+        s = streams.get(i)
+        if s is None:   # dispatch loop died before this path was admitted
+            results.append(StreamResult(
+                path=paths[i], scene_cuts=[], frames=0,
+                fingerprints=np.zeros((0, words), np.uint32),
+                error="never started (dispatch loop aborted)"))
+            continue
+        results.append(StreamResult(
             path=s.path,
             scene_cuts=s.cuts,
             fingerprints=(
@@ -174,11 +315,9 @@ def fingerprint_streams(
             ),
             frames=s.frames,
             error=s.error,
-        )
-        for _, s in sorted(streams.items())
-    ]
+        ))
     total_frames = sum(r.frames for r in results)
     return results, MultiStreamStats(
         frames=total_frames, wall_s=wall, decode_starved_s=starved_s,
-        device_s=device_s, streams=len(paths),
+        device_s=device_s, streams=len(paths), dispatches=dispatches,
     )
