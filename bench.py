@@ -475,29 +475,38 @@ def bench_decode_roofline(num_frames: int = 120):
     for codec, path in fixtures.items():
         for mode in ("full", "lowres"):
             dec = NativeDecoder(lowres=(mode == "lowres"))
-            best = 0.0
-            for _ in range(3):
+            rates = []
+            # MEDIAN of 5, not best-of-3: decode rates on this host swing
+            # ±10-15% per rep (scheduling, page cache), and the max
+            # estimator made the h264 fast-mode delta unreproducible
+            # across sessions (BENCH_r03 read +2% where controlled medians
+            # read +10..22%; VERDICT r3 weak #2).
+            for _ in range(5):
                 t0 = time.perf_counter()
                 n = 0
                 for b in dec.blocks(path, 64, 90, 160):
                     n += b.luma.shape[0]
-                best = max(best, n / (time.perf_counter() - t0))
+                rates.append(n / (time.perf_counter() - t0))
+            med = sorted(rates)[len(rates) // 2]
             key = f"{codec}_{mode}"
-            out[key] = round(best, 1)
+            out[key] = round(med, 1)
             extra = (f" (active lowres {dec.active_lowres})"
                      if mode == "lowres" else "")
-            _log(f"decode roofline: {codec} {mode} = {best:,.0f} frames/s "
-                 f"per core, no device work{extra}")
+            _log(f"decode roofline: {codec} {mode} = {med:,.0f} frames/s "
+                 f"per core median (best {max(rates):,.0f}), no device "
+                 f"work{extra}")
         os.remove(path)
     return out
 
 
 def bench_e2e_decode_hash(num_frames: int = 120, lowres: bool = False,
-                          passes: int = 4):
-    """End-to-end host decode (1080p MJPEG) -> device fingerprint, stderr-only:
+                          passes: int = 4, codec: str = "mjpeg"):
+    """End-to-end host decode (1080p) -> device fingerprint, stderr-only:
     the honest number including the host-side share of the work.
     ``lowres=True`` measures the fast-decode deployment mode
-    (PipelineConfig.decode_lowres).
+    (PipelineConfig.decode_lowres). ``codec='h264'`` measures the dominant
+    real-upload codec (no avcodec lowres there — fast mode is loop-filter
+    skip + FLAG2_FAST).
 
     ``passes`` re-decodes the same file through ONE prefetcher pipeline so
     the measurement reflects STEADY STATE: a 2-block run is dominated by
@@ -526,8 +535,19 @@ def bench_e2e_decode_hash(num_frames: int = 120, lowres: bool = False,
     model = FingerprintModel(cfg)
     luma, _ = synthetic_video(num_frames=num_frames, height=1080, width=1920,
                               cut_frames=(40,), seed=3)
-    path = os.path.join(tempfile.gettempdir(), "bench_1080p.avi")
-    write_mjpeg_avi(path, luma, fps=25.0, quality=90)
+    if codec == "h264":
+        from tvidz_tpu.decode.native import encode_video
+
+        path = os.path.join(tempfile.gettempdir(), "bench_1080p_e2e.mp4")
+        try:
+            encode_video(path, luma, fps=25.0, codec="libx264",
+                         bit_rate=8_000_000)
+        except Exception as e:  # noqa: BLE001 — no libx264 in this build
+            _log(f"e2e h264: fixture failed ({e}); skipping")
+            return None
+    else:
+        path = os.path.join(tempfile.gettempdir(), "bench_1080p.avi")
+        write_mjpeg_avi(path, luma, fps=25.0, quality=90)
     dec = get_decoder(path, lowres=lowres)
     carry = model.init_carry()
     warm = jnp.zeros((64, model.height, model.width), jnp.uint8)
@@ -561,7 +581,7 @@ def bench_e2e_decode_hash(num_frames: int = 120, lowres: bool = False,
     os.remove(path)
     tag = " [lowres fast mode]" if lowres else ""
     _log(
-        f"e2e 1080p MJPEG decode+hash{tag}: {frames/dt:,.0f} frames/s "
+        f"e2e 1080p {codec.upper()} decode+hash{tag}: {frames/dt:,.0f} frames/s "
         f"({frames} frames in {dt:.2f} s; host decode overlapped with device)"
     )
     return frames / dt
@@ -724,6 +744,8 @@ def main() -> None:
         frames_per_s, best_fps = bench_fingerprint_throughput()
     e2e_fps = None
     e2e_fps_fast = None
+    e2e_h264 = None
+    e2e_h264_fast = None
     frag_p50 = None
     frag10_p50 = None
     e2e_curve = None
@@ -746,6 +768,8 @@ def main() -> None:
             decode_roofline = bench_decode_roofline()
             e2e_fps = bench_e2e_decode_hash()
             e2e_fps_fast = bench_e2e_decode_hash(lowres=True)
+            e2e_h264 = bench_e2e_decode_hash(codec="h264")
+            e2e_h264_fast = bench_e2e_decode_hash(codec="h264", lowres=True)
             e2e_curve = bench_e2e_scaling()
             e2e_curve_fast = bench_e2e_scaling(lowres=True)
             restore_s = bench_boot_restore()
@@ -776,6 +800,11 @@ def main() -> None:
         # decode_lowres deployment mode (DCT-domain reduced decode).
         record["e2e_decoded_frames_per_sec_fast"] = round(e2e_fps_fast, 1)
         record["vs_baseline_e2e_fast"] = round(e2e_fps_fast / 20000.0, 4)
+    if e2e_h264 is not None:
+        # The dominant real-upload codec, first-class (VERDICT r3 #2).
+        record["e2e_h264_frames_per_sec"] = round(e2e_h264, 1)
+    if e2e_h264_fast is not None:
+        record["e2e_h264_frames_per_sec_fast"] = round(e2e_h264_fast, 1)
     if decode_roofline:
         record["decode_only_frames_per_sec"] = decode_roofline
     if verdict is not None:
