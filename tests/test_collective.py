@@ -113,12 +113,43 @@ def test_reset_drops_content(stack, rng):
     assert client.match_timestamps([1.0, 2.0], min_match=2) == []
 
 
-def test_capacity_exhaustion_raises_cleanly(stack, rng):
-    _store, _runner, client = stack
-    big = rng.integers(0, 2**32, size=(2049, 2), dtype=np.uint32)
-    client.upsert_timestamps(9, [1.0])
-    with pytest.raises(RuntimeError, match="capacity"):
-        client.append_fingerprints(9, big)
+def test_capacity_grows_online_past_warm(stack, rng):
+    """VERDICT r3 #5: an append past the warm capacity triggers the
+    collective in-place growth (deterministic at the op's seq) instead of
+    requiring a cluster restart; existing evidence survives bit-exact."""
+    _store, runner, client = stack
+    fps0 = rng.integers(0, 2**32, size=(64, 2), dtype=np.uint32)
+    client.upsert_timestamps(1, [1.5, 3.0])
+    client.append_fingerprints(1, fps0)
+    before = client.match_timestamps([1.5, 3.0], min_match=2)
+    cap_before = runner.corpus._inner.corpus_fp.shape[0]
+
+    big = rng.integers(0, 2**32, size=(cap_before + 1, 2), dtype=np.uint32)
+    client.upsert_timestamps(9, [7.0])
+    client.append_fingerprints(9, big)
+    cap_after = runner.corpus._inner.corpus_fp.shape[0]
+    assert cap_after >= cap_before * 2
+    # Pre-growth evidence is intact through the redistribution...
+    assert client.match_timestamps([1.5, 3.0], min_match=2) == before
+    assert client.nearest_video_counts(fps0[10:20]) == {1: 10}
+    frag = client.locate_fragment(fps0[20:52], top_k=1)
+    assert frag and frag[0][:2] == (1, 20)
+    # ...and the growth-crossing video is fully searchable.
+    assert client.nearest_video_counts(big[100:108]) == {9: 8}
+
+
+def test_timestamp_and_alignment_rows_grow_online(stack, rng):
+    _store, runner, client = stack
+    inner = runner.corpus._inner
+    ts_cap = inner.corpus_ts.shape[0]
+    for vid in range(1, ts_cap + 2):   # one past the warm row capacity
+        client.upsert_timestamps(vid, [0.5 * vid, 1.5 * vid])
+    assert inner.corpus_ts.shape[0] >= ts_cap * 2
+    # Every row still serves, including pre-growth ones and the grower.
+    assert client.match_timestamps([0.5, 1.5], min_match=2) == [(1, 2)]
+    last = ts_cap + 1
+    assert client.match_timestamps(
+        [0.5 * last, 1.5 * last], min_match=2) == [(last, 2)]
 
 
 def test_warm_from_store_then_collective_append(rng):

@@ -73,20 +73,26 @@ def test_append_accumulates_many_videos(corpus):
         assert nn[0][0][0] == 0 and nn[0][0][2] == vid
 
 
-def test_append_capacity_errors(mesh):
+def test_append_past_capacity_grows(mesh):
+    """Appends past warm capacity grow the index online (VERDICT r3 #5)
+    instead of raising; prior rows survive the redistribution."""
     c = MultiHostShardedCorpus(mesh, max_cuts=16)
     c.load_timestamps([[1.0]], [1])  # minimal capacity
     fp0 = np.ones((1, 2), np.uint32)
     c.load_fingerprints(fp0, np.array([1], np.int32))
     cap_ts = c._inner.corpus_ts.shape[0]
-    for vid in range(2, cap_ts + 1):
+    for vid in range(2, cap_ts + 2):          # one past warm capacity
         c.append_video(vid, ts=[float(vid)], src_process=0)
-    with pytest.raises(RuntimeError, match="capacity"):
-        c.append_video(9999, ts=[1.0], src_process=0)
+    assert c._inner.corpus_ts.shape[0] >= cap_ts * 2
+    assert c.match_timestamps([1.0], min_match=1) == [(1, 1)]
+    assert c.match_timestamps([float(cap_ts + 1)], min_match=1) == \
+        [(cap_ts + 1, 1)]
     cap_fp = c._inner.corpus_fp.shape[0]
-    with pytest.raises(RuntimeError, match="capacity"):
-        c.append_video(9999, fps=np.ones((cap_fp, 2), np.uint32),
-                       src_process=0)
+    big = np.arange(cap_fp * 2, dtype=np.uint32).reshape(cap_fp, 2)
+    c.append_video(9999, fps=big, n_fp=cap_fp, src_process=0)
+    assert c._inner.corpus_fp.shape[0] >= cap_fp * 2
+    nn = c.nearest_fingerprints(big[3:4], k=1)
+    assert nn[0][0][0] == 0 and nn[0][0][2] == 9999  # distance 0, vid
 
 
 def test_append_requires_metadata_only_on_nonsource(corpus):

@@ -430,8 +430,10 @@ class MultiHostShardedCorpus:
             freed = np.nonzero(inner.video_ids[: self._ts_rows] == -1)[0]
             row = int(freed[0]) if freed.size else self._ts_rows
         if row >= cap:
-            raise RuntimeError(
-                f"timestamp capacity {cap} exhausted; reload with min_rows")
+            # Online growth: deterministic (identical mirrors on every
+            # host), so all hosts reallocate together at this op's seq.
+            self._grow_ts(row + 1)
+            cap = inner.corpus_ts.shape[0]
 
         max_cuts = inner.max_cuts
         payload = None
@@ -498,9 +500,10 @@ class MultiHostShardedCorpus:
                 self._compact_fingerprints()
                 start = self._fp_count
         if start + n_fp > cap:
-            raise RuntimeError(
-                f"fingerprint capacity {cap} exhausted "
-                f"({start}+{n_fp}); reload with min_rows")
+            # Compaction couldn't make room (the corpus genuinely grew):
+            # collective online growth instead of a cluster restart.
+            self._grow_fp(start + n_fp)
+            cap = inner.corpus_fp.shape[0]
 
         words = inner.words
         fp_pad = -(-n_fp // 128) * 128  # static buckets bound recompiles
@@ -598,6 +601,144 @@ class MultiHostShardedCorpus:
             f"fingerprint index compacted: {reclaimed} tombstoned rows "
             f"reclaimed, {k} live rows (compaction #{self.fp_compactions})")
 
+    # -- online collective capacity growth (VERDICT r3 #5) -----------------------
+    #
+    # Pre-round-4, capacity was fixed at warm and exhaustion raised on
+    # every host (growth = cluster restart) — an asymmetry with the
+    # single-host DeviceCorpus, which doubles in place. These grows run
+    # INSIDE the append ops, so in the collective op-log world every host
+    # executes the same deterministic reallocation at the same seq — a
+    # "log-ordered grow" without a separate op kind. Device side, each is
+    # one program: all_gather the old table (O(cap) over ICI/DCN, rare and
+    # amortized by doubling) and each shard slices its NEW row range —
+    # growth changes which global rows live on which host, so a
+    # redistribution is unavoidable; the gather form reuses the
+    # compaction's proven pattern.
+
+    def _grow_ts(self, min_cap: int) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        old = inner.corpus_ts.shape[0]
+        new = old * 2
+        while new < min_cap:
+            new *= 2
+        n_shards = inner.n_shards
+
+        def local(c_ts, c_len):
+            full_ts = jax.lax.all_gather(c_ts, CORPUS_AXIS, tiled=True)
+            full_len = jax.lax.all_gather(c_len, CORPUS_AXIS, tiled=True)
+            nloc = new // n_shards
+            base = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * nloc
+            gi = base + jnp.arange(nloc, dtype=jnp.int32)
+            in_old = gi < old
+            src = jnp.clip(gi, 0, old - 1)
+            return (jnp.where(in_old[:, None], full_ts[src], jnp.nan),
+                    jnp.where(in_old, full_len[src], 0))
+
+        fn = jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+            out_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+        inner.corpus_ts, inner.corpus_len = fn(
+            inner.corpus_ts, inner.corpus_len)
+        vids = np.full(new, -1, inner.video_ids.dtype)
+        vids[:old] = inner.video_ids
+        inner.video_ids = vids
+        log("distributed", f"timestamp capacity grown {old} -> {new} "
+            "(collective redistribution)")
+
+    def _grow_fp(self, min_cap: int) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        inner = self._inner
+        old = inner.corpus_fp.shape[0]
+        new = old * 2
+        while new < min_cap:
+            new *= 2
+        n_shards = inner.n_shards
+
+        def local(c_fp, c_valid):
+            full = jax.lax.all_gather(c_fp, CORPUS_AXIS, tiled=True)
+            fullv = jax.lax.all_gather(c_valid, CORPUS_AXIS, tiled=True)
+            nloc = new // n_shards
+            base = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * nloc
+            gi = base + jnp.arange(nloc, dtype=jnp.int32)
+            in_old = gi < old
+            src = jnp.clip(gi, 0, old - 1)
+            sentinel = jnp.uint32(0xFFFFFFFF)
+            return (jnp.where(in_old[:, None], full[src], sentinel),
+                    fullv[src] & in_old)
+
+        fn = jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+            out_specs=(P(CORPUS_AXIS, None), P(CORPUS_AXIS)),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+        inner.corpus_fp, inner.corpus_fp_valid = fn(
+            inner.corpus_fp, inner.corpus_fp_valid)
+        vids = np.full(new, -1, inner.fp_video_ids.dtype)
+        vids[:old] = inner.fp_video_ids
+        inner.fp_video_ids = vids
+        log("distributed", f"fingerprint capacity grown {old} -> {new} "
+            "(collective redistribution)")
+
+    def _grow_al(self, min_vcap: int) -> None:
+        import jax
+        import jax.numpy as jnp
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tvidz_tpu.parallel.mesh import CORPUS_AXIS
+
+        old = self.corpus_al.shape[0]
+        new = old * 2
+        while new < min_vcap:
+            new *= 2
+        n_shards = self._inner.n_shards
+
+        def local(al, lens):
+            full = jax.lax.all_gather(al, CORPUS_AXIS, tiled=True)
+            full_len = jax.lax.all_gather(lens, CORPUS_AXIS, tiled=True)
+            nloc = new // n_shards
+            base = jax.lax.axis_index(CORPUS_AXIS).astype(jnp.int32) * nloc
+            gi = base + jnp.arange(nloc, dtype=jnp.int32)
+            in_old = gi < old
+            src = jnp.clip(gi, 0, old - 1)
+            sentinel = jnp.uint32(0xFFFFFFFF)
+            return (jnp.where(in_old[:, None, None], full[src], sentinel),
+                    jnp.where(in_old, full_len[src], 0))
+
+        fn = jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(CORPUS_AXIS, None, None), P(CORPUS_AXIS)),
+            out_specs=(P(CORPUS_AXIS, None, None), P(CORPUS_AXIS)),
+            check_vma=False,
+        ), donate_argnums=(0, 1))
+        self.corpus_al, self.corpus_al_len = fn(
+            self.corpus_al, self.corpus_al_len)
+        vids = np.full(new, -1, self.al_video_ids.dtype)
+        vids[:old] = self.al_video_ids
+        self.al_video_ids = vids
+        lens = np.zeros(new, self.al_len_host.dtype)
+        lens[:old] = self.al_len_host
+        self.al_len_host = lens
+        log("distributed", f"alignment video capacity grown {old} -> {new} "
+            "(collective redistribution)")
+
     def _append_alignment(self, video_id: int, fps, n_fp: int) -> None:
         """Collective extension of the video's alignment row (same psum
         broadcast as _append_fingerprints; streamed blocks extend the same
@@ -633,9 +774,8 @@ class MultiHostShardedCorpus:
             freed = np.nonzero(self.al_video_ids[: self._al_rows] == -1)[0]
             row = int(freed[0]) if freed.size else self._al_rows
             if row >= vcap:
-                raise RuntimeError(
-                    f"alignment video capacity {vcap} exhausted; "
-                    "reload with min_rows")
+                self._grow_al(row + 1)
+                vcap = self.corpus_al.shape[0]
         cur = int(self.al_len_host[row])
         n_eff = min(n_fp, self.al_tcap - cur)
         if n_eff <= 0:
