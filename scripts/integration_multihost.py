@@ -104,6 +104,10 @@ def main() -> int:
                 # Fast op-log pruning so this 2-process run also proves the
                 # hygiene loop (min-member-watermark delete) over real hosts.
                 "TVIDZ_MH_PRUNE_INTERVAL_S": "2",
+                # Fast heartbeats + a tiny alarm threshold so the stalled-
+                # member leg (8) trips the lag alarm within a few uploads.
+                "TVIDZ_MH_WM_INTERVAL_S": "1",
+                "TVIDZ_MH_LAG_ALARM_OPS": "5",
             }
             # Server logs go to FILES (an undrained pipe blocks the server).
             lf = open(os.path.join(
@@ -297,6 +301,103 @@ def main() -> int:
               c0.get("status") == "done"
               and sorted(c0.get("duplicates") or [])
               == ["mh-copy.y4m", "mh-orig.y4m"], c0)
+
+        # 8. STALLED MEMBER -> ALARM -> EVICT -> FENCE -> RESTART
+        # (VERDICT r3 #4). A *frozen process* takes the whole cluster down
+        # with it (jax.distributed failure detection aborts the peers —
+        # verified here: SIGSTOP killed both hosts), so the realistic
+        # pinned-pruning hazard is a member that CRASHED/departed while
+        # its watermark row remains — it pins pruning forever while the
+        # surviving cluster keeps ingesting. Simulate exactly that: a
+        # registered ghost member that never heartbeats again.
+        from tvidz_tpu.corpus.store import Store as _Store
+
+        ghost_store = _Store(db_url)
+        ghost_store.set_collective_watermark(
+            "host-2", ghost_store.max_collective_seq(), time.time())
+        for i in range(3):
+            check(f"upload evict-{i} delivered during ghost pin (host {i % 2})",
+                  deliver(i % 2, f"17556000000{i:02d}-mh-evict{i}.y4m"))
+            wait_done(i % 2, f"mh-evict{i}.y4m")
+        deadline = time.time() + 120
+        oplog = {}
+        while time.time() < deadline:
+            oplog = requests.get(f"{bases[0]}/metrics", timeout=10
+                                 ).json().get("collective_oplog", {})
+            if oplog.get("lag_alarm"):
+                break
+            time.sleep(1.0)
+        check("dead member pins pruning and raises the lag alarm",
+              oplog.get("lag_alarm") is True
+              and oplog.get("members", {}).get("host-2", {}).get("seq")
+              == oplog.get("min_watermark"), oplog)
+        r = requests.post(f"{bases[1]}/admin/evict-host",
+                          json={"host": "host-2"}, timeout=10)
+        check("admin eviction accepted", r.status_code == 200, r.text[:200])
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            oplog = requests.get(f"{bases[0]}/metrics", timeout=10
+                                 ).json().get("collective_oplog", {})
+            if (not oplog.get("lag_alarm")
+                    and oplog.get("rows", 99) <= 2):
+                break
+            time.sleep(1.0)
+        check("eviction unpins pruning; log bounded under ingest again",
+              not oplog.get("lag_alarm") and oplog.get("rows", 99) <= 2,
+              oplog)
+        d0 = requests.get(f"{bases[0]}/status/mh-third.y4m",
+                          timeout=10).json()
+        check("no divergence: verdicts serve through the eviction",
+              d0.get("status") == "done", d0)
+
+        # Fence a REAL (healthy) member as the final act before restart:
+        # it must discover the sentinel and refuse to serve rather than
+        # ever applying a pruned-past log. (No further ops are submitted,
+        # so the fenced member cannot wedge its peer's executor.)
+        r = requests.post(f"{bases[0]}/admin/evict-host",
+                          json={"host": "host-1"}, timeout=10)
+        check("real-member eviction accepted", r.status_code == 200,
+              r.text[:200])
+        deadline = time.time() + 60
+        fenced = {}
+        while time.time() < deadline:
+            try:
+                fenced = requests.get(f"{bases[1]}/metrics", timeout=5
+                                      ).json().get("collective_oplog", {})
+                if fenced.get("evicted_self"):
+                    break
+            except (requests.RequestException, ValueError):
+                pass
+            time.sleep(1.0)
+        check("evicted member fences itself (refuses to serve)",
+              fenced.get("evicted_self") is True, fenced)
+        ghost_store.close()
+
+        # Operator restart (the one sanctioned re-admission path): the
+        # fresh cluster force-registers every member (clearing host-1's
+        # sentinel), warms from the durable store, and serves old + new.
+        stop_cluster()
+        spawn_cluster(free_port())
+        wait_healthy(" after eviction restart")
+        oplog = requests.get(f"{bases[1]}/metrics", timeout=10
+                             ).json().get("collective_oplog", {})
+        check("restart re-admits the evicted member",
+              oplog.get("evicted_self") is False
+              and oplog.get("members", {}).get("host-1", {}).get(
+                  "evicted") is False
+              and "host-2" not in oplog.get("members", {}), oplog)
+        d0 = requests.get(f"{bases[0]}/status/mh-third.y4m",
+                          timeout=10).json()
+        check("pre-eviction verdicts survive the cycle",
+              d0.get("status") == "done"
+              and sorted(d0.get("duplicates") or [])
+              == ["mh-copy.y4m", "mh-orig.y4m"], d0)
+        check("upload D delivered post-eviction-restart (host 1)",
+              deliver(1, "1755700000000-mh-fourth.y4m"))
+        d = wait_done(1, "mh-fourth.y4m")
+        check("D dedups against the full corpus post-eviction",
+              d.get("status") == "done"
+              and "mh-orig.y4m" in (d.get("duplicates") or []), d)
 
     finally:
         stop_cluster()

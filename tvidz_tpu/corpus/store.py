@@ -31,6 +31,7 @@ import json
 import os
 import sqlite3
 import threading
+import time
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -604,14 +605,46 @@ class Store:
             return int(cur.fetchone()[0])
 
     def set_collective_watermark(self, host_id: str, seq: int,
-                                 now: float) -> None:
+                                 now: float, force: bool = False) -> None:
         """Upsert a host's applied-seq watermark (updated_at is epoch
         seconds, informational). The pruner never deletes past ANY
         member's watermark — a stalled member blocks pruning rather than
         being outrun (remove ops are host-local, so a silent host could
         otherwise diverge via gap-skip once its unread rows vanish);
         rows of departed members are cleared at cluster start
-        (prune_collective_watermarks)."""
+        (prune_collective_watermarks).
+
+        A row at the EVICTED sentinel (seq = -2, evict_collective_member)
+        is never overwritten by a plain heartbeat: the guarded upsert
+        closes the race where an operator evicts a stalled host between
+        that host's fence check and its next heartbeat — the heartbeat
+        must not resurrect it. ``force=True`` (cluster-start registration
+        only, where every host re-warms together) overwrites
+        unconditionally — the sanctioned re-admission path."""
+        ph = self._ph()
+        guard = "" if force else " WHERE collective_watermarks.seq >= 0"
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                f"INSERT INTO collective_watermarks (host_id, seq, updated_at) "
+                f"VALUES ({ph}, {ph}, {ph}) "
+                f"ON CONFLICT (host_id) DO UPDATE SET "
+                f"seq = excluded.seq, updated_at = excluded.updated_at"
+                f"{guard}",
+                (host_id, int(seq), float(now)),
+            )
+            self._conn.commit()
+
+    EVICTED_WATERMARK = -2
+
+    def evict_collective_member(self, host_id: str) -> None:
+        """Operator-driven eviction of a stalled member (VERDICT r3 #4):
+        its watermark row is set to the EVICTED sentinel, which (a) stops
+        pinning op-log pruning (min_collective_watermark skips sentinels)
+        and (b) FENCES the member — its executor discovers the sentinel at
+        the next hygiene pass and refuses to serve rather than later
+        gap-skipping pruned rows it never read. Re-admission is a cluster
+        restart (start() clears rows outside the new membership)."""
         ph = self._ph()
         with self._lock:
             cur = self._conn.cursor()
@@ -620,19 +653,43 @@ class Store:
                 f"VALUES ({ph}, {ph}, {ph}) "
                 f"ON CONFLICT (host_id) DO UPDATE SET "
                 f"seq = excluded.seq, updated_at = excluded.updated_at",
-                (host_id, int(seq), float(now)),
+                (host_id, self.EVICTED_WATERMARK, time.time()),
             )
             self._conn.commit()
 
-    def min_collective_watermark(self) -> Optional[int]:
-        """Min applied seq over every registered member, or None when no
-        member has registered (prune nothing). No liveness cutoff: a
-        member that stops heartbeating pins the prune point until it
-        recovers or the cluster restarts — better an unbounded log than a
-        recovered host silently gap-skipping pruned ops."""
+    def collective_watermark(self, host_id: str) -> Optional[int]:
+        """One member's watermark row (None = not registered)."""
+        ph = self._ph()
         with self._lock:
             cur = self._conn.cursor()
-            cur.execute("SELECT MIN(seq) FROM collective_watermarks")
+            cur.execute(
+                f"SELECT seq FROM collective_watermarks WHERE host_id = {ph}",
+                (host_id,),
+            )
+            row = cur.fetchone()
+        return int(row[0]) if row else None
+
+    def collective_watermarks(self) -> List[Tuple[str, int, float]]:
+        """Every member's (host_id, seq, updated_at) — metrics/alarm."""
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "SELECT host_id, seq, updated_at FROM collective_watermarks "
+                "ORDER BY host_id")
+            rows = cur.fetchall()
+        return [(str(h), int(s), float(u)) for h, s, u in rows]
+
+    def min_collective_watermark(self) -> Optional[int]:
+        """Min applied seq over every LIVE registered member (evicted
+        sentinels excluded), or None when no live member has registered
+        (prune nothing). No liveness cutoff: a member that stops
+        heartbeating pins the prune point until it recovers, is evicted by
+        an operator, or the cluster restarts — better an unbounded log
+        than a recovered host silently gap-skipping pruned ops."""
+        with self._lock:
+            cur = self._conn.cursor()
+            cur.execute(
+                "SELECT MIN(seq) FROM collective_watermarks WHERE seq >= 0")
             row = cur.fetchone()
         return int(row[0]) if row and row[0] is not None else None
 

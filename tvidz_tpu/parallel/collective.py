@@ -35,9 +35,16 @@ The op kinds double as the multi-host wire protocol:
   reset     {}                                  drop all corpus content
 
 Capacity is pre-sized at warm (TVIDZ_MH_TS_CAPACITY / TVIDZ_MH_FP_CAPACITY)
-and exhaustion raises identically on every host (the corpus state is
-deterministic); growth = restart with a larger capacity (documented in
-docs/multihost.md).
+and GROWS ONLINE when an append exceeds it: the growth decision is
+deterministic (identical host mirrors), so every host executes the same
+collective reallocation at the same op seq — a log-ordered grow with no
+separate op kind (distributed._grow_ts/_grow_fp/_grow_al; VERDICT r3 #5).
+
+Log hygiene: per-member watermarks bound the log (pruned to the minimum);
+a stalled member pins pruning and raises the /metrics lag alarm; the
+operator evicts it (POST /admin/evict-host -> watermark sentinel), after
+which it fences itself — refuses to serve rather than diverge — and
+pruning resumes. Re-admission is a cluster restart (docs/multihost.md).
 """
 
 from __future__ import annotations
@@ -82,7 +89,8 @@ class CollectiveRunner:
     def __init__(self, store, mh_corpus, *, hamming_threshold: int = 10,
                  poll_s: float = 0.05, ts_capacity: int = 4096,
                  fp_capacity: int = 1 << 18, warm_barrier=None,
-                 wm_interval_s: float = 5.0, prune_interval_s: float = 60.0):
+                 wm_interval_s: float = 5.0, prune_interval_s: float = 60.0,
+                 lag_alarm_ops: int = 1024):
         import jax
 
         self.store = store
@@ -107,6 +115,16 @@ class CollectiveRunner:
         self.wm_interval_s = wm_interval_s
         self.prune_interval_s = prune_interval_s
         self.oplog_pruned_total = 0
+        # Alarm threshold: when the log tail past the minimum member
+        # watermark exceeds this many ops, oplog_status() raises the
+        # lag_alarm flag — the operator signal that a member is stalled
+        # and pinning pruning (runbook: docs/multihost.md, eviction).
+        self.lag_alarm_ops = lag_alarm_ops
+        # Fenced = this member was EVICTED by an operator
+        # (Store.evict_collective_member): the executor stops applying
+        # ops and every submit fails — serving a pruned-past log would
+        # silently diverge. Re-admission is a cluster restart.
+        self.evicted = threading.Event()
         self._wm_written_seq = -1
         self._wm_last = 0.0
         self._prune_last = time.monotonic()
@@ -173,8 +191,15 @@ class CollectiveRunner:
         if self.process_index == 0:
             self.store.prune_collective_watermarks(
                 [f"host-{i}" for i in range(jax.process_count())])
+        # force=True clears a leftover EVICTED sentinel: start() implies a
+        # full cluster restart (under jax.distributed every process passes
+        # initialize() + this warm barrier together), where every host
+        # re-warms from the durable store — the one sanctioned re-admission
+        # path for an evicted member. A lone evicted process cannot sneak
+        # back mid-flight: initialize() blocks without the whole cluster.
         self.store.set_collective_watermark(
-            f"host-{self.process_index}", self._applied_seq, time.time())
+            f"host-{self.process_index}", self._applied_seq, time.time(),
+            force=True)
         self._wm_written_seq = self._applied_seq
         barrier = self._warm_barrier
         if barrier is None:
@@ -296,19 +321,28 @@ class CollectiveRunner:
             time.sleep(self.poll_s)
 
     def _hygiene(self) -> None:
-        """Throttled watermark heartbeat + op-log pruning (see __init__).
-        Runs on the executor thread so a written watermark always reflects
-        truly-applied ops; failures are logged and retried next loop —
-        hygiene must never stall op application."""
+        """Throttled watermark heartbeat + fence check + op-log pruning
+        (see __init__). Runs on the executor thread so a written watermark
+        always reflects truly-applied ops; failures are logged and retried
+        next loop — hygiene must never stall op application."""
         now = time.monotonic()
-        if (self._applied_seq != self._wm_written_seq
-                and now - self._wm_last >= self.wm_interval_s):
+        if now - self._wm_last >= self.wm_interval_s:
+            self._wm_last = now
             try:
-                self.store.set_collective_watermark(
-                    f"host-{self.process_index}", self._applied_seq,
-                    time.time())
-                self._wm_written_seq = self._applied_seq
-                self._wm_last = now
+                # Fence check FIRST (even when the seq hasn't advanced —
+                # an idle member must still discover its eviction): an
+                # operator-set EVICTED sentinel means the log may already
+                # be pruned past this host. Stop rather than diverge.
+                wm = self.store.collective_watermark(
+                    f"host-{self.process_index}")
+                if wm is not None and wm < 0:
+                    self._fence()
+                    return
+                if self._applied_seq != self._wm_written_seq:
+                    self.store.set_collective_watermark(
+                        f"host-{self.process_index}", self._applied_seq,
+                        time.time())
+                    self._wm_written_seq = self._applied_seq
             except Exception as e:  # noqa: BLE001
                 log("collective", f"watermark heartbeat failed: {e}")
         if now - self._prune_last >= self.prune_interval_s:
@@ -324,6 +358,49 @@ class CollectiveRunner:
                             f"{self.oplog_pruned_total} total")
             except Exception as e:  # noqa: BLE001
                 log("collective", f"op-log prune failed: {e}")
+
+    def _fence(self) -> None:
+        """This member was evicted: refuse to serve. Readiness is cleared
+        (every future submit raises), pending futures fail fast, and the
+        executor loop exits — applying further ops could read a log whose
+        earlier rows were pruned away, silently diverging this host's
+        corpus mirror. Re-admission is a full cluster restart."""
+        log("collective",
+            f"host {self.process_index} EVICTED from the collective "
+            "cluster (operator fence); refusing to serve — restart the "
+            "cluster to re-admit (docs/multihost.md)")
+        self.evicted.set()
+        self._ready.clear()
+        self._stop.set()
+        with self._pending_lock:
+            pending, self._pending = dict(self._pending), {}
+        err = RuntimeError(
+            "this host was evicted from the collective cluster")
+        for fut in pending.values():
+            fut.fail(err)
+
+    def oplog_status(self) -> dict:
+        """Operator-facing log hygiene snapshot (served at /metrics):
+        per-member watermarks, the prune point, the unpruned tail length
+        past it, and the stalled-member alarm."""
+        max_seq = self.store.max_collective_seq()
+        marks = self.store.collective_watermarks()
+        m = self.store.min_collective_watermark()
+        lag = (max_seq - m) if m is not None else 0
+        return {
+            "rows": self.store.collective_op_count(),
+            "applied_seq": self._applied_seq,
+            "pruned_total": self.oplog_pruned_total,
+            "max_seq": max_seq,
+            "min_watermark": m,
+            "lag_ops": lag,
+            "lag_alarm": bool(lag > self.lag_alarm_ops),
+            "members": {
+                h: {"seq": s, "evicted": s < 0, "updated_at": u}
+                for h, s, u in marks
+            },
+            "evicted_self": self.evicted.is_set(),
+        }
 
     def _take_pending(self, meta) -> Optional[_Future]:
         with self._pending_lock:

@@ -669,15 +669,37 @@ class InspectorApp:
             if footprint is not None:
                 out["corpus_footprint"] = footprint
             # Multi-host op-log hygiene (collective.py _hygiene): live row
-            # count in the shared log + rows this host's pruner reclaimed.
+            # count, per-member watermarks, prune point, and the
+            # stalled-member lag alarm (runbook: docs/multihost.md).
             runner = getattr(self, "collective_runner", None)
             if runner is not None:
-                out["collective_oplog"] = {
-                    "rows": runner.store.collective_op_count(),
-                    "applied_seq": runner._applied_seq,
-                    "pruned_total": runner.oplog_pruned_total,
-                }
+                out["collective_oplog"] = runner.oplog_status()
             return jsonify(out)
+
+        @app.route("/admin/evict-host", methods=["POST"])
+        def evict_host(request: Request):
+            """Operator eviction of a stalled collective member (VERDICT
+            r3 #4): sets the EVICTED watermark sentinel so pruning stops
+            pinning on it and the member fences itself at its next
+            hygiene pass. Framework extension route (no reference
+            counterpart); only meaningful in multi-host mode."""
+            runner = getattr(self, "collective_runner", None)
+            if runner is None:
+                return jsonify(
+                    {"error": "not a multi-host deployment"}, 400)
+            data = request.get_json(silent=True) or {}
+            member = data.get("host")
+            if not member or not str(member).startswith("host-"):
+                return jsonify(
+                    {"error": "body must be {\"host\": \"host-N\"}"}, 400)
+            if member == f"host-{runner.process_index}":
+                return jsonify(
+                    {"error": "cannot evict the serving host through "
+                              "itself; call a peer"}, 400)
+            self.store.evict_collective_member(str(member))
+            log("admin", f"evicted collective member {member}")
+            return jsonify({"status": "evicted", "host": member,
+                            "oplog": runner.oplog_status()})
 
         return app
 

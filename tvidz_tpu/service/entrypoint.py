@@ -216,6 +216,10 @@ def main(argv=None) -> None:
                     os.environ.get("TVIDZ_MH_FP_CAPACITY", str(1 << 18))),
                 prune_interval_s=float(
                     os.environ.get("TVIDZ_MH_PRUNE_INTERVAL_S", "60")),
+                wm_interval_s=float(
+                    os.environ.get("TVIDZ_MH_WM_INTERVAL_S", "5")),
+                lag_alarm_ops=int(
+                    os.environ.get("TVIDZ_MH_LAG_ALARM_OPS", "1024")),
             )
             corpus = MultiHostCorpusClient(
                 runner, max_cuts=config.match.max_cuts)
