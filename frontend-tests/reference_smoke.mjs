@@ -1,0 +1,133 @@
+// Drive the REFERENCE React frontend (infraheads/tvidz frontend/src/App.js,
+// checked out separately in CI — never vendored here) against THIS rebuild's
+// live service over real sockets (VERDICT r3 #6): presigned S3 PUT to
+// MiniAWS -> SQS event -> analysis -> SSE back into the reference client.
+//
+// Usage (see .github/workflows/reference-frontend.yml):
+//   REFERENCE_APP=/path/to/upstream/frontend/src/App.js \
+//   STACK_JSON=/tmp/ref-stack.json \
+//   node frontend-tests/reference_smoke.mjs
+//
+// Requires in node_modules: react@18 react-dom@18 jsdom esbuild eventsource
+// @aws-sdk/client-s3 @aws-sdk/lib-storage @aws-sdk/s3-request-presigner
+// (the exact dependencies the reference's package.json declares).
+
+import { readFileSync } from "node:fs";
+import { createRequire } from "node:module";
+import path from "node:path";
+import process from "node:process";
+
+const require = createRequire(import.meta.url);
+const appPath = process.env.REFERENCE_APP;
+const stack = JSON.parse(readFileSync(process.env.STACK_JSON, "utf8"));
+if (!appPath) throw new Error("REFERENCE_APP not set");
+console.log("[ref-smoke] stack:", stack);
+
+// ---- 1. Bundle the reference App.js exactly as shipped (JSX -> CJS), with
+// its env knobs pointed at the live stack.
+const esbuild = require("esbuild");
+const outfile = "/tmp/reference_app_bundle.cjs";
+await esbuild.build({
+  entryPoints: [appPath],
+  bundle: true,
+  platform: "node",
+  format: "cjs",
+  outfile,
+  loader: { ".js": "jsx" },
+  define: {
+    "process.env.REACT_APP_S3_ENDPOINT": JSON.stringify(stack.aws_base),
+    "process.env.REACT_APP_BUILD_DATE": '"ref-ci"',
+    "process.env.REACT_APP_BUILD_TIME": '"00:00"',
+    "process.env.REACT_APP_GIT_COMMIT": '"ci"',
+    "process.env.NODE_ENV": '"production"',
+  },
+});
+
+// ---- 2. A real DOM + real network globals.
+const { JSDOM } = require("jsdom");
+const dom = new JSDOM("<!doctype html><html><body></body></html>", {
+  url: "http://localhost:3000/",
+  pretendToBeVisual: true,
+  resources: "usable",
+});
+for (const k of ["window", "document", "navigator", "File", "Blob",
+                 "FileList", "HTMLInputElement", "Event"]) {
+  globalThis[k] = dom.window[k];
+}
+// XHR must do REAL http (the reference uploads via XMLHttpRequest for
+// progress, App.js:210-249); jsdom's XHR does.
+globalThis.XMLHttpRequest = dom.window.XMLHttpRequest;
+// SSE against the live service.
+const ESPkg = require("eventsource");
+const RealEventSource = ESPkg.EventSource || ESPkg;
+globalThis.EventSource = RealEventSource;
+dom.window.EventSource = RealEventSource;
+// fetch: node's global fetch handles the absolute URLs App.js uses.
+dom.window.fetch = globalThis.fetch.bind(globalThis);
+
+// ---- 3. Render the reference component.
+const React = require("react");
+const { createRoot } = require("react-dom/client");
+const App = require(outfile).default || require(outfile);
+const container = dom.window.document.createElement("div");
+dom.window.document.body.appendChild(container);
+createRoot(container).render(React.createElement(App));
+
+const text = () => dom.window.document.body.textContent || "";
+async function waitFor(what, pred, timeoutMs = 60000) {
+  const end = Date.now() + timeoutMs;
+  while (Date.now() < end) {
+    if (pred()) { console.log(`[ref-smoke] PASS: ${what}`); return; }
+    await new Promise((r) => setTimeout(r, 100));
+  }
+  console.error(`[ref-smoke] FAIL: ${what}\n--- body ---\n${text()}`);
+  process.exit(1);
+}
+function buttonByText(rx) {
+  return [...dom.window.document.querySelectorAll("button")]
+    .find((b) => rx.test(b.textContent));
+}
+
+// 3a. The reference UI renders against our /build-info (fetched on mount).
+await waitFor("upload button renders", () => buttonByText(/upload/i));
+
+// 3b. Clean-database round trip against the live /admin/clear-db.
+buttonByText(/clean database/i).click();
+await waitFor("clean-db round trip",
+  () => /database cleaned successfully/i.test(text()));
+
+// 3c. Build info served by the rebuild's /build-info.
+buttonByText(/show build information/i).click();
+await waitFor("inspector build info",
+  () => /inspector build/i.test(text()) && /ref-ci/.test(text()));
+
+// ---- 4. The full upload path: reference S3 presigner -> MiniAWS PUT ->
+// bucket notification -> SQS poll -> analysis -> SSE to the reference UI.
+const bytes = readFileSync(stack.fixture);
+const file = new dom.window.File([bytes], "ref-upload.y4m",
+                                 { type: "application/octet-stream" });
+const input = dom.window.document.querySelector(
+  '[data-testid="file-input"]');
+Object.defineProperty(input, "files",
+                      { value: [file], configurable: true });
+input.dispatchEvent(new dom.window.Event("change", { bubbles: true }));
+
+await waitFor("analysis completes over SSE",
+  () => /analysis complete/i.test(text()), 240000);
+const cuts = stack.expected_cuts.map((c) => `${c.toFixed(1)}s`);
+await waitFor(`scene cuts ${cuts.join(", ")} render`,
+  () => /scene cut timestamps/i.test(text())
+        && cuts.every((c) => text().includes(c)));
+
+// ---- 5. Duplicate verdict: upload the SAME bytes again; the reference UI
+// must show the duplicate list naming the first upload's clean filename.
+Object.defineProperty(input, "files",
+                      { value: [file], configurable: true });
+input.dispatchEvent(new dom.window.Event("change", { bubbles: true }));
+await waitFor("duplicate verdict renders in the reference UI",
+  () => /duplicate video\(s\) detected/i.test(text())
+        && /ref-upload\.y4m/.test(text()), 240000);
+
+console.log("[ref-smoke] ALL CHECKS PASSED — reference frontend ran " +
+            "unmodified against the rebuild");
+process.exit(0);

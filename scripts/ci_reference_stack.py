@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""CI stack for driving the REFERENCE React frontend against this rebuild
+(VERDICT r3 #6): MiniAWS (real SigV4 S3/SQS over HTTP) + the inspector
+service on port 5001 — the port hardcoded in the reference's App.js
+(INSPECTOR_URL, App.js:11) — plus a y4m upload fixture.
+
+Writes a ready file (JSON: aws_base, service_base, fixture) once /healthz
+answers, then serves until killed. Used by
+.github/workflows/reference-frontend.yml together with
+frontend-tests/reference_smoke.mjs.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+import urllib.request
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def main() -> int:
+    ready_path = sys.argv[sys.argv.index("--ready-file") + 1] \
+        if "--ready-file" in sys.argv else "/tmp/ref-stack.json"
+    port = int(sys.argv[sys.argv.index("--port") + 1]) \
+        if "--port" in sys.argv else 5001
+
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.decode.y4m import write_y4m
+    from tvidz_tpu.service.miniaws import start_miniaws
+
+    fake_root = tempfile.mkdtemp(prefix="tvidz-refci-")
+    _, miniaws_server, aws_base = start_miniaws(fake_root)
+    print(f"[ref-stack] MiniAWS at {aws_base}", flush=True)
+
+    fixture = os.path.join(fake_root, "ref-upload.y4m")
+    luma, pts = synthetic_video(num_frames=96, height=96, width=128,
+                                cut_frames=(30, 64), seed=9)
+    write_y4m(fixture, luma, fps=25.0)
+    expected_cuts = [round(float(pts[30]), 6), round(float(pts[64]), 6)]
+
+    env = {
+        **os.environ,
+        "TVIDZ_JAX_PLATFORM": "cpu",
+        "TVIDZ_FAKE_S3_ROOT": fake_root,
+        "BUILD_DATE": "ref-ci", "BUILD_TIME": "00:00", "GIT_COMMIT": "ci",
+    }
+    log_path = os.path.join(fake_root, "service.log")
+    log_f = open(log_path, "w")
+    server = subprocess.Popen(
+        [sys.executable, "-m", "tvidz_tpu.service.entrypoint",
+         "--s3-endpoint", aws_base, "--db", "sqlite:///:memory:",
+         "--host", "127.0.0.1", "--port", str(port)],
+        cwd=ROOT, env=env, stdout=log_f, stderr=subprocess.STDOUT,
+    )
+    base = f"http://127.0.0.1:{port}"
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(f"{base}/healthz", timeout=2) as r:
+                if json.load(r).get("status") == "ok":
+                    break
+        except Exception:  # noqa: BLE001
+            pass
+        if server.poll() is not None:
+            print(open(log_path).read()[-4000:])
+            return 1
+        time.sleep(0.5)
+    else:
+        print(open(log_path).read()[-4000:])
+        return 1
+
+    with open(ready_path, "w") as f:
+        json.dump({"aws_base": aws_base, "service_base": base,
+                   "fixture": fixture, "expected_cuts": expected_cuts,
+                   "service_log": log_path}, f)
+    print(f"[ref-stack] ready: {ready_path}", flush=True)
+
+    stop = []
+    signal.signal(signal.SIGTERM, lambda *a: stop.append(1))
+    signal.signal(signal.SIGINT, lambda *a: stop.append(1))
+    while not stop and server.poll() is None:
+        time.sleep(0.5)
+    server.terminate()
+    try:
+        server.wait(timeout=20)
+    except subprocess.TimeoutExpired:
+        server.kill()
+    miniaws_server.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
