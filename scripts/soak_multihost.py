@@ -1,0 +1,255 @@
+"""Multi-host sustained-ingest soak: bounded op-log under load.
+
+VERDICT r3 #4's soak criterion: with a HEALTHY 2-process cluster under
+sustained ingest, the collective op-log row count must stay bounded —
+watermark heartbeats + min-member pruning reclaim applied rows (ingest
+payloads ride inline in op rows, so an unbounded log is an unbounded
+durable store). The eviction/alarm cycle itself is integration leg 8
+(scripts/integration_multihost.py); this soak pins the steady state:
+
+- N videos ingested continuously, alternating webhook hosts, every 4th
+  a byte-identical copy that must name its original in the verdict;
+- the op-log row count is sampled through the whole run and its MAX must
+  stay under a small multiple of the per-ingest op burst (not grow with
+  N), and the final count must prune to the live floor;
+- watermark lag returns to zero (no member left behind);
+- both hosts agree on the corpus at the end.
+
+Usage: python scripts/soak_multihost.py [--videos N]   (CPU; ~3-5 min)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import socket
+import subprocess
+import sys
+import tempfile
+import threading
+import time
+
+import requests
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def main() -> int:
+    n_videos = 12
+    if "--videos" in sys.argv:
+        n_videos = int(sys.argv[sys.argv.index("--videos") + 1])
+
+    from tvidz_tpu.decode.synthetic import synthetic_video
+    from tvidz_tpu.decode.y4m import write_y4m
+
+    workdir = tempfile.mkdtemp(prefix="tvidz-mhsoak-")
+    fake_root = os.path.join(workdir, "s3")
+    bucket_dir = os.path.join(fake_root, "videos")
+    os.makedirs(bucket_dir)
+    db_url = f"sqlite:///{os.path.join(workdir, 'shared.db')}"
+    ports = (free_port(), free_port())
+    bases = [f"http://127.0.0.1:{p}" for p in ports]
+
+    servers, logs, failures = [], [], []
+
+    def check(name, cond, detail=""):
+        print(f"[mh-soak] {'PASS' if cond else 'FAIL'}: {name} {detail}",
+              flush=True)
+        if not cond:
+            failures.append(name)
+
+    coord = free_port()
+    for pid, port in enumerate(ports):
+        env = {
+            **os.environ,
+            "TVIDZ_JAX_PLATFORM": "cpu",
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "TVIDZ_COORDINATOR": f"127.0.0.1:{coord}",
+            "TVIDZ_NUM_PROCESSES": "2",
+            "TVIDZ_PROCESS_ID": str(pid),
+            "TVIDZ_FAKE_S3_ROOT": fake_root,
+            # Tiny warm capacities: a 12-video soak crosses them, so the
+            # bounded-log property is proven THROUGH online growth too.
+            "TVIDZ_MH_TS_CAPACITY": "8",
+            "TVIDZ_MH_FP_CAPACITY": "2048",
+            "TVIDZ_MH_AL_TCAP": "256",
+            "TVIDZ_EARLY_EXIT": "0",
+            # Production-shaped hygiene cadence scaled to soak time: prune
+            # every 2 s, heartbeat every 1 s. The bound below only holds
+            # because pruning keeps up WITH ingest — that's the property.
+            "TVIDZ_MH_PRUNE_INTERVAL_S": "2",
+            "TVIDZ_MH_WM_INTERVAL_S": "1",
+            "TVIDZ_MH_LAG_ALARM_OPS": "64",
+        }
+        lf = open(os.path.join(workdir, f"host{pid}.log"), "w")
+        logs.append(lf)
+        servers.append(subprocess.Popen(
+            [sys.executable, "-m", "tvidz_tpu.service.entrypoint",
+             "--fake-aws", "--mesh", "--db", db_url,
+             "--host", "127.0.0.1", "--port", str(port)],
+            cwd=ROOT, env=env, stdout=lf, stderr=subprocess.STDOUT,
+        ))
+
+    # Op-log row sampler: polls /metrics on host 0 through the whole run
+    # so ingest bursts between uploads are observed too.
+    max_rows = [0]
+    max_lag = [0]
+    stop_sampling = threading.Event()
+
+    def sample():
+        while not stop_sampling.is_set():
+            try:
+                o = requests.get(f"{bases[0]}/metrics", timeout=5
+                                 ).json().get("collective_oplog", {})
+                max_rows[0] = max(max_rows[0], int(o.get("rows", 0)))
+                max_lag[0] = max(max_lag[0], int(o.get("lag_ops", 0)))
+            except (requests.RequestException, ValueError):
+                pass
+            stop_sampling.wait(0.5)
+
+    try:
+        deadline = time.time() + 420
+        ready = [False, False]
+        while time.time() < deadline and not all(ready):
+            for i, base in enumerate(bases):
+                if not ready[i]:
+                    try:
+                        ready[i] = requests.get(
+                            f"{base}/healthz", timeout=2
+                        ).json().get("status") == "ok"
+                    except (requests.RequestException, ValueError):
+                        pass
+            time.sleep(0.5)
+        check("both hosts healthy", all(ready))
+        if not all(ready):
+            raise TimeoutError("hosts never became healthy")
+
+        sampler = threading.Thread(target=sample, daemon=True)
+        sampler.start()
+
+        # Distinct content per original (seeded), byte-identical copies.
+        srcs = {}
+
+        def clip(seed):
+            if seed not in srcs:
+                # Cut positions vary per seed: timestamp dedup is
+                # exact-equality, so only byte-identical copies may match
+                # (shared cut frames would flag EVERY video as a dup of
+                # every other and make the verdict checks vacuous).
+                cuts = (24 + (seed % 7) * 3, 68 + (seed % 11) * 4)
+                luma, _ = synthetic_video(num_frames=120, height=160,
+                                          width=240, cut_frames=cuts,
+                                          seed=seed)
+                path = os.path.join(workdir, f"src{seed}.y4m")
+                write_y4m(path, luma, fps=25.0)
+                srcs[seed] = path
+            return srcs[seed]
+
+        t0 = time.time()
+        expected_dup_of = {}
+        for i in range(n_videos):
+            host = i % 2
+            if i % 4 == 3:                       # every 4th: exact copy
+                seed = (i - 3) // 4 * 4 + 100    # of original #i-3
+                path = clip(seed)
+                expected_dup_of[f"soak{i}.y4m"] = f"soak{i - 3}.y4m"
+            else:
+                seed = (i // 4) * 4 + (i % 4) + 100
+                path = clip(seed)
+            key = f"17557{i:08d}-soak{i}.y4m"
+            shutil.copy(path, os.path.join(bucket_dir, key))
+            r = requests.post(f"{bases[host]}/notify", json={
+                "Records": [{"s3": {"bucket": {"name": "videos"},
+                                    "object": {"key": key}}}]
+            }, timeout=10)
+            check(f"soak{i} delivered (host {host})", r.status_code == 200)
+            last = {}
+            end = time.time() + 300
+            while time.time() < end:
+                try:
+                    last = requests.get(
+                        f"{bases[host]}/status/soak{i}.y4m", timeout=5
+                    ).json()
+                    if last.get("status") in ("done", "error"):
+                        break
+                except (requests.RequestException, ValueError):
+                    pass
+                time.sleep(0.5)
+            check(f"soak{i} done", last.get("status") == "done", last)
+            want = expected_dup_of.get(f"soak{i}.y4m")
+            if want:
+                check(f"soak{i} names exactly its original",
+                      last.get("duplicates") == [want], last)
+            else:
+                check(f"soak{i} is no duplicate",
+                      last.get("duplicates") in ([], None), last)
+        elapsed = time.time() - t0
+        print(f"[mh-soak] {n_videos} videos in {elapsed:.0f}s "
+              f"({n_videos / elapsed:.2f}/s sustained, 2 hosts)", flush=True)
+
+        # Let the pruners catch up, then stop sampling.
+        time.sleep(6.0)
+        stop_sampling.set()
+        sampler.join(timeout=5)
+
+        # The bound: each ingest is a handful of ops (upsert_timestamps +
+        # per-block append_fingerprints bursts). With 2 s pruning the live
+        # tail must stay at a few ingests' worth — NOT O(n_videos). 64 is
+        # ~4 ingests of headroom; an unbounded log would blow through it
+        # by video 6 (observed unpruned: >15 ops/video).
+        check(f"op-log rows bounded throughout (max {max_rows[0]})",
+              0 < max_rows[0] <= 64, f"max sampled rows {max_rows[0]}")
+        o = requests.get(f"{bases[0]}/metrics", timeout=10
+                         ).json().get("collective_oplog", {})
+        check("final log pruned to the live floor",
+              o.get("rows", 99) <= 2 and o.get("lag_ops", 99) == 0, o)
+        check("no lag alarm during healthy soak",
+              o.get("lag_alarm") is False, o)
+        check("growth happened (warm ts capacity 8 < videos ingested)",
+              n_videos > 8)
+
+        # Both hosts agree on the corpus.
+        def n_vids(base):
+            p = requests.get(f"{base}/debug/videos", timeout=10).json()
+            return len(p) if isinstance(p, list) else len(p.get("videos", []))
+
+        check("hosts agree on corpus size",
+              n_vids(bases[0]) == n_vids(bases[1]) == n_videos,
+              (n_vids(bases[0]), n_vids(bases[1])))
+    finally:
+        stop_sampling.set()
+        for p in servers:
+            p.terminate()
+        for p in servers:
+            try:
+                p.wait(timeout=20)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        for lf in logs:
+            lf.close()
+        if failures:
+            for pid in range(2):
+                path = os.path.join(workdir, f"host{pid}.log")
+                if os.path.exists(path):
+                    print(f"---- host{pid}.log tail ----")
+                    print("\n".join(open(path).read().splitlines()[-40:]))
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    if failures:
+        print(f"[mh-soak] FAILED: {failures}")
+        return 1
+    print("[mh-soak] ALL CHECKS PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
