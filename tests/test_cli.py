@@ -85,3 +85,30 @@ def test_analyze_missing_file_exits_nonzero(videos, capsys):
     assert rc == 1
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "error"
+
+
+def test_evict_host_cli(tmp_path, capsys):
+    """Store-level operator eviction (docs/multihost.md runbook): writes
+    the EVICTED sentinel without needing a reachable serving member."""
+    import time
+
+    from tvidz_tpu.corpus.store import Store
+
+    db = str(tmp_path / "shared.db")
+    store = Store(f"sqlite:///{db}")
+    store.set_collective_watermark("host-0", 7, time.time())
+    store.set_collective_watermark("host-2", 3, time.time())
+    store.close()
+
+    rc = main(["evict-host", "host-2", "--db", f"sqlite:///{db}"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["status"] == "evicted"
+    assert out["min_live_watermark"] == 7      # host-2 no longer pins
+    members = {m["host"]: m for m in out["members"]}
+    assert members["host-2"]["evicted"] is True
+    assert members["host-0"]["evicted"] is False
+
+    # A malformed member id is rejected before touching the store.
+    rc = main(["evict-host", "not-a-host", "--db", f"sqlite:///{db}"])
+    assert rc == 2

@@ -203,6 +203,37 @@ def cmd_serve(args, extra) -> int:
     return 0
 
 
+def cmd_evict_host(args) -> int:
+    """Operator eviction against the SHARED STORE directly (docs/multihost.md
+    runbook step 2). The /admin/evict-host route needs a healthy serving
+    member; this works when none is reachable — the sentinel lands in the
+    collective_watermarks table and every member (and the pruner) reacts at
+    its next hygiene pass."""
+    from tvidz_tpu.corpus.store import Store
+
+    if not args.host.startswith("host-"):
+        print(f"error: expected a host-N member id, got {args.host!r}",
+              file=sys.stderr)
+        return 2
+    store = Store(args.db)
+    try:
+        store.evict_collective_member(args.host)
+        out = {
+            "status": "evicted",
+            "host": args.host,
+            "max_seq": store.max_collective_seq(),
+            "min_live_watermark": store.min_collective_watermark(),
+            "members": [
+                {"host": h, "seq": s, "evicted": s < 0}
+                for h, s, _ in store.collective_watermarks()
+            ],
+        }
+    finally:
+        store.close()
+    print(json.dumps(out, indent=2))
+    return 0
+
+
 def cmd_bench(args) -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, root)
@@ -241,6 +272,13 @@ def main(argv=None) -> int:
                                  "(args pass through to the entrypoint)")
     sub.add_parser("bench", help="run the benchmark harness")
 
+    p = sub.add_parser("evict-host", help="evict a stalled multi-host member "
+                                          "via the shared store (runbook: "
+                                          "docs/multihost.md)")
+    p.add_argument("host", help="member id, e.g. host-2")
+    p.add_argument("--db", required=True,
+                   help="the cluster's SHARED store url (sqlite/postgresql)")
+
     args, extra = parser.parse_known_args(argv)
     if args.cmd == "analyze":
         return cmd_analyze(args)
@@ -254,6 +292,8 @@ def main(argv=None) -> int:
         return cmd_serve(args, extra)
     if args.cmd == "bench":
         return cmd_bench(args)
+    if args.cmd == "evict-host":
+        return cmd_evict_host(args)
     return 2
 
 
