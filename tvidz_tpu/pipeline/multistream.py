@@ -21,9 +21,9 @@ dispatch, with 4-stream aggregate REGRESSING below 2-stream):
    i+1 and the device compute of pass i+1 (carries chain device-side with
    no host sync).
 3. **Admission control** — at most ``max_active`` decoder threads run at
-   once (default: max(2, cpu_count)); queued paths start as streams finish,
+   once (default: one per CPU core); queued paths start as streams finish,
    so N >> cores streams time-share instead of thrashing the core(s) the
-   decoders need.
+   decoders need (race data in ``default_max_active``).
 
 Also carries the instrumentation that separates decode-starved wall time
 from device/dispatch time so the bench can report the decode-bound vs
@@ -133,10 +133,16 @@ def _bucket(k: int) -> int:
 
 
 def default_max_active() -> int:
-    """Decoder-thread admission default: decode is the per-core bottleneck,
-    so more concurrent decoders than cores just thrash; 2 minimum so one
-    stream's dispatch/pull latency hides behind another's decode."""
-    return max(2, os.cpu_count() or 1)
+    """Decoder-thread admission default: ONE decoder thread per core.
+    Decode is the per-core bottleneck, so more concurrent decoders than
+    cores just thrash — measured on the 1-core TPU host: 4 streams at
+    max_active=1 hold the single-stream rate (206 f/s, flat curve) while
+    max_active=2 loses 4-10% to context switching (185-199 f/s). A second
+    decoder is NOT needed to hide dispatch/pull latency: the loop resolves
+    the previous pass while the current one runs (deferred resolve), and
+    each stream's depth-2 queue lets its own decoder run ahead during
+    device time."""
+    return max(1, os.cpu_count() or 1)
 
 
 def warm_dispatch(model: FingerprintModel, max_streams: int) -> None:
