@@ -92,7 +92,17 @@ def fingerprint_blocks_batched(
     Returns ((K, T) f32 scores, (K, T, words) uint32 fps, tuple of K new
     carries). ``valid_ts`` is always dynamic here (T for full blocks) —
     x[T-1] is the same frame the static path's x[-1] selects.
+
+    ``lumas`` may be a TUPLE of K (T, H, W) blocks instead of one stacked
+    (K, T, H, W) array: the stack then happens on-device inside this
+    program (HBM copy, sub-ms) instead of as a host memcpy on the dispatch
+    thread — at 1080p a 64-frame block is ~132 MB, so the host-side
+    np.stack was stealing tens of ms per pass from the core the decoders
+    need, and per-stream device_puts issued from the decoder threads
+    overlap the transfer with decode (pipeline/multistream.py).
     """
+    if isinstance(lumas, (tuple, list)):
+        lumas = jnp.stack(lumas)
     k, t, h, w = lumas.shape
     xf = lumas.astype(jnp.float32)
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *carries)

@@ -96,12 +96,25 @@ class _Stream:
             dec = get_decoder(
                 self.path, lowres=m.config.pipeline.decode_lowres)
             for block in dec.blocks(self.path, m.block_frames, m.height, m.width):
+                # Pre-transfer full blocks from THIS thread: the async
+                # device_put overlaps the host->device copy with decode,
+                # and the dispatch pass then stacks device-resident blocks
+                # inside the jit instead of paying a (K, T, H, W) host
+                # memcpy on the loop thread (fused.fingerprint_blocks_
+                # batched tuple form). Short tail blocks keep the host
+                # path (they are padded on host in _dispatch).
+                dev = None
+                if PRETRANSFER and block.luma.shape[0] == m.block_frames:
+                    try:
+                        dev = jax.device_put(block.luma)
+                    except Exception:  # noqa: BLE001 — fall back to host
+                        dev = None
                 # Bounded put with a stop check: if the dispatch loop dies
                 # (device error), an unconditional q.put would block this
                 # thread forever, leaking it and its libav handle.
                 while not self.stopped:
                     try:
-                        self.q.put(block, timeout=0.2)
+                        self.q.put((block, dev), timeout=0.2)
                         break
                     except queue.Full:
                         continue
@@ -124,6 +137,12 @@ class _Stream:
             self.q.get_nowait()       # make room so a pending put returns
         except queue.Empty:
             pass
+
+
+# Decoder threads pre-issue each full block's host->device transfer
+# (jax.device_put) so the dispatch pass stacks device-resident blocks
+# inside the jit. Module-level so races/tests can toggle it.
+PRETRANSFER = True
 
 
 def _bucket(k: int) -> int:
@@ -152,7 +171,9 @@ def warm_dispatch(model: FingerprintModel, max_streams: int) -> None:
     bt, h, w = model.block_frames, model.height, model.width
     k = 1
     while True:
-        lumas = jnp.zeros((k, bt, h, w), jnp.uint8)
+        # Tuple form — the dispatch loop's actual call signature (blocks
+        # stack on-device inside the jit).
+        lumas = tuple(jnp.zeros((bt, h, w), jnp.uint8) for _ in range(k))
         carries = [model.init_carry() for _ in range(k)]
         valid = jnp.full((k,), bt, jnp.int32)
         scores, fps, _ = model.forward_streams(lumas, carries, valid)
@@ -163,42 +184,53 @@ def warm_dispatch(model: FingerprintModel, max_streams: int) -> None:
 
 
 def _dispatch(model: FingerprintModel, ready):
-    """Issue ONE batched device program for the ready (stream, block)
-    pairs; returns the pending handle resolved one pass later. Updates each
-    stream's carry to the (device-resident) output immediately so the next
-    pass chains without a host sync."""
+    """Issue ONE batched device program for the ready (stream, block, dev)
+    triples; returns the pending handle resolved one pass later. Updates
+    each stream's carry to the (device-resident) output immediately so the
+    next pass chains without a host sync.
+
+    Blocks go to the device as a TUPLE of per-stream arrays (stacked
+    on-device inside the jit): full blocks are already device-resident
+    from their decoder thread's device_put, so the steady state pays no
+    host stack memcpy and no synchronous transfer on this thread."""
     k = len(ready)
     bucket = _bucket(k)
     bt = model.block_frames
     h, w = model.height, model.width
     metas = []
     carries = []
-    if bucket == k and all(b.luma.shape[0] == bt for _, b in ready):
+    if bucket == k and all(b.luma.shape[0] == bt for _, b, _d in ready):
         # Fast path (steady state): full blocks, no pad slots.
-        lumas = np.stack([b.luma for _, b in ready])
+        lumas = tuple(d if d is not None else b.luma for _, b, d in ready)
         valid = np.full((k,), bt, np.int32)
-        for s, block in ready:
+        for s, block, _d in ready:
             metas.append((s, block, bt))
             carries.append(s.carry)
     else:
-        lumas = np.zeros((bucket, bt, h, w), np.uint8)
+        slots = []
         valid = np.full((bucket,), bt, np.int32)
-        for j, (s, block) in enumerate(ready):
+        for j, (s, block, dev) in enumerate(ready):
             t = block.luma.shape[0]
-            lumas[j, :t] = block.luma
-            if t < bt:
+            if t == bt:
+                slots.append(dev if dev is not None else block.luma)
+            else:
                 # Same pad convention as process_block: repeat the last
                 # real frame (pad rows then have mafd 0 and the dynamic
                 # valid_t keeps the carry on the last REAL frame).
-                lumas[j, t:] = block.luma[-1]
+                padded = np.empty((bt, h, w), np.uint8)
+                padded[:t] = block.luma
+                padded[t:] = block.luma[-1]
+                slots.append(padded)
             valid[j] = t
             metas.append((s, block, t))
             carries.append(s.carry)
         for _ in range(k, bucket):
-            # Dummy slots: any live carry works — the outputs are dropped.
+            # Dummy slots: any live carry/block works — outputs dropped.
+            slots.append(slots[0])
             carries.append(carries[0])
+        lumas = tuple(slots)
     scores_dev, fps_dev, new_carries = model.forward_streams(
-        jnp.asarray(lumas), carries, jnp.asarray(valid))
+        lumas, carries, jnp.asarray(valid))
     for j, (s, _block, _t) in enumerate(metas):
         s.carry = new_carries[j]
     return metas, scores_dev, fps_dev
@@ -263,18 +295,19 @@ def fingerprint_streams(
             for i in sorted(active):
                 s = active[i]
                 try:
-                    block = s.q.get_nowait()
+                    item = s.q.get_nowait()
                 except queue.Empty:
                     continue
-                if block is None:
+                if item is None:
                     s.done = True
                     del active[i]
                     admit()
                     continue
+                block, dev = item
                 if block.luma.shape[0] == 0:
                     # Zero-frame block (decoder edge case): a no-op.
                     continue
-                ready.append((s, block))
+                ready.append((s, block, dev))
             new_pending = None
             if ready:
                 t0 = time.perf_counter()
