@@ -1,0 +1,156 @@
+"""Shared batched block dispatcher (pipeline/dispatcher.py): parity with
+the direct per-block path, real cross-thread batching, failure isolation.
+The service attaches one by default (PipelineConfig.shared_dispatcher),
+so the whole service suite also runs through it; this file pins the
+dispatcher's own contracts."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.models.fingerprint import FingerprintModel
+from tvidz_tpu.ops.scene import NativeSceneScorer
+from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
+
+
+class _Block:
+    def __init__(self, luma, pts):
+        self.luma = luma
+        self.pts = pts
+        self.mafd = None
+
+
+def _mk_blocks(rng, n_blocks, bt, h, w, fps=25.0):
+    blocks = []
+    t0 = 0
+    for _ in range(n_blocks):
+        luma = rng.integers(0, 255, (bt, h, w), dtype=np.uint8)
+        pts = (np.arange(t0, t0 + bt, dtype=np.float64) / fps)
+        blocks.append(_Block(luma, pts))
+        t0 += bt
+    return blocks
+
+
+@pytest.fixture
+def model():
+    cfg = Config()
+    cfg.pipeline.block_frames = 16
+    cfg.pipeline.scene_height = 24
+    cfg.pipeline.scene_width = 32
+    return FingerprintModel(cfg)
+
+
+def _analyze(model, blocks):
+    carry = model.init_carry()
+    scorer = NativeSceneScorer(model.config.scene.native_resolution)
+    cuts, fps_out = [], []
+    for b in blocks:
+        fps, carry, new_cuts, _t = model.process_block(
+            b, carry, scorer, last_cut=cuts[-1] if cuts else None)
+        fps_out.append(fps)
+        cuts.extend(new_cuts)
+    return cuts, np.concatenate(fps_out)
+
+
+def test_dispatcher_parity_with_direct_path(model):
+    """Same blocks, same results, dispatcher on or off — the batched op
+    and the single op are bit-identical (multistream parity), and the
+    dispatcher must not perturb the host-side policy."""
+    rng = np.random.default_rng(7)
+    blocks = _mk_blocks(rng, 4, model.block_frames, model.height,
+                        model.width)
+    # Short tail block exercises the padded + valid_t path through the
+    # dispatcher too.
+    tail = _Block(blocks[-1].luma[:5], blocks[-1].pts[:5] + 10.0)
+    blocks = blocks + [tail]
+
+    cuts_direct, fps_direct = _analyze(model, blocks)
+
+    model.dispatcher = SharedBlockDispatcher(model).start()
+    try:
+        cuts_disp, fps_disp = _analyze(model, blocks)
+    finally:
+        model.dispatcher.stop()
+        model.dispatcher = None
+
+    assert cuts_disp == cuts_direct
+    assert np.array_equal(fps_disp, fps_direct)
+
+
+def test_dispatcher_batches_concurrent_submissions(model):
+    """N threads' concurrent analyses produce at least one multi-block
+    pass (the self-clocking batch), and every stream's results match its
+    own direct-path run (carries never cross streams)."""
+    rng = np.random.default_rng(8)
+    streams = [
+        _mk_blocks(np.random.default_rng(100 + i), 6, model.block_frames,
+                   model.height, model.width)
+        for i in range(4)
+    ]
+    want = [_analyze(model, blocks) for blocks in streams]
+
+    disp = SharedBlockDispatcher(model).start()
+    model.dispatcher = disp
+    got = [None] * len(streams)
+    errs = []
+
+    def run(i):
+        try:
+            got[i] = _analyze(model, streams[i])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    try:
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(streams))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        model.dispatcher = None
+        disp.stop()
+
+    assert not errs, errs
+    for i in range(len(streams)):
+        assert got[i][0] == want[i][0], f"stream {i} cuts diverged"
+        assert np.array_equal(got[i][1], want[i][1]), f"stream {i} fps"
+    assert disp.blocks == 6 * len(streams)
+    # Self-clocking batching: with 4 threads submitting concurrently,
+    # strictly fewer passes than blocks means real multi-block passes.
+    assert disp.passes < disp.blocks, (disp.passes, disp.blocks)
+
+
+def test_dispatcher_failure_isolated_and_recovers(model):
+    """A poisoned pass fails its future(s) but the worker keeps serving
+    subsequent passes."""
+    disp = SharedBlockDispatcher(model).start()
+    try:
+        bad = np.zeros((3, 3), np.uint8)       # wrong rank -> pass fails
+        with pytest.raises(Exception):
+            disp.submit(bad, model.init_carry(), 3).result(timeout=60)
+        rng = np.random.default_rng(9)
+        good = rng.integers(
+            0, 255, (model.block_frames, model.height, model.width),
+            dtype=np.uint8)
+        scores, fps, carry = disp.submit(
+            good, model.init_carry(), model.block_frames).result(timeout=60)
+        assert scores.shape == (model.block_frames,)
+        assert fps.shape[0] == model.block_frames
+        assert carry is not None
+    finally:
+        disp.stop()
+
+
+def test_dispatcher_stop_fails_queued_futures(model):
+    disp = SharedBlockDispatcher(model)      # never started: queue only
+    rng = np.random.default_rng(10)
+    buf = rng.integers(
+        0, 255, (model.block_frames, model.height, model.width),
+        dtype=np.uint8)
+    fut = disp.submit(buf, model.init_carry(), model.block_frames)
+    disp.stop()
+    with pytest.raises(RuntimeError, match="stopped"):
+        fut.result(timeout=5)

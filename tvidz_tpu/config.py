@@ -156,6 +156,12 @@ class PipelineConfig:
     # Decode-ahead depth: host decodes N blocks ahead on a background thread
     # while the device works (pipeline/prefetch.py). 0 disables.
     decode_prefetch_blocks: int = 2
+    # Shared batched block dispatcher for the SERVICE's concurrent
+    # analyses (pipeline/dispatcher.py): all in-flight uploads' blocks
+    # ride one device program per pass instead of a per-thread dispatch
+    # each (~25-30 ms RTT apiece through a tunneled device). Bit-identical
+    # outputs; False restores reference-shaped per-thread dispatch.
+    shared_dispatcher: bool = True
     # Fast host decode: reduced-resolution DCT-domain decode (avcodec
     # lowres) on codecs that support it — ~3-10x per-core decode
     # throughput on MJPEG/mpeg1/2 1080p sources, at the cost of decoded
@@ -187,6 +193,7 @@ class PipelineConfig:
             tmp_dir=_env("TMP_DIR", "/tmp"),
             checkpoint_every_blocks=_env("CHECKPOINT_EVERY_BLOCKS", 8, int),
             decode_prefetch_blocks=_env("DECODE_PREFETCH_BLOCKS", 2, int),
+            shared_dispatcher=_env("SHARED_DISPATCHER", True, bool),
             decode_lowres=_env("DECODE_LOWRES", False, bool),
             store_retry_attempts=_env("STORE_RETRY_ATTEMPTS", 4, int),
             store_retry_wait_s=_env("STORE_RETRY_WAIT_S", 1.0, float),

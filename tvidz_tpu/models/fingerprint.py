@@ -42,6 +42,11 @@ class FingerprintModel:
         self.dct_size = self.config.hash.dct_size
         self.hash_size = self.config.hash.hash_size
         self.algorithm = self.config.hash.algorithm
+        # Optional SharedBlockDispatcher (pipeline/dispatcher.py): when
+        # set, process_block routes its device step through the shared
+        # batched pass instead of a private dispatch. The service attaches
+        # one; CLI/bench/tests run direct unless they opt in.
+        self.dispatcher = None
 
     # -- single-stream API ------------------------------------------------------
 
@@ -106,11 +111,22 @@ class FingerprintModel:
         buf = block.luma
         if t < bt:
             buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, axis=0)])
-        scores_dev, fps_dev, carry = self.forward(
-            jnp.asarray(buf), carry,
-            valid_t=jnp.int32(t) if t < bt else None)
-        scores = scorer.scores(block, scores_dev, t)
-        fps = np.asarray(fps_dev)[:t]
+        if self.dispatcher is not None:
+            # Shared batched dispatch (pipeline/dispatcher.py): concurrent
+            # analyses' blocks ride ONE device program per pass. Same
+            # kernels, bit-identical outputs (batched-vs-single parity
+            # pinned by tests/test_multistream.py); the future blocks this
+            # thread exactly where the direct forward would have.
+            scores_h, fps_h, carry = self.dispatcher.submit(
+                buf, carry, t).result()
+            scores = scorer.scores(block, scores_h, t)
+            fps = np.asarray(fps_h[:t])
+        else:
+            scores_dev, fps_dev, carry = self.forward(
+                jnp.asarray(buf), carry,
+                valid_t=jnp.int32(t) if t < bt else None)
+            scores = scorer.scores(block, scores_dev, t)
+            fps = np.asarray(fps_dev)[:t]
         cuts = self.extract_cuts(scores, block.pts, t, last_cut)
         return fps, carry, cuts, t
 

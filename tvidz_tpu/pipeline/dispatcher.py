@@ -1,0 +1,183 @@
+"""Shared per-block device dispatcher for concurrent analyses.
+
+The service runs one analysis thread per upload (reference parity,
+inspector/app.py:43,472 thread-per-upload), and pre-round-4 each thread
+issued its OWN per-block device program — N concurrent uploads paid N
+independent dispatch+pull round trips per block (~25-30 ms tunnel RTT
+each) through one chip. The multistream engine (pipeline/multistream.py)
+already proved batching all ready blocks into one device program wins
+(BENCH_r03/r04); this module brings the same batching to the production
+service path without touching the analyzer's host logic:
+
+- Analysis threads call ``FingerprintModel.process_block`` exactly as
+  before; when the model carries a dispatcher, the device portion is
+  submitted here and the thread blocks on a future.
+- The worker loop is SELF-CLOCKING (no batching timer): while one pass's
+  forward + host pull is in flight, newly submitted blocks queue; on
+  completion the loop drains EVERYTHING queued into the next pass. Under
+  concurrent load passes batch naturally; a lone analysis degenerates to
+  the old per-block behavior plus one queue hop.
+- Buckets are padded to powers of two (same discipline as multistream)
+  so the jitted batch shapes stay bounded at log2(max_bucket) variants.
+- Blocks are pre-transferred (``jax.device_put``) on the SUBMITTING
+  thread: serialization to the device happens in parallel across
+  analysis threads instead of serializing on the worker (raced in
+  multistream: tuple+pretransfer 203-224 f/s vs host-stacked 184-199,
+  docs/kernels.md §6).
+
+Failure semantics: an exception inside a pass fails every future in that
+pass (each analysis thread sees it exactly where a direct forward would
+have raised) and the worker keeps serving subsequent passes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import jax
+import numpy as np
+
+from tvidz_tpu.utils.logging import log
+
+
+class _Future:
+    __slots__ = ("_evt", "_value", "_error")
+
+    def __init__(self):
+        self._evt = threading.Event()
+        self._value = None
+        self._error: Optional[BaseException] = None
+
+    def set(self, value) -> None:
+        self._value = value
+        self._evt.set()
+
+    def fail(self, err: BaseException) -> None:
+        self._error = err
+        self._evt.set()
+
+    def result(self, timeout: Optional[float] = None):
+        if not self._evt.wait(timeout):
+            raise TimeoutError("block dispatch timed out")
+        if self._error is not None:
+            raise self._error
+        return self._value
+
+
+def _bucket(k: int) -> int:
+    return 1 << (k - 1).bit_length()
+
+
+class SharedBlockDispatcher:
+    """One device program per pass over every concurrent analysis' ready
+    block. ``max_bucket`` caps the batch (excess submissions roll into the
+    next pass)."""
+
+    def __init__(self, model, max_bucket: int = 8):
+        self.model = model
+        self.max_bucket = max(1, max_bucket)
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        # Telemetry for /metrics: how much batching actually happens.
+        self.passes = 0
+        self.blocks = 0
+
+    # -- lifecycle --------------------------------------------------------------------
+
+    def start(self) -> "SharedBlockDispatcher":
+        self._thread = threading.Thread(
+            target=self._loop, name="block-dispatcher", daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+        # Fail anything still queued so no analysis thread hangs forever.
+        err = RuntimeError("block dispatcher stopped")
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            item[3].fail(err)
+
+    def warm(self, max_bucket: Optional[int] = None) -> None:
+        """Compile every batch bucket up to ``max_bucket`` (service boot:
+        a cold bucket otherwise pays its 30-80 s on-chip compile inside
+        the first concurrent uploads)."""
+        import jax.numpy as jnp
+
+        m = self.model
+        k, target = 1, min(max_bucket or self.max_bucket, self.max_bucket)
+        while True:
+            lumas = tuple(
+                jnp.zeros((m.block_frames, m.height, m.width), jnp.uint8)
+                for _ in range(k))
+            carries = [m.init_carry() for _ in range(k)]
+            valid = jnp.full((k,), m.block_frames, jnp.int32)
+            scores, fps, _ = m.forward_streams(lumas, carries, valid)
+            jax.device_get((scores, fps))
+            if k >= target:
+                return
+            k = _bucket(k + 1)
+
+    # -- submission -------------------------------------------------------------------
+
+    def submit(self, buf: np.ndarray, carry, valid_t: int) -> _Future:
+        """``buf`` is the block already padded to (block_frames, H, W);
+        ``valid_t`` its real frame count. Returns a future resolving to
+        (scores_host (T,), fps_host (T, words), new_carry_device)."""
+        try:
+            # Pre-transfer from the submitting thread (see module doc).
+            dev = jax.device_put(buf)
+        except Exception:  # noqa: BLE001 — the jit call transfers instead
+            dev = buf
+        fut = _Future()
+        self._q.put((dev, carry, int(valid_t), fut))
+        return fut
+
+    # -- worker -----------------------------------------------------------------------
+
+    def _loop(self) -> None:
+        import jax.numpy as jnp
+
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            batch = [first]
+            while len(batch) < self.max_bucket:
+                try:
+                    batch.append(self._q.get_nowait())
+                except queue.Empty:
+                    break
+            k = len(batch)
+            bucket = _bucket(k)
+            try:
+                lumas = [item[0] for item in batch]
+                carries = [item[1] for item in batch]
+                valid = np.fromiter((item[2] for item in batch),
+                                    np.int32, count=k)
+                if bucket != k:
+                    # Dummy slots bound compiled shapes; outputs dropped.
+                    lumas.extend(lumas[0] for _ in range(bucket - k))
+                    carries.extend(carries[0] for _ in range(bucket - k))
+                    valid = np.concatenate(
+                        [valid, np.full(bucket - k, valid[0], np.int32)])
+                scores_dev, fps_dev, new_carries = self.model.forward_streams(
+                    tuple(lumas), carries, jnp.asarray(valid))
+                scores_h, fps_h = jax.device_get((scores_dev, fps_dev))
+                for j, item in enumerate(batch):
+                    item[3].set((scores_h[j], fps_h[j], new_carries[j]))
+                self.passes += 1
+                self.blocks += k
+            except Exception as e:  # noqa: BLE001 — fail the pass, keep serving
+                log("dispatcher", f"batched pass failed ({k} blocks): {e}")
+                for item in batch:
+                    item[3].fail(e)

@@ -86,6 +86,17 @@ class InspectorApp:
         self.analyzer = Analyzer(
             self.store, self.corpus, self.registry, fetcher, self.config
         )
+        # Shared batched block dispatcher (pipeline/dispatcher.py):
+        # concurrent uploads' blocks ride one device program per pass
+        # instead of a private dispatch each (~25-30 ms RTT apiece on a
+        # tunneled device). Off => reference-shaped per-thread dispatch.
+        self.block_dispatcher = None
+        if self.config.pipeline.shared_dispatcher:
+            from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
+
+            self.block_dispatcher = SharedBlockDispatcher(
+                self.analyzer._model).start()
+            self.analyzer._model.dispatcher = self.block_dispatcher
         # Warm the device corpus from durable storage — unlike the reference,
         # verdict capability survives restarts (SURVEY.md §5 checkpoint gap).
         self.corpus.load(self.store)
@@ -668,6 +679,14 @@ class InspectorApp:
             footprint = getattr(self.corpus, "device_footprint", None)
             if footprint is not None:
                 out["corpus_footprint"] = footprint
+            if self.block_dispatcher is not None:
+                d = self.block_dispatcher
+                out["block_dispatcher"] = {
+                    "passes": d.passes,
+                    "blocks": d.blocks,
+                    "batching": round(d.blocks / d.passes, 2)
+                    if d.passes else 0.0,
+                }
             # Multi-host op-log hygiene (collective.py _hygiene): live row
             # count, per-member watermarks, prune point, and the
             # stalled-member lag alarm (runbook: docs/multihost.md).
@@ -812,6 +831,8 @@ class InspectorApp:
 
     def stop(self) -> None:
         self._stop.set()
+        if self.block_dispatcher is not None:
+            self.block_dispatcher.stop()
         # Multi-host mode: stop the collective executor too (set by the
         # entrypoint; None everywhere else).
         runner = getattr(self, "collective_runner", None)

@@ -117,9 +117,20 @@ def _warmup_device(config: Config) -> None:
     luma, carry = model.example_inputs()
     scores, fps, _ = model.forward(luma, carry)
     np.asarray(scores[:1])
+    if config.pipeline.shared_dispatcher:
+        # The analyzer's hot path is the shared batched dispatch
+        # (pipeline/dispatcher.py); pre-compile its first buckets so the
+        # first concurrent uploads don't pay 30-80 s on-chip compiles.
+        # The jitted op is module-level, so these compiles serve the
+        # app's dispatcher too (same shapes + static args).
+        from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
+
+        SharedBlockDispatcher(model).warm(max_bucket=2)
     log("entrypoint",
         f"device warm: fused op compiled for "
-        f"{model.block_frames}x{model.height}x{model.width}")
+        f"{model.block_frames}x{model.height}x{model.width}"
+        + (" (+batched buckets 1-2)" if config.pipeline.shared_dispatcher
+           else ""))
 
 
 def main(argv=None) -> None:
