@@ -1,0 +1,87 @@
+"""Service decoder admission (ServiceConfig.max_concurrent_analyses):
+bounded concurrent analysis bodies, FIFO-queued excess still completes,
+0 = unbounded reference shape."""
+
+import threading
+import time
+
+import jax
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.service.app import create_app
+from tvidz_tpu.service.fakes import FakeS3, FakeSQS
+
+
+@pytest.fixture
+def app_factory(tmp_path):
+    def mk(max_concurrent):
+        cfg = Config()
+        cfg.service.max_concurrent_analyses = max_concurrent
+        store = Store("sqlite:///:memory:")
+        s3 = FakeS3(str(tmp_path / "s3"))
+        sqs = FakeSQS()
+        sqs.create_queue(cfg.service.sqs_queue)
+        s3.create_bucket(cfg.service.s3_bucket)
+        app = create_app(
+            config=cfg, store=store,
+            corpus=DeviceCorpus(ts_initial_capacity=8,
+                                fp_initial_capacity=1024, fp_block_n=256),
+            s3=s3, sqs=sqs)
+        return app, store
+    return mk
+
+
+def test_admission_bounds_concurrency_and_completes(app_factory):
+    app, store = app_factory(1)
+    running = []
+    peak = [0]
+    lock = threading.Lock()
+    done = []
+
+    def fake_analyze(bucket, key, retry_ctx=None):
+        with lock:
+            running.append(key)
+            peak[0] = max(peak[0], len(running))
+        time.sleep(0.15)
+        with lock:
+            running.remove(key)
+            done.append(key)
+
+    app.analyzer.analyze = fake_analyze
+    app._device_ready_evt.set()
+    try:
+        threads = [app.start_analysis_thread("videos", f"clip{i}.y4m")
+                   for i in range(4)]
+        for t in threads:
+            t.join(timeout=30)
+        assert sorted(done) == [f"clip{i}.y4m" for i in range(4)]
+        assert peak[0] == 1, f"admission=1 but peak concurrency {peak[0]}"
+    finally:
+        app.stop()
+        store.close()
+
+
+def test_admission_zero_is_unbounded(app_factory):
+    app, store = app_factory(0)
+    assert app._analysis_slots is None
+    barrier = threading.Barrier(3, timeout=10)
+    done = []
+
+    def fake_analyze(bucket, key, retry_ctx=None):
+        barrier.wait()          # only passes if all 3 run CONCURRENTLY
+        done.append(key)
+
+    app.analyzer.analyze = fake_analyze
+    app._device_ready_evt.set()
+    try:
+        threads = [app.start_analysis_thread("videos", f"c{i}.y4m")
+                   for i in range(3)]
+        for t in threads:
+            t.join(timeout=30)
+        assert len(done) == 3
+    finally:
+        app.stop()
+        store.close()

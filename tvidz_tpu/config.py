@@ -249,6 +249,16 @@ class ServiceConfig:
     # errors (bad video, SQL bugs) never retry.
     analysis_retry_attempts: int = 3
     analysis_retry_wait_s: float = 10.0
+    # Decoder admission for the service's thread-per-upload analyses:
+    # at most this many run their decode+analyze body at once (excess
+    # queue FIFO, status stays 'pending' — reference-compatible eventual
+    # processing). Decode is the per-core bottleneck, so more concurrent
+    # decoders than cores just thrash (measured: multistream admission
+    # race, docs/kernels.md §6). 0 = unbounded (exact reference shape:
+    # one thread per upload, all running). Mind sse_pending_timeout_s
+    # when bounding aggressively on a small host: deep queues keep
+    # analyses 'pending' longer.
+    max_concurrent_analyses: int = 0
     aws_region: str = "us-east-1"
     aws_access_key: str = "test"
     aws_secret_key: str = "test"
@@ -272,6 +282,7 @@ class ServiceConfig:
             sqs_create_retries=_env("SQS_CREATE_RETRIES", 10, int),
             analysis_retry_attempts=_env("ANALYSIS_RETRY_ATTEMPTS", 3, int),
             analysis_retry_wait_s=_env("ANALYSIS_RETRY_WAIT_S", 10.0, float),
+            max_concurrent_analyses=_env("MAX_CONCURRENT_ANALYSES", 0, int),
             # Standard AWS env first (what real deployments set), LocalStack
             # test creds as the fallback (docker-compose.yaml:53-55).
             aws_region=os.environ.get(

@@ -91,6 +91,12 @@ class InspectorApp:
         # instead of a private dispatch each (~25-30 ms RTT apiece on a
         # tunneled device). Off => reference-shaped per-thread dispatch.
         self.block_dispatcher = None
+        # Decoder admission (ServiceConfig.max_concurrent_analyses):
+        # bounds how many upload analyses run their decode body at once;
+        # excess queue FIFO on this semaphore with status 'pending'.
+        n_slots = self.config.service.max_concurrent_analyses
+        self._analysis_slots = (
+            threading.BoundedSemaphore(n_slots) if n_slots > 0 else None)
         if self.config.pipeline.shared_dispatcher:
             from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
 
@@ -194,6 +200,23 @@ class InspectorApp:
             while not self._device_ready_evt.wait(timeout=1.0):
                 if self._stop.is_set():
                     return
+            # Decoder admission: more concurrent decoders than cores only
+            # thrash (see config). Queued analyses stay 'pending' — the
+            # reference-compatible eventually-processed contract.
+            if self._analysis_slots is not None:
+                while not self._analysis_slots.acquire(timeout=1.0):
+                    if self._stop.is_set():
+                        return
+            try:
+                self._run_analysis_admitted(bucket, key)
+            finally:
+                if self._analysis_slots is not None:
+                    self._analysis_slots.release()
+        except Exception as e:  # noqa: BLE001 — worker threads never die loudly
+            log("analysis", f"unhandled analysis error for {key}: {e}")
+
+    def _run_analysis_admitted(self, bucket: str, key: str) -> None:
+        try:
             # Whole-analysis retry (store-outage policy, second half): if a
             # CRITICAL store op exhausted the analyzer's in-analysis retry
             # window — the store was down for the whole analysis, from
