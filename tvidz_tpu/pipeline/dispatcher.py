@@ -98,6 +98,9 @@ class SharedBlockDispatcher:
         if self._thread is not None:
             self._thread.join(timeout=10)
         # Fail anything still queued so no analysis thread hangs forever.
+        self._drain_failed()
+
+    def _drain_failed(self) -> None:
         err = RuntimeError("block dispatcher stopped")
         while True:
             try:
@@ -138,7 +141,18 @@ class SharedBlockDispatcher:
         except Exception:  # noqa: BLE001 — the jit call transfers instead
             dev = buf
         fut = _Future()
+        if self._stop.is_set():
+            # Shutdown race: the stop() drain may already have run — a
+            # future queued now would never be served and its analysis
+            # thread would block forever.
+            fut.fail(RuntimeError("block dispatcher stopped"))
+            return fut
         self._q.put((dev, carry, int(valid_t), fut))
+        if self._stop.is_set():
+            # stop() may have drained between the check above and the put;
+            # re-drain so this future cannot be stranded (idempotent — a
+            # future is fulfilled at most once).
+            self._drain_failed()
         return fut
 
     # -- worker -----------------------------------------------------------------------
