@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Optional
 
 import jax
@@ -81,9 +82,14 @@ class SharedBlockDispatcher:
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
-        # Telemetry for /metrics: how much batching actually happens.
+        # Telemetry for /metrics: how much batching actually happens, and
+        # whether a pass is stuck (a wedged device op blocks EVERY
+        # analysis behind this worker — the operator signal is the pass
+        # age, since cancelling a device op mid-flight is what wedges the
+        # tunnel worse).
         self.passes = 0
         self.blocks = 0
+        self._pass_started: Optional[float] = None
 
     # -- lifecycle --------------------------------------------------------------------
 
@@ -173,6 +179,7 @@ class SharedBlockDispatcher:
                     break
             k = len(batch)
             bucket = _bucket(k)
+            self._pass_started = time.monotonic()
             try:
                 lumas = [item[0] for item in batch]
                 carries = [item[1] for item in batch]
@@ -195,3 +202,12 @@ class SharedBlockDispatcher:
                 log("dispatcher", f"batched pass failed ({k} blocks): {e}")
                 for item in batch:
                     item[3].fail(e)
+            finally:
+                self._pass_started = None
+
+    def pass_age_s(self) -> float:
+        """Seconds the CURRENT pass has been in flight (0 = idle). A large
+        value means the device op is stuck — on a tunneled device this is
+        the wedge signature; every queued analysis is blocked behind it."""
+        started = self._pass_started
+        return (time.monotonic() - started) if started is not None else 0.0

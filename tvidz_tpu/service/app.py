@@ -709,6 +709,10 @@ class InspectorApp:
                     "blocks": d.blocks,
                     "batching": round(d.blocks / d.passes, 2)
                     if d.passes else 0.0,
+                    # Wedge signal: seconds the current device pass has
+                    # been in flight (0 = idle); every queued analysis is
+                    # blocked behind a stuck pass.
+                    "pass_age_s": round(d.pass_age_s(), 1),
                 }
             # Multi-host op-log hygiene (collective.py _hygiene): live row
             # count, per-member watermarks, prune point, and the
