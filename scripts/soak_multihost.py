@@ -213,8 +213,10 @@ def main() -> int:
               o.get("rows", 99) <= 2 and o.get("lag_ops", 99) == 0, o)
         check("no lag alarm during healthy soak",
               o.get("lag_alarm") is False, o)
-        check("growth happened (warm ts capacity 8 < videos ingested)",
-              n_videos > 8)
+        live = requests.get(f"{bases[0]}/healthz", timeout=10
+                            ).json().get("corpus_videos", 0)
+        check(f"growth happened ({live} live videos past warm ts capacity 8)",
+              live > 8, f"corpus_videos={live}")
 
         # Both hosts agree on the corpus.
         def n_vids(base):

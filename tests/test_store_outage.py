@@ -426,3 +426,95 @@ def test_service_retry_skips_non_transient_analysis_errors(env, tmp_path):
         assert store.calls["add_video"] == 1
     finally:
         app.stop()
+
+
+class _FlakyCorpus:
+    """Delegates to a DeviceCorpus but fails remove_video like a
+    MultiHostCorpusClient whose collective op log rides the DOWN store
+    (the remove is itself a store append in multi-host mode)."""
+
+    def __init__(self, inner, budget=None):
+        self._inner = inner
+        self.budget = budget
+        self.remove_attempts = 0
+
+    def remove_video(self, vid):
+        self.remove_attempts += 1
+        if self.budget is None or self.budget > 0:
+            if self.budget is not None:
+                self.budget -= 1
+            raise ConnectionError("collective op log unavailable")
+        return self._inner.remove_video(vid)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_collective_remove_failure_keeps_finalization_retry_path(env):
+    """Review r4: the device-side removal inside the finalization-outage
+    handler is a COLLECTIVE op in multi-host mode — its own failure against
+    the down store must not destroy the recovery (verdict recorded,
+    TransientAnalysisError re-raised to the service retry loop)."""
+    from tvidz_tpu.pipeline.analyzer import (
+        AnalysisRetryContext,
+        TransientAnalysisError,
+    )
+
+    cfg, bucket, mk = env
+    store = FlakyStore(Store("sqlite:///:memory:"),
+                       fail_methods={"add_fingerprints"})  # down forever
+    analyzer = mk(store)
+    flaky = _FlakyCorpus(analyzer.corpus)
+    analyzer.corpus = flaky
+    with pytest.raises(TransientAnalysisError) as ei:
+        analyzer.analyze("videos", "orig.y4m",
+                         retry_ctx=AnalysisRetryContext(more_attempts=True))
+    assert flaky.remove_attempts == 1            # attempted, failed, deferred
+    # The verdict WAS recorded despite the failed removal: the attempt's
+    # registry entry holds the non-terminal 'retrying' state.
+    states = analyzer.registry.snapshot()
+    assert any(s.get("status") == "retrying" for s in states.values()), states
+    # The landed row rides the exception so the re-run supersedes it.
+    assert ei.value.video_id is not None
+
+
+def test_supersede_remove_failure_surfaces_transient(env):
+    """Review r4: a retry attempt whose supersede removal fails (collective
+    remove against a still-down store) must surface ANOTHER transient
+    attempt — with this attempt's landed row in tow — instead of escaping
+    as a raw ConnectionError that kills the service retry loop."""
+    from tvidz_tpu.pipeline.analyzer import (
+        AnalysisRetryContext,
+        TransientAnalysisError,
+    )
+
+    cfg, bucket, mk = env
+    store = Store("sqlite:///:memory:")
+    analyzer = mk(store)
+    r1 = analyzer.analyze("videos", "orig.y4m")
+    assert r1.status == "done"
+    # A prior FAILED attempt of copy.y4m left an orphan row (the thing a
+    # retry's supersede_vids carries).
+    orphan = store.add_video("copy.y4m")
+
+    flaky = _FlakyCorpus(analyzer.corpus, budget=1)
+    analyzer.corpus = flaky
+    with pytest.raises(TransientAnalysisError) as ei:
+        analyzer.analyze(
+            "videos", "copy.y4m",
+            retry_ctx=AnalysisRetryContext(
+                more_attempts=True, supersede_vids=[orphan.id]))
+    assert flaky.remove_attempts == 1
+    # This attempt's own add_video landed before the failed supersede: its
+    # row id must ride the exception so the NEXT attempt supersedes it.
+    assert ei.value.video_id is not None
+    assert ei.value.video_id not in (r1.video_id, orphan.id)
+    # Recovered store: the next attempt (old svs + this row) succeeds and
+    # names the original.
+    r2 = analyzer.analyze(
+        "videos", "copy.y4m",
+        retry_ctx=AnalysisRetryContext(
+            more_attempts=False,
+            supersede_vids=[orphan.id, ei.value.video_id]))
+    assert r2.status == "done"
+    assert r2.duplicates == ["orig.y4m"]

@@ -327,6 +327,7 @@ class CollectiveRunner:
         next loop — hygiene must never stall op application."""
         now = time.monotonic()
         if now - self._wm_last >= self.wm_interval_s:
+            prev_wm_last = self._wm_last
             self._wm_last = now
             try:
                 # Fence check FIRST (even when the seq hasn't advanced —
@@ -344,6 +345,11 @@ class CollectiveRunner:
                         time.time())
                     self._wm_written_seq = self._applied_seq
             except Exception as e:  # noqa: BLE001
+                # Retry NEXT LOOP, not next interval (docstring contract):
+                # a transiently-down store must not stretch the stale-
+                # watermark window to wm_interval_s — peers' pruning pins
+                # on it and lag_ops inflates toward a false alarm.
+                self._wm_last = prev_wm_last
                 log("collective", f"watermark heartbeat failed: {e}")
         if now - self._prune_last >= self.prune_interval_s:
             self._prune_last = now

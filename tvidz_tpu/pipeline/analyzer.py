@@ -261,7 +261,23 @@ class Analyzer:
             for sv in retry_ctx.supersede_vids:
                 if sv == video_id:
                     continue
-                self.corpus.remove_video(sv)
+                try:
+                    self.corpus.remove_video(sv)
+                except Exception as e:  # noqa: BLE001
+                    # Multi-host: the remove is a collective op against
+                    # the same (possibly still-down) store. Analyzing
+                    # with sv's rows live would self-match, so surface
+                    # this as ANOTHER transient attempt — video_id rides
+                    # along so the next attempt supersedes this one's
+                    # landed row too (the service re-appends the old
+                    # supersede_vids from its retry context).
+                    log("analysis-retry",
+                        f"supersede removal of row {sv} failed "
+                        f"transiently: {e}; deferring to the next attempt")
+                    raise TransientAnalysisError(
+                        f"supersede removal failed: {e}",
+                        analysis_key=analysis_key, video_id=video_id,
+                        upload_ts=upload_ts) from e
                 deleted = self._store_soft(
                     "delete_video(retry-supersede)",
                     lambda s=sv: (self.store.delete_video(s), True)[1],
@@ -317,7 +333,19 @@ class Analyzer:
             retrying = transient and retry_ctx is not None \
                 and retry_ctx.more_attempts
             if transient:
-                self.corpus.remove_video(video_id)
+                try:
+                    self.corpus.remove_video(video_id)
+                except Exception as rm_err:  # noqa: BLE001
+                    # Multi-host: the device removal is itself a
+                    # collective op against the down store. It must not
+                    # destroy THIS recovery path (verdict + re-raise to
+                    # the service retry loop) — the re-run supersedes
+                    # video_id first thing, removing these rows once the
+                    # store is back; until then the orphan rows are inert
+                    # to other uploads (different video id).
+                    log("analysis",
+                        f"device-side removal of {video_id} deferred to "
+                        f"the retry's supersede step: {rm_err}")
             existing_duplicates = self.registry.get_existing_duplicates(analysis_key)
             final_state = dict(
                 status="retrying" if retrying else "error",

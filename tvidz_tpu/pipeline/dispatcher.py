@@ -40,6 +40,7 @@ from typing import Optional
 import jax
 import numpy as np
 
+from tvidz_tpu.pipeline.multistream import _bucket
 from tvidz_tpu.utils.logging import log
 
 
@@ -67,16 +68,15 @@ class _Future:
         return self._value
 
 
-def _bucket(k: int) -> int:
-    return 1 << (k - 1).bit_length()
-
-
 class SharedBlockDispatcher:
     """One device program per pass over every concurrent analysis' ready
     block. ``max_bucket`` caps the batch (excess submissions roll into the
-    next pass)."""
+    next pass). Every power-of-two bucket up to the cap MUST be warmed at
+    boot (``warm()``; the entrypoint does) — a cold bucket's 30-80 s
+    on-chip compile would otherwise land inside the first concurrent
+    burst and stall every queued analysis behind this one worker."""
 
-    def __init__(self, model, max_bucket: int = 8):
+    def __init__(self, model, max_bucket: int = 4):
         self.model = model
         self.max_bucket = max(1, max_bucket)
         self._q: "queue.Queue" = queue.Queue()
@@ -118,22 +118,13 @@ class SharedBlockDispatcher:
     def warm(self, max_bucket: Optional[int] = None) -> None:
         """Compile every batch bucket up to ``max_bucket`` (service boot:
         a cold bucket otherwise pays its 30-80 s on-chip compile inside
-        the first concurrent uploads)."""
-        import jax.numpy as jnp
+        the first concurrent uploads). One bucket/warm discipline shared
+        with the multistream engine (same jitted op, same trace
+        signatures)."""
+        from tvidz_tpu.pipeline.multistream import warm_dispatch
 
-        m = self.model
-        k, target = 1, min(max_bucket or self.max_bucket, self.max_bucket)
-        while True:
-            lumas = tuple(
-                jnp.zeros((m.block_frames, m.height, m.width), jnp.uint8)
-                for _ in range(k))
-            carries = [m.init_carry() for _ in range(k)]
-            valid = jnp.full((k,), m.block_frames, jnp.int32)
-            scores, fps, _ = m.forward_streams(lumas, carries, valid)
-            jax.device_get((scores, fps))
-            if k >= target:
-                return
-            k = _bucket(k + 1)
+        warm_dispatch(
+            self.model, min(max_bucket or self.max_bucket, self.max_bucket))
 
     # -- submission -------------------------------------------------------------------
 

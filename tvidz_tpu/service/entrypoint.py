@@ -119,17 +119,20 @@ def _warmup_device(config: Config) -> None:
     np.asarray(scores[:1])
     if config.pipeline.shared_dispatcher:
         # The analyzer's hot path is the shared batched dispatch
-        # (pipeline/dispatcher.py); pre-compile its first buckets so the
-        # first concurrent uploads don't pay 30-80 s on-chip compiles.
-        # The jitted op is module-level, so these compiles serve the
-        # app's dispatcher too (same shapes + static args).
+        # (pipeline/dispatcher.py); pre-compile EVERY bucket it can hit —
+        # a cold bucket's 30-80 s on-chip compile would otherwise land
+        # inside the first concurrent burst and stall every analysis
+        # queued behind the one worker. The jitted op is module-level, so
+        # these compiles serve the app's dispatcher too (same shapes +
+        # static args), and the persistent XLA cache makes them one-time
+        # per machine.
         from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
 
-        SharedBlockDispatcher(model).warm(max_bucket=2)
+        SharedBlockDispatcher(model).warm()
     log("entrypoint",
         f"device warm: fused op compiled for "
         f"{model.block_frames}x{model.height}x{model.width}"
-        + (" (+batched buckets 1-2)" if config.pipeline.shared_dispatcher
+        + (" (+all batched buckets)" if config.pipeline.shared_dispatcher
            else ""))
 
 
