@@ -222,6 +222,15 @@ def test_admin_evict_route():
             r = client.post("/admin/evict-host",
                             json_body={"host": "host-0"})
             assert r.status_code == 400          # cannot self-evict
+            # Unregistered member = operator typo: reject with the
+            # registered membership instead of minting a useless sentinel
+            # (review r4 #4).
+            r = client.post("/admin/evict-host",
+                            json_body={"host": "host-3"})
+            assert r.status_code == 400
+            assert "host-0" in r.get_json()["members"]
+            import time as _time
+            store.set_collective_watermark("host-3", 0, _time.time())
             r = client.post("/admin/evict-host",
                             json_body={"host": "host-3"})
             assert r.status_code == 200

@@ -1,0 +1,290 @@
+"""Round-4 review regressions (second pass): supersede-path verdicts,
+retry-context pruning, dispatcher blast-radius isolation, evict-host
+member validation, bench-table artifact selection.
+
+Findings and the behaviors pinned here:
+  #1 a supersede-removal failure must record a registry verdict before
+     raising — a final-attempt failure on that path otherwise leaves the
+     upload 'pending' forever (no entry at all);
+  #2 a FULLY superseded row (device remove + durable delete both done)
+     must be pruned from the retry context so later attempts don't
+     re-issue collective removes for rows that are already gone;
+  #3 one analysis' failing block must not terminally error every
+     unrelated upload batched with it in the shared dispatcher;
+  #4 evicting an UNREGISTERED member must be rejected (it cannot be
+     pinning pruning — accepting the typo hides the real stalled member);
+  #5 the perf-table generator must pick the latest BENCH_r*.json by
+     BASENAME round number, not by the first r<digit> anywhere in the
+     path (e.g. a '.../runner2/...' checkout dir).
+"""
+
+import importlib.util
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+from tvidz_tpu.corpus.store import Store
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.decode.y4m import write_y4m
+from tvidz_tpu.pipeline.analyzer import (
+    AnalysisRetryContext,
+    Analyzer,
+    TransientAnalysisError,
+)
+from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture
+def env(tmp_path):
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.decode_prefetch_blocks = 0
+    cfg.pipeline.store_retry_attempts = 2
+    cfg.pipeline.store_retry_wait_s = 0.01
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+    luma, _ = synthetic_video(num_frames=96, height=72, width=96,
+                              cut_frames=(30, 70), seed=3)
+    write_y4m(str(bucket / "orig.y4m"), luma)
+    shutil.copy(bucket / "orig.y4m", bucket / "copy.y4m")
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    def mk_analyzer(store):
+        corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                              fp_block_n=256)
+        return Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+
+    return cfg, bucket, mk_analyzer
+
+
+class _RemoveFailsCorpus:
+    """Delegates to a DeviceCorpus; remove_video raises transiently like a
+    MultiHostCorpusClient riding a down store."""
+
+    def __init__(self, inner, budget=None):
+        self._inner = inner
+        self.budget = budget
+        self.remove_attempts = 0
+
+    def remove_video(self, vid):
+        self.remove_attempts += 1
+        if self.budget is None or self.budget > 0:
+            if self.budget is not None:
+                self.budget -= 1
+            raise ConnectionError("collective op log unavailable")
+        return self._inner.remove_video(vid)
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+# -- finding #1: supersede failure records a verdict ------------------------------
+
+
+@pytest.mark.parametrize("more_attempts,expected_status", [
+    (True, "retrying"),
+    (False, "error"),
+])
+def test_supersede_failure_records_verdict(env, more_attempts,
+                                           expected_status):
+    """The supersede-removal raise happens BEFORE the analysis seeds its
+    registry entry; without an explicit verdict there, /status would show
+    'pending' forever after a final-attempt failure (review r4 #1)."""
+    cfg, bucket, mk = env
+    store = Store("sqlite:///:memory:")
+    analyzer = mk(store)
+    orphan = store.add_video("copy.y4m")
+    analyzer.corpus = _RemoveFailsCorpus(analyzer.corpus)
+
+    with pytest.raises(TransientAnalysisError):
+        analyzer.analyze(
+            "videos", "copy.y4m",
+            retry_ctx=AnalysisRetryContext(
+                more_attempts=more_attempts, supersede_vids=[orphan.id]))
+    states = analyzer.registry.snapshot()
+    assert states, "no registry entry at all — watchers see 'pending' forever"
+    assert any(s.get("status") == expected_status for s in states.values()), \
+        states
+    store.close()
+
+
+# -- finding #2: completed supersedes pruned from the retry context ---------------
+
+
+def test_completed_supersede_pruned_from_retry_ctx(env):
+    """device remove + durable delete both succeeded => the vid must leave
+    the retry context (a later attempt re-removing it would be a wasted
+    collective op that can spuriously fail the final attempt)."""
+    cfg, bucket, mk = env
+    store = Store("sqlite:///:memory:")
+    analyzer = mk(store)
+    orphan = store.add_video("copy.y4m")
+    ctx = AnalysisRetryContext(more_attempts=True,
+                               supersede_vids=[orphan.id])
+    res = analyzer.analyze("videos", "copy.y4m", retry_ctx=ctx)
+    assert res.status == "done"
+    assert ctx.supersede_vids == []        # fully superseded => pruned
+    assert store.get_video_by_id(orphan.id) is None
+    store.close()
+
+
+def test_soft_failed_delete_stays_in_retry_ctx(env):
+    """Durable delete failed transiently (device remove succeeded): the vid
+    must STAY carried so a later attempt retries the delete if this run
+    dies before finalization re-applies it."""
+    cfg, bucket, mk = env
+
+    class _DeleteDownStore:
+        def __init__(self, inner):
+            self._inner = inner
+            self.delete_attempts = 0
+
+        def delete_video(self, vid):
+            self.delete_attempts += 1
+            raise ConnectionError("store down: delete_video")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    store = Store("sqlite:///:memory:")
+    flaky = _DeleteDownStore(store)
+    analyzer = mk(flaky)
+    orphan = store.add_video("copy.y4m")
+    ctx = AnalysisRetryContext(more_attempts=True,
+                               supersede_vids=[orphan.id])
+    res = analyzer.analyze("videos", "copy.y4m", retry_ctx=ctx)
+    assert res.status == "done"
+    assert flaky.delete_attempts >= 1
+    assert orphan.id in ctx.supersede_vids   # delete still owed
+    store.close()
+
+
+# -- finding #3: dispatcher isolates a failing block --------------------------------
+
+
+class _PoisonModel:
+    """forward_streams raises for any batched (k>1) pass, and for the
+    poison block (all-255 luma) in a singleton pass."""
+
+    def __init__(self, words=2):
+        self.words = words
+        self.calls = []
+
+    def forward_streams(self, lumas, carries, valid):
+        k = len(lumas)
+        self.calls.append(k)
+        if k > 1:
+            raise RuntimeError("batched pass boom")
+        luma = np.asarray(lumas[0])
+        if luma.size and int(luma.max()) == 255:
+            raise RuntimeError("poison block")
+        t = luma.shape[0]
+        scores = np.zeros((1, t), np.float32)
+        fps = np.zeros((1, t, self.words), np.uint32)
+        return scores, fps, [carries[0]]
+
+
+def test_dispatcher_isolates_failing_block():
+    """A batched pass failure re-runs each block as its own bucket-1 pass:
+    only the poison block's analysis fails; the innocent one gets its
+    result exactly as a direct per-thread dispatch would have (review
+    r4 #3 — one upload's bad block must not error unrelated uploads)."""
+    from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
+
+    model = _PoisonModel()
+    d = SharedBlockDispatcher(model, max_bucket=4)
+    good = np.zeros((4, 8, 8), np.uint8)
+    poison = np.full((4, 8, 8), 255, np.uint8)
+    # Queue both BEFORE starting the worker so they land in one pass.
+    f_good = d.submit(good, carry=None, valid_t=4)
+    f_poison = d.submit(poison, carry=None, valid_t=4)
+    d.start()
+    try:
+        scores, fps, _carry = f_good.result(timeout=30)
+        assert scores.shape == (4,)
+        assert fps.shape == (4, 2)
+        with pytest.raises(RuntimeError, match="poison block"):
+            f_poison.result(timeout=30)
+        # One failed batched attempt, then one singleton per block.
+        assert model.calls[0] == 2
+        assert model.calls.count(1) == 2
+        # The worker keeps serving after the failed pass.
+        f2 = d.submit(good, carry=None, valid_t=4)
+        scores2, _, _ = f2.result(timeout=30)
+        assert scores2.shape == (4,)
+    finally:
+        d.stop()
+
+
+def test_dispatcher_single_block_failure_direct():
+    """k==1 pass failure has no one else to protect: fail directly, no
+    pointless second identical attempt."""
+    from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
+
+    model = _PoisonModel()
+    d = SharedBlockDispatcher(model, max_bucket=4).start()
+    try:
+        poison = np.full((4, 8, 8), 255, np.uint8)
+        f = d.submit(poison, carry=None, valid_t=4)
+        with pytest.raises(RuntimeError, match="poison block"):
+            f.result(timeout=30)
+        assert model.calls == [1]
+    finally:
+        d.stop()
+
+
+# -- finding #4: evict-host member validation ---------------------------------------
+
+
+def test_evict_unknown_member_rejected(tmp_path):
+    db = str(tmp_path / "shared.db")
+    store = Store(f"sqlite:///{db}")
+    store.set_collective_watermark("host-0", 7, time.time())
+    with pytest.raises(KeyError):
+        store.evict_collective_member("host-3")
+    # No sentinel row was minted for the typo.
+    assert store.collective_watermark("host-3") is None
+    # The registered member still evicts fine.
+    store.evict_collective_member("host-0")
+    assert store.collective_watermark("host-0") < 0
+    store.close()
+
+    from tvidz_tpu.cli import main
+    rc = main(["evict-host", "host-9", "--db", f"sqlite:///{db}"])
+    assert rc == 2
+
+
+# -- finding #5: bench_table latest-artifact selection -------------------------------
+
+
+def test_bench_table_latest_uses_basename(tmp_path):
+    spec = importlib.util.spec_from_file_location(
+        "bench_table", os.path.join(ROOT, "scripts", "bench_table.py"))
+    bt = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bt)
+    # A checkout path containing 'r<digit>' (e.g. CI runner dirs) must not
+    # poison the round-number sort key.
+    root = tmp_path / "runner2" / "repo"
+    os.makedirs(root)
+    for r in (9, 10):
+        with open(root / f"BENCH_r{r:02d}.json", "w") as f:
+            json.dump({"metric": "m", "value": r}, f)
+    bt.ROOT = str(root)
+    name, data = bt.latest_bench()
+    assert name == "BENCH_r10.json"
+    assert data["value"] == 10

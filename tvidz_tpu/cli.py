@@ -217,7 +217,14 @@ def cmd_evict_host(args) -> int:
         return 2
     store = Store(args.db)
     try:
-        store.evict_collective_member(args.host)
+        try:
+            store.evict_collective_member(args.host)
+        except KeyError:
+            members = sorted(h for h, _s, _u in store.collective_watermarks())
+            print(f"error: {args.host} is not a registered collective "
+                  f"member (registered: {members or 'none'})",
+                  file=sys.stderr)
+            return 2
         out = {
             "status": "evicted",
             "host": args.host,

@@ -644,16 +644,27 @@ class Store:
         and (b) FENCES the member — its executor discovers the sentinel at
         the next hygiene pass and refuses to serve rather than later
         gap-skipping pruned rows it never read. Re-admission is a cluster
-        restart (start() clears rows outside the new membership)."""
+        restart (start() clears rows outside the new membership).
+
+        Raises KeyError for a member that never registered a watermark
+        row (review r4 #4): an unregistered host cannot pin pruning, so
+        "evicting" it is always an operator typo — inserting a sentinel
+        for it would report success while the actually-stalled member
+        keeps pinning."""
         ph = self._ph()
         with self._lock:
             cur = self._conn.cursor()
             cur.execute(
-                f"INSERT INTO collective_watermarks (host_id, seq, updated_at) "
-                f"VALUES ({ph}, {ph}, {ph}) "
-                f"ON CONFLICT (host_id) DO UPDATE SET "
-                f"seq = excluded.seq, updated_at = excluded.updated_at",
-                (host_id, self.EVICTED_WATERMARK, time.time()),
+                f"SELECT 1 FROM collective_watermarks WHERE host_id = {ph}",
+                (host_id,),
+            )
+            if cur.fetchone() is None:
+                raise KeyError(
+                    f"{host_id} is not a registered collective member")
+            cur.execute(
+                f"UPDATE collective_watermarks "
+                f"SET seq = {ph}, updated_at = {ph} WHERE host_id = {ph}",
+                (self.EVICTED_WATERMARK, time.time(), host_id),
             )
             self._conn.commit()
 

@@ -58,28 +58,15 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from tvidz_tpu.utils import log
+from tvidz_tpu.utils.futures import Future as _BaseFuture
 
 
-class _Future:
+class _Future(_BaseFuture):
+    """Collective-op future (shared utils.futures.Future with the op
+    timeout message)."""
+
     def __init__(self) -> None:
-        self._evt = threading.Event()
-        self._result: Any = None
-        self._error: Optional[BaseException] = None
-
-    def resolve(self, result: Any) -> None:
-        self._result = result
-        self._evt.set()
-
-    def fail(self, err: BaseException) -> None:
-        self._error = err
-        self._evt.set()
-
-    def wait(self, timeout: Optional[float] = None) -> Any:
-        if not self._evt.wait(timeout):
-            raise TimeoutError("collective op timed out")
-        if self._error is not None:
-            raise self._error
-        return self._result
+        super().__init__(timeout_msg="collective op timed out")
 
 
 class CollectiveRunner:

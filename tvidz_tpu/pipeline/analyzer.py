@@ -258,7 +258,7 @@ class Analyzer:
         # delete is deferred to this run's finalization re-apply.
         pending_deletes: List[int] = []
         if retry_ctx:
-            for sv in retry_ctx.supersede_vids:
+            for sv in list(retry_ctx.supersede_vids):
                 if sv == video_id:
                     continue
                 try:
@@ -270,10 +270,25 @@ class Analyzer:
                     # this as ANOTHER transient attempt — video_id rides
                     # along so the next attempt supersedes this one's
                     # landed row too (the service re-appends the old
-                    # supersede_vids from its retry context).
+                    # supersede_vids from its retry context). Record a
+                    # verdict FIRST: without it this attempt has no
+                    # registry entry at all and a final-attempt failure
+                    # here would leave /status 'pending' forever.
                     log("analysis-retry",
                         f"supersede removal of row {sv} failed "
                         f"transiently: {e}; deferring to the next attempt")
+                    retrying = retry_ctx.more_attempts
+                    self.registry.seed(
+                        analysis_key, original_filename=filename,
+                        clean_filename=original_filename)
+                    self.registry.finish(
+                        analysis_key,
+                        status="retrying" if retrying else "error",
+                        error=f"supersede removal failed: {e}",
+                        progress=0.0, total_cuts=0, duplicates=[],
+                        original_filename=filename,
+                        clean_filename=original_filename,
+                    )
                     raise TransientAnalysisError(
                         f"supersede removal failed: {e}",
                         analysis_key=analysis_key, video_id=video_id,
@@ -285,6 +300,14 @@ class Analyzer:
                 if deleted:
                     log("analysis-retry",
                         f"superseded failed attempt row {sv}")
+                    # Fully superseded (device remove + durable delete):
+                    # drop it from the retry context so a later attempt
+                    # doesn't re-issue the remove as a fresh collective
+                    # op — and can't spuriously fail on a row that's
+                    # already gone. A soft-failed durable delete stays
+                    # carried (pending_deletes covers THIS run; the next
+                    # attempt must still retry it if this one dies).
+                    retry_ctx.supersede_vids.remove(sv)
                 else:
                     pending_deletes.append(sv)
         with self._active_lock:

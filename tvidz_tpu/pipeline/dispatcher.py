@@ -25,9 +25,12 @@ service path without touching the analyzer's host logic:
   multistream: tuple+pretransfer 203-224 f/s vs host-stacked 184-199,
   docs/kernels.md §6).
 
-Failure semantics: an exception inside a pass fails every future in that
-pass (each analysis thread sees it exactly where a direct forward would
-have raised) and the worker keeps serving subsequent passes.
+Failure semantics: when a batched pass raises, each of its blocks is
+re-run as its own bucket-1 pass so only blocks whose OWN forward raises
+fail their analysis (each thread sees exactly what a direct per-thread
+dispatch would have produced — one upload's bad block cannot terminally
+error the unrelated uploads batched with it); the worker keeps serving
+subsequent passes.
 """
 
 from __future__ import annotations
@@ -41,31 +44,22 @@ import jax
 import numpy as np
 
 from tvidz_tpu.pipeline.multistream import _bucket
+from tvidz_tpu.utils.futures import Future as _BaseFuture
 from tvidz_tpu.utils.logging import log
 
 
-class _Future:
-    __slots__ = ("_evt", "_value", "_error")
+class _Future(_BaseFuture):
+    """Block-dispatch future (shared utils.futures.Future with the
+    dispatch timeout message; set/result aliases keep the dispatcher's
+    call-site vocabulary)."""
+
+    __slots__ = ()
 
     def __init__(self):
-        self._evt = threading.Event()
-        self._value = None
-        self._error: Optional[BaseException] = None
+        super().__init__(timeout_msg="block dispatch timed out")
 
-    def set(self, value) -> None:
-        self._value = value
-        self._evt.set()
-
-    def fail(self, err: BaseException) -> None:
-        self._error = err
-        self._evt.set()
-
-    def result(self, timeout: Optional[float] = None):
-        if not self._evt.wait(timeout):
-            raise TimeoutError("block dispatch timed out")
-        if self._error is not None:
-            raise self._error
-        return self._value
+    set = _BaseFuture.resolve
+    result = _BaseFuture.wait
 
 
 class SharedBlockDispatcher:
@@ -189,10 +183,32 @@ class SharedBlockDispatcher:
                     item[3].set((scores_h[j], fps_h[j], new_carries[j]))
                 self.passes += 1
                 self.blocks += k
-            except Exception as e:  # noqa: BLE001 — fail the pass, keep serving
-                log("dispatcher", f"batched pass failed ({k} blocks): {e}")
-                for item in batch:
-                    item[3].fail(e)
+            except Exception as e:  # noqa: BLE001 — isolate, keep serving
+                # Blast-radius isolation (review r4 #3): one analysis'
+                # failing block must not terminally error every unrelated
+                # upload batched with it. Re-run each block as its own
+                # bucket-1 pass (warm() compiled it) so only the blocks
+                # whose OWN forward raises fail — the same outcome a
+                # direct per-thread dispatch would have produced.
+                log("dispatcher",
+                    f"batched pass failed ({k} blocks): {e}; retrying "
+                    "each block individually")
+                if k == 1:
+                    batch[0][3].fail(e)
+                else:
+                    for item in batch:
+                        try:
+                            s_dev, f_dev, ncs = self.model.forward_streams(
+                                (item[0],), [item[1]],
+                                jnp.asarray([item[2]], jnp.int32))
+                            s_h, f_h = jax.device_get((s_dev, f_dev))
+                            item[3].set((s_h[0], f_h[0], ncs[0]))
+                            self.passes += 1
+                            self.blocks += 1
+                        except Exception as e1:  # noqa: BLE001
+                            log("dispatcher",
+                                f"isolated block failed: {e1}")
+                            item[3].fail(e1)
             finally:
                 self._pass_started = None
 

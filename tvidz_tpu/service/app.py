@@ -742,7 +742,18 @@ class InspectorApp:
                 return jsonify(
                     {"error": "cannot evict the serving host through "
                               "itself; call a peer"}, 400)
-            self.store.evict_collective_member(str(member))
+            try:
+                self.store.evict_collective_member(str(member))
+            except KeyError:
+                # Unregistered member = operator typo; a 200 here would
+                # read as "runbook step done" while the actually-stalled
+                # member keeps pinning pruning (review r4 #4).
+                return jsonify(
+                    {"error": f"{member} is not a registered collective "
+                              "member",
+                     "members": sorted(
+                         h for h, _s, _u in
+                         self.store.collective_watermarks())}, 400)
             log("admin", f"evicted collective member {member}")
             return jsonify({"status": "evicted", "host": member,
                             "oplog": runner.oplog_status()})

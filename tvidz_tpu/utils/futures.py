@@ -1,0 +1,46 @@
+"""One thread-safe future for the codebase's submit/executor pairs.
+
+Both the multi-host collective runner (parallel/collective.py) and the
+shared block dispatcher (pipeline/dispatcher.py) hand a caller thread a
+handle that a single executor thread later resolves or fails. They each
+grew a private copy of the same event/value/error/timeout pattern; this
+is the one implementation (review r4 #6).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Optional
+
+
+class Future:
+    """resolve()/fail() at most once from the executor; wait() from the
+    submitting thread raises TimeoutError(timeout_msg) when the executor
+    never answers, or re-raises the executor's failure."""
+
+    __slots__ = ("_evt", "_value", "_error", "_timeout_msg")
+
+    def __init__(self, timeout_msg: str = "operation timed out"):
+        self._evt = threading.Event()
+        self._value: Any = None
+        self._error: Optional[BaseException] = None
+        self._timeout_msg = timeout_msg
+
+    def resolve(self, value: Any) -> None:
+        self._value = value
+        self._evt.set()
+
+    def fail(self, err: BaseException) -> None:
+        # Fulfilled-at-most-once: a fail() racing an earlier resolve()
+        # (e.g. the dispatcher's stop() drain re-running over an already
+        # answered item) must not flip a delivered result into an error.
+        if not self._evt.is_set():
+            self._error = err
+        self._evt.set()
+
+    def wait(self, timeout: Optional[float] = None) -> Any:
+        if not self._evt.wait(timeout):
+            raise TimeoutError(self._timeout_msg)
+        if self._error is not None:
+            raise self._error
+        return self._value
