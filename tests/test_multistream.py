@@ -63,8 +63,6 @@ def test_dispatch_failure_does_not_leak_decoder_threads(tmp_path, monkeypatch):
     import threading
     import time as _time
 
-    import pytest
-
     from tvidz_tpu.config import Config
     from tvidz_tpu.decode import write_synthetic_y4m
     from tvidz_tpu.models.fingerprint import FingerprintModel
@@ -86,15 +84,20 @@ def test_dispatch_failure_does_not_leak_decoder_threads(tmp_path, monkeypatch):
     real_forward = model.forward_streams
 
     def dying_forward(*a, **kw):
+        # PERSISTENT fault from call 4 on (the device/tunnel is gone, not
+        # a one-block blip): per-stream isolation must retire every stream
+        # with an error — and unblock/retire every decoder thread — rather
+        # than leave them stuck in q.put holding libav handles.
         calls["n"] += 1
-        if calls["n"] == 4:
+        if calls["n"] >= 4:
             raise RuntimeError("injected device fault")
         return real_forward(*a, **kw)
 
     monkeypatch.setattr(model, "forward_streams", dying_forward)
     before = threading.active_count()
-    with pytest.raises(RuntimeError, match="injected device fault"):
-        ms.fingerprint_streams(paths, model=model)
+    results, _stats = ms.fingerprint_streams(paths, model=model)
+    assert any(r.error and "injected device fault" in r.error
+               for r in results)
     deadline = _time.time() + 10
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
@@ -159,3 +162,53 @@ def test_warm_dispatch_compiles_buckets():
     cfg = _cfg()
     model = FingerprintModel(cfg)
     warm_dispatch(model, 3)   # buckets 1, 2, 4 — must not raise
+
+
+class _PoisonWrap:
+    """Wraps a real FingerprintModel; forward_streams raises whenever the
+    pass contains a block from the poison video (all-255 luma) — simulating
+    a device-level failure tied to ONE stream's data."""
+
+    def __init__(self, inner):
+        self._inner = inner
+        self.batched_failures = 0
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+    def forward_streams(self, lumas, carries, valid):
+        # All-255 luma marks the poison video (min==255 — a normal video's
+        # noise hits individual 255 pixels, never a whole 255 block).
+        poisoned = any(int(np.asarray(l).min()) == 255 for l in lumas)
+        if poisoned:
+            if len(lumas) > 1:
+                self.batched_failures += 1
+            raise RuntimeError("poison block")
+        return self._inner.forward_streams(lumas, carries, valid)
+
+
+def test_stream_failure_isolated_to_its_stream(tmp_path):
+    """Review r4 #3 (library path): a device failure tied to one stream's
+    block retires THAT stream with an error; the other streams complete
+    with their normal results instead of the whole loop dying."""
+    cfg = _cfg()
+    model = _PoisonWrap(FingerprintModel(cfg))
+
+    luma, _ = synthetic_video(num_frames=96, height=72, width=96,
+                              cut_frames=(30, 60), seed=7)
+    good = str(tmp_path / "good.y4m")
+    write_y4m(good, luma, fps=25.0)
+    poison = str(tmp_path / "poison.y4m")
+    write_y4m(poison, np.full((64, 72, 96), 255, np.uint8), fps=25.0)
+
+    results, stats = fingerprint_streams(
+        [good, poison], model=model, max_active=2)
+    by_path = {r.path: r for r in results}
+    g, p = by_path[good], by_path[poison]
+    assert p.error is not None and "poison" in p.error
+    assert g.error is None
+    assert g.frames == 96
+    # The good stream's results match its single-stream analysis.
+    solo, _ = fingerprint_streams([good], model=FingerprintModel(cfg))
+    assert g.scene_cuts == solo[0].scene_cuts
+    assert np.array_equal(g.fingerprints, solo[0].fingerprints)

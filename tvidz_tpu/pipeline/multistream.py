@@ -289,6 +289,17 @@ def fingerprint_streams(
     pending = None
     t_start = time.perf_counter()
 
+    def fail_stream(s: _Stream, err: Exception) -> None:
+        # Isolate the failure to ITS stream (same blast-radius rule as the
+        # service's shared dispatcher): record the error, retire the
+        # decoder thread, drop it from the loop, admit a waiting path.
+        s.error = s.error or f"device dispatch failed: {err}"
+        s.stop()
+        for i, cand in list(active.items()):
+            if cand is s:
+                del active[i]
+        admit()
+
     try:
         while active or pending is not None:
             ready = []
@@ -311,14 +322,33 @@ def fingerprint_streams(
             new_pending = None
             if ready:
                 t0 = time.perf_counter()
-                new_pending = _dispatch(model, ready)
+                try:
+                    new_pending = _dispatch(model, ready)
+                    dispatches += 1
+                except Exception as e:  # noqa: BLE001 — isolate per stream
+                    # One stream's failing block must not error the others:
+                    # re-run each ready block as its own bucket-1 pass and
+                    # retire only the streams whose OWN forward raises.
+                    for s, block, dev in ready:
+                        try:
+                            p = _dispatch(model, [(s, block, dev)])
+                            _resolve(model, p)
+                            dispatches += 1
+                        except Exception as e1:  # noqa: BLE001
+                            fail_stream(s, e1)
                 device_s += time.perf_counter() - t0
-                dispatches += 1
             if pending is not None:
                 # Resolve the PREVIOUS pass while this pass's program runs
                 # and the decoder threads refill their queues.
                 t0 = time.perf_counter()
-                _resolve(model, pending)
+                try:
+                    _resolve(model, pending)
+                except Exception as e:  # noqa: BLE001 — transport-level
+                    # The pull failed for the whole pass (device/transfer
+                    # error): only ITS streams are affected; the rest of
+                    # the loop keeps serving.
+                    for s, _block, _t in pending[0]:
+                        fail_stream(s, e)
                 device_s += time.perf_counter() - t0
             pending = new_pending
             if not ready and pending is None and active:
