@@ -312,3 +312,48 @@ def test_pallas_block_n_divisors():
     assert _pallas_block_n(3 * 4096, 8192) == 6144   # largest 128-mult divisor
     assert _pallas_block_n(640, 512) == 128          # 640 = 5*128
     assert _pallas_block_n(100, 8192) == 0           # not 128-aligned
+
+
+def test_multichip_step_ts_parity_hours_into_timeline(mesh):
+    """Long-timeline regression (review r4): the OLD in-kernel f32
+    round(pts*1e6)/1e6 quantized before rounding once pts*1e6 exceeded
+    2^24 (~17 s), diverging from the corpus's f32(round64(pts, 6)) values
+    for ~4% of frames an hour in — under EXACT-equality matching those
+    cuts silently never matched. Rounding now happens at the host
+    boundary (place_step_inputs, float64)."""
+    import jax.numpy as jnp
+
+    from tvidz_tpu.parallel.step import (
+        multichip_analysis_step,
+        place_step_inputs,
+    )
+
+    b, nt, t, h, w = 2, 2, 8, 24, 32
+    rng2 = np.random.default_rng(1)
+    clips = rng2.integers(0, 256, size=(b, nt, t, h, w), dtype=np.uint8)
+    # A 30000/1001 timeline an hour in; frames 3 and 7 land on values the
+    # old in-kernel scheme demonstrably mis-rounded (measured: 17k of
+    # 400k frames past 3600 s).
+    base = 3600.0 + 83 * (1001 / 30000.0)
+    pts = np.tile(
+        base + np.arange(nt * t, dtype=np.float64) * (1001 / 30000.0),
+        (b, 1))
+    mafd = np.full((b, nt * t), 1.0, np.float32)
+    mafd[:, 3] = 80.0
+    mafd[:, 7] = 60.0
+    expect = [round(float(pts[0, 3]), 6), round(float(pts[0, 7]), 6)]
+    n_rows = 8 * mesh.shape["corpus"]
+    corpus_ts = np.full((n_rows, 16), np.nan, np.float32)
+    corpus_ts[0, :2] = expect                  # analyzer-ingested copy
+    corpus_len = np.zeros(n_rows, np.int32)
+    corpus_len[0] = 2
+    corpus_fp = rng2.integers(0, 2**32,
+                              size=(128 * mesh.shape["corpus"], 2),
+                              dtype=np.uint32)
+    with mesh:
+        args = place_step_inputs(mesh, clips, pts, corpus_ts, corpus_len,
+                                 corpus_fp)
+        out = multichip_analysis_step(
+            *args, mesh=mesh, max_cuts=8, mafd=jnp.asarray(mafd))
+        counts = np.asarray(out.ts_counts)
+    assert counts[0, 0] == 2, counts[:, :2]

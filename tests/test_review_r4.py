@@ -288,3 +288,211 @@ def test_bench_table_latest_uses_basename(tmp_path):
     name, data = bt.latest_bench()
     assert name == "BENCH_r10.json"
     assert data["value"] == 10
+
+
+# -- finding: empty-ts upsert clears the row (multi-host parity) --------------------
+
+
+def _mh_stack():
+    from tvidz_tpu.parallel.collective import (
+        CollectiveRunner,
+        MultiHostCorpusClient,
+    )
+    from tvidz_tpu.parallel.distributed import (
+        MultiHostShardedCorpus,
+        make_multihost_mesh,
+    )
+
+    store = Store("sqlite:///:memory:")
+    mesh = make_multihost_mesh()
+    mh = MultiHostShardedCorpus(mesh, max_cuts=16, hamming_threshold=5,
+                                al_tcap=256)
+    runner = CollectiveRunner(store, mh, hamming_threshold=5, poll_s=0.01,
+                              ts_capacity=64, fp_capacity=2048)
+    client = MultiHostCorpusClient(runner, max_cuts=16, op_timeout_s=60)
+    runner.start()
+    return store, runner, client
+
+
+def test_empty_ts_upsert_clears_row_multihost():
+    """A zero-cut re-analysis must OVERWRITE the video's row to length 0
+    (DeviceCorpus.upsert_timestamps parity) — previously the client
+    dropped the op and every host kept matching the stale cuts."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    store, runner, client = _mh_stack()
+    try:
+        client.upsert_timestamps(1, [1.5, 3.25, 9.0])
+        assert client.match_timestamps([1.5, 9.0], min_match=2) == [(1, 2)]
+        client.upsert_timestamps(1, [])          # re-analysis: zero cuts
+        assert client.match_timestamps([1.5, 9.0], min_match=2) == []
+        # DeviceCorpus parity: the video stays counted (row claimed, len 0).
+        assert client.num_videos == 1
+        # And the row was reused, not a second slot burned.
+        assert runner.corpus._ts_rows == 1
+    finally:
+        runner.stop()
+        store.close()
+
+
+def test_mh_search_fingerprints_devicecorpus_parity(rng):
+    """MultiHostCorpusClient.search_fingerprints must produce DeviceCorpus
+    semantics: CORPUS-frame evidence (not per-query-frame nearest) with
+    the same default min_match — identical verdicts when a deployment
+    moves single-host -> multi-host."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    fps_a = rng.integers(0, 2**32, size=(40, 2), dtype=np.uint32)
+    fps_b = rng.integers(0, 2**32, size=(24, 2), dtype=np.uint32)
+    # Query = 8 frames of video A: every near-duplicate CORPUS frame of A
+    # counts (corpus-frame semantics can exceed len(query)).
+    q = fps_a[5:13]
+
+    dc = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                      fp_block_n=256, hamming_threshold=5)
+    dc.append_fingerprints(1, fps_a)
+    dc.append_fingerprints(2, fps_b)
+    expect = dc.search_fingerprints(q, min_match=2)
+    expect_excl = dc.search_fingerprints(q, min_match=2, exclude_video_id=1)
+
+    store, runner, client = _mh_stack()
+    try:
+        client.append_fingerprints(1, fps_a)
+        client.append_fingerprints(2, fps_b)
+        assert client.search_fingerprints(q, min_match=2) == expect
+        assert client.search_fingerprints(
+            q, min_match=2, exclude_video_id=1) == expect_excl
+        # Default min_match matches DeviceCorpus's (2).
+        assert client.search_fingerprints(q) == dc.search_fingerprints(q)
+    finally:
+        runner.stop()
+        store.close()
+
+
+# -- finding: tombstoned rows must not surface from search_fingerprints -------------
+
+
+def test_search_fingerprints_skips_tombstones(rng):
+    """remove_video overwrites rows with the all-ones sentinel; a dense
+    query hash sits within threshold of it — the (-1, count) rows must be
+    filtered like every sibling evidence path does."""
+    c = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                     fp_block_n=256, hamming_threshold=10)
+    c.append_fingerprints(1, rng.integers(0, 2**32, size=(16, 2),
+                                          dtype=np.uint32))
+    c.append_fingerprints(2, rng.integers(0, 2**32, size=(16, 2),
+                                          dtype=np.uint32))
+    c.remove_video(2)
+    dense = np.full((8, 2), 0xFFFFFFFF, np.uint32)   # distance 0 to sentinel
+    hits = c.search_fingerprints(dense, min_match=1)
+    assert all(v >= 0 for v, _ in hits), hits
+
+
+# -- finding: MeshCorpus per-index sync accounting -----------------------------------
+
+
+def test_mesh_sync_bytes_accounted(rng):
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    from tvidz_tpu.parallel.mesh import make_mesh
+    from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
+
+    mc = MeshCorpus(make_mesh(8), ts_initial_capacity=64,
+                    fp_initial_capacity=2048, fp_block_n=256)
+    mc.upsert_timestamps(1, [1.0, 2.0])
+    fps = rng.integers(0, 2**32, size=(16, 2), dtype=np.uint32)
+    mc.append_fingerprints(1, fps)
+    mc.match_timestamps([1.0, 2.0], min_match=2)
+    mc.nearest_video_counts(fps[:8])
+    sb = mc.device_footprint["sync_bytes"]
+    assert sb["ts"] > 0 and sb["fp"] > 0, sb
+    # The aggregate counter keeps counting too.
+    assert mc.sync_bytes_transferred >= sb["ts"] + sb["fp"]
+
+
+# -- finding: host-local op-apply failures must fence, not silently skip -------------
+
+
+def test_deterministic_op_error_keeps_serving():
+    """A data error (ValueError-class) raises identically on every host:
+    the op is consumed, the submitter sees it, the runner keeps serving."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    store, runner, client = _mh_stack()
+    try:
+        fut = runner.submit("no-such-kind", {})
+        with pytest.raises(ValueError):
+            fut.wait(30)
+        assert not runner.evicted.is_set()
+        client.upsert_timestamps(1, [1.5, 3.25])   # still serving
+        assert client.match_timestamps([1.5, 3.25],
+                                       min_match=2) == [(1, 2)]
+    finally:
+        runner.stop()
+        store.close()
+
+
+def test_query_retries_transient_local_failure():
+    """Single-process clusters retry host-local failures of PURE QUERY ops
+    (no peer collectives to desynchronize): a two-shot device blip
+    resolves on the third attempt with no fence."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    store, runner, client = _mh_stack()
+    try:
+        client.upsert_timestamps(1, [1.5, 3.25])
+        orig = runner.corpus.match_timestamps
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] <= 2:
+                raise RuntimeError("transient device blip")
+            return orig(*a, **k)
+
+        runner.corpus.match_timestamps = flaky
+        assert client.match_timestamps([1.5, 3.25],
+                                       min_match=2) == [(1, 2)]
+        assert calls["n"] == 3
+        assert not runner.evicted.is_set()
+    finally:
+        runner.stop()
+        store.close()
+
+
+def test_mutating_op_local_failure_fences():
+    """A host-local failure applying a MUTATING op can be a partial apply
+    (peers landed it, this mirror did not): silently skipping would
+    diverge every later verdict, so the host fences itself — pruning
+    pins, the lag alarm fires, the operator evicts (runbook)."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    store, runner, client = _mh_stack()
+    try:
+        def boom(*a, **k):
+            raise RuntimeError("HBM exhausted mid-append")
+
+        runner.corpus.append_video = boom
+        with pytest.raises(RuntimeError):
+            client.upsert_timestamps(1, [1.5])
+        assert runner.evicted.is_set()
+        assert "host-locally" in (runner.fence_reason or "")
+        assert runner.oplog_status()["fence_reason"]
+        # Fenced = refuses to serve.
+        with pytest.raises(RuntimeError):
+            client.match_timestamps([1.5], min_match=1)
+    finally:
+        runner.stop()
+        store.close()

@@ -673,7 +673,10 @@ class DeviceCorpus:
         out = [
             (int(v), int(c))
             for v, c in zip(uniq, cnt)
-            if c >= min_match and v != exclude_video_id
+            # v >= 0 drops tombstoned rows (remove_video's all-ones
+            # sentinel can sit within threshold of a dense query hash) —
+            # same filter every sibling evidence path applies.
+            if c >= min_match and v >= 0 and v != exclude_video_id
         ]
         out.sort(key=lambda vc: -vc[1])
         return out

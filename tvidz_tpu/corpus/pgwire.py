@@ -269,11 +269,17 @@ class Connection:
     """psycopg2-shaped connection over the wire protocol."""
 
     def __init__(self, host: str, port: int, user: str, password: str,
-                 dbname: str, connect_timeout: float = 30.0):
+                 dbname: str, connect_timeout: float = 30.0,
+                 statement_timeout: float = 600.0):
         self.user = user
         self._password = password
         self._sock = socket.create_connection((host, port),
                                               timeout=connect_timeout)
+        # connect_timeout bounds the HANDSHAKE only; once established,
+        # per-recv waits are bounded by statement_timeout instead — a
+        # statement legitimately silent for >30 s (bulk prune, index
+        # build on a restored table) must not be misclassified as a dead
+        # connection and retried on a fresh socket (review r4).
         self._sock.settimeout(connect_timeout)
         # Each statement is a small request/response exchange; without
         # NODELAY, Nagle + delayed ACK serializes writes at ~13 stmt/s
@@ -286,6 +292,7 @@ class Connection:
         # checks it before every operation (corpus/store.py).
         self.broken = False
         self._startup(dbname)
+        self._sock.settimeout(statement_timeout)
 
     # -- DB-API surface ------------------------------------------------------
 
@@ -477,8 +484,11 @@ class Connection:
                 parts = tag_text.split()
                 if parts and parts[-1].isdigit():
                     rowcount = int(parts[-1])
-            elif tag in (b"1", b"2", b"n", b"s", b"N", b"S", b"I"):
-                continue  # ParseComplete/BindComplete/NoData/... /EmptyQuery
+            elif tag in (b"1", b"2", b"n", b"s", b"N", b"S", b"I", b"A"):
+                # ParseComplete/BindComplete/NoData/PortalSuspended/
+                # Notice/ParameterStatus/EmptyQuery/NotificationResponse —
+                # all fully consumed by read_message, safely ignorable.
+                continue
             elif tag == b"E":
                 error = _error_text(payload)
                 if not until_sync:
@@ -489,7 +499,14 @@ class Connection:
                     raise PgError(error)
                 return rows, description, rowcount
             else:
-                raise PgError(f"unexpected message {tag!r}")
+                # A tag outside the protocol leaves the stream position
+                # untrustworthy: every later read would misparse lengths
+                # as tags. That's a DEAD connection, not a SQL error —
+                # surface it as such so _guard marks broken and the
+                # Store's lazy reconnect replaces the socket (review r4).
+                raise PgConnectionError(
+                    f"unexpected message {tag!r}: protocol stream "
+                    "desynced; discarding connection")
 
 
 def _convert_placeholders(sql: str) -> str:

@@ -28,6 +28,8 @@ The op kinds double as the multi-host wire protocol:
   append    {video_id, n_ts, n_fp, src, ts/fp} payload inline (src feeds psum)
   ts_query  {ts, min_match, tolerance, exclude} payload inline (floats)
   fp_query  {fp(b64), rows, k, threshold, exclude} payload inline
+  fp_evidence {fp(b64), rows, min_match, exclude}  corpus-frame evidence
+            (DeviceCorpus.search_fingerprints parity)
   fragment  {fp(b64), rows, top_k, threshold, exclude} single query
   fragments {fp(b64), rows[], top_k, threshold, excludes[]} whole batch in
             one op row / one batched device dispatch
@@ -112,6 +114,13 @@ class CollectiveRunner:
         # ops and every submit fails — serving a pruned-past log would
         # silently diverge. Re-admission is a cluster restart.
         self.evicted = threading.Event()
+        self.fence_reason: Optional[str] = None
+        # Host-local op-apply failures (device/transport — NOT data errors,
+        # which raise identically on every host): single-process clusters
+        # retry up to this many times; multi-process members fence at once
+        # (re-issuing a collective the peers moved past would pair with
+        # their NEXT op's collective). See _apply.
+        self.apply_retry_attempts = 4
         self._wm_written_seq = -1
         self._wm_last = 0.0
         self._prune_last = time.monotonic()
@@ -297,12 +306,11 @@ class CollectiveRunner:
                         self._gap_seq = None
                     break
                 self._gap_seq = None
-                # Advance the watermark BEFORE _apply resolves the
-                # submitter's Future: a submitter whose wait() returned
-                # must observe the watermark past its op (the restart
-                # warm-read logic and tests rely on that ordering).
-                self._applied_seq = seq
-                self._apply(seq, kind, meta)
+                # _apply advances _applied_seq itself (before resolving
+                # the submitter's Future — restart warm reads rely on
+                # that ordering) and returns False when this host fenced.
+                if not self._apply(seq, kind, meta):
+                    return
             else:
                 continue
             time.sleep(self.poll_s)
@@ -352,15 +360,18 @@ class CollectiveRunner:
             except Exception as e:  # noqa: BLE001
                 log("collective", f"op-log prune failed: {e}")
 
-    def _fence(self) -> None:
-        """This member was evicted: refuse to serve. Readiness is cleared
-        (every future submit raises), pending futures fail fast, and the
-        executor loop exits — applying further ops could read a log whose
-        earlier rows were pruned away, silently diverging this host's
-        corpus mirror. Re-admission is a full cluster restart."""
+    def _fence(self, reason: str = "operator eviction") -> None:
+        """This member must refuse to serve (operator eviction, or a
+        host-LOCAL op-apply failure its peers did not share). Readiness is
+        cleared (every future submit raises), pending futures fail fast,
+        and the executor loop exits — applying further ops could read a
+        log whose earlier rows were pruned away (eviction) or a mirror
+        missing an op its peers applied (local failure): either way,
+        silent divergence. Re-admission is a full cluster restart."""
+        self.fence_reason = reason
         log("collective",
-            f"host {self.process_index} EVICTED from the collective "
-            "cluster (operator fence); refusing to serve — restart the "
+            f"host {self.process_index} FENCED from the collective "
+            f"cluster ({reason}); refusing to serve — restart the "
             "cluster to re-admit (docs/multihost.md)")
         self.evicted.set()
         self._ready.clear()
@@ -368,7 +379,7 @@ class CollectiveRunner:
         with self._pending_lock:
             pending, self._pending = dict(self._pending), {}
         err = RuntimeError(
-            "this host was evicted from the collective cluster")
+            f"this host was fenced from the collective cluster ({reason})")
         for fut in pending.values():
             fut.fail(err)
 
@@ -393,26 +404,78 @@ class CollectiveRunner:
                 for h, s, u in marks
             },
             "evicted_self": self.evicted.is_set(),
+            "fence_reason": self.fence_reason,
         }
 
     def _take_pending(self, meta) -> Optional[_Future]:
         with self._pending_lock:
             return self._pending.pop(meta.get("op", ""), None)
 
-    def _apply(self, seq: int, kind: str, meta: dict) -> None:
+    def _apply(self, seq: int, kind: str, meta: dict) -> bool:
+        """Apply one op; returns False when this host fenced itself (the
+        executor must exit). Advances _applied_seq BEFORE resolving the
+        submitter's Future (a submitter whose wait() returned must observe
+        the watermark past its op — restart warm reads rely on it).
+
+        Failure policy (review r4): ops are deterministic functions of the
+        identical host mirrors, so a DATA error ((Value/Type/Key/Index)
+        Error) raises identically on every host — the log stays aligned,
+        fail the future and move on. Anything else (device/transport) is
+        HOST-LOCAL: peers applied the op, this mirror did not, and silently
+        skipping it would diverge every later query. Single-process
+        clusters retry it (no peer collectives to desynchronize); a
+        multi-process member must NOT re-issue a collective its peers have
+        moved past (the retry psum would pair with their NEXT op's
+        collective), so it fences itself instead — peers' pruning then
+        pins on its watermark, the lag alarm fires, and the operator
+        evicts it (docs/multihost.md runbook)."""
+        import jax
+
         fut = self._take_pending(meta)
         mine = fut is not None
-        try:
-            result = self._execute(kind, meta)
-        except Exception as e:  # noqa: BLE001
-            # Deterministic corpus state => every host raises identically
-            # (e.g. capacity exhausted); the log stays aligned.
-            log("collective", f"op {seq} ({kind}) failed: {e}")
-            if mine:
-                fut.fail(e)
-            return
+        attempt = 0
+        while True:
+            try:
+                result = self._execute(kind, meta)
+                break
+            except (ValueError, TypeError, KeyError, IndexError) as e:
+                # Deterministic given identical mirrors: aligned on every
+                # host; the op is consumed.
+                log("collective", f"op {seq} ({kind}) failed: {e}")
+                self._applied_seq = seq
+                if mine:
+                    fut.fail(e)
+                return True
+            except Exception as e:  # noqa: BLE001 — host-local failure
+                attempt += 1
+                # Retries are safe only for PURE QUERY ops: a mutating op
+                # can partially apply before raising (fp rows landed,
+                # alignment append failed), so re-running it would
+                # double-append. Mutations fence on first failure.
+                retryable = (jax.process_count() == 1
+                             and kind in ("ts_query", "fp_query",
+                                          "fp_evidence", "fragment",
+                                          "fragments"))
+                if retryable and attempt < self.apply_retry_attempts \
+                        and not self._stop.is_set():
+                    log("collective",
+                        f"op {seq} ({kind}) failed locally (attempt "
+                        f"{attempt}/{self.apply_retry_attempts}): {e}; "
+                        "retrying")
+                    time.sleep(min(0.1 * (2 ** attempt), 2.0))
+                    continue
+                log("collective",
+                    f"op {seq} ({kind}) failed on this host after "
+                    f"{attempt} attempt(s): {e}")
+                if mine:
+                    fut.fail(e)
+                self._fence(
+                    f"op {seq} ({kind}) failed host-locally: {e}")
+                return False
+        self._applied_seq = seq
         if mine:
             fut.resolve(result)
+        return True
 
     def _execute(self, kind: str, meta: dict):
         c = self.corpus
@@ -435,9 +498,16 @@ class CollectiveRunner:
                     fps = np.frombuffer(
                         base64.b64decode(meta["fp"]), np.uint32
                     ).reshape(n_fp, -1).copy()
+            # "ts" key present (even as []) marks a TIMESTAMP UPSERT op:
+            # a zero-cut re-analysis must overwrite the row to length 0
+            # (DeviceCorpus parity), while fp-only appends (no "ts" key)
+            # must not claim a ts row. Every host reads the flag from the
+            # log row itself.
+            ts_upsert = meta.get("ts") is not None
             c.append_video(vid, ts=ts, fps=fps, src_process=src,
-                           n_ts=n_ts, n_fp=n_fp)
-            if n_ts:
+                           n_ts=n_ts, n_fp=n_fp,
+                           upsert_empty_ts=ts_upsert and n_ts == 0)
+            if n_ts or ts_upsert:
                 self._video_ids.add(vid)
             return None
         if kind == "ts_query":
@@ -456,6 +526,17 @@ class CollectiveRunner:
             ).reshape(int(meta["rows"]), -1).copy()
             nn = c.nearest_fingerprints(q, k=int(meta.get("k", 1)))
             return nn
+        if kind == "fp_evidence":
+            # DeviceCorpus.search_fingerprints semantics (corpus-frame
+            # evidence) on the host-spanning corpus — a collective like
+            # every query, so each host computes the replicated result.
+            q = np.frombuffer(
+                base64.b64decode(meta["fp"]), np.uint32
+            ).reshape(int(meta["rows"]), -1).copy()
+            return c.search_fingerprints(
+                q, min_match=int(meta.get("min_match", 2)),
+                exclude_video_id=meta.get("exclude"),
+            )
         if kind == "fragment":
             q = np.frombuffer(
                 base64.b64decode(meta["fp"]), np.uint32
@@ -494,8 +575,6 @@ class CollectiveRunner:
                 _EmptyStore(), min_ts_rows=self.ts_capacity,
                 min_fp_rows=self.fp_capacity)
             self._video_ids.clear()
-            c._fp_count = 0
-            c._ts_rows = 0
             return None
         raise ValueError(f"unknown collective op kind: {kind}")
 
@@ -543,8 +622,9 @@ class MultiHostCorpusClient:
 
     def upsert_timestamps(self, video_id: int, timestamps) -> None:
         ts = [float(t) for t in timestamps][: self.max_cuts]
-        if not ts:
-            return
+        # Empty ts still submits: a zero-cut re-analysis OVERWRITES the
+        # video's row to length 0 (DeviceCorpus parity — dropping it would
+        # leave every host matching against the stale cuts forever).
         # Ingest payloads travel IN the op row (KBs) so the op is fully
         # reconstructible from the log on the source too — see the append
         # branch of CollectiveRunner._execute.
@@ -623,14 +703,24 @@ class MultiHostCorpusClient:
                 out[vid] = out.get(vid, 0) + 1
         return out
 
-    def search_fingerprints(self, query: np.ndarray, min_match: int = 1,
+    def search_fingerprints(self, query: np.ndarray, min_match: int = 2,
                             exclude_video_id: Optional[int] = None
                             ) -> List[Tuple[int, int]]:
-        counts = self.nearest_video_counts(
-            query, exclude_video_id=exclude_video_id)
-        out = [(v, c) for v, c in counts.items() if c >= min_match]
-        out.sort(key=lambda vc: -vc[1])
-        return out
+        """DeviceCorpus.search_fingerprints parity (review r4): evidence
+        counts CORPUS frames within threshold of any query frame (not
+        query frames' nearest rows), default min_match 2 — a deployment
+        moving single-host -> multi-host must get identical verdicts."""
+        q = np.ascontiguousarray(query, np.uint32)
+        if q.shape[0] == 0:
+            return []
+        res = self.runner.submit(
+            "fp_evidence",
+            {"fp": base64.b64encode(q.tobytes()).decode("ascii"),
+             "rows": int(q.shape[0]), "min_match": int(min_match),
+             "exclude": (int(exclude_video_id)
+                         if exclude_video_id is not None else None)},
+        ).wait(self.op_timeout_s)
+        return [(int(v), int(c)) for v, c in res]
 
     def locate_fragment(self, query_fps: np.ndarray, top_k: int = 5,
                         hamming_threshold: Optional[int] = None,

@@ -335,7 +335,8 @@ class MultiHostShardedCorpus:
 
     def append_video(self, video_id: int, ts=None, fps=None, *,
                      src_process: int = 0, n_ts: Optional[int] = None,
-                     n_fp: Optional[int] = None) -> None:
+                     n_fp: Optional[int] = None,
+                     upsert_empty_ts: bool = False) -> None:
         """Collective ingest of one analyzed video — ALL processes must call
         this with the same (video_id, n_ts, n_fp, src_process); only the
         analyzing process passes the payload (ts / fps), everyone else None.
@@ -385,7 +386,11 @@ class MultiHostShardedCorpus:
         # FIRST-max_cuts truncation, clamped identically on every process.
         n_ts = min(int(n_ts or 0), self._inner.max_cuts)
         n_fp = int(n_fp or 0)
-        if n_ts:
+        if n_ts or upsert_empty_ts:
+            # upsert_empty_ts: a zero-cut re-analysis must still OVERWRITE
+            # the video's existing row to length 0 (DeviceCorpus
+            # upsert_timestamps parity) — without the flag an fp-only
+            # append (n_ts=0) would wrongly claim a ts row.
             self._append_timestamps(video_id, ts if is_src else None, n_ts)
         if n_fp:
             self._append_fingerprints(video_id, fps if is_src else None, n_fp)
@@ -875,12 +880,16 @@ class MultiHostShardedCorpus:
 
         offs, scores = self._dispatch_pallas(
             ("mh", tuple(q.shape), tuple(self.corpus_al.shape)), run)
-        hits = [
-            (int(self.al_video_ids[i]), int(offs[i]), int(scores[i]))
-            for i in range(vcap)
-            if self.al_video_ids[i] >= 0 and scores[i] > 0
-            and self.al_video_ids[i] != exclude_video_id
-        ]
+        # Vectorized keep-mask over the padded capacity (review r4): only
+        # surviving rows cross into Python.
+        vids = self.al_video_ids
+        offs = np.asarray(offs)
+        scores = np.asarray(scores)
+        keep = (vids[:vcap] >= 0) & (scores[:vcap] > 0)
+        if exclude_video_id is not None:
+            keep &= vids[:vcap] != exclude_video_id
+        idx = np.nonzero(keep)[0]
+        hits = [(int(vids[i]), int(offs[i]), int(scores[i])) for i in idx]
         hits.sort(key=lambda h: -h[2])
         return hits[:top_k]
 
@@ -1001,3 +1010,40 @@ class MultiHostShardedCorpus:
 
     def nearest_fingerprints(self, query_fp: np.ndarray, k: int = 16):
         return self._inner.nearest_fingerprints(query_fp, k=k)
+
+    def search_fingerprints(self, query: np.ndarray, min_match: int = 2,
+                            exclude_video_id=None):
+        """Per-video fingerprint match evidence — DeviceCorpus
+        search_fingerprints semantics on the host-spanning corpus: a
+        CORPUS frame matches when its min Hamming distance to any query
+        frame is <= hamming_threshold; evidence per video = number of
+        matching corpus frames, count >= min_match, sorted descending.
+        (Collective: every process must call this at the same point in
+        the op order; output is replicated.)"""
+        from tvidz_tpu.parallel.sharded_search import sharded_frame_min_rows
+
+        inner = self._inner
+        q = np.ascontiguousarray(query, np.uint32)
+        if inner.corpus_fp is None or self._fp_count == 0 or q.shape[0] == 0:
+            return []
+        m_pad = -q.shape[0] % 8
+        if m_pad:
+            # Duplicate a real row (DeviceCorpus padding discipline):
+            # copies can't change any corpus frame's min distance.
+            q = np.concatenate([q, np.repeat(q[:1], m_pad, axis=0)])
+        fm = inner._to_host(sharded_frame_min_rows(
+            inner._replicate(q), inner.corpus_fp, self.mesh))
+        count_n = self._fp_count
+        matched = fm[:count_n] <= self.hamming_threshold
+        vids = inner.fp_video_ids[:count_n][matched]
+        vids = vids[vids >= 0]            # tombstones never surface
+        if vids.size == 0:
+            return []
+        uniq, cnt = np.unique(vids, return_counts=True)
+        out = [
+            (int(v), int(c))
+            for v, c in zip(uniq, cnt)
+            if c >= min_match and v != exclude_video_id
+        ]
+        out.sort(key=lambda vc: -vc[1])
+        return out

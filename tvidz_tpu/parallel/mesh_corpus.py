@@ -65,11 +65,17 @@ class MeshCorpus(DeviceCorpus):
 
     sync_bytes_transferred: int = 0
 
-    def _put(self, host_array: np.ndarray, device_or_sharding):
+    def _put(self, host_array: np.ndarray, device_or_sharding,
+             index: str = "fp"):
         self.sync_bytes_transferred += host_array.nbytes
+        # Per-index accounting too: device_footprint()['sync_bytes'] is the
+        # churn observable (VERDICT r2 #4) and must not read zero on mesh
+        # deployments just because placement routes through _put here.
+        self.sync_bytes[index] += host_array.nbytes
         return jax.device_put(host_array, device_or_sharding)
 
-    def _reassemble(self, current, host, sharding, dirty_shards, shard_of):
+    def _reassemble(self, current, host, sharding, dirty_shards, shard_of,
+                    index: str = "fp"):
         """Rebuild a sharded global array replacing only dirty shards.
 
         shard_of(index) -> (shard ordinal, host slice for that shard).
@@ -86,7 +92,7 @@ class MeshCorpus(DeviceCorpus):
             elif k in uploaded:
                 bufs.append(jax.device_put(uploaded[k], sh.device))
             else:
-                buf = self._put(host_slice, sh.device)
+                buf = self._put(host_slice, sh.device, index)
                 uploaded[k] = buf
                 bufs.append(buf)
         return jax.make_array_from_single_device_arrays(
@@ -94,20 +100,21 @@ class MeshCorpus(DeviceCorpus):
         )
 
     def _sync_row_sharded(self, rows_dev, len_dev, rows_host, len_host,
-                          rows_sharding, dirty_rows, full_resync):
+                          rows_sharding, dirty_rows, full_resync,
+                          index: str):
         """Shared sync for a row-sharded (cap, ...) table + its (cap,)
         length vector: full placement after growth, else dirty-shard
         reassembly. Used by the timestamp and alignment indices."""
         if full_resync or rows_dev is None:
-            return (self._put(rows_host, rows_sharding),
-                    self._put(len_host, self._len_sharding))
+            return (self._put(rows_host, rows_sharding, index),
+                    self._put(len_host, self._len_sharding, index))
         if dirty_rows:
             rows_per_shard = rows_host.shape[0] // self.n_shards
             dirty = {r // rows_per_shard for r in dirty_rows}
 
             def shard_of(host_arr):
-                def get(index):
-                    lo = index[0].start or 0
+                def get(shard_index):
+                    lo = shard_index[0].start or 0
                     return lo // rows_per_shard, np.ascontiguousarray(
                         host_arr[lo : lo + rows_per_shard]
                     )
@@ -115,11 +122,11 @@ class MeshCorpus(DeviceCorpus):
 
             rows_dev = self._reassemble(
                 rows_dev, rows_host, rows_sharding, dirty,
-                shard_of(rows_host),
+                shard_of(rows_host), index,
             )
             len_dev = self._reassemble(
                 len_dev, len_host, self._len_sharding, dirty,
-                shard_of(len_host),
+                shard_of(len_host), index,
             )
         return rows_dev, len_dev
 
@@ -127,6 +134,7 @@ class MeshCorpus(DeviceCorpus):
         self._ts_dev, self._ts_len_dev = self._sync_row_sharded(
             self._ts_dev, self._ts_len_dev, self._ts, self._ts_len,
             self._ts_sharding, self._ts_dirty_rows, self._ts_full_resync,
+            "ts",
         )
         self._ts_full_resync = False
         self._ts_dirty_rows.clear()
@@ -167,7 +175,7 @@ class MeshCorpus(DeviceCorpus):
     def _sync_al_bucket(self, bu) -> None:
         bu.dev, bu.len_dev = self._sync_row_sharded(
             bu.dev, bu.len_dev, bu.buf, bu.len,
-            self._al_sharding, bu.dirty, bu.full_resync,
+            self._al_sharding, bu.dirty, bu.full_resync, "al",
         )
         bu.full_resync = False
         bu.dirty.clear()

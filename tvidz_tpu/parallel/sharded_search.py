@@ -190,6 +190,46 @@ def sharded_frame_min(
     return fn(q, corpus_t)
 
 
+def sharded_frame_min_rows(
+    q: jnp.ndarray,            # (M, W) uint32 — replicated
+    corpus_fp: jnp.ndarray,    # (N, W) uint32 ROW-major — sharded over N
+    mesh: Mesh,
+    block_n: int = 8192,
+) -> jnp.ndarray:
+    """(N,) int32 per-corpus-fingerprint min Hamming distance over the
+    query rows — sharded_frame_min for the ROW-major (N, W) layout the
+    multi-host ShardedCorpus stores (the word-major variant serves the
+    MeshCorpus transpose). Output replicated (all_gather), so multi-host
+    callers read it locally. XLA xor+popcount composition per shard; the
+    evidence vector is the only cross-host traffic."""
+
+    def local(qq, c):           # c: (nloc, W) local shard
+        nloc = c.shape[0]
+        blk = min(block_n, nloc)
+        if nloc % blk:
+            blk = nloc          # capacities are pow2; one block fallback
+
+        def one(cb):            # (blk, W)
+            x = cb[:, None, :] ^ qq[None, :, :]           # (blk, M, W)
+            d = jnp.sum(
+                jax.lax.population_count(x).astype(jnp.int32), axis=2
+            )                                              # (blk, M)
+            return jnp.min(d, axis=1)
+
+        nb = nloc // blk
+        out = jax.lax.map(one, c.reshape(nb, blk, c.shape[1]))
+        return jax.lax.all_gather(out.reshape(nloc), CORPUS_AXIS, tiled=True)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(CORPUS_AXIS, None)),
+        out_specs=P(),
+        check_vma=False,  # all_gather output IS replicated
+    )
+    return fn(q, corpus_fp)
+
+
 def sharded_nearest(
     q: jnp.ndarray,            # (M, W) uint32 — replicated
     corpus_t: jnp.ndarray,     # (W, N) uint32 word-major — sharded over N
@@ -578,13 +618,16 @@ class ShardedCorpus:
                 self.corpus_ts, self.corpus_len, self.mesh, tolerance,
             )
         )
-        out = [
-            (int(self.video_ids[i]), int(counts[i]))
-            for i in range(len(counts))
-            if counts[i] >= min_match
-            and self.video_ids[i] >= 0
-            and self.video_ids[i] != exclude_video_id
-        ]
+        # Vectorized keep-mask (DeviceCorpus.match_timestamps discipline):
+        # a Python loop over the padded capacity would dominate the ~ms
+        # device verdict at 100k+ warm rows (review r4).
+        counts = np.asarray(counts)
+        vids = self.video_ids
+        keep = (counts >= min_match) & (vids >= 0)
+        if exclude_video_id is not None:
+            keep &= vids != exclude_video_id
+        idx = np.nonzero(keep)[0]
+        out = [(int(vids[i]), int(counts[i])) for i in idx]
         out.sort(key=lambda vc: -vc[1])
         return out
 

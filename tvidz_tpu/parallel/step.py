@@ -63,19 +63,19 @@ def _extract_cut_ts(scores: jnp.ndarray, pts: jnp.ndarray, threshold: float,
     whose score exceeds threshold, NaN-padded (static shapes; the device
     analog of the analyzer's host loop).
 
-    pts are rounded to 6 decimals like the analyzer boundary
-    (pipeline/analyzer.py; CLAUDE.md invariant) — the corpus stores rounded
-    values and matching is EXACT equality, so raw float pts would silently
-    never match analyzer-ingested videos. f32 round(x*1e6)/1e6 lands on the
-    same representable value as float64 round(x, 6) for video timelines
-    (|pts| < 8s at 1e-6: both are correctly-rounded to nearest f32)."""
+    pts MUST arrive already rounded to 6 decimals at the HOST boundary
+    (place_step_inputs does; pipeline/analyzer.py invariant). An in-kernel
+    f32 round(x*1e6)/1e6 cannot do it: beyond |pts| ~ 16 s the f32 product
+    exceeds the 2^24 integer range and quantizes BEFORE rounding, so the
+    result diverges by ULPs from the f32(float64 round(x, 6)) values the
+    corpus stores — and matching is EXACT equality, so every such cut
+    would silently never match (review r4)."""
     total = scores.shape[0]
     is_cut = scores > threshold
     order = jnp.where(is_cut, jnp.arange(total), total)
     picked = jnp.sort(order)[:max_cuts]
     valid = picked < total
-    pts_r = jnp.round(pts * 1e6) / jnp.float32(1e6)
-    ts = jnp.where(valid, pts_r[jnp.clip(picked, 0, total - 1)], jnp.nan)
+    ts = jnp.where(valid, pts[jnp.clip(picked, 0, total - 1)], jnp.nan)
     return ts
 
 
@@ -145,8 +145,16 @@ def multichip_analysis_step(
 
 
 def place_step_inputs(mesh: Mesh, clips, pts, corpus_ts, corpus_len, corpus_fp):
-    """device_put each input with its step sharding."""
+    """device_put each input with its step sharding.
+
+    The HOST boundary for the 6-decimal timestamp rounding invariant
+    (analyzer parity): pts are rounded in float64 here, because f32
+    arithmetic cannot correctly round microseconds past ~16 s of timeline
+    (see _extract_cut_ts). Callers bypassing this helper must pre-round."""
+    import numpy as np
+
     corpus_rows = NamedSharding(mesh, P(CORPUS_AXIS))
+    pts = np.round(np.asarray(pts, np.float64), 6).astype(np.float32)
     return (
         jax.device_put(clips, NamedSharding(mesh, P(DATA_AXIS, None, None, None, None))),
         jax.device_put(pts, NamedSharding(mesh, P(DATA_AXIS, None))),
