@@ -1,0 +1,333 @@
+"""Model-based churn property test for DeviceCorpus.
+
+The example-based churn suite (tests/test_churn.py) pins known
+free-list/compaction scenarios; this tier drives RANDOM interleavings of
+add / append / re-upsert / remove against a pure-host model built on
+ops/golden.py and asserts every query surface (timestamp match,
+fingerprint evidence, nearest-counts, fragment localization) returns
+exactly what the model predicts at every step — so no slot-reuse,
+dirty-sync, tombstone, or bucket-migration path can fork evidence from
+the golden semantics without a counterexample.
+
+Accounting invariants checked after every mutation (CLAUDE.md):
+- ``num_videos`` counts LIVE rows; every claimed ts row is live or free
+  (``live + ts_free == ts_count`` high-water mark).
+- live fingerprint rows == ``fp_count - fp_tombstones``.
+- alignment rows: claimed - free == live videos that have fingerprints.
+
+Reference parity anchors: duplicate matching mirrors
+`/root/reference/inspector/db.py:76-94` (via golden.timestamp_match_counts);
+evidence filters mirror app.py:237's self-exclusion.
+"""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from tvidz_tpu.ops import golden
+
+_SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+
+_THR = 10          # hamming_threshold
+_MAX_CUTS = 8
+_TS_GRID = np.round(np.arange(0, 64) * 0.25, 6)   # exact in float32
+
+
+class _Model:
+    """Pure-host golden model of DeviceCorpus' evidence semantics."""
+
+    def __init__(self):
+        self.ts = {}            # vid -> np.float32 (k,) as stored (truncated)
+        self.fp = []            # append-order [(vid, (n, 2) uint32)]
+        self.live = set()
+
+    # -- mutations (mirror the DeviceCorpus contract) --
+
+    def upsert_ts(self, vid, ts):
+        self.ts[vid] = np.asarray(list(ts)[:_MAX_CUTS], np.float32)
+        self.live.add(vid)
+
+    def append_fp(self, vid, fp):
+        self.fp.append((vid, np.asarray(fp, np.uint32)))
+
+    def remove(self, vid):
+        self.live.discard(vid)
+        self.ts.pop(vid, None)
+
+    # -- derived views --
+
+    def live_fp(self):
+        """(rows, vids) over LIVE fingerprints in append order — physical
+        device order modulo tombstones (compaction preserves it)."""
+        rows = [f for v, f in self.fp if v in self.live and f.shape[0]]
+        vids = [
+            np.full(f.shape[0], v, np.int64)
+            for v, f in self.fp if v in self.live and f.shape[0]
+        ]
+        if not rows:
+            return np.zeros((0, 2), np.uint32), np.zeros(0, np.int64)
+        return np.concatenate(rows), np.concatenate(vids)
+
+    def seq_of(self, vid):
+        """A live video's full fingerprint sequence (alignment-row view)."""
+        parts = [f for v, f in self.fp if v == vid and f.shape[0]]
+        return (np.concatenate(parts) if parts
+                else np.zeros((0, 2), np.uint32))
+
+    # -- expected query results --
+
+    def match_timestamps(self, q, min_match, exclude):
+        vids = sorted(self.live)
+        if not vids or len(q) == 0:
+            return []
+        corpus = np.full((len(vids), _MAX_CUTS), np.nan, np.float32)
+        lens = np.zeros(len(vids), np.int32)
+        for i, v in enumerate(vids):
+            t = self.ts.get(v, np.zeros(0, np.float32))
+            corpus[i, : len(t)] = t
+            lens[i] = len(t)
+        counts = golden.timestamp_match_counts(
+            np.asarray(list(q)[:_MAX_CUTS], np.float32), corpus, lens)
+        return sorted(
+            (v, int(c)) for v, c in zip(vids, counts)
+            if c >= min_match and v != exclude
+        )
+
+    def search_fingerprints(self, q, min_match, exclude):
+        rows, vids = self.live_fp()
+        if rows.shape[0] == 0 or q.shape[0] == 0:
+            return []
+        frame_min = golden.hamming_matrix(q, rows).min(axis=0)
+        out = {}
+        for v, d in zip(vids, frame_min):
+            if d <= _THR and v != exclude:
+                out[int(v)] = out.get(int(v), 0) + 1
+        return sorted((v, c) for v, c in out.items() if c >= min_match)
+
+    def nearest_video_counts(self, q, exclude):
+        rows, vids = self.live_fp()
+        if rows.shape[0] == 0 or q.shape[0] == 0:
+            return {}
+        h = golden.hamming_matrix(q, rows)       # (M, N)
+        out = {}
+        for i in range(q.shape[0]):
+            j = int(h[i].argmin())               # first-index tie rule
+            if h[i, j] <= _THR:
+                v = int(vids[j])
+                if v != exclude:
+                    out[v] = out.get(v, 0) + 1
+        return out
+
+    def fragment_scores(self, q):
+        """{vid: (best_score, best_offset_or_None)} over live videos with
+        footage; offset is None when the model's argmax ties (the kernel's
+        tie pick is then not uniquely defined by the contract)."""
+        out = {}
+        for v in self.live:
+            c = self.seq_of(v)
+            if c.shape[0] == 0 or q.shape[0] == 0:
+                continue
+            s = golden.align_scores(q, c, hamming_threshold=_THR)
+            best = int(s.max())
+            if best <= 0:
+                continue
+            offs = np.nonzero(s == best)[0]
+            off = (int(offs[0]) - (q.shape[0] - 1)
+                   if offs.size == 1 else None)
+            out[v] = (best, off)
+        return out
+
+
+def _rand_fp(rng, n):
+    return rng.integers(0, 2**32, size=(n, 2), dtype=np.uint32)
+
+
+def _check_accounting(dc, model):
+    assert dc.num_videos == len(model.live & set(model.ts))
+    assert len(dc._vid_to_row) + len(dc._ts_free) == dc._ts_count
+    live_rows = sum(
+        f.shape[0] for v, f in model.fp if v in model.live)
+    assert dc._fp_count - dc._fp_tombstones == live_rows
+    buckets = [bu for bu in dc._al_buckets if bu is not None]
+    claimed = sum(bu.count for bu in buckets)
+    free = sum(len(bu.free) for bu in buckets)
+    with_fp = len({v for v, f in model.fp if v in model.live and f.shape[0]})
+    assert claimed - free == with_fp
+
+
+def _check_queries(dc, model, rng, all_vids):
+    # Timestamp match: query a known video's cuts (shuffled, sometimes with
+    # extras/missing), sometimes with self-exclusion.
+    if all_vids:
+        src = int(rng.choice(all_vids))
+        base = list(model.ts.get(src, []))
+        rng.shuffle(base)
+        q = base[: rng.integers(0, len(base) + 1)] if base else []
+        q += list(rng.choice(_TS_GRID, size=rng.integers(0, 3)))
+        excl = src if rng.random() < 0.3 else None
+        got = sorted(dc.match_timestamps(q, min_match=1,
+                                         exclude_video_id=excl))
+        assert got == model.match_timestamps(q, 1, excl), (
+            f"ts match diverged for q={q} excl={excl}")
+
+    # Fingerprint evidence + nearest counts: query a slice of a known
+    # video's footage (live or removed) or fresh noise.
+    rows_all = [f for _, f in model.fp if f.shape[0]]
+    if rows_all and rng.random() < 0.8:
+        src_fp = rows_all[int(rng.integers(len(rows_all)))]
+        k = int(rng.integers(1, min(12, src_fp.shape[0]) + 1))
+        s = int(rng.integers(0, src_fp.shape[0] - k + 1))
+        q = src_fp[s : s + k]
+    else:
+        q = _rand_fp(rng, int(rng.integers(1, 12)))
+    excl = None
+    live_list = sorted(model.live)
+    if live_list and rng.random() < 0.3:
+        excl = int(rng.choice(live_list))
+    got = sorted(dc.search_fingerprints(q, min_match=1,
+                                        exclude_video_id=excl))
+    assert got == model.search_fingerprints(q, 1, excl)
+    got_n = dc.nearest_video_counts(q, exclude_video_id=excl)
+    assert got_n == model.nearest_video_counts(q, excl)
+
+
+def _check_fragment(dc, model, rng):
+    with_fp = sorted(
+        {v for v, f in model.fp if v in model.live and f.shape[0]})
+    if not with_fp:
+        return
+    src = int(rng.choice(with_fp))
+    seq = model.seq_of(src)
+    if seq.shape[0] < 4:
+        return
+    k = int(rng.integers(4, min(80, seq.shape[0]) + 1))
+    s = int(rng.integers(0, seq.shape[0] - k + 1))
+    q = seq[s : s + k].copy()
+    if rng.random() < 0.3 and q.shape[0] > 2:    # perturb a row
+        q[int(rng.integers(q.shape[0]))] ^= np.uint32(0xA5A5A5A5)
+    want = model.fragment_scores(q)
+    got = dc.locate_fragment(q, top_k=len(want) + 4)
+    got_by_vid = {}
+    for v, off, score in got:
+        assert v not in got_by_vid, "duplicate vid in fragment hits"
+        got_by_vid[v] = (off, score)
+    assert set(got_by_vid) == set(want), (
+        f"fragment vids diverged: {got_by_vid} vs {want}")
+    for v, (best, off) in want.items():
+        g_off, g_score = got_by_vid[v]
+        assert g_score == best, f"vid {v}: score {g_score} != {best}"
+        if off is not None:
+            assert g_off == off, f"vid {v}: offset {g_off} != {off}"
+    # Ranking: scores non-increasing in the returned order.
+    scores = [sc for _, _, sc in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def _drive(dc, rng, steps):
+    """Drive a random churn sequence against `dc`, checking every surface
+    against the golden model along the way."""
+    model = _Model()
+    next_vid = 1
+    all_vids = []
+
+    for step in range(steps):
+        r = rng.random()
+        live = sorted(model.live)
+        if r < 0.45 or not live:
+            # Add a new video: cuts + footage; 30% of footage is a
+            # copy of existing footage (planted duplicates so the
+            # fp/nearest surfaces see sub-threshold evidence).
+            vid = next_vid
+            next_vid += 1
+            ts = rng.choice(
+                _TS_GRID, size=int(rng.integers(0, 10)), replace=False)
+            dc.upsert_timestamps(vid, ts)
+            model.upsert_ts(vid, ts)
+            rows_all = [f for _, f in model.fp if f.shape[0]]
+            if rows_all and rng.random() < 0.3:
+                src = rows_all[int(rng.integers(len(rows_all)))]
+                n = int(rng.integers(1, min(40, src.shape[0]) + 1))
+                fp = src[:n].copy()
+            else:
+                fp = _rand_fp(rng, int(rng.integers(0, 41)))
+            if fp.shape[0]:
+                dc.append_fingerprints(vid, fp)
+                model.append_fp(vid, fp)
+            all_vids.append(vid)
+        elif r < 0.60:
+            # Stream more footage onto a live video (alignment-row
+            # extension; crosses bucket tcap -> migration).
+            vid = int(rng.choice(live))
+            fp = _rand_fp(rng, int(rng.integers(1, 41)))
+            dc.append_fingerprints(vid, fp)
+            model.append_fp(vid, fp)
+        elif r < 0.72:
+            # Re-upsert cuts (finalization overwrites streamed cuts).
+            vid = int(rng.choice(live))
+            ts = rng.choice(
+                _TS_GRID, size=int(rng.integers(0, 10)), replace=False)
+            dc.upsert_timestamps(vid, ts)
+            model.upsert_ts(vid, ts)
+        else:
+            vid = int(rng.choice(live))
+            dc.remove_video(vid)
+            model.remove(vid)
+
+        _check_accounting(dc, model)
+        if step % 3 == 2:
+            _check_queries(dc, model, rng, all_vids)
+        if step % 7 == 6:
+            _check_fragment(dc, model, rng)
+
+    # Final full sweep.
+    _check_queries(dc, model, rng, all_vids)
+    _check_fragment(dc, model, rng)
+
+
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_device_corpus_churn_matches_golden_model(seed):
+    import tvidz_tpu.corpus.device_corpus as dcm
+
+    rng = np.random.default_rng(seed)
+    old_t0 = dcm._AL_T0
+    # Shrink alignment bucket 0 so random appends cross bucket boundaries
+    # (row migration + free-list reuse) within property-sized sequences.
+    dcm._AL_T0 = 32
+    try:
+        dc = dcm.DeviceCorpus(
+            max_cuts=_MAX_CUTS, words=2, hamming_threshold=_THR,
+            ts_initial_capacity=2, fp_initial_capacity=128, fp_block_n=128,
+        )
+        _drive(dc, rng, steps=28)
+    finally:
+        dcm._AL_T0 = old_t0
+
+
+@settings(max_examples=2, deadline=None, derandomize=True)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_mesh_corpus_churn_matches_golden_model(seed):
+    """The SAME golden-model churn drive against the sharded MeshCorpus on
+    the 8-device mesh: shard-resliced syncs, collective query kernels, and
+    mesh growth must match the host model exactly."""
+    import jax
+    import pytest
+
+    import tvidz_tpu.corpus.device_corpus as dcm
+    from tvidz_tpu.parallel.mesh import make_mesh
+    from tvidz_tpu.parallel.mesh_corpus import MeshCorpus
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    rng = np.random.default_rng(seed)
+    old_t0 = dcm._AL_T0
+    dcm._AL_T0 = 32
+    try:
+        mc = MeshCorpus(
+            make_mesh(8), max_cuts=_MAX_CUTS, words=2,
+            hamming_threshold=_THR, ts_initial_capacity=8,
+            fp_initial_capacity=256, fp_block_n=128,
+        )
+        _drive(mc, rng, steps=18)
+    finally:
+        dcm._AL_T0 = old_t0
