@@ -1,0 +1,91 @@
+"""Perf-doc consistency gate (VERDICT r4 weak #2 / next #3, #4).
+
+docs/perf.md decayed twice (r3, r4) into citing a stale BENCH artifact and
+asserting notes ("monotone non-decreasing") its own numbers contradicted.
+These tests make that class of drift a test failure:
+
+- perf.md must be EXACTLY what `scripts/bench_table.py` generates from the
+  newest BENCH_r*.json in the repo root — so a new driver artifact forces a
+  regeneration, and no hand-edit can survive.
+- the curve note is computed from the numbers (flagging real dips), pinned
+  here on synthetic monotone / flat / regressing curves.
+- the r(n-1)→r(n) regression gate must flag beyond-threshold worsening
+  moves, list within-band worsening drifts as "watch", and honor waivers.
+"""
+
+import importlib.util
+import os
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench_table():
+    spec = importlib.util.spec_from_file_location(
+        "bench_table", os.path.join(ROOT, "scripts", "bench_table.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_perf_md_matches_newest_artifact():
+    bt = _load_bench_table()
+    newest_name, _ = bt.latest_bench()
+    with open(os.path.join(ROOT, "docs", "perf.md")) as f:
+        on_disk = f.read()
+    assert f"**{newest_name}**" in on_disk, (
+        f"docs/perf.md does not cite the newest driver artifact "
+        f"{newest_name}; run `python scripts/bench_table.py --write`")
+    assert on_disk == bt.build_table(), (
+        "docs/perf.md is stale or hand-edited; run "
+        "`python scripts/bench_table.py --write`")
+
+
+def test_curve_note_is_honest():
+    bt = _load_bench_table()
+    assert bt._curve_note({"1": 100, "2": 150, "4": 200}) == \
+        "monotone non-decreasing ✓"
+    # Dip within the 5% slack band reads as flat, with the dip quantified.
+    note = bt._curve_note({"1": 100, "2": 99, "4": 101})
+    assert note.startswith("flat within noise")
+    # A real regression is flagged with the offending transition.
+    note = bt._curve_note({"1": 446, "2": 348, "4": 350})
+    assert "REGRESSES" in note and "1→2" in note
+    note = bt._curve_note({"1": 226, "2": 220, "4": 161})
+    assert "REGRESSES" in note and "2→4" in note
+    assert bt._curve_note({"1": 100, "2": None, "4": 120}) == "—"
+
+
+def test_regression_gate_flags_and_waives(monkeypatch, tmp_path):
+    bt = _load_bench_table()
+    prev = {
+        "value": 4_000_000.0,
+        "verdict_1m_device_ms": 0.8,
+        "fragment_search_10m_p50_ms": 183.0,
+        "e2e_decoded_frames_per_sec": 220.0,
+        "decode_only_frames_per_sec": {"mjpeg_full": 250.0},
+    }
+    cur = {
+        "value": 4_100_000.0,            # +2.5%: silent
+        "verdict_1m_device_ms": 1.2,     # +50% device: REGRESSION
+        "fragment_search_10m_p50_ms": 206.0,   # +13% device: watch band
+        "e2e_decoded_frames_per_sec": 180.0,   # -18% host: REGRESSION
+        "decode_only_frames_per_sec": {"mjpeg_full": 300.0},  # improvement
+    }
+    monkeypatch.setattr(
+        bt, "bench_artifacts",
+        lambda: [("BENCH_r98.json", prev), ("BENCH_r99.json", cur)])
+    diff = bt.build_regression_diff()
+    assert "verdict_1m_device_ms" in diff
+    assert diff.count("REGRESSION — investigate") == 2
+    assert "within drift band — watch" in diff
+    assert "fragment_search_10m_p50_ms" in diff
+    assert "improvement" in diff
+    assert "device fingerprint frames/s" not in diff  # within threshold
+
+    # A waiver keyed to the NEWEST artifact converts the flag to its text.
+    monkeypatch.setitem(
+        bt.WAIVERS, ("BENCH_r99.json", "verdict_1m_device_ms"),
+        "tunnel wedge mid-leg, re-measured 0.79 ms")
+    diff = bt.build_regression_diff()
+    assert "waived: tunnel wedge mid-leg" in diff
+    assert diff.count("REGRESSION — investigate") == 1
