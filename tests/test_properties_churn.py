@@ -25,7 +25,11 @@ from hypothesis import given, settings, strategies as st
 
 from tvidz_tpu.ops import golden
 
-_SETTINGS = dict(max_examples=8, deadline=None, derandomize=True)
+# 5 examples x 28 steps keeps the file under ~60 s of the hermetic suite
+# (ADVICE r4: 8x28 + the mesh pair cost ~99 s, dominated by shard_map/jit
+# recompiles across capacity growth); coverage of the churn surface comes
+# from the step count and mixed op weights, not the example count.
+_SETTINGS = dict(max_examples=5, deadline=None, derandomize=True)
 
 _THR = 10          # hamming_threshold
 _MAX_CUTS = 8
@@ -104,6 +108,15 @@ class _Model:
         return sorted((v, c) for v, c in out.items() if c >= min_match)
 
     def nearest_video_counts(self, q, exclude):
+        # Deliberate omission (ADVICE r4): the model argmins over LIVE
+        # rows only, while the device kernel argmins over ALL physical
+        # rows including tombstoned all-ones sentinel fingerprints and
+        # filters the vid afterwards. The two agree unless a query row is
+        # within hamming_threshold of the 0xFF.. sentinel (>= 64 - _THR
+        # of 64 bits set — astronomically unlikely for random uint32
+        # data); _check_queries asserts that precondition so a words/
+        # threshold change surfaces as a clear precondition failure, not
+        # a confusing evidence mismatch.
         rows, vids = self.live_fp()
         if rows.shape[0] == 0 or q.shape[0] == 0:
             return {}
@@ -186,6 +199,14 @@ def _check_queries(dc, model, rng, all_vids):
     got = sorted(dc.search_fingerprints(q, min_match=1,
                                         exclude_video_id=excl))
     assert got == model.search_fingerprints(q, 1, excl)
+    # Precondition for the model's live-rows-only argmin (see
+    # _Model.nearest_video_counts): no query row may sit within threshold
+    # of the all-ones tombstone sentinel.
+    bits = 32 * q.shape[1]
+    popcnt = np.unpackbits(q.view(np.uint8), axis=1).sum(axis=1)
+    assert (bits - popcnt > _THR).all(), (
+        "query row within threshold of the tombstone sentinel; the golden "
+        "model deliberately omits sentinel rows from its argmin")
     got_n = dc.nearest_video_counts(q, exclude_video_id=excl)
     assert got_n == model.nearest_video_counts(q, excl)
 
@@ -224,63 +245,86 @@ def _check_fragment(dc, model, rng):
 
 def _drive(dc, rng, steps):
     """Drive a random churn sequence against `dc`, checking every surface
-    against the golden model along the way."""
+    against the golden model along the way.
+
+    Hypothesis only draws the numpy seed here, so shrinking can't minimize
+    a failure (ADVICE r4); instead every mutation is recorded in an
+    operation trace that is appended to any assertion failure, making a
+    failing seed diagnosable without replaying the sequence by hand.
+    """
     model = _Model()
     next_vid = 1
     all_vids = []
+    trace = []
 
-    for step in range(steps):
-        r = rng.random()
-        live = sorted(model.live)
-        if r < 0.45 or not live:
-            # Add a new video: cuts + footage; 30% of footage is a
-            # copy of existing footage (planted duplicates so the
-            # fp/nearest surfaces see sub-threshold evidence).
-            vid = next_vid
-            next_vid += 1
-            ts = rng.choice(
-                _TS_GRID, size=int(rng.integers(0, 10)), replace=False)
-            dc.upsert_timestamps(vid, ts)
-            model.upsert_ts(vid, ts)
-            rows_all = [f for _, f in model.fp if f.shape[0]]
-            if rows_all and rng.random() < 0.3:
-                src = rows_all[int(rng.integers(len(rows_all)))]
-                n = int(rng.integers(1, min(40, src.shape[0]) + 1))
-                fp = src[:n].copy()
-            else:
-                fp = _rand_fp(rng, int(rng.integers(0, 41)))
-            if fp.shape[0]:
+    try:
+        for step in range(steps):
+            r = rng.random()
+            live = sorted(model.live)
+            if r < 0.45 or not live:
+                # Add a new video: cuts + footage; 30% of footage is a
+                # copy of existing footage (planted duplicates so the
+                # fp/nearest surfaces see sub-threshold evidence).
+                vid = next_vid
+                next_vid += 1
+                ts = rng.choice(
+                    _TS_GRID, size=int(rng.integers(0, 10)), replace=False)
+                dc.upsert_timestamps(vid, ts)
+                model.upsert_ts(vid, ts)
+                rows_all = [f for _, f in model.fp if f.shape[0]]
+                copied = rows_all and rng.random() < 0.3
+                if copied:
+                    src = rows_all[int(rng.integers(len(rows_all)))]
+                    n = int(rng.integers(1, min(40, src.shape[0]) + 1))
+                    fp = src[:n].copy()
+                else:
+                    fp = _rand_fp(rng, int(rng.integers(0, 41)))
+                if fp.shape[0]:
+                    dc.append_fingerprints(vid, fp)
+                    model.append_fp(vid, fp)
+                all_vids.append(vid)
+                trace.append(
+                    f"step {step}: add vid={vid} ts={np.sort(ts).tolist()} "
+                    f"fp_rows={fp.shape[0]}"
+                    f"{' (copied footage)' if copied else ''}")
+            elif r < 0.60:
+                # Stream more footage onto a live video (alignment-row
+                # extension; crosses bucket tcap -> migration).
+                vid = int(rng.choice(live))
+                fp = _rand_fp(rng, int(rng.integers(1, 41)))
                 dc.append_fingerprints(vid, fp)
                 model.append_fp(vid, fp)
-            all_vids.append(vid)
-        elif r < 0.60:
-            # Stream more footage onto a live video (alignment-row
-            # extension; crosses bucket tcap -> migration).
-            vid = int(rng.choice(live))
-            fp = _rand_fp(rng, int(rng.integers(1, 41)))
-            dc.append_fingerprints(vid, fp)
-            model.append_fp(vid, fp)
-        elif r < 0.72:
-            # Re-upsert cuts (finalization overwrites streamed cuts).
-            vid = int(rng.choice(live))
-            ts = rng.choice(
-                _TS_GRID, size=int(rng.integers(0, 10)), replace=False)
-            dc.upsert_timestamps(vid, ts)
-            model.upsert_ts(vid, ts)
-        else:
-            vid = int(rng.choice(live))
-            dc.remove_video(vid)
-            model.remove(vid)
+                trace.append(
+                    f"step {step}: append vid={vid} fp_rows={fp.shape[0]}")
+            elif r < 0.72:
+                # Re-upsert cuts (finalization overwrites streamed cuts).
+                vid = int(rng.choice(live))
+                ts = rng.choice(
+                    _TS_GRID, size=int(rng.integers(0, 10)), replace=False)
+                dc.upsert_timestamps(vid, ts)
+                model.upsert_ts(vid, ts)
+                trace.append(
+                    f"step {step}: re-upsert vid={vid} "
+                    f"ts={np.sort(ts).tolist()}")
+            else:
+                vid = int(rng.choice(live))
+                dc.remove_video(vid)
+                model.remove(vid)
+                trace.append(f"step {step}: remove vid={vid}")
 
-        _check_accounting(dc, model)
-        if step % 3 == 2:
-            _check_queries(dc, model, rng, all_vids)
-        if step % 7 == 6:
-            _check_fragment(dc, model, rng)
+            _check_accounting(dc, model)
+            if step % 3 == 2:
+                _check_queries(dc, model, rng, all_vids)
+            if step % 7 == 6:
+                _check_fragment(dc, model, rng)
 
-    # Final full sweep.
-    _check_queries(dc, model, rng, all_vids)
-    _check_fragment(dc, model, rng)
+        # Final full sweep.
+        _check_queries(dc, model, rng, all_vids)
+        _check_fragment(dc, model, rng)
+    except AssertionError as e:
+        raise AssertionError(
+            f"{e}\n--- operation trace ({len(trace)} mutations) ---\n"
+            + "\n".join(trace)) from e
 
 
 @settings(**_SETTINGS)
