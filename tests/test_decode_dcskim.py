@@ -1,0 +1,197 @@
+"""DCT-domain MJPEG ingest — the huffman DC-skim decode path (VERDICT r4 #1).
+
+The reference pays a full ffmpeg host decode for every frame
+(/root/reference/inspector/app.py:202-209); this framework's fingerprint
+pipeline never needs full-resolution pixels, so the dc-skim path
+entropy-decodes ONLY (AC coefficients walked, never reconstructed) and
+feeds the 1/8-scale luma DC image — each pixel the mean of its 8x8 block —
+into the normal downscale. Contract under test:
+
+- engages only for baseline-huffman MJPEG and only when requested; other
+  codecs and non-baseline (progressive) streams fall back to the normal
+  full decode with IDENTICAL output, so the knob is safe fleet-wide;
+- the DC image equals the 8x8 block means of the fully decoded frame to
+  within quantization rounding (gray/PIL single-component scans AND
+  libav yuv420 interleaved scans), restart markers included;
+- pts are identical to a full decode (timestamps never depend on mode);
+- native mafd is reported unavailable (same contract as decode_lowres);
+- block-size invariance: the streamed output doesn't depend on the block
+  framing;
+- the analyze pipeline finds the planted hard cuts at the same timestamps
+  with decode_dct_dc on (the fleet-wide fast deployment contract).
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.decode import mjpeg_avi
+from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+from tvidz_tpu.decode.synthetic import synthetic_video
+
+native = pytest.importorskip("tvidz_tpu.decode.native")
+if not native.available():
+    pytest.skip("native decoder not built", allow_module_level=True)
+
+
+def _full_res(path, h, w):
+    dec = native.NativeDecoder()
+    return np.concatenate([b.luma for b in dec.blocks(path, 16, h, w)])
+
+
+def _dc_blocks(path, bh, bw, block=16):
+    dec = native.NativeDecoder(dct_dc=True)
+    blocks = list(dec.blocks(path, block, bh, bw))
+    return dec, blocks
+
+
+def _block_means(full):
+    t, h, w = full.shape
+    return full.reshape(t, h // 8, 8, w // 8, 8).mean(axis=(2, 4))
+
+
+@pytest.fixture(scope="module")
+def gray_fixture(tmp_path_factory):
+    luma, pts = synthetic_video(num_frames=20, height=144, width=192,
+                                cut_frames=(8, 14), seed=5)
+    path = str(tmp_path_factory.mktemp("dcskim") / "gray.avi")
+    write_mjpeg_avi(path, luma, fps=25.0, quality=90)
+    return path
+
+
+def test_dc_image_matches_block_means_gray(gray_fixture):
+    full = _full_res(gray_fixture, 144, 192)
+    dec, blocks = _dc_blocks(gray_fixture, 18, 24)
+    assert dec.active_dcskim is True
+    assert dec.active_lowres == 0
+    dc = np.concatenate([b.luma for b in blocks])
+    assert dc.shape == (20, 18, 24)
+    # DC = quantized 8*mean: off by at most ~q/16 per pixel at q90.
+    assert np.abs(dc.astype(np.float64) - _block_means(full)).max() <= 1.5
+    # pts identical to the full decode; mafd unavailable in skim mode.
+    full_dec = native.NativeDecoder()
+    full_blocks = list(full_dec.blocks(gray_fixture, 16, 18, 24))
+    np.testing.assert_array_equal(
+        np.concatenate([b.pts for b in blocks]),
+        np.concatenate([b.pts for b in full_blocks]))
+    assert all((b.mafd < 0).all() for b in blocks)
+
+
+def test_dc_image_matches_block_means_yuv420_interleaved(tmp_path):
+    luma, _ = synthetic_video(num_frames=10, height=144, width=192,
+                              cut_frames=(5,), seed=6)
+    path = str(tmp_path / "c420.avi")
+    native.encode_video(path, luma, fps=25.0, codec="mjpeg",
+                        bit_rate=20_000_000, max_b_frames=0)
+    full = _full_res(path, 144, 192)
+    dec, blocks = _dc_blocks(path, 18, 24)
+    assert dec.active_dcskim is True
+    dc = np.concatenate([b.luma for b in blocks])
+    assert np.abs(dc.astype(np.float64) - _block_means(full)).max() <= 1.5
+
+
+def test_restart_markers_honored(tmp_path, monkeypatch):
+    from PIL import Image
+
+    def jpeg_with_restarts(luma, quality):
+        buf = io.BytesIO()
+        Image.fromarray(luma, mode="L").save(
+            buf, format="JPEG", quality=quality, restart_marker_rows=1)
+        data = buf.getvalue()
+        assert b"\xff\xdd" in data  # DRI present
+        return data
+
+    monkeypatch.setattr(mjpeg_avi, "_jpeg_bytes", jpeg_with_restarts)
+    luma, _ = synthetic_video(num_frames=8, height=144, width=192,
+                              cut_frames=(4,), seed=7)
+    path = str(tmp_path / "rst.avi")
+    write_mjpeg_avi(path, luma, fps=25.0, quality=90)
+    full = _full_res(path, 144, 192)
+    dec, blocks = _dc_blocks(path, 18, 24)
+    assert dec.active_dcskim is True
+    dc = np.concatenate([b.luma for b in blocks])
+    assert np.abs(dc.astype(np.float64) - _block_means(full)).max() <= 1.5
+
+
+def test_progressive_stream_falls_back_to_full_decode(tmp_path, monkeypatch):
+    from PIL import Image
+
+    def progressive_jpeg(luma, quality):
+        buf = io.BytesIO()
+        Image.fromarray(luma, mode="L").save(
+            buf, format="JPEG", quality=quality, progressive=True)
+        return buf.getvalue()
+
+    monkeypatch.setattr(mjpeg_avi, "_jpeg_bytes", progressive_jpeg)
+    luma, _ = synthetic_video(num_frames=8, height=144, width=192,
+                              cut_frames=(4,), seed=8)
+    path = str(tmp_path / "prog.avi")
+    write_mjpeg_avi(path, luma, fps=25.0, quality=90)
+    # Same request, two decoders: the skim must revert on the first frame
+    # and produce byte-identical output to the plain full decode.
+    plain = native.NativeDecoder()
+    want = np.concatenate([b.luma for b in plain.blocks(path, 16, 90, 160)])
+    dec = native.NativeDecoder(dct_dc=True)
+    got = np.concatenate([b.luma for b in dec.blocks(path, 16, 90, 160)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_non_mjpeg_codec_falls_back(tmp_path):
+    luma, _ = synthetic_video(num_frames=8, height=144, width=192, seed=9)
+    path = str(tmp_path / "m4.mp4")
+    native.encode_video(path, luma, fps=25.0, codec="mpeg4")
+    plain = native.NativeDecoder()
+    want = np.concatenate([b.luma for b in plain.blocks(path, 16, 90, 160)])
+    dec = native.NativeDecoder(dct_dc=True)
+    got = np.concatenate([b.luma for b in dec.blocks(path, 16, 90, 160)])
+    assert dec.active_dcskim is False
+    np.testing.assert_array_equal(got, want)
+
+
+def test_block_size_invariance(gray_fixture):
+    _, b16 = _dc_blocks(gray_fixture, 18, 24, block=16)
+    _, b5 = _dc_blocks(gray_fixture, 18, 24, block=5)
+    np.testing.assert_array_equal(
+        np.concatenate([b.luma for b in b16]),
+        np.concatenate([b.luma for b in b5]))
+    np.testing.assert_array_equal(
+        np.concatenate([b.pts for b in b16]),
+        np.concatenate([b.pts for b in b5]))
+
+
+def test_analyze_pipeline_dcskim_finds_same_cuts(tmp_path):
+    from tvidz_tpu.models.fingerprint import FingerprintModel
+
+    luma, _ = synthetic_video(num_frames=64, height=720, width=1280,
+                              cut_frames=(24, 44), seed=10)
+    path = str(tmp_path / "cuts.avi")
+    write_mjpeg_avi(path, luma, fps=25.0, quality=90)
+
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cuts_full, fp_full = FingerprintModel(cfg).analyze_path(path)
+
+    cfg_dc = Config()
+    cfg_dc.pipeline.block_frames = 32
+    cfg_dc.pipeline.decode_dct_dc = True
+    cuts_dc, fp_dc = FingerprintModel(cfg_dc).analyze_path(path)
+
+    # Hard cuts at frames 24/44 @25fps -> 0.96s, 1.76s in both modes.
+    assert cuts_dc == cuts_full
+    assert [round(c, 2) for c in cuts_full] == [0.96, 1.76]
+    assert fp_dc.shape == fp_full.shape
+
+
+def test_decode_dct_dc_env_knob():
+    cfg = Config()
+    assert cfg.pipeline.decode_dct_dc is False
+    os.environ["TVIDZ_DECODE_DCT_DC"] = "1"
+    try:
+        from tvidz_tpu.config import PipelineConfig
+
+        assert PipelineConfig.from_env().decode_dct_dc is True
+    finally:
+        del os.environ["TVIDZ_DECODE_DCT_DC"]

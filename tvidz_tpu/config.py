@@ -171,6 +171,13 @@ class PipelineConfig:
     # Dedup relies on exact cut-timestamp equality across uploads: flip
     # this fleet-wide or not at all (mixing modes forks verdicts).
     decode_lowres: bool = False
+    # Fastest MJPEG ingest: huffman DC skim (decode/_native dc_skim_frame)
+    # — entropy decode only, the 1/8-scale luma DC image replaces decoded
+    # pixels. One step past decode_lowres on the same quality/throughput
+    # curve and under the same fleet-wide-or-not-at-all contract; engages
+    # only for baseline-huffman MJPEG (everything else falls back to the
+    # decode_lowres behavior above, so the two knobs compose).
+    decode_dct_dc: bool = False
     # Directory for per-video JPEG thumbnails ("" = off). The reference
     # schema has videos.thumbnail_path but nothing ever writes it; the
     # service enables this by default (entrypoint) and serves
@@ -195,6 +202,7 @@ class PipelineConfig:
             decode_prefetch_blocks=_env("DECODE_PREFETCH_BLOCKS", 2, int),
             shared_dispatcher=_env("SHARED_DISPATCHER", True, bool),
             decode_lowres=_env("DECODE_LOWRES", False, bool),
+            decode_dct_dc=_env("DECODE_DCT_DC", False, bool),
             store_retry_attempts=_env("STORE_RETRY_ATTEMPTS", 4, int),
             store_retry_wait_s=_env("STORE_RETRY_WAIT_S", 1.0, float),
         )

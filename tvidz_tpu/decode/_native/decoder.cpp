@@ -102,19 +102,16 @@ struct Handle {
   int scale_mode = -1;
   int scale_w = 0, scale_h = 0, scale_fmt = -1;
   std::vector<uint16_t> colsum;
+  // DC-skim state (TVZ_FLAG_DCSKIM + MJPEG): avcodec is bypassed entirely;
+  // each packet is huffman-skimmed to its luma DC image, wrapped in
+  // `dcframe` (GRAY8) and fed through the normal scale_into path. Falls
+  // back to avcodec on the first frame if the stream isn't baseline.
+  bool dcskim = false;
+  struct DcSkim* skim = nullptr;
+  AVFrame* dcframe = nullptr;
 };
 
-void destroy(Handle* h) {
-  if (!h) return;
-  if (h->sws) sws_freeContext(h->sws);
-  if (h->gray) av_frame_free(&h->gray);
-  if (h->frame) av_frame_free(&h->frame);
-  if (h->pkt) av_packet_free(&h->pkt);
-  if (h->codec) avcodec_free_context(&h->codec);
-  if (h->fmt) avformat_close_input(&h->fmt);
-  delete[] h->prev_luma;
-  delete h;
-}
+void destroy(Handle* h);
 
 // Mean abs diff of the full-resolution luma plane vs the previous frame —
 // FFmpeg f_select.c scene scoring operates on plane 0 at decode resolution.
@@ -222,7 +219,679 @@ bool can_box_downscale(const Handle* h, const AVFrame* f) {
 enum TvzOpenFlags {
   TVZ_FLAG_NO_GRAY = 1,
   TVZ_FLAG_LOWRES = 2,
+  TVZ_FLAG_DCSKIM = 4,
 };
+
+// ---------------------------------------------------------------------------
+// Baseline-JPEG DC skim (TVZ_FLAG_DCSKIM) — the DCT-domain MJPEG ingest path.
+//
+// The fingerprint pipeline never needs full-resolution pixels from the host:
+// its device inputs are 90x160-class luma blocks. For MJPEG, full decode
+// spends most of its wall on work that only serves pixels we immediately
+// throw away (AC dequant + IDCT + pixel output); avcodec `lowres` already
+// reclaims the IDCT share (240 -> 492 f/s/core, BENCH_r04), leaving huffman
+// entropy decode as the floor. This skim drops everything but that floor:
+// it huffman-PARSES each frame (entropy decode is serial and cannot be
+// skipped — block boundaries are only discoverable by decoding), keeps just
+// the DC coefficient of every luma block (differentially coded, so the
+// predictor must be tracked anyway), and never reconstructs AC values:
+// `skip_bits(size)` replaces receive+extend+dequant+store per AC coefficient.
+// The result is the 1/8-scale DC image — each pixel the exact mean of its
+// 8x8 block (DC = 8*mean in JPEG's DCT normalization) — which then feeds the
+// normal downscale to the requested geometry.
+//
+// Same fleet-wide-choice contract as `lowres` (pixels differ from a spec
+// decode; native-res mafd unavailable -> device downscaled scene scoring),
+// one step further down the quality/throughput curve. Baseline sequential
+// huffman JPEG only (SOF0/SOF1, interleaved or single-component scans,
+// restart markers honored); anything else — progressive, arithmetic, 12-bit
+// — falls back to the full avcodec decode on the FIRST frame, so enabling
+// the flag fleet-wide is safe on mixed corpora.
+// ---------------------------------------------------------------------------
+
+// AC skip-LUT geometry: a 12-bit peek resolves code length AND the trailing
+// value-bit count in one lookup for every AC code of length <= 12 (in
+// practice all of them for encoder-default tables) — and, because value
+// bits are only ever DROPPED (never read), the lookup chains FURTHER
+// symbols whose codes still start inside the 12-bit window. A typical
+// code+value pair is ~5-7 bits, so most hits retire two AC coefficients.
+//
+// Entry layout (uint32): drop_total(0:5) | adv_total(5:11) | eob(11) |
+// drop1(12:17) | adv1(17:23) | slow(31). The chain is only applied when
+// k + adv_total <= 63 — otherwise some chained symbol would belong to the
+// NEXT block (its bits are the next DC code) and only the first symbol is
+// applied via drop1/adv1.
+constexpr int kSkipBits = 12;
+constexpr uint32_t kSkipSlow = 0x80000000u;  // code longer than kSkipBits
+constexpr uint32_t kSkipEob = 1u << 11;
+
+struct JpegHuff {
+  // Canonical decode arrays (ITU T.81 F.2.2.3) + an 8-bit fast LUT that
+  // resolves the overwhelming majority of symbols in one table hit.
+  int32_t mincode[17];
+  int32_t maxcode[17];   // maxcode[l] < mincode[l] when no codes of length l
+  int32_t valptr[17];
+  uint8_t vals[256];
+  uint16_t lut[256];     // (bitlen << 8) | symbol; 0 = not resolvable in 8
+  // AC tables only: chained skip entries (see kSkipBits block comment).
+  std::vector<uint32_t> skip_lut;
+  uint32_t sig = 0;      // FNV of the defining DHT payload (cross-frame reuse)
+  bool valid = false;
+};
+
+struct DcSkim {
+  uint16_t qdc[4] = {0, 0, 0, 0};       // DC quantizer per table id
+  JpegHuff dc_tab[4];
+  JpegHuff ac_tab[4];
+  int width = 0, height = 0;
+  int bw = 0, bh = 0;                   // luma DC-image grid (ceil/8)
+  std::vector<uint8_t> dc_img;          // bh x bw
+  // Per-frame unstuffed entropy data (FF00 -> FF, restart markers removed
+  // with their byte offsets recorded) so the bit reader never branches on
+  // marker bytes.
+  std::vector<uint8_t> scratch;
+  std::vector<size_t> restarts;
+  std::string err;
+};
+
+uint32_t fnv1a(const uint8_t* p, size_t n) {
+  uint32_t h = 2166136261u;
+  for (size_t i = 0; i < n; ++i) h = (h ^ p[i]) * 16777619u;
+  return h ? h : 1u;  // 0 is the "unset" sentinel
+}
+
+bool build_huff(JpegHuff& t, const uint8_t* counts, const uint8_t* symbols,
+                int nsym, uint32_t sig, bool is_ac) {
+  if (t.valid && t.sig == sig) return true;  // same table as last frame
+  int code = 0, k = 0;
+  for (int l = 1; l <= 16; ++l) {
+    t.valptr[l] = k;
+    t.mincode[l] = code;
+    code += counts[l - 1];
+    t.maxcode[l] = code - 1;  // < mincode when counts[l-1] == 0
+    k += counts[l - 1];
+    code <<= 1;
+  }
+  if (k != nsym || nsym > 256) return false;
+  memcpy(t.vals, symbols, nsym);
+  memset(t.lut, 0, sizeof(t.lut));
+  code = 0;
+  k = 0;
+  for (int l = 1; l <= 8; ++l) {
+    for (int c = 0; c < counts[l - 1]; ++c, ++k, ++code) {
+      int pre = code << (8 - l);
+      for (int f = 0; f < (1 << (8 - l)); ++f)
+        t.lut[pre | f] = (uint16_t)((l << 8) | symbols[k]);
+    }
+    code <<= 1;
+  }
+  if (is_ac) {
+    t.skip_lut.assign(1 << kSkipBits, kSkipSlow);
+    // Decode the AC symbol whose code starts at bit `pos` of the 12-bit
+    // window `idx`; returns false when the code doesn't fully fit.
+    auto decode_at = [&](int idx, int pos, int* sym, int* cl) -> bool {
+      for (int l = 1; l <= kSkipBits - pos; ++l) {
+        int c = (idx >> (kSkipBits - pos - l)) & ((1 << l) - 1);
+        if (counts[l - 1] && c >= t.mincode[l] && c <= t.maxcode[l]) {
+          *sym = t.vals[t.valptr[l] + (c - t.mincode[l])];
+          *cl = l;
+          return true;
+        }
+      }
+      return false;
+    };
+    for (int idx = 0; idx < (1 << kSkipBits); ++idx) {
+      int pos = 0, drop_total = 0, adv_total = 0;
+      int drop1 = 0, adv1 = 0, nres = 0;
+      bool eob = false;
+      while (true) {
+        int sym, cl;
+        if (!decode_at(idx, pos, &sym, &cl)) break;
+        int run = sym >> 4, size = sym & 15;
+        int adv, drop;
+        if (size == 0) {
+          if (run != 15) {  // EOB
+            drop_total += cl;
+            if (nres == 0) {
+              drop1 = drop_total;
+              adv1 = 0;
+            }
+            ++nres;
+            eob = true;
+            break;
+          }
+          adv = 16;  // ZRL
+          drop = cl;
+        } else {
+          adv = run + 1;
+          drop = cl + size;  // value bits only dropped, may pass the window
+        }
+        if (adv_total + adv > 62) break;  // keep adv in 6 bits, 63 unused
+        drop_total += drop;
+        adv_total += adv;
+        pos += drop;
+        if (nres == 0) {
+          drop1 = drop_total;
+          adv1 = adv_total;
+        }
+        ++nres;
+        if (pos >= kSkipBits) break;  // next code starts past the window
+      }
+      if (nres == 0) continue;  // first code itself doesn't fit: slow
+      t.skip_lut[idx] = (uint32_t)drop_total | ((uint32_t)adv_total << 5) |
+                        (eob ? kSkipEob : 0) | ((uint32_t)drop1 << 12) |
+                        ((uint32_t)adv1 << 17);
+    }
+  }
+  t.sig = sig;
+  t.valid = true;
+  return true;
+}
+
+// Bit reader over UNSTUFFED entropy bytes (see the preprocessing pass in
+// dc_skim_frame): no marker or FF00 branches on the hot path — a 64-bit
+// accumulator refilled 32 bits at a time, zero-padded past the end (a
+// conforming stream never reads past its own EOB codes).
+// One scan component, pre-resolved for the entropy loop.
+struct ScanComp {
+  const JpegHuff* dc;
+  const JpegHuff* ac;
+  int h, v;
+  bool luma;
+};
+
+// The entropy hot loop, flattened: all bit-reader state lives in locals so
+// the compiler keeps it in registers across the whole scan (the earlier
+// struct+method form measured ~10 ns/symbol; huffman skimming is a serial
+// dependency chain, so every spilled load is on the critical path). One
+// 32-bit refill per symbol, one skip-LUT hit per AC coefficient, luma DC
+// through the 8-bit LUT + extend, chroma DC value bits dropped unread.
+bool skim_entropy(DcSkim& S, const ScanComp* sc, int ns, int mcux, int mcuy,
+                  int dri, int luma_q, bool interleaved) {
+  const uint8_t* bp = S.scratch.data();
+  const uint8_t* const bend = bp + S.scratch.size();
+  uint64_t acc = 0;
+  int nbits = 0;
+  uint8_t* const img = S.dc_img.data();
+  const int bw = S.bw, bh = S.bh;
+  size_t rst_idx = 0;
+  int pred_luma = 0;
+  int mcu_until_rst = dri ? dri : -1;
+
+#define TVZ_RF()                                                    \
+  do {                                                              \
+    if (nbits <= 32) {                                              \
+      if (__builtin_expect(bp + 4 <= bend, 1)) {                    \
+        uint32_t w_;                                                \
+        memcpy(&w_, bp, 4);                                         \
+        acc = (acc << 32) | __builtin_bswap32(w_);                  \
+        bp += 4;                                                    \
+        nbits += 32;                                                \
+      } else {                                                      \
+        while (nbits <= 56) {                                       \
+          acc = (acc << 8) | (bp < bend ? *bp++ : 0);               \
+          nbits += 8;                                               \
+        }                                                           \
+      }                                                             \
+    }                                                               \
+  } while (0)
+
+  // Slow-path canonical decode for codes longer than the LUTs cover.
+  auto huff_slow = [&](const JpegHuff& t) -> int {
+    int code = (int)((acc >> (nbits - 16)) & 0xFFFF);
+    for (int l = 9; l <= 16; ++l) {
+      int c = code >> (16 - l);
+      if (c >= t.mincode[l] && c <= t.maxcode[l]) {
+        nbits -= l;
+        return t.vals[t.valptr[l] + (c - t.mincode[l])];
+      }
+    }
+    return -1;
+  };
+
+  if (ns == 1 && sc[0].luma) {
+    // Specialized single-component (grayscale MJPEG) loop: every MCU is
+    // one luma block, no component/sampling nesting — worth ~8% on the
+    // 1080p roofline over the general loop below.
+    const JpegHuff* const dct = sc[0].dc;
+    const uint16_t* __restrict__ const dlut = dct->lut;
+    const uint32_t* __restrict__ const slut = sc[0].ac->skip_lut.data();
+    const size_t nblocks = (size_t)mcux * mcuy;
+    for (size_t bi = 0; bi < nblocks; ++bi) {
+      if (mcu_until_rst == 0) {
+        if (rst_idx >= S.restarts.size()) {
+          S.err = "missing restart marker";
+          return false;
+        }
+        bp = S.scratch.data() + S.restarts[rst_idx++];
+        acc = 0;
+        nbits = 0;
+        pred_luma = 0;
+        mcu_until_rst = dri;
+      }
+      if (mcu_until_rst > 0) --mcu_until_rst;
+      TVZ_RF();
+      uint16_t e = dlut[(acc >> (nbits - 8)) & 0xFF];
+      int t;
+      if (__builtin_expect(e != 0, 1)) {
+        nbits -= e >> 8;
+        t = e & 0xFF;
+      } else {
+        t = huff_slow(*dct);
+        if (t < 0 || t > 15) {
+          S.err = "corrupt DC code";
+          return false;
+        }
+      }
+      if (t) {
+        TVZ_RF();
+        int v = (int)((acc >> (nbits - t)) & ((1u << t) - 1));
+        nbits -= t;
+        if (v < (1 << (t - 1))) v += (int)(~0u << t) + 1;
+        pred_luma += v;
+      }
+      int vq = pred_luma * luma_q;
+      int px = ((vq + 4) >> 3) + 128;
+      img[bi] = (uint8_t)(px < 0 ? 0 : (px > 255 ? 255 : px));
+      int k = 1;
+      while (k < 64) {
+        TVZ_RF();
+        uint32_t a = slut[(acc >> (nbits - kSkipBits)) & 0xFFF];
+        if (__builtin_expect(!(a & kSkipSlow), 1)) {
+          if (a & kSkipEob) {
+            nbits -= a & 31;
+            break;
+          }
+          int advT = (int)((a >> 5) & 63);
+          if (__builtin_expect(k + advT <= 63, 1)) {
+            nbits -= a & 31;
+            k += advT;
+          } else {
+            nbits -= (a >> 12) & 31;
+            k += (int)((a >> 17) & 63);
+          }
+        } else {
+          int rs = huff_slow(*sc[0].ac);
+          if (rs < 0) {
+            S.err = "corrupt AC code";
+            return false;
+          }
+          int r = rs >> 4, s = rs & 15;
+          if (s == 0) {
+            if (r != 15) break;
+            k += 16;
+          } else {
+            k += r + 1;
+            TVZ_RF();
+            nbits -= s;
+          }
+        }
+      }
+    }
+    return true;
+  }
+
+  for (int my = 0; my < mcuy; ++my) {
+    for (int mx = 0; mx < mcux; ++mx) {
+      if (mcu_until_rst == 0) {
+        if (rst_idx >= S.restarts.size()) {
+          S.err = "missing restart marker";
+          return false;
+        }
+        bp = S.scratch.data() + S.restarts[rst_idx++];
+        acc = 0;
+        nbits = 0;
+        pred_luma = 0;
+        mcu_until_rst = dri;
+      }
+      if (mcu_until_rst > 0) --mcu_until_rst;
+      for (int i = 0; i < ns; ++i) {
+        const ScanComp& c = sc[i];
+        const int nbx = interleaved ? c.h : 1;
+        const int nby = interleaved ? c.v : 1;
+        for (int by = 0; by < nby; ++by) {
+          for (int bx = 0; bx < nbx; ++bx) {
+            // DC: 8-bit LUT, then extend (luma) or drop (chroma).
+            TVZ_RF();
+            uint16_t e = c.dc->lut[(acc >> (nbits - 8)) & 0xFF];
+            int t;
+            if (__builtin_expect(e != 0, 1)) {
+              nbits -= e >> 8;
+              t = e & 0xFF;
+            } else {
+              t = huff_slow(*c.dc);
+              if (t < 0) {
+                S.err = "corrupt DC code";
+                return false;
+              }
+            }
+            if (t > 15) {
+              S.err = "corrupt DC category";
+              return false;
+            }
+            if (c.luma) {
+              if (t) {
+                TVZ_RF();
+                int v = (int)((acc >> (nbits - t)) & ((1u << t) - 1));
+                nbits -= t;
+                if (v < (1 << (t - 1))) v += (int)(~0u << t) + 1;
+                pred_luma += v;
+              }
+              int X = interleaved ? mx * c.h + bx : mx;
+              int Y = interleaved ? my * c.v + by : my;
+              if (X < bw && Y < bh) {
+                // DC = 8 * block mean in JPEG's DCT normalization:
+                // pixel = round(DC*q/8) + 128.
+                int v = pred_luma * luma_q;
+                int px = ((v + 4) >> 3) + 128;
+                img[(size_t)Y * bw + X] =
+                    (uint8_t)(px < 0 ? 0 : (px > 255 ? 255 : px));
+              }
+            } else if (t) {
+              TVZ_RF();
+              nbits -= t;  // value never needed
+            }
+            // AC skim: one skip-LUT hit resolves one or (typically) two
+            // code+value-skip pairs; nothing is ever reconstructed.
+            const uint32_t* __restrict__ slut = c.ac->skip_lut.data();
+            int k = 1;
+            while (k < 64) {
+              TVZ_RF();
+              uint32_t a = slut[(acc >> (nbits - kSkipBits)) & 0xFFF];
+              if (__builtin_expect(!(a & kSkipSlow), 1)) {
+                if (a & kSkipEob) {
+                  nbits -= a & 31;
+                  break;
+                }
+                int advT = (int)((a >> 5) & 63);
+                if (__builtin_expect(k + advT <= 63, 1)) {
+                  nbits -= a & 31;
+                  k += advT;
+                } else {
+                  // A chained symbol would cross into the next block's
+                  // DC bits: retire only the first symbol.
+                  nbits -= (a >> 12) & 31;
+                  k += (int)((a >> 17) & 63);
+                }
+              } else {
+                int rs = huff_slow(*c.ac);
+                if (rs < 0) {
+                  S.err = "corrupt AC code";
+                  return false;
+                }
+                int r = rs >> 4, s = rs & 15;
+                if (s == 0) {
+                  if (r != 15) break;  // EOB
+                  k += 16;
+                } else {
+                  k += r + 1;
+                  TVZ_RF();
+                  nbits -= s;
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+#undef TVZ_RF
+  return true;
+}
+
+// Parse one baseline JPEG image, writing the luma DC image into S.dc_img.
+// Returns false with S.err set on anything outside the supported profile
+// (the caller falls back to avcodec on the first frame).
+bool dc_skim_frame(const uint8_t* d, size_t size, DcSkim& S) {
+  const uint8_t* p = d;
+  const uint8_t* end = d + size;
+  auto fail = [&](const char* why) {
+    S.err = why;
+    return false;
+  };
+  if (size < 4 || p[0] != 0xFF || p[1] != 0xD8) return fail("no SOI");
+  p += 2;
+
+  struct Comp {
+    int id = 0, h = 1, v = 1, tq = 0, td = 0, ta = 0;
+  } comp[4];
+  int ncomp = 0, dri = 0;
+  bool have_sof = false;
+
+  while (p + 4 <= end) {
+    if (p[0] != 0xFF) return fail("marker sync lost");
+    uint8_t m = p[1];
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7)) {  // SOI/RST: no payload
+      p += 2;
+      continue;
+    }
+    if (m == 0xD9) break;  // EOI
+    int len = (p[2] << 8) | p[3];
+    if (len < 2 || p + 2 + len > end) return fail("truncated segment");
+    const uint8_t* seg = p + 4;
+    int seglen = len - 2;
+    if (m == 0xDB) {  // DQT
+      const uint8_t* q = seg;
+      while (q < seg + seglen) {
+        int pq = q[0] >> 4, tq = q[0] & 15;
+        if (tq > 3) return fail("bad DQT id");
+        if (pq == 0) {
+          if (q + 65 > seg + seglen) return fail("short DQT");
+          S.qdc[tq] = q[1];
+          q += 65;
+        } else {
+          if (q + 129 > seg + seglen) return fail("short DQT16");
+          S.qdc[tq] = (uint16_t)((q[1] << 8) | q[2]);
+          q += 129;
+        }
+      }
+    } else if (m == 0xC4) {  // DHT
+      const uint8_t* q = seg;
+      while (q + 17 <= seg + seglen) {
+        int tc = q[0] >> 4, th = q[0] & 15;
+        if (tc > 1 || th > 3) return fail("bad DHT id");
+        int nsym = 0;
+        for (int i = 1; i <= 16; ++i) nsym += q[i];
+        if (q + 17 + nsym > seg + seglen) return fail("short DHT");
+        uint32_t sig = fnv1a(q, 17 + nsym);
+        JpegHuff& t = tc == 0 ? S.dc_tab[th] : S.ac_tab[th];
+        if (!build_huff(t, q + 1, q + 17, nsym, sig, tc == 1))
+          return fail("bad huffman table");
+        q += 17 + nsym;
+      }
+    } else if (m == 0xC0 || m == 0xC1) {  // SOF0/1: baseline-decodable
+      if (seglen < 6 || seg[0] != 8) return fail("not 8-bit");
+      S.height = (seg[1] << 8) | seg[2];
+      S.width = (seg[3] << 8) | seg[4];
+      ncomp = seg[5];
+      if (ncomp < 1 || ncomp > 4 || seglen < 6 + 3 * ncomp)
+        return fail("bad SOF components");
+      for (int i = 0; i < ncomp; ++i) {
+        comp[i].id = seg[6 + 3 * i];
+        comp[i].h = seg[7 + 3 * i] >> 4;
+        comp[i].v = seg[7 + 3 * i] & 15;
+        comp[i].tq = seg[8 + 3 * i];
+        if (comp[i].h < 1 || comp[i].h > 4 || comp[i].v < 1 ||
+            comp[i].v > 4 || comp[i].tq > 3)
+          return fail("bad sampling");
+      }
+      have_sof = true;
+    } else if (m == 0xC2 || m == 0xC3 || (m >= 0xC5 && m <= 0xC7) ||
+               (m >= 0xC9 && m <= 0xCF)) {
+      return fail("non-baseline SOF");  // progressive/arithmetic/lossless
+    } else if (m == 0xDD) {  // DRI
+      if (seglen < 2) return fail("short DRI");
+      dri = (seg[0] << 8) | seg[1];
+    } else if (m == 0xDA) {  // SOS -> entropy-coded scan
+      if (!have_sof) return fail("SOS before SOF");
+      int ns = seg[0];
+      if (ns < 1 || ns > 4 || seglen < 1 + 2 * ns)
+        return fail("bad SOS");
+      // Map scan components to SOF slots by component id; luma is SOF
+      // slot 0 (first SOF component, T.81 convention).
+      int slot_of[4];
+      for (int i = 0; i < ns; ++i) {
+        int cs = seg[1 + 2 * i];
+        int slot = -1;
+        for (int j = 0; j < ncomp; ++j) {
+          if (comp[j].id == cs) {
+            slot = j;
+            break;
+          }
+        }
+        if (slot < 0) return fail("SOS component not in SOF");
+        slot_of[i] = slot;
+        comp[slot].td = seg[2 + 2 * i] >> 4;
+        comp[slot].ta = seg[2 + 2 * i] & 15;
+        if (comp[slot].td > 3 || comp[slot].ta > 3)
+          return fail("bad SOS tables");
+      }
+      if (ns != ncomp && ns != 1)
+        return fail("partial interleave unsupported");
+      // Required tables must exist.
+      for (int i = 0; i < ns; ++i) {
+        Comp& c = comp[slot_of[i]];
+        if (!S.dc_tab[c.td].valid || !S.ac_tab[c.ta].valid)
+          return fail("missing huffman table");
+        if (S.qdc[c.tq] == 0) return fail("missing quant table");
+      }
+
+      S.bw = (S.width + 7) / 8;
+      S.bh = (S.height + 7) / 8;
+      if (S.bw <= 0 || S.bh <= 0 || (int64_t)S.bw * S.bh > (1 << 24))
+        return fail("absurd geometry");
+      S.dc_img.resize((size_t)S.bw * S.bh);
+
+      // MCU geometry. For a single-component scan the MCU is one block of
+      // that component (T.81 A.2.3) regardless of its sampling factors.
+      int hmax = 1, vmax = 1;
+      if (ns > 1) {
+        for (int i = 0; i < ns; ++i) {
+          hmax = comp[slot_of[i]].h > hmax ? comp[slot_of[i]].h : hmax;
+          vmax = comp[slot_of[i]].v > vmax ? comp[slot_of[i]].v : vmax;
+        }
+      }
+      int mcux, mcuy;
+      if (ns == 1) {
+        // Single-component scan: MCU = one block of that component
+        // (T.81 A.2.3). For the luma-first scans we care about this is
+        // the full ceil(W/8) x ceil(H/8) grid.
+        mcux = (S.width + 7) / 8;
+        mcuy = (S.height + 7) / 8;
+      } else {
+        mcux = (S.width + 8 * hmax - 1) / (8 * hmax);
+        mcuy = (S.height + 8 * vmax - 1) / (8 * vmax);
+      }
+
+      // Unstuff the entropy segment once (memchr-driven: FF00 -> FF,
+      // RSTn markers removed with their byte offsets recorded) so the
+      // bit loop never branches on stuffing or marker bytes.
+      S.scratch.clear();
+      S.restarts.clear();
+      {
+        const uint8_t* q = p + 2 + len;
+        while (q < end) {
+          const uint8_t* ff = (const uint8_t*)memchr(q, 0xFF, end - q);
+          if (!ff) {
+            S.scratch.insert(S.scratch.end(), q, end);
+            break;
+          }
+          S.scratch.insert(S.scratch.end(), q, ff);
+          if (ff + 1 >= end) break;
+          uint8_t mb = ff[1];
+          if (mb == 0x00) {
+            S.scratch.push_back(0xFF);
+            q = ff + 2;
+          } else if (mb >= 0xD0 && mb <= 0xD7) {
+            S.restarts.push_back(S.scratch.size());
+            q = ff + 2;
+          } else {
+            break;  // EOI / next marker: end of entropy data
+          }
+        }
+      }
+      ScanComp sc[4];
+      for (int i = 0; i < ns; ++i) {
+        Comp& c = comp[slot_of[i]];
+        sc[i] = ScanComp{&S.dc_tab[c.td], &S.ac_tab[c.ta], c.h, c.v,
+                         slot_of[i] == 0};
+      }
+      if (!skim_entropy(S, sc, ns, mcux, mcuy, dri, S.qdc[comp[0].tq],
+                        ns > 1)) {
+        return false;  // S.err set by skim_entropy
+      }
+      return true;  // one scan per baseline image
+    }
+    p += 2 + len;
+  }
+  return fail(have_sof ? "no SOS" : "no SOF");
+}
+
+void destroy(Handle* h) {
+  if (!h) return;
+  if (h->sws) sws_freeContext(h->sws);
+  if (h->gray) av_frame_free(&h->gray);
+  if (h->dcframe) av_frame_free(&h->dcframe);
+  if (h->frame) av_frame_free(&h->frame);
+  if (h->pkt) av_packet_free(&h->pkt);
+  if (h->codec) avcodec_free_context(&h->codec);
+  if (h->fmt) avformat_close_input(&h->fmt);
+  delete h->skim;
+  delete[] h->prev_luma;
+  delete h;
+}
+
+// Downscale one decoded frame's luma into `dst` (out_h x out_w), choosing
+// and caching the integer box filter vs swscale per decoded geometry.
+// Returns 0 ok / -1 error. Shared by the avcodec path and the DC-skim
+// path (which feeds a GRAY8 frame wrapping the DC image).
+int scale_into(Handle* h, AVFrame* frame, uint8_t* dst) {
+  if (h->scale_mode < 0 || frame->width != h->scale_w ||
+      frame->height != h->scale_h || frame->format != h->scale_fmt) {
+    h->scale_mode = can_box_downscale(h, frame) ? 1 : 0;
+    h->scale_w = frame->width;
+    h->scale_h = frame->height;
+    h->scale_fmt = frame->format;
+    if (h->sws) {  // geometry changed: rebuild lazily below
+      sws_freeContext(h->sws);
+      h->sws = nullptr;
+    }
+  }
+  if (h->scale_mode == 1) {
+    box_downscale(h, frame, dst);
+    return 0;
+  }
+  // Lazily create sws once we know the input geometry/pixfmt.
+  if (!h->sws) {
+    h->sws = sws_getContext(
+        frame->width, frame->height, (AVPixelFormat)frame->format,
+        h->out_w, h->out_h, AV_PIX_FMT_GRAY8, SWS_AREA, nullptr, nullptr,
+        nullptr);
+    if (!h->sws) {
+      set_error("sws_getContext failed");
+      return -1;
+    }
+    // Luma must pass through bit-exact: force dstRange == srcRange so
+    // sws never applies a JPEG<->MPEG range conversion (full-range
+    // yuvj420p sources would otherwise be compressed to 16..235).
+    int src_range = (frame->color_range == AVCOL_RANGE_JPEG) ? 1 : 0;
+    const int* coefs = sws_getCoefficients(SWS_CS_DEFAULT);
+    sws_setColorspaceDetails(h->sws, coefs, src_range, coefs, src_range,
+                             0, 1 << 16, 1 << 16);
+  }
+  int rc = sws_scale(h->sws, frame->data, frame->linesize, 0,
+                     frame->height, h->gray->data, h->gray->linesize);
+  if (rc < 0) {
+    set_averror("sws_scale", rc);
+    return -1;
+  }
+  for (int row = 0; row < h->out_h; ++row) {
+    memcpy(dst + (size_t)row * h->out_w,
+           h->gray->data[0] + (size_t)row * h->gray->linesize[0],
+           h->out_w);
+  }
+  return 0;
+}
 
 int open_input(const char* path, AVFormatContext** fmt, AVCodecContext** codec,
                int* stream_index, int flags = TVZ_FLAG_NO_GRAY,
@@ -354,6 +1023,20 @@ void* tvz_open(const char* path, int out_h, int out_w, int flags) {
   }
   h->out_h = out_h;
   h->out_w = out_w;
+  if ((flags & TVZ_FLAG_DCSKIM) &&
+      h->codec->codec_id == AV_CODEC_ID_MJPEG) {
+    // DCT-domain ingest: huffman-skim luma DC per frame, no avcodec
+    // decode. Engages only for MJPEG (other codecs are inter-frame coded
+    // — their DC story is the avcodec `lowres` path); reverts to the
+    // full decode on the first frame if the stream isn't baseline
+    // huffman, so the flag is safe fleet-wide.
+    h->dcskim = true;
+    h->skim = new DcSkim();
+    // DC pixels are not spec-decode pixels: same contract as lowres —
+    // native-res mafd unavailable, scene scoring falls back to the
+    // device's downscaled path.
+    h->mafd_supported = false;
+  }
   if (h->codec->lowres > 0) {
     // Reduced-resolution decode: a "native" mafd here would be computed on
     // lowres pixels — not the f_select.c full-frame parity contract.
@@ -396,54 +1079,75 @@ int tvz_read_block2(void* handle, int max_frames, uint8_t* luma_out,
   }
   const size_t frame_bytes = (size_t)h->out_h * h->out_w;
   int produced = 0;
+  while (h->dcskim && produced < max_frames && !h->drained) {
+    int rc = av_read_frame(h->fmt, h->pkt);
+    if (rc == AVERROR_EOF) {
+      h->drained = true;
+      break;
+    }
+    if (rc < 0) {
+      set_averror("av_read_frame", rc);
+      return -1;
+    }
+    if (h->pkt->stream_index != h->stream_index) {
+      av_packet_unref(h->pkt);
+      continue;
+    }
+    if (!dc_skim_frame(h->pkt->data, h->pkt->size, *h->skim)) {
+      if (h->frame_counter == 0) {
+        // First frame isn't baseline huffman (progressive/arithmetic/
+        // 12-bit): revert to the full avcodec decode for the whole
+        // stream, re-feeding this packet so no frame is lost.
+        h->dcskim = false;
+        rc = avcodec_send_packet(h->codec, h->pkt);
+        av_packet_unref(h->pkt);
+        if (rc < 0 && rc != AVERROR(EAGAIN)) {
+          set_averror("avcodec_send_packet (dc-skim fallback)", rc);
+          return -1;
+        }
+        break;  // drop into the avcodec loop below
+      }
+      set_error("dc-skim parse failed mid-stream: " + h->skim->err);
+      av_packet_unref(h->pkt);
+      return -1;
+    }
+    DcSkim& S = *h->skim;
+    if (!h->dcframe) h->dcframe = av_frame_alloc();
+    if (!h->dcframe) {
+      set_error("dcframe alloc failed");
+      av_packet_unref(h->pkt);
+      return -1;
+    }
+    h->dcframe->format = AV_PIX_FMT_GRAY8;
+    h->dcframe->width = S.bw;
+    h->dcframe->height = S.bh;
+    h->dcframe->data[0] = S.dc_img.data();
+    h->dcframe->linesize[0] = S.bw;
+    h->dcframe->color_range = AVCOL_RANGE_JPEG;
+    if (scale_into(h, h->dcframe, luma_out + (size_t)produced * frame_bytes) <
+        0) {
+      av_packet_unref(h->pkt);
+      return -1;
+    }
+    int64_t pts = h->pkt->pts;
+    if (pts == AV_NOPTS_VALUE) {
+      pts_out[produced] =
+          (h->fps > 0) ? h->frame_counter / h->fps : (double)h->frame_counter;
+    } else {
+      pts_out[produced] = pts * h->time_base;
+    }
+    if (mafd_out) mafd_out[produced] = -1.0;  // DC pixels: no native mafd
+    h->frame_counter++;
+    produced++;
+    av_packet_unref(h->pkt);
+  }
+  if (h->dcskim) return produced;
   while (produced < max_frames && !h->drained) {
     int rc = avcodec_receive_frame(h->codec, h->frame);
     if (rc == 0) {
-      if (h->scale_mode < 0 || h->frame->width != h->scale_w ||
-          h->frame->height != h->scale_h || h->frame->format != h->scale_fmt) {
-        h->scale_mode = can_box_downscale(h, h->frame) ? 1 : 0;
-        h->scale_w = h->frame->width;
-        h->scale_h = h->frame->height;
-        h->scale_fmt = h->frame->format;
-        if (h->sws) {  // geometry changed: rebuild lazily below
-          sws_freeContext(h->sws);
-          h->sws = nullptr;
-        }
-      }
-      if (h->scale_mode == 1) {
-        box_downscale(h, h->frame, luma_out + (size_t)produced * frame_bytes);
-      } else {
-      // Lazily create sws once we know the input geometry/pixfmt.
-      if (!h->sws) {
-        h->sws = sws_getContext(
-            h->frame->width, h->frame->height, (AVPixelFormat)h->frame->format,
-            h->out_w, h->out_h, AV_PIX_FMT_GRAY8, SWS_AREA, nullptr, nullptr,
-            nullptr);
-        if (!h->sws) {
-          set_error("sws_getContext failed");
-          return -1;
-        }
-        // Luma must pass through bit-exact: force dstRange == srcRange so
-        // sws never applies a JPEG<->MPEG range conversion (full-range
-        // yuvj420p sources would otherwise be compressed to 16..235).
-        int src_range =
-            (h->frame->color_range == AVCOL_RANGE_JPEG) ? 1 : 0;
-        const int* coefs = sws_getCoefficients(SWS_CS_DEFAULT);
-        sws_setColorspaceDetails(h->sws, coefs, src_range, coefs, src_range,
-                                 0, 1 << 16, 1 << 16);
-      }
-      rc = sws_scale(h->sws, h->frame->data, h->frame->linesize, 0,
-                     h->frame->height, h->gray->data, h->gray->linesize);
-      if (rc < 0) {
-        set_averror("sws_scale", rc);
+      if (scale_into(h, h->frame, luma_out + (size_t)produced * frame_bytes) <
+          0) {
         return -1;
-      }
-      uint8_t* dst = luma_out + (size_t)produced * frame_bytes;
-      for (int row = 0; row < h->out_h; ++row) {
-        memcpy(dst + (size_t)row * h->out_w,
-               h->gray->data[0] + (size_t)row * h->gray->linesize[0],
-               h->out_w);
-      }
       }
       int64_t pts = h->frame->best_effort_timestamp;
       if (pts == AV_NOPTS_VALUE) {
@@ -524,6 +1228,14 @@ int tvz_lowres(void* handle) {
   return (h && h->codec) ? h->codec->lowres : 0;
 }
 
+// Whether the DC-skim path is active for an open handle (1 = packets are
+// huffman-skimmed to DC images, no avcodec decode). Observable so callers
+// and tests can tell an engaged skim from the MJPEG/baseline fallbacks.
+int tvz_dcskim(void* handle) {
+  Handle* h = (Handle*)handle;
+  return (h && h->dcskim) ? 1 : 0;
+}
+
 void tvz_close(void* handle) { destroy((Handle*)handle); }
 
 // Encode (T, h, w) uint8 luma frames (U/V neutral) into any container/codec
@@ -558,6 +1270,13 @@ int tvz_encode(const char* path, const uint8_t* luma, int n_frames, int h,
     enc->width = w;
     enc->height = h;
     enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    if (codec->id == AV_CODEC_ID_MJPEG) {
+      // The mjpeg encoder takes full-range JPEG pixel formats only; this
+      // also gives tests a 3-component interleaved-scan fixture for the
+      // DC-skim path (the PIL writer emits single-component grayscale).
+      enc->pix_fmt = AV_PIX_FMT_YUVJ420P;
+      enc->color_range = AVCOL_RANGE_JPEG;
+    }
     enc->time_base = AVRational{100, (int)(fps * 100 + 0.5)};
     enc->framerate = AVRational{(int)(fps * 100 + 0.5), 100};
     enc->bit_rate = bit_rate > 0 ? bit_rate : 4'000'000;
@@ -584,7 +1303,7 @@ int tvz_encode(const char* path, const uint8_t* luma, int n_frames, int h,
       set_averror("write_header", rc);
       break;
     }
-    frame->format = AV_PIX_FMT_YUV420P;
+    frame->format = enc->pix_fmt;
     frame->width = w;
     frame->height = h;
     if (av_frame_get_buffer(frame, 32) < 0) {

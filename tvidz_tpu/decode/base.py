@@ -79,13 +79,17 @@ def _native_available() -> bool:
         return False
 
 
-def get_decoder(path: Optional[str] = None, lowres: bool = False) -> Decoder:
+def get_decoder(path: Optional[str] = None, lowres: bool = False,
+                dct_dc: bool = False) -> Decoder:
     """Pick a decoder: native C++/libav when built, else pure-Python Y4M.
 
     ``lowres=True`` requests reduced-resolution DCT-domain decode on codecs
     that support it (see NativeDecoder; decoded pixels differ from a full
-    decode — an explicit deployment-wide choice). Raw formats (Y4M) have no
-    decode work to skip and ignore it.
+    decode — an explicit deployment-wide choice). ``dct_dc=True``
+    additionally requests the MJPEG huffman DC skim (entropy decode only,
+    1/8-scale DC image; falls back to the normal decode for other codecs
+    and non-baseline streams). Raw formats (Y4M) have no decode work to
+    skip and ignore both.
     """
     if path is not None and path.endswith(".y4m"):
         from tvidz_tpu.decode.y4m import Y4MDecoder
@@ -94,7 +98,7 @@ def get_decoder(path: Optional[str] = None, lowres: bool = False) -> Decoder:
     if _native_available():
         from tvidz_tpu.decode.native import NativeDecoder
 
-        return NativeDecoder(lowres=lowres)
+        return NativeDecoder(lowres=lowres, dct_dc=dct_dc)
     if path is None:  # .y4m paths already returned above
         from tvidz_tpu.decode.y4m import Y4MDecoder
 

@@ -71,6 +71,9 @@ def _load() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "tvz_lowres"):
         lib.tvz_lowres.argtypes = [ctypes.c_void_p]
         lib.tvz_lowres.restype = ctypes.c_int
+    if hasattr(lib, "tvz_dcskim"):
+        lib.tvz_dcskim.argtypes = [ctypes.c_void_p]
+        lib.tvz_dcskim.restype = ctypes.c_int
     lib.tvz_last_error.argtypes = []
     lib.tvz_last_error.restype = ctypes.c_char_p
     # tvz_encode is newer than tvz_probe/open; a stale .so built before it
@@ -130,6 +133,7 @@ def encode_video(
 # tvz_open flags (decoder.cpp TvzOpenFlags).
 _FLAG_NO_GRAY = 1
 _FLAG_LOWRES = 2
+_FLAG_DCSKIM = 4
 
 
 class NativeDecoder(Decoder):
@@ -146,15 +150,29 @@ class NativeDecoder(Decoder):
     path — loop-filter skip keeps native geometry, so mafd stays on).
     Deploy fleet-wide or not at all — see PipelineConfig.decode_lowres.
 
+    ``dct_dc=True`` goes one step further down the same quality/throughput
+    curve for MJPEG: the stream is huffman-SKIMMED per frame (entropy
+    decode only — AC coefficients are walked but never reconstructed,
+    no dequant/IDCT/pixel output) and the 1/8-scale luma DC image feeds
+    the normal downscale. Engages only for baseline-huffman MJPEG; other
+    codecs and non-baseline streams silently fall back to the normal
+    (lowres-honoring) decode, so the flag is safe fleet-wide. Same
+    fleet-wide-choice contract as lowres: pixels differ from a spec
+    decode and native mafd is unavailable while the skim is engaged.
+
     Grayscale-only decode (AV_CODEC_FLAG_GRAY — skip chroma, luma
     unchanged) is always requested; TVIDZ_DECODE_GRAY=0 disables it for
     A/B measurement.
     """
 
-    def __init__(self, lowres: bool = False):
+    def __init__(self, lowres: bool = False, dct_dc: bool = False):
         self.lowres = lowres
+        self.dct_dc = dct_dc
         # Active lowres level of the most recent open (observability/tests).
         self.active_lowres = 0
+        # Whether the DC-skim engaged for the most recent open (it can
+        # still revert on the first frame of a non-baseline stream).
+        self.active_dcskim = False
 
     def _open_flags(self) -> int:
         flags = 0
@@ -162,6 +180,8 @@ class NativeDecoder(Decoder):
             flags |= _FLAG_NO_GRAY
         if self.lowres:
             flags |= _FLAG_LOWRES
+        if self.dct_dc:
+            flags |= _FLAG_DCSKIM
         return flags
 
     def probe(self, path: str) -> VideoInfo:
@@ -194,6 +214,8 @@ class NativeDecoder(Decoder):
         self.active_lowres = (
             int(lib.tvz_lowres(handle)) if hasattr(lib, "tvz_lowres") else 0
         )
+        self.active_dcskim = bool(
+            lib.tvz_dcskim(handle)) if hasattr(lib, "tvz_dcskim") else False
         try:
             start = 0
             has_mafd = hasattr(lib, "tvz_read_block2")

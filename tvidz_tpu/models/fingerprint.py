@@ -173,7 +173,8 @@ class FingerprintModel:
         from tvidz_tpu.ops.scene import NativeSceneScorer
 
         decoder = get_decoder(
-            path, lowres=self.config.pipeline.decode_lowres)
+            path, lowres=self.config.pipeline.decode_lowres,
+            dct_dc=self.config.pipeline.decode_dct_dc)
         carry = self.init_carry()
         bt = self.block_frames
         cuts: List[float] = []

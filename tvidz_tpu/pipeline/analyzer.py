@@ -512,7 +512,8 @@ class Analyzer:
         block_t = cfg.pipeline.block_frames
         h, w = cfg.pipeline.scene_height, cfg.pipeline.scene_width
 
-        decoder = get_decoder(local_path, lowres=cfg.pipeline.decode_lowres)
+        decoder = get_decoder(local_path, lowres=cfg.pipeline.decode_lowres,
+                              dct_dc=cfg.pipeline.decode_dct_dc)
         carry = initial_fingerprint_carry(h, w)
 
         scene_cuts: List[float] = []

@@ -94,7 +94,8 @@ class _Stream:
         m = self._model
         try:
             dec = get_decoder(
-                self.path, lowres=m.config.pipeline.decode_lowres)
+                self.path, lowres=m.config.pipeline.decode_lowres,
+                dct_dc=m.config.pipeline.decode_dct_dc)
             for block in dec.blocks(self.path, m.block_frames, m.height, m.width):
                 # Pre-transfer full blocks from THIS thread: the async
                 # device_put overlaps the host->device copy with decode,
@@ -329,7 +330,21 @@ def fingerprint_streams(
                     # One stream's failing block must not error the others:
                     # re-run each ready block as its own bucket-1 pass and
                     # retire only the streams whose OWN forward raises.
+                    #
+                    # The PREVIOUS pass must be resolved first: the re-runs
+                    # below resolve inline, and folding a stream's block i
+                    # before its still-pending block i-1 would reorder its
+                    # fps_out/cuts (observed as a cut fork under load).
+                    if pending is not None:
+                        try:
+                            _resolve(model, pending)
+                        except Exception as e0:  # noqa: BLE001
+                            for s0, _block, _t in pending[0]:
+                                fail_stream(s0, e0)
+                        pending = None
                     for s, block, dev in ready:
+                        if s.error is not None:
+                            continue  # already retired by the resolve above
                         try:
                             p = _dispatch(model, [(s, block, dev)])
                             _resolve(model, p)
