@@ -123,6 +123,8 @@ def _metric_specs():
          g("e2e_decoded_frames_per_sec"), host, True),
         ("e2e 1-stream fast frames/s",
          g("e2e_decoded_frames_per_sec_fast"), host, True),
+        ("e2e 1-stream dcskim frames/s",
+         g("e2e_decoded_frames_per_sec_dcskim"), host, True),
         ("e2e h264 full frames/s", g("e2e_h264_frames_per_sec"), host, True),
         ("e2e h264 fast frames/s",
          g("e2e_h264_frames_per_sec_fast"), host, True),
@@ -130,6 +132,8 @@ def _metric_specs():
          g("decode_only_frames_per_sec", "mjpeg_full"), host, True),
         ("decode mjpeg_lowres f/s",
          g("decode_only_frames_per_sec", "mjpeg_lowres"), host, True),
+        ("decode mjpeg_dcskim f/s",
+         g("decode_only_frames_per_sec", "mjpeg_dcskim"), host, True),
         ("decode mpeg4_full f/s",
          g("decode_only_frames_per_sec", "mpeg4_full"), host, True),
         ("decode mpeg4_lowres f/s",
@@ -142,6 +146,8 @@ def _metric_specs():
          g("e2e_streams_frames_per_sec_fast", "4"), host, True),
         ("e2e 4-stream full frames/s",
          g("e2e_streams_frames_per_sec", "4"), host, True),
+        ("e2e 4-stream dcskim frames/s",
+         g("e2e_streams_frames_per_sec_dcskim", "4"), host, True),
         ("service_e2e videos/min", g("service_e2e_videos_per_min"),
          host, True),
         ("boot_restore_1m_s", g("boot_restore_1m_s"), 0.5, False),
@@ -251,6 +257,24 @@ def build_table() -> str:
             f"{fmt(d.get('e2e_h264_frames_per_sec'))} / "
             f"{fmt(d.get('e2e_h264_frames_per_sec_fast'))} frames/s·core",
             "host-decode-bound"))
+    if d.get("e2e_decoded_frames_per_sec_dcskim") is not None:
+        vsb = d.get("vs_baseline_e2e_dcskim")
+        rows.insert(7, (
+            "E2e decode+hash mjpeg DC-skim (entropy-only host decode)",
+            f"{fmt(d.get('e2e_decoded_frames_per_sec_dcskim'))} "
+            "frames/s·core",
+            f"20k → {vsb:.1%}" if vsb else "host-decode-bound"))
+    dc_curve = d.get("e2e_streams_frames_per_sec_dcskim") or {}
+    if dc_curve:
+        rows.insert(10, (
+            "E2e aggregate 1→2→4 streams (dcskim)",
+            " → ".join(fmt(dc_curve.get(k)) for k in ("1", "2", "4")),
+            _curve_note(dc_curve)))
+    if d.get("decode_only_frames_per_sec", {}).get("mjpeg_dcskim"):
+        rows.insert(-3, (
+            "Decode-only roofline MJPEG DC-skim",
+            f"{fmt(d['decode_only_frames_per_sec']['mjpeg_dcskim'])} "
+            "frames/s·core", "host-bound"))
     lines = [
         "# Measured performance (canonical)",
         "",
