@@ -705,6 +705,7 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
             f"{stats.wall_s:.2f} s; decode-starved {stats.decode_starved_s:.2f} s "
             f"= {100*stats.decode_starved_s/stats.wall_s:.0f}%, device+dispatch "
             f"{stats.device_s:.2f} s = {100*stats.device_s/stats.wall_s:.0f}% "
+            f"[dispatch {stats.dispatch_s:.2f} / resolve {stats.resolve_s:.2f}] "
             f"in {stats.dispatches} batched dispatches; median of 3)"
         )
     for p in paths:

@@ -66,16 +66,59 @@ class MultiStreamStats:
     device_s: float              # batched dispatch + deferred host pull
     streams: int
     dispatches: int = 0          # batched device programs issued
+    # Split of device_s (VERDICT r4 #5 diagnosis): time blocked issuing
+    # the batched program vs time blocked pulling the previous pass.
+    dispatch_s: float = 0.0
+    resolve_s: float = 0.0
 
     @property
     def frames_per_s(self) -> float:
         return self.frames / self.wall_s if self.wall_s else 0.0
 
 
+class _TransferPump:
+    """Dedicated host->device transfer thread shared by all streams of one
+    dispatch loop.
+
+    Round 4 issued each full block's `jax.device_put` from its DECODER
+    thread — better than paying a (K, T, H, W) host stack memcpy on the
+    loop thread, but on a tunneled device the put costs a ~25-30 ms RTT
+    and decode is the critical path: at 1 stream that RTT lands squarely
+    between blocks of the lone decoder, part of the 31%-of-wall dispatch
+    residue (VERDICT r4 #5). The pump takes the put off BOTH the decoder
+    threads and the loop thread: decoders enqueue (holder, luma) and move
+    straight to the next frame; the pump fills holder[0] with the device
+    array; the dispatch pass uses it if ready, else falls back to the
+    host buffer (the jit transfers inline — status quo ante)."""
+
+    def __init__(self):
+        self.q: "queue.Queue" = queue.Queue()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            holder, luma = item
+            try:
+                holder[0] = jax.device_put(luma)
+            except Exception:  # noqa: BLE001 — host fallback is always valid
+                pass
+
+    def submit(self, holder, luma) -> None:
+        self.q.put((holder, luma))
+
+    def stop(self) -> None:
+        self.q.put(None)
+
+
 class _Stream:
     """One upload: a decoder thread pushing blocks into a bounded queue."""
 
-    def __init__(self, path: str, model: FingerprintModel, depth: int = 2):
+    def __init__(self, path: str, model: FingerprintModel, depth: int = 2,
+                 pump: Optional[_TransferPump] = None):
         self.path = path
         self.carry = model.init_carry()
         self.scorer = NativeSceneScorer(model.config.scene.native_resolution)
@@ -87,6 +130,7 @@ class _Stream:
         self.q: "queue.Queue" = queue.Queue(maxsize=depth)
         self.stopped = False
         self._model = model
+        self._pump = pump
         self._thread = threading.Thread(target=self._decode, daemon=True)
         self._thread.start()
 
@@ -97,25 +141,21 @@ class _Stream:
                 self.path, lowres=m.config.pipeline.decode_lowres,
                 dct_dc=m.config.pipeline.decode_dct_dc)
             for block in dec.blocks(self.path, m.block_frames, m.height, m.width):
-                # Pre-transfer full blocks from THIS thread: the async
-                # device_put overlaps the host->device copy with decode,
-                # and the dispatch pass then stacks device-resident blocks
-                # inside the jit instead of paying a (K, T, H, W) host
-                # memcpy on the loop thread (fused.fingerprint_blocks_
-                # batched tuple form). Short tail blocks keep the host
-                # path (they are padded on host in _dispatch).
-                dev = None
-                if PRETRANSFER and block.luma.shape[0] == m.block_frames:
-                    try:
-                        dev = jax.device_put(block.luma)
-                    except Exception:  # noqa: BLE001 — fall back to host
-                        dev = None
+                # Pre-transfer full blocks via the shared pump (see
+                # _TransferPump): this thread only enqueues — the tunnel
+                # RTT of the device_put never sits on the decode critical
+                # path. Short tail blocks keep the host path (they are
+                # padded on host in _dispatch).
+                holder = [None]
+                if (PRETRANSFER and self._pump is not None
+                        and block.luma.shape[0] == m.block_frames):
+                    self._pump.submit(holder, block.luma)
                 # Bounded put with a stop check: if the dispatch loop dies
                 # (device error), an unconditional q.put would block this
                 # thread forever, leaking it and its libav handle.
                 while not self.stopped:
                     try:
-                        self.q.put((block, dev), timeout=0.2)
+                        self.q.put((block, holder), timeout=0.2)
                         break
                     except queue.Full:
                         continue
@@ -140,9 +180,9 @@ class _Stream:
             pass
 
 
-# Decoder threads pre-issue each full block's host->device transfer
-# (jax.device_put) so the dispatch pass stacks device-resident blocks
-# inside the jit. Module-level so races/tests can toggle it.
+# Full blocks are pre-transferred to the device by the shared transfer
+# pump so the dispatch pass stacks device-resident blocks inside the jit.
+# Module-level so races/tests can toggle it.
 PRETRANSFER = True
 
 
@@ -275,17 +315,20 @@ def fingerprint_streams(
     waiting = list(order)
     streams: Dict[int, _Stream] = {}
     active: Dict[int, _Stream] = {}
+    pump = _TransferPump() if PRETRANSFER else None
 
     def admit() -> None:
         while waiting and len(active) < max_active:
             i = waiting.pop(0)
-            s = _Stream(paths[i], model, depth=queue_depth)
+            s = _Stream(paths[i], model, depth=queue_depth, pump=pump)
             streams[i] = s
             active[i] = s
 
     admit()
     starved_s = 0.0
     device_s = 0.0
+    dispatch_s = 0.0
+    resolve_s = 0.0
     dispatches = 0
     pending = None
     t_start = time.perf_counter()
@@ -315,11 +358,14 @@ def fingerprint_streams(
                     del active[i]
                     admit()
                     continue
-                block, dev = item
+                block, holder = item
                 if block.luma.shape[0] == 0:
                     # Zero-frame block (decoder edge case): a no-op.
                     continue
-                ready.append((s, block, dev))
+                # holder[0] is the pump's device-resident copy when the
+                # transfer already landed; None falls back to the host
+                # buffer (the jit transfers inline).
+                ready.append((s, block, holder[0]))
             new_pending = None
             if ready:
                 t0 = time.perf_counter()
@@ -351,7 +397,9 @@ def fingerprint_streams(
                             dispatches += 1
                         except Exception as e1:  # noqa: BLE001
                             fail_stream(s, e1)
-                device_s += time.perf_counter() - t0
+                dt_ = time.perf_counter() - t0
+                device_s += dt_
+                dispatch_s += dt_
             if pending is not None:
                 # Resolve the PREVIOUS pass while this pass's program runs
                 # and the decoder threads refill their queues.
@@ -364,7 +412,9 @@ def fingerprint_streams(
                     # the loop keeps serving.
                     for s, _block, _t in pending[0]:
                         fail_stream(s, e)
-                device_s += time.perf_counter() - t0
+                dt_ = time.perf_counter() - t0
+                device_s += dt_
+                resolve_s += dt_
             pending = new_pending
             if not ready and pending is None and active:
                 # Every live stream is still decoding: the chip is starved.
@@ -378,6 +428,8 @@ def fingerprint_streams(
         # no thread to stop.
         for s in streams.values():
             s.stop()
+        if pump is not None:
+            pump.stop()
 
     wall = time.perf_counter() - t_start
     words = model.config.hash.words
@@ -404,4 +456,5 @@ def fingerprint_streams(
     return results, MultiStreamStats(
         frames=total_frames, wall_s=wall, decode_starved_s=starved_s,
         device_s=device_s, streams=len(paths), dispatches=dispatches,
+        dispatch_s=dispatch_s, resolve_s=resolve_s,
     )
