@@ -1089,7 +1089,9 @@ int tvz_read_block2(void* handle, int max_frames, uint8_t* luma_out,
       set_averror("av_read_frame", rc);
       return -1;
     }
-    if (h->pkt->stream_index != h->stream_index) {
+    if (h->pkt->stream_index != h->stream_index || h->pkt->size == 0) {
+      // Wrong stream, or an empty AVI drop-frame packet (libav's decoder
+      // also produces no frame for those).
       av_packet_unref(h->pkt);
       continue;
     }
