@@ -551,7 +551,9 @@ def _e2e_once(model, path, lowres=False, dct_dc=False, passes=4):
     pf = BlockPrefetcher(blocks_iter, depth=depth) if depth > 0 else None
     for block in (pf if pf is not None else blocks_iter):
         t = block.luma.shape[0]
-        buf = block.luma
+        # project_payload is the identity in luma mode; in ship_coeffs
+        # mode it applies the host DCT projection (docs/kernels.md §8).
+        buf = model.project_payload(block.luma)
         if t < bt:
             buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, 0)])
         scores, fps_arr, carry = model.forward(jnp.asarray(buf), carry)
@@ -594,17 +596,24 @@ def bench_e2e_modes(num_frames: int = 256, reps: int = 3):
                               cut_frames=(40,), seed=3)
     mjpeg_path = os.path.join(tempfile.gettempdir(), "bench_1080p.avi")
     write_mjpeg_avi(mjpeg_path, luma, fps=25.0, quality=90)
+    # Coefficient-shipping variant (docs/kernels.md §8): host projects the
+    # hash's linear stage, ships (T, 64) f32 — the max-ingest config on
+    # this bandwidth-constrained tunnel.
+    cfg_c = Config()
+    cfg_c.pipeline.ship_dct_coeffs = True
+    model_c = FingerprintModel(cfg_c)
     legs = [
-        ("mjpeg_full", mjpeg_path, {}),
-        ("mjpeg_lowres", mjpeg_path, {"lowres": True}),
-        ("mjpeg_dcskim", mjpeg_path, {"dct_dc": True}),
+        ("mjpeg_full", mjpeg_path, {}, model),
+        ("mjpeg_lowres", mjpeg_path, {"lowres": True}, model),
+        ("mjpeg_dcskim", mjpeg_path, {"dct_dc": True}, model),
+        ("mjpeg_dcskim_coeff", mjpeg_path, {"dct_dc": True}, model_c),
     ]
     h264_path = os.path.join(tempfile.gettempdir(), "bench_1080p_e2e.mp4")
     try:
         native.encode_video(h264_path, luma, fps=25.0, codec="libx264",
                             bit_rate=8_000_000)
-        legs.append(("h264_full", h264_path, {}))
-        legs.append(("h264_fast", h264_path, {"lowres": True}))
+        legs.append(("h264_full", h264_path, {}, model))
+        legs.append(("h264_fast", h264_path, {"lowres": True}, model))
     except Exception as e:  # noqa: BLE001 — no libx264 in this build
         _log(f"e2e h264: fixture failed ({e}); skipping h264 legs")
         h264_path = None
@@ -612,13 +621,16 @@ def bench_e2e_modes(num_frames: int = 256, reps: int = 3):
     warm = jnp.zeros((bt, model.height, model.width), jnp.uint8)
     s0, f0, _ = model.forward(warm, carry)
     _sync(s0, f0)
+    s0, f0, _ = model_c.forward(model_c.example_payload(),
+                                model_c.init_carry())
+    _sync(s0, f0)
 
-    rates = {name: [] for name, _, _ in legs}
+    rates = {name: [] for name, _, _, _ in legs}
     for _rep in range(reps):
-        for name, path, kw in legs:
-            rates[name].append(_e2e_once(model, path, **kw))
+        for name, path, kw, m in legs:
+            rates[name].append(_e2e_once(m, path, **kw))
     out = {}
-    for name, _, _ in legs:
+    for name, _, _, _ in legs:
         rr = sorted(rates[name])
         out[name] = rr[len(rr) // 2]
         _log(f"e2e 1080p decode+hash [{name}]: {out[name]:,.0f} frames/s "
@@ -631,7 +643,8 @@ def bench_e2e_modes(num_frames: int = 256, reps: int = 3):
 
 
 def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
-                      lowres: bool = False, dct_dc: bool = False):
+                      lowres: bool = False, dct_dc: bool = False,
+                      ship_coeffs: bool = False):
     """Decoded-e2e scaling curve (VERDICT r1 missing #4): N concurrent
     1080p uploads, each with its own decoder thread, multiplexed onto one
     chip. Reports the decode-starved vs device split per point so the
@@ -659,6 +672,7 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
     # and raced 3-10% slower at 4 streams (docs/kernels.md §6).
     cfg.pipeline.decode_lowres = lowres
     cfg.pipeline.decode_dct_dc = dct_dc
+    cfg.pipeline.ship_dct_coeffs = ship_coeffs
     model = FingerprintModel(cfg)
     luma, _ = synthetic_video(num_frames=num_frames, height=1080, width=1920,
                               cut_frames=(40,), seed=3)
@@ -696,6 +710,8 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
             reps[n].append(stats)
     curve = {}
     tag = " [dcskim]" if dct_dc else (" [lowres]" if lowres else "")
+    if ship_coeffs:
+        tag += " [coeff]"
     for n in stream_counts:
         stats = sorted(reps[n], key=lambda s: s.frames_per_s)[1]
         curve[n] = stats.frames_per_s
@@ -705,7 +721,9 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
             f"{stats.wall_s:.2f} s; decode-starved {stats.decode_starved_s:.2f} s "
             f"= {100*stats.decode_starved_s/stats.wall_s:.0f}%, device+dispatch "
             f"{stats.device_s:.2f} s = {100*stats.device_s/stats.wall_s:.0f}% "
-            f"[dispatch {stats.dispatch_s:.2f} / resolve {stats.resolve_s:.2f}] "
+            f"[dispatch {stats.dispatch_s:.2f} / resolve-blocked "
+            f"{stats.resolve_s:.2f} / resolve-busy-overlapped "
+            f"{stats.resolve_busy_s:.2f}] "
             f"in {stats.dispatches} batched dispatches; median of 3)"
         )
     for p in paths:
@@ -912,6 +930,7 @@ def main() -> None:
     e2e_curve = None
     e2e_curve_fast = None
     e2e_curve_dcskim = None
+    e2e_curve_coeff = None
     decode_roofline = None
     verdict = None
     verdict16 = None
@@ -933,6 +952,8 @@ def main() -> None:
             e2e_curve = bench_e2e_scaling()
             e2e_curve_fast = bench_e2e_scaling(lowres=True)
             e2e_curve_dcskim = bench_e2e_scaling(dct_dc=True)
+            e2e_curve_coeff = bench_e2e_scaling(dct_dc=True,
+                                                ship_coeffs=True)
             restore_s = bench_boot_restore()
             service = bench_service_e2e()
         except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
@@ -941,6 +962,7 @@ def main() -> None:
     e2e_fps = e2e.get("mjpeg_full")
     e2e_fps_fast = e2e.get("mjpeg_lowres")
     e2e_fps_dcskim = e2e.get("mjpeg_dcskim")
+    e2e_fps_coeff = e2e.get("mjpeg_dcskim_coeff")
     e2e_h264 = e2e.get("h264_full")
     e2e_h264_fast = e2e.get("h264_fast")
 
@@ -973,6 +995,13 @@ def main() -> None:
         # host decode, the fastest MJPEG ingest).
         record["e2e_decoded_frames_per_sec_dcskim"] = round(e2e_fps_dcskim, 1)
         record["vs_baseline_e2e_dcskim"] = round(e2e_fps_dcskim / 20000.0, 4)
+    if e2e_fps_coeff is not None:
+        # dcskim + ship_dct_coeffs (host DCT projection, 57x fewer bytes
+        # over the tunnel — docs/kernels.md §8): the max-ingest config.
+        record["e2e_decoded_frames_per_sec_dcskim_coeff"] = round(
+            e2e_fps_coeff, 1)
+        record["vs_baseline_e2e_dcskim_coeff"] = round(
+            e2e_fps_coeff / 20000.0, 4)
     if e2e_h264 is not None:
         # The dominant real-upload codec, first-class (VERDICT r3 #2).
         record["e2e_h264_frames_per_sec"] = round(e2e_h264, 1)
@@ -1011,6 +1040,10 @@ def main() -> None:
     if e2e_curve_dcskim:
         record["e2e_streams_frames_per_sec_dcskim"] = {
             str(k): round(v, 1) for k, v in e2e_curve_dcskim.items()
+        }
+    if e2e_curve_coeff:
+        record["e2e_streams_frames_per_sec_dcskim_coeff"] = {
+            str(k): round(v, 1) for k, v in e2e_curve_coeff.items()
         }
     if restore_s is not None:
         # Cold-start corpus warm from the durable store (host-side).

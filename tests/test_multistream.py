@@ -187,6 +187,83 @@ class _PoisonWrap:
         return self._inner.forward_streams(lumas, carries, valid)
 
 
+def test_async_resolve_parity(tmp_path):
+    """The resolver thread must be invisible in every verdict-bearing
+    output: async and synchronous resolve produce identical cuts and
+    fingerprints (round-5 dispatch-residue fix)."""
+    from tvidz_tpu.pipeline import multistream as ms
+
+    cfg = _cfg()
+    paths = []
+    for i, (frames, cuts) in enumerate([(96, (30, 60)), (160, (50,)),
+                                        (64, (20, 40))]):
+        luma, _ = synthetic_video(num_frames=frames, height=72, width=96,
+                                  cut_frames=cuts, seed=80 + i)
+        p = str(tmp_path / f"r{i}.y4m")
+        write_y4m(p, luma, fps=25.0)
+        paths.append(p)
+
+    assert ms.ASYNC_RESOLVE is None, \
+        "default is AUTO (async iff ship_coeffs — docs/kernels.md §8)"
+    old = ms.ASYNC_RESOLVE
+    try:
+        ms.ASYNC_RESOLVE = True
+        a_results, a_stats = fingerprint_streams(
+            paths, model=FingerprintModel(cfg), max_active=3)
+        ms.ASYNC_RESOLVE = False
+        s_results, s_stats = fingerprint_streams(
+            paths, model=FingerprintModel(cfg), max_active=3)
+    finally:
+        ms.ASYNC_RESOLVE = old
+    assert a_stats.frames == s_stats.frames == 96 + 160 + 64
+    for ra, rs in zip(a_results, s_results):
+        assert ra.error is None and rs.error is None
+        assert ra.scene_cuts == rs.scene_cuts
+        np.testing.assert_array_equal(ra.fingerprints, rs.fingerprints)
+    # The synchronous path accounts its busy time as its blocked time.
+    assert s_stats.resolve_busy_s == s_stats.resolve_s
+
+
+def test_resolve_failure_surfaces_per_stream(tmp_path, monkeypatch):
+    """A failure inside the resolver thread (device pull / fold) must
+    surface as the pass's streams' errors — not vanish, not kill the
+    loop — and the unaffected stream still completes."""
+    from tvidz_tpu.pipeline import multistream as ms
+
+    cfg = _cfg()
+    model = FingerprintModel(cfg)
+    paths = []
+    for i in range(2):
+        luma, _ = synthetic_video(num_frames=96, height=72, width=96,
+                                  cut_frames=(30,), seed=90 + i)
+        p = str(tmp_path / f"f{i}.y4m")
+        write_y4m(p, luma, fps=25.0)
+        paths.append(p)
+
+    real_resolve = ms._resolve
+    state = {"n": 0}
+
+    def flaky_resolve(m, pending):
+        state["n"] += 1
+        if state["n"] == 2:
+            raise RuntimeError("injected resolve fault")
+        return real_resolve(m, pending)
+
+    monkeypatch.setattr(ms, "_resolve", flaky_resolve)
+    # Force the RESOLVER-thread placement (default AUTO would pick sync
+    # for a luma-mode model); max_active=1 serializes the streams, so the
+    # 2nd resolved pass belongs entirely to ONE stream and the fault
+    # stays isolated to it.
+    monkeypatch.setattr(ms, "ASYNC_RESOLVE", True)
+    results, _stats = ms.fingerprint_streams(paths, model=model,
+                                             max_active=1)
+    errs = [r for r in results if r.error and "injected resolve fault"
+            in r.error]
+    ok = [r for r in results if r.error is None]
+    assert len(errs) == 1, [r.error for r in results]
+    assert len(ok) == 1 and ok[0].frames == 96
+
+
 def test_stream_failure_isolated_to_its_stream(tmp_path):
     """Review r4 #3 (library path): a device failure tied to one stream's
     block retires THAT stream with an error; the other streams complete

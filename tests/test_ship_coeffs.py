@@ -1,0 +1,159 @@
+"""ship_dct_coeffs mode (round 5): host-side folded DCT projection +
+device median/pack — the bandwidth-constrained-link deployment mode.
+
+The projection is the golden spec's own float64 math, so the shipped
+coefficients (and therefore the packed hashes) must match golden.phash
+exactly; scene scores come host-side (native mafd, else the scorer's
+downscaled-mafd fallback) and must keep all cross-surface invariants:
+block-boundary invariance, multistream == single-stream, dispatcher
+bit-parity.
+"""
+
+import numpy as np
+import pytest
+
+from tvidz_tpu.config import Config
+from tvidz_tpu.decode.synthetic import synthetic_video
+from tvidz_tpu.decode.y4m import write_y4m
+from tvidz_tpu.models.fingerprint import FingerprintModel
+from tvidz_tpu.ops import golden
+
+
+def _cfg(ship=True):
+    cfg = Config()
+    cfg.pipeline.block_frames = 32
+    cfg.pipeline.scene_height = 72
+    cfg.pipeline.scene_width = 96
+    cfg.pipeline.ship_dct_coeffs = ship
+    return cfg
+
+
+def test_projection_matches_golden_phash():
+    """Host projection + device median/pack == golden.phash bit-for-bit
+    (both resolve the linear stage in float64)."""
+    from tvidz_tpu.ops.phash import (phash_from_coeffs_batched,
+                                     phash_project_host)
+
+    rng = np.random.default_rng(7)
+    luma = rng.integers(0, 256, (24, 72, 96), dtype=np.uint8)
+    coeffs = phash_project_host(luma)
+    assert coeffs.shape == (24, 64) and coeffs.dtype == np.float32
+    got = np.asarray(phash_from_coeffs_batched(coeffs))
+    want = np.stack([golden.phash(f) for f in luma])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_projection_linear_in_padding():
+    """Projecting a last-frame-padded block == padding the projected rows
+    (the process_block pad-after-project shortcut relies on linearity)."""
+    from tvidz_tpu.ops.phash import phash_project_host
+
+    rng = np.random.default_rng(8)
+    luma = rng.integers(0, 256, (5, 72, 96), dtype=np.uint8)
+    padded_luma = np.concatenate([luma, np.repeat(luma[-1:], 3, axis=0)])
+    a = phash_project_host(padded_luma)
+    b = phash_project_host(luma)
+    b = np.concatenate([b, np.repeat(b[-1:], 3, axis=0)])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_analyze_path_parity_with_luma_mode(tmp_path):
+    """Same video, ship_coeffs on vs off: identical cut timestamps (both
+    score from the decoder's native mafd) and identical fingerprints
+    (f64 host projection vs f32-HIGHEST device einsum agree on every
+    fixture bit — a disagreement would mean a median-adjacent tie)."""
+    luma, _ = synthetic_video(num_frames=100, height=72, width=96,
+                              cut_frames=(30, 64), seed=11)
+    p = str(tmp_path / "v.y4m")
+    write_y4m(p, luma, fps=25.0)
+    cuts_a, fps_a = FingerprintModel(_cfg(ship=False)).analyze_path(p)
+    cuts_b, fps_b = FingerprintModel(_cfg(ship=True)).analyze_path(p)
+    assert cuts_a == cuts_b
+    np.testing.assert_array_equal(fps_a, fps_b)
+
+
+def test_analyze_array_host_fallback_scores(tmp_path):
+    """analyze_array has no decoder mafd: in ship_coeffs mode the scorer's
+    host downscaled-mafd fallback must supply the scores (device scores
+    are structural zeros) — planted hard cuts must still be found."""
+    luma, pts = synthetic_video(num_frames=96, height=72, width=96,
+                                cut_frames=(40,), seed=12)
+    cuts_a, fps_a = FingerprintModel(_cfg(ship=False)).analyze_array(luma, pts)
+    cuts_b, fps_b = FingerprintModel(_cfg(ship=True)).analyze_array(luma, pts)
+    assert cuts_b == cuts_a          # planted cuts are far from threshold
+    np.testing.assert_array_equal(fps_a, fps_b)
+    assert cuts_b  # the cut at frame 40 was actually detected
+
+
+def test_host_fallback_block_boundary_invariance():
+    """The host downscaled-mafd recurrence must be continuous across block
+    boundaries: different block sizes -> identical cuts."""
+    luma, pts = synthetic_video(num_frames=96, height=72, width=96,
+                                cut_frames=(20, 50, 70), seed=13)
+    ref = None
+    for bf in (16, 32, 96):
+        cfg = _cfg(ship=True)
+        cfg.pipeline.block_frames = bf
+        cuts, fps = FingerprintModel(cfg).analyze_array(luma, pts)
+        if ref is None:
+            ref = (cuts, fps)
+        else:
+            assert cuts == ref[0], f"cuts fork at block_frames={bf}"
+            np.testing.assert_array_equal(fps, ref[1])
+
+
+def test_multistream_coeff_parity(tmp_path):
+    """Multistream in ship_coeffs mode == its own single-stream analysis
+    (the batched coeff program + pump payloads preserve per-stream
+    results)."""
+    from tvidz_tpu.pipeline.multistream import fingerprint_streams
+
+    cfg = _cfg(ship=True)
+    model = FingerprintModel(cfg)
+    paths = []
+    for i, (frames, cuts) in enumerate([(96, (30, 60)), (64, (20,))]):
+        luma, _ = synthetic_video(num_frames=frames, height=72, width=96,
+                                  cut_frames=cuts, seed=30 + i)
+        p = str(tmp_path / f"c{i}.y4m")
+        write_y4m(p, luma, fps=25.0)
+        paths.append(p)
+    results, stats = fingerprint_streams(paths, model=model, max_active=2)
+    assert stats.frames == 96 + 64
+    for r in results:
+        assert r.error is None
+        want_cuts, want_fps = FingerprintModel(cfg).analyze_path(r.path)
+        assert r.scene_cuts == want_cuts
+        np.testing.assert_array_equal(r.fingerprints, want_fps)
+
+
+def test_dispatcher_coeff_parity():
+    """The shared block dispatcher ships whatever payload process_block
+    submits: coeff-mode submissions through a warmed dispatcher must be
+    bit-identical to the direct forward."""
+    from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
+
+    luma, pts = synthetic_video(num_frames=64, height=72, width=96,
+                                cut_frames=(30,), seed=40)
+    cfg = _cfg(ship=True)
+    direct = FingerprintModel(cfg)
+    cuts_a, fps_a = direct.analyze_array(luma, pts)
+
+    routed = FingerprintModel(cfg)
+    disp = SharedBlockDispatcher(routed, max_bucket=2)
+    disp.warm()
+    disp.start()
+    try:
+        routed.dispatcher = disp
+        cuts_b, fps_b = routed.analyze_array(luma, pts)
+    finally:
+        routed.dispatcher = None
+        disp.stop()
+    assert cuts_a == cuts_b
+    np.testing.assert_array_equal(fps_a, fps_b)
+
+
+def test_ship_coeffs_rejects_non_phash():
+    cfg = _cfg(ship=True)
+    cfg.hash.algorithm = "ahash"
+    with pytest.raises(ValueError, match="phash"):
+        FingerprintModel(cfg)

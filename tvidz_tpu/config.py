@@ -178,6 +178,19 @@ class PipelineConfig:
     # only for baseline-huffman MJPEG (everything else falls back to the
     # decode_lowres behavior above, so the two knobs compose).
     decode_dct_dc: bool = False
+    # Ship-the-sufficient-statistic device payloads: the host applies the
+    # pHash's folded linear DCT projection (float64, golden-exact —
+    # ops/phash.phash_project_host) and ships (T, 64) f32 coefficients
+    # instead of (T, 90, 160) uint8 luma — 57x fewer bytes per block.
+    # For bandwidth-constrained host<->device links (the axon tunnel
+    # moves ~20 MB/s, making the SHIP of a 1.84 MB block cost as much as
+    # its decode); on full-bandwidth PCIe hosts leave it off and let the
+    # device do the projection on the MXU. Scene scores then always come
+    # host-side (native mafd, else the scorer's downscaled-mafd fallback).
+    # Median-tie hash bits can differ from the device-projection path
+    # (f64 vs f32-HIGHEST rounding): fleet-wide or not at all, like
+    # decode_lowres. phash-only (model init rejects other algorithms).
+    ship_dct_coeffs: bool = False
     # Directory for per-video JPEG thumbnails ("" = off). The reference
     # schema has videos.thumbnail_path but nothing ever writes it; the
     # service enables this by default (entrypoint) and serves
@@ -203,6 +216,7 @@ class PipelineConfig:
             shared_dispatcher=_env("SHARED_DISPATCHER", True, bool),
             decode_lowres=_env("DECODE_LOWRES", False, bool),
             decode_dct_dc=_env("DECODE_DCT_DC", False, bool),
+            ship_dct_coeffs=_env("SHIP_DCT_COEFFS", False, bool),
             store_retry_attempts=_env("STORE_RETRY_ATTEMPTS", 4, int),
             store_retry_wait_s=_env("STORE_RETRY_WAIT_S", 1.0, float),
         )

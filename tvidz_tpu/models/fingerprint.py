@@ -42,6 +42,21 @@ class FingerprintModel:
         self.dct_size = self.config.hash.dct_size
         self.hash_size = self.config.hash.hash_size
         self.algorithm = self.config.hash.algorithm
+        # Ship-the-sufficient-statistic mode (PipelineConfig.ship_dct_coeffs):
+        # the host applies the hash's folded linear DCT projection
+        # (ops/phash.phash_project_host, float64 = golden-exact) and ships
+        # (T, hash²) f32 coefficients instead of (T, H, W) uint8 luma —
+        # 57x fewer bytes over a bandwidth-constrained host<->device link
+        # (measured: the axon tunnel moves ~20 MB/s, so a 1.84 MB block
+        # costs as much to SHIP as to DECODE). Scene scores then always
+        # come from the host (native mafd, else the scorer's host-side
+        # downscaled-mafd fallback — ops/scene.NativeSceneScorer).
+        self.ship_coeffs = bool(getattr(p, "ship_dct_coeffs", False))
+        if self.ship_coeffs and self.algorithm != "phash":
+            raise ValueError(
+                "ship_dct_coeffs is a phash-specific projection; "
+                f"algorithm={self.algorithm!r} must ship luma blocks"
+            )
         # Optional SharedBlockDispatcher (pipeline/dispatcher.py): when
         # set, process_block routes its device step through the shared
         # batched pass instead of a private dispatch. The service attaches
@@ -57,11 +72,31 @@ class FingerprintModel:
         self, luma_block: jnp.ndarray, carry: FingerprintCarry,
         valid_t=None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, FingerprintCarry]:
+        if self.ship_coeffs:
+            # luma_block is the host-projected (T, hash²) f32 coefficient
+            # block here (see project_payload); scores are structural
+            # zeros and the carry passes through.
+            from tvidz_tpu.ops.fused import fingerprint_block_coeffs
+
+            return fingerprint_block_coeffs(
+                luma_block, carry, hash_size=self.hash_size)
         return fingerprint_block(
             luma_block, carry, dct_size=self.dct_size,
             hash_size=self.hash_size, algorithm=self.algorithm,
             valid_t=valid_t,
         )
+
+    def project_payload(self, luma: np.ndarray) -> np.ndarray:
+        """Host-side device payload for a (t, H, W) luma block: the
+        projected (t, hash²) f32 coefficients in ship_coeffs mode, the
+        luma itself otherwise. Runs on the DECODING thread so the BLAS
+        cost lands on the same core budget the decode does."""
+        if not self.ship_coeffs:
+            return luma
+        from tvidz_tpu.ops.phash import phash_project_host
+
+        return phash_project_host(
+            luma, dct_size=self.dct_size, hash_size=self.hash_size)
 
     def example_inputs(self) -> Tuple[jnp.ndarray, FingerprintCarry]:
         luma = jnp.zeros(
@@ -108,7 +143,11 @@ class FingerprintModel:
             return (np.zeros((0, self.config.hash.words), np.uint32),
                     carry, [], 0)
         bt = self.block_frames
-        buf = block.luma
+        # Device payload: raw luma, or the host-projected DCT coefficients
+        # in ship_coeffs mode (projecting BEFORE padding — the projection
+        # is linear per frame, so padding coefficient rows with the last
+        # row is identical to projecting a last-frame-padded block).
+        buf = self.project_payload(block.luma)
         if t < bt:
             buf = np.concatenate([buf, np.repeat(buf[-1:], bt - t, axis=0)])
         if self.dispatcher is not None:
@@ -150,7 +189,14 @@ class FingerprintModel:
     def forward_streams(self, lumas, carries, valid_ts):
         """(K, T, H, W) blocks from K independent streams in one device
         program: ((K, T) scores, (K, T, words) fps, tuple of K carries).
-        See ops/fused.fingerprint_blocks_batched."""
+        In ship_coeffs mode the per-stream payloads are (T, hash²) f32
+        projected coefficients instead (see project_payload).
+        See ops/fused.fingerprint_blocks_batched[_coeffs]."""
+        if self.ship_coeffs:
+            from tvidz_tpu.ops.fused import fingerprint_blocks_batched_coeffs
+
+            return fingerprint_blocks_batched_coeffs(
+                lumas, tuple(carries), valid_ts, hash_size=self.hash_size)
         from tvidz_tpu.ops.fused import fingerprint_blocks_batched
 
         return fingerprint_blocks_batched(
@@ -158,6 +204,18 @@ class FingerprintModel:
             dct_size=self.dct_size, hash_size=self.hash_size,
             algorithm=self.algorithm,
         )
+
+    def example_payload(self) -> jnp.ndarray:
+        """A zero device payload block at the model's dispatch shape —
+        (T, hash²) f32 in ship_coeffs mode, (T, H, W) uint8 otherwise
+        (warm_dispatch / dispatcher warm use this so compiled shapes match
+        the production path)."""
+        if self.ship_coeffs:
+            return jnp.zeros(
+                (self.block_frames, self.hash_size * self.hash_size),
+                jnp.float32)
+        return jnp.zeros(
+            (self.block_frames, self.height, self.width), jnp.uint8)
 
     # -- whole-array convenience (tests, bench) --------------------------------------
 
@@ -181,7 +239,8 @@ class FingerprintModel:
         fps_out: List[np.ndarray] = []
         # Shared native-res scoring policy (ops/scene.NativeSceneScorer) so
         # CLI/search cuts agree exactly with the service's.
-        scorer = NativeSceneScorer(self.config.scene.native_resolution)
+        scorer = NativeSceneScorer(self.config.scene.native_resolution,
+                                   host_mafd_fallback=self.ship_coeffs)
         for block in decoder.blocks(path, bt, self.height, self.width):
             fps, carry, new_cuts, _t = self.process_block(
                 block, carry, scorer, last_cut=cuts[-1] if cuts else None)
@@ -206,7 +265,10 @@ class FingerprintModel:
         bt = self.block_frames
         cuts: List[float] = []
         fps_out = []
-        scorer = NativeSceneScorer(False)   # arrays have no decoder mafd
+        # Arrays have no decoder mafd; in ship_coeffs mode the scorer's
+        # host downscaled-mafd fallback supplies the scores instead of the
+        # (structurally zero) device scores.
+        scorer = NativeSceneScorer(False, host_mafd_fallback=self.ship_coeffs)
         for s in range(0, t, bt):
             block = types.SimpleNamespace(
                 luma=luma[s : s + bt], pts=pts[s : s + bt], mafd=None)

@@ -124,3 +124,50 @@ def fingerprint_blocks_batched(
         for i in range(k)
     )
     return scores, fps.reshape(k, t, -1), new_carries
+
+
+@functools.partial(jax.jit, static_argnames=("hash_size",))
+def fingerprint_block_coeffs(
+    coeffs: jnp.ndarray,              # (T, hash²) f32 projected coefficients
+    carry: FingerprintCarry,          # passthrough (see batched variant)
+    hash_size: int = 8,
+):
+    """Single-stream coefficient-shipping forward (the non-dispatcher
+    process_block path under PipelineConfig.ship_dct_coeffs). Same
+    contract as the batched variant: zero scores, carry passthrough."""
+    from tvidz_tpu.ops.phash import phash_from_coeffs_batched
+
+    t = coeffs.shape[0]
+    fps = phash_from_coeffs_batched(coeffs, hash_size=hash_size)
+    return jnp.zeros((t,), jnp.float32), fps, carry
+
+
+@functools.partial(jax.jit, static_argnames=("hash_size",))
+def fingerprint_blocks_batched_coeffs(
+    coeffs,                           # (K, T, hash²) f32 or tuple of (T, hash²)
+    carries,                          # tuple of K FingerprintCarry (passthrough)
+    valid_ts: jnp.ndarray,            # (K,) int32 — unused; signature parity
+    hash_size: int = 8,
+):
+    """Coefficient-shipping variant of ``fingerprint_blocks_batched``
+    (PipelineConfig.ship_dct_coeffs): the host already applied the hash's
+    folded linear DCT projection (ops/phash.phash_project_host — bit-exact
+    to the golden spec's float64 math), so the device runs only the
+    data-dependent tail: median threshold + bit pack.
+
+    Scene scores are returned as ZEROS — this mode REQUIRES the
+    native-resolution mafd scoring policy (the production default, where
+    device scores are discarded); the model layer enforces it and a block
+    without decoder mafd fails ITS stream. Carries pass through untouched
+    (the scene recurrence never runs), keeping the dispatch-loop call
+    signature identical to the luma path.
+    """
+    del valid_ts
+    if isinstance(coeffs, (tuple, list)):
+        coeffs = jnp.stack(coeffs)
+    k, t, n = coeffs.shape
+    from tvidz_tpu.ops.phash import phash_from_coeffs_batched
+
+    fps = phash_from_coeffs_batched(
+        coeffs.reshape(k * t, n), hash_size=hash_size)
+    return jnp.zeros((k, t), jnp.float32), fps.reshape(k, t, -1), carries

@@ -77,6 +77,15 @@ def phash_bits_batched(
     ).reshape(t, hash_size * hash_size)
     # Median of an even count = mean of the two middle order statistics
     # (matches np.median in the golden model).
+    return _median_threshold_bits(low, hash_size)
+
+
+def _median_threshold_bits(low: jnp.ndarray, hash_size: int) -> jnp.ndarray:
+    """(N, hash_size²) f32 coefficients -> (N, hash_size²) {0,1} int32:
+    threshold strictly above the median (mean of the two middle order
+    statistics — matches np.median in the golden model). Shared by the
+    on-device path and the host-projection path so the tie-breaking
+    semantics cannot fork."""
     srt = jnp.sort(low, axis=-1)
     k = hash_size * hash_size // 2
     med = (srt[:, k - 1] + srt[:, k]) * 0.5
@@ -89,3 +98,69 @@ def phash_batched(
     """(T, H, W) luma -> (T, words) uint32 packed fingerprints."""
     bits = phash_bits_batched(luma, dct_size, hash_size)
     return _pack_bits_u32(bits)
+
+
+# ---------------------------------------------------------------------------
+# Host-side DCT projection ("ship the sufficient statistic")
+# ---------------------------------------------------------------------------
+#
+# With native-resolution scene scoring (the production default — the device
+# scores are discarded, ops/scene.NativeSceneScorer), the ONLY thing the
+# device computes from a shipped luma block is this hash, and the hash's
+# front half is a fixed LINEAR map: low = (D P_h) X (D P_w)^T, 64 floats
+# per frame. On a bandwidth-constrained host<->device link the raw
+# (T, 90, 160) uint8 block (1.84 MB) is 57x more bytes than its projected
+# coefficients (T, 64) f32 (32 KB) — measured on the axon tunnel:
+# ~90-140 ms per block device_put (~20 MB/s) vs a ~133 ms/block dcskim
+# decode budget, i.e. shipping pixels costs as much as decoding them
+# (docs/kernels.md §8). ``phash_project_host`` computes the projection
+# with BLAS in float64 (the golden spec's own precision — golden.phash
+# resolves resize+DCT in f64 and casts the final coefficients to f32, so
+# this path is bit-identical to the spec BY CONSTRUCTION, stronger than
+# the device einsum's f32-HIGHEST approximation); the device finishes
+# with the data-dependent tail (median threshold + bit pack,
+# ``phash_from_coeffs_batched``). Like decode_lowres/decode_dct_dc this
+# is a fleet-wide deployment choice (PipelineConfig.ship_dct_coeffs):
+# mixed fleets could disagree on median-tie bits.
+
+_PROJECT_CACHE: dict = {}
+
+
+def _project_operators_np(h: int, w: int, dct_size: int, hash_size: int):
+    """Folded float64 (hash_size, H) / (hash_size, W) projection operators
+    (cached per geometry — they cost a few ms to build)."""
+    key = (h, w, dct_size, hash_size)
+    ops = _PROJECT_CACHE.get(key)
+    if ops is None:
+        ph, pw = _resize_matrices_np(h, w, dct_size, dct_size)
+        d64 = np.asarray(_dct_matrix_np(dct_size), np.float64)
+        left = (d64 @ np.asarray(ph, np.float64))[:hash_size]
+        right = (d64 @ np.asarray(pw, np.float64))[:hash_size]
+        ops = _PROJECT_CACHE[key] = (left, right)
+    return ops
+
+
+def phash_project_host(
+    luma: np.ndarray, dct_size: int = 32, hash_size: int = 8
+) -> np.ndarray:
+    """(T, H, W) uint8/float luma -> (T, hash_size²) float32 low-frequency
+    DCT coefficients, computed host-side in float64 (see module note).
+
+    Cost: two BLAS dgemms, ~32 MFLOP per 128-frame 90x160 block (a few ms
+    on one core) — traded against not shipping 1.84 MB over the link."""
+    t, h, w = luma.shape
+    left, right = _project_operators_np(h, w, dct_size, hash_size)
+    x = np.asarray(luma, np.float64)
+    a = np.tensordot(left, x, axes=(1, 1))      # (hash, T, W)
+    c = np.tensordot(a, right, axes=(2, 1))     # (hash, T, hash)
+    return np.ascontiguousarray(
+        c.transpose(1, 0, 2)
+    ).reshape(t, hash_size * hash_size).astype(np.float32)
+
+
+def phash_from_coeffs_batched(low: jnp.ndarray, hash_size: int = 8
+                              ) -> jnp.ndarray:
+    """(N, hash_size²) f32 projected coefficients -> (N, words) uint32.
+    The device tail of the split pipeline: median threshold (identical
+    order statistics to phash_bits_batched) + MSB-first packing."""
+    return _pack_bits_u32(_median_threshold_bits(low, hash_size))

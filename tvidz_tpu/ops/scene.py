@@ -71,28 +71,101 @@ class NativeSceneScorer:
     sticky-disables to the device's downscaled scores the first time a
     block can't provide usable mafd (stale native lib, exotic pixel
     format), so one video's score stream never mixes recurrences.
+
+    ``host_mafd_fallback=True`` (the ship_dct_coeffs mode, where no luma
+    reaches the device and the device scores are structural zeros):
+    instead of falling back to device scores, the fallback recurrence is
+    computed HOST-side over the downscaled block luma — same f_select
+    recurrence, float64 like the golden model. The last downscaled frame
+    is tracked from stream start so a mid-stream switch (unreachable with
+    the shipped decoders — skim/lowres engagement is fixed per stream —
+    but handled anyway) stays frame-continuous; its prev_mafd seeds from
+    the native recurrence (both are mean-abs-diffs in 8-bit units, so the
+    one boundary score degrades gracefully instead of firing a spurious
+    cut against a zero seed).
     """
 
-    def __init__(self, enabled: bool):
+    def __init__(self, enabled: bool, host_mafd_fallback: bool = False):
         self.active = enabled
+        self.host_fallback = host_mafd_fallback
         self.prev_mafd = 0.0
+        self._host_prev_luma = None     # (H, W) float64 — last block's tail
+        self._host_prev_mafd = 0.0
+        self._host_started = False
+
+    def _host_mafd(self, block, t: int) -> np.ndarray:
+        """(t,) float64 mafd over the DOWNSCALED block luma, continuous
+        with the previous block via the tracked tail frame.
+
+        uint8 pixel diffs are exact in int16, so the heavy pass runs in
+        integer arithmetic (≈4× faster than a float64 materialization of
+        the block — this runs per block on the resolve path's core
+        budget); the mean is still accumulated in float64, giving the
+        identical value to the all-f64 formulation."""
+        x = np.asarray(block.luma[:t])
+        m = np.empty((t,), np.float64)
+        if t:
+            # Float luma (array-API callers) keeps the f64 path; decoder
+            # luma is uint8 and takes the exact int16 fast path.
+            xi = x.astype(
+                np.int16 if x.dtype == np.uint8 else np.float64, copy=False)
+            if self._host_prev_luma is None:
+                m[0] = 0.0          # stream start: FFmpeg scores frame 0 as 0
+            else:
+                m[0] = float(np.mean(
+                    np.abs(xi[0] - self._host_prev_luma),
+                    dtype=np.float64))
+            if t > 1:
+                m[1:] = np.mean(np.abs(xi[1:] - xi[:-1]),
+                                axis=(1, 2), dtype=np.float64)
+            self._host_prev_luma = xi[-1]
+        return m
 
     def replay(self, block) -> None:
         """Checkpoint-resume skip path: keep the recurrence warm without
         scoring (no extra checkpoint state needed)."""
         if block.mafd is not None and block.mafd.size:
             self.prev_mafd = float(block.mafd[-1])
+        if self.host_fallback:
+            t = block.luma.shape[0]
+            if t:
+                m = self._host_mafd(block, t)
+                if self._host_started or not self._usable_mafd(block):
+                    self._host_started = True
+                    self._host_prev_mafd = float(m[-1])
+
+    @staticmethod
+    def _usable_mafd(block) -> bool:
+        return not (
+            block.mafd is None
+            or (block.mafd.size and float(block.mafd.min()) < 0)
+        )
 
     def scores(self, block, device_scores, t: int) -> np.ndarray:
         """(t,) float32 scores for a processed block."""
-        if self.active and (
-            block.mafd is None
-            or (block.mafd.size and float(block.mafd.min()) < 0)
-        ):
+        if self.active and not self._usable_mafd(block):
             self.active = False
         if self.active:
             sc, self.prev_mafd = scene_scores_from_mafd_block(
                 block.mafd, self.prev_mafd
+            )
+            if self.host_fallback and t:
+                # Keep the fallback's frame continuity warm (cheap: one
+                # tail frame; the mafd series itself is only computed
+                # once the fallback actually engages).
+                tail = np.asarray(block.luma[t - 1])
+                self._host_prev_luma = tail.astype(
+                    np.int16 if tail.dtype == np.uint8 else np.float64)
+            return sc
+        if self.host_fallback:
+            m = self._host_mafd(block, t)
+            if not self._host_started:
+                # Switch seam: seed the recurrence from the native-res
+                # prev_mafd (0.0 at stream start = FFmpeg startup state).
+                self._host_prev_mafd = self.prev_mafd
+                self._host_started = True
+            sc, self._host_prev_mafd = scene_scores_from_mafd_block(
+                m, self._host_prev_mafd
             )
             return sc
         return np.asarray(device_scores)[:t]

@@ -534,7 +534,9 @@ class Analyzer:
         # Native-resolution scene scoring (reference-faithful path: FFmpeg
         # scores on full decoded frames, app.py:206) — shared policy object,
         # ops/scene.NativeSceneScorer.
-        scene_scorer = NativeSceneScorer(cfg.scene.native_resolution)
+        scene_scorer = NativeSceneScorer(
+            cfg.scene.native_resolution,
+            host_mafd_fallback=self._model.ship_coeffs)
         thumbnail_pending = bool(cfg.pipeline.thumbnail_dir)
 
         # Resume from a prior interrupted run of the same content, if any

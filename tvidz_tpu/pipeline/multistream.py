@@ -16,10 +16,13 @@ dispatch, with 4-stream aggregate REGRESSING below 2-stream):
    the stacked (K, T, H, W) blocks with vmapped per-stream carries, instead
    of K sequential programs each paying the host-device RTT (~25-30 ms on a
    tunneled device).
-2. **Deferred resolve** — the host pull of a pass's (scores, fps) happens
-   one pass LATER, so the transfer of pass i overlaps the decode of pass
-   i+1 and the device compute of pass i+1 (carries chain device-side with
-   no host sync).
+2. **Async resolve** — the host pull of a pass's (scores, fps) and the
+   result fold run on a dedicated resolver thread (round 5; carries chain
+   device-side with no host sync, so resolution is pure output work). The
+   round-4 deferred resolve pulled pass i during pass i+1 but ON the loop
+   thread, and with the dispatch itself made cheap the ~90 ms blocking
+   pull per pass became 52-76% of dcskim-mode wall; off-thread it rides
+   alongside decode and the loop only pays submit backpressure.
 3. **Admission control** — at most ``max_active`` decoder threads run at
    once (default: one per CPU core); queued paths start as streams finish,
    so N >> cores streams time-share instead of thrashing the core(s) the
@@ -66,10 +69,16 @@ class MultiStreamStats:
     device_s: float              # batched dispatch + deferred host pull
     streams: int
     dispatches: int = 0          # batched device programs issued
-    # Split of device_s (VERDICT r4 #5 diagnosis): time blocked issuing
-    # the batched program vs time blocked pulling the previous pass.
+    # Split of device_s (VERDICT r4 #5 diagnosis): time the LOOP was
+    # blocked issuing the batched program vs blocked on resolution
+    # (submit backpressure + final drain under ASYNC_RESOLVE; the whole
+    # synchronous pull when it is off).
     dispatch_s: float = 0.0
     resolve_s: float = 0.0
+    # Resolver-thread busy time (device pull + host fold) under
+    # ASYNC_RESOLVE — OVERLAPPED with decode/dispatch, so it is NOT a
+    # wall-share component; reported so the hidden cost stays visible.
+    resolve_busy_s: float = 0.0
 
     @property
     def frames_per_s(self) -> float:
@@ -121,7 +130,9 @@ class _Stream:
                  pump: Optional[_TransferPump] = None):
         self.path = path
         self.carry = model.init_carry()
-        self.scorer = NativeSceneScorer(model.config.scene.native_resolution)
+        self.scorer = NativeSceneScorer(
+            model.config.scene.native_resolution,
+            host_mafd_fallback=model.ship_coeffs)
         self.cuts: List[float] = []
         self.fps_out: List[np.ndarray] = []
         self.frames = 0
@@ -141,6 +152,10 @@ class _Stream:
                 self.path, lowres=m.config.pipeline.decode_lowres,
                 dct_dc=m.config.pipeline.decode_dct_dc)
             for block in dec.blocks(self.path, m.block_frames, m.height, m.width):
+                # Device payload (raw luma, or projected DCT coefficients
+                # in ship_coeffs mode) computed HERE so the projection's
+                # BLAS cost lands on the decoder thread's core budget.
+                payload = m.project_payload(block.luma)
                 # Pre-transfer full blocks via the shared pump (see
                 # _TransferPump): this thread only enqueues — the tunnel
                 # RTT of the device_put never sits on the decode critical
@@ -149,13 +164,13 @@ class _Stream:
                 holder = [None]
                 if (PRETRANSFER and self._pump is not None
                         and block.luma.shape[0] == m.block_frames):
-                    self._pump.submit(holder, block.luma)
+                    self._pump.submit(holder, payload)
                 # Bounded put with a stop check: if the dispatch loop dies
                 # (device error), an unconditional q.put would block this
                 # thread forever, leaking it and its libav handle.
                 while not self.stopped:
                     try:
-                        self.q.put((block, holder), timeout=0.2)
+                        self.q.put((block, holder, payload), timeout=0.2)
                         break
                     except queue.Full:
                         continue
@@ -185,6 +200,77 @@ class _Stream:
 # Module-level so races/tests can toggle it.
 PRETRANSFER = True
 
+# Resolve placement (round 5, raced on-chip — docs/kernels.md §8):
+# None = AUTO — passes are resolved (host pull + result fold) on a
+# dedicated thread ONLY in ship_dct_coeffs mode, where it wins at every
+# stream count (the payload puts are tiny, so the pull no longer
+# contends with the next pass on the jax client and the loop goes fully
+# decode-bound: 695/670/655 vs sync 507/651/544 f/s at 1/2/4 dcskim
+# streams). With raw luma payloads the resolver raced a WASH-to-LOSS
+# (the off-thread pull contends with the 1.84 MB block puts and its fold
+# steals the decoders' core), so the sync deferred resolve stays.
+# True/False force one placement (races/tests).
+ASYNC_RESOLVE = None
+
+
+class _Resolver:
+    """Dedicated resolve thread: pulls each dispatched pass's outputs and
+    folds them into its streams, in FIFO pass order (per-stream block
+    order is preserved because a stream's blocks enter passes in order).
+
+    The deferred-resolve design already pulled pass i during pass i+1,
+    but the pull ran ON the dispatch loop thread: ~90 ms of tunnel
+    RTT/sync per pass that stopped the loop from servicing decoder
+    queues. Off-thread, the pull rides alongside decode and the loop's
+    only resolution cost is submit backpressure (queue bound) plus the
+    final drain.
+
+    Failure protocol: a failing pass records (stream, exc) for every
+    stream in the pass; the loop polls ``pop_failures`` each iteration
+    and applies its own ``fail_stream`` (the resolver never touches the
+    loop-owned ``active``/``waiting`` sets)."""
+
+    def __init__(self, model: FingerprintModel, depth: int = 4):
+        self._model = model
+        self.q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self.busy_s = 0.0
+        self._failed: List[Tuple["_Stream", Exception]] = []
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self.q.get()
+            if item is None:
+                self.q.task_done()
+                return
+            t0 = time.perf_counter()
+            try:
+                _resolve(self._model, item)
+            except Exception as e:  # noqa: BLE001 — surfaced to the loop
+                with self._lock:
+                    for s, _block, _t in item[0]:
+                        self._failed.append((s, e))
+            self.busy_s += time.perf_counter() - t0
+            self.q.task_done()
+
+    def submit(self, pending) -> None:
+        """Blocks when ``depth`` passes are unresolved (backpressure)."""
+        self.q.put(pending)
+
+    def pop_failures(self) -> List[Tuple["_Stream", Exception]]:
+        with self._lock:
+            out, self._failed = self._failed, []
+        return out
+
+    def drain(self) -> None:
+        """Wait until every submitted pass has been resolved."""
+        self.q.join()
+
+    def stop(self) -> None:
+        self.q.put(None)
+
 
 def _bucket(k: int) -> int:
     """Next power of two ≥ k — bounds the compiled batch shapes to
@@ -209,12 +295,13 @@ def warm_dispatch(model: FingerprintModel, max_streams: int) -> None:
     """Compile every batch bucket the dispatch loop can hit for up to
     ``max_streams`` concurrent streams (benchmarks call this so bucket
     compiles don't land inside a measured window)."""
-    bt, h, w = model.block_frames, model.height, model.width
+    bt = model.block_frames
     k = 1
     while True:
         # Tuple form — the dispatch loop's actual call signature (blocks
-        # stack on-device inside the jit).
-        lumas = tuple(jnp.zeros((bt, h, w), jnp.uint8) for _ in range(k))
+        # stack on-device inside the jit). example_payload matches the
+        # production dispatch shape (luma, or coeffs in ship_coeffs mode).
+        lumas = tuple(model.example_payload() for _ in range(k))
         carries = [model.init_carry() for _ in range(k)]
         valid = jnp.full((k,), bt, jnp.int32)
         scores, fps, _ = model.forward_streams(lumas, carries, valid)
@@ -225,42 +312,43 @@ def warm_dispatch(model: FingerprintModel, max_streams: int) -> None:
 
 
 def _dispatch(model: FingerprintModel, ready):
-    """Issue ONE batched device program for the ready (stream, block, dev)
-    triples; returns the pending handle resolved one pass later. Updates
-    each stream's carry to the (device-resident) output immediately so the
-    next pass chains without a host sync.
+    """Issue ONE batched device program for the ready (stream, block, dev,
+    payload) tuples; returns the pending handle resolved one pass later.
+    Updates each stream's carry to the (device-resident) output immediately
+    so the next pass chains without a host sync.
 
-    Blocks go to the device as a TUPLE of per-stream arrays (stacked
-    on-device inside the jit): full blocks are already device-resident
-    from their decoder thread's device_put, so the steady state pays no
-    host stack memcpy and no synchronous transfer on this thread."""
+    Payloads (raw luma, or projected coefficients in ship_coeffs mode) go
+    to the device as a TUPLE of per-stream arrays (stacked on-device
+    inside the jit): full blocks are already device-resident from the
+    transfer pump's device_put, so the steady state pays no host stack
+    memcpy and no synchronous transfer on this thread."""
     k = len(ready)
     bucket = _bucket(k)
     bt = model.block_frames
-    h, w = model.height, model.width
     metas = []
     carries = []
-    if bucket == k and all(b.luma.shape[0] == bt for _, b, _d in ready):
+    if bucket == k and all(b.luma.shape[0] == bt for _, b, _d, _p in ready):
         # Fast path (steady state): full blocks, no pad slots.
-        lumas = tuple(d if d is not None else b.luma for _, b, d in ready)
+        lumas = tuple(d if d is not None else p for _, _b, d, p in ready)
         valid = np.full((k,), bt, np.int32)
-        for s, block, _d in ready:
+        for s, block, _d, _p in ready:
             metas.append((s, block, bt))
             carries.append(s.carry)
     else:
         slots = []
         valid = np.full((bucket,), bt, np.int32)
-        for j, (s, block, dev) in enumerate(ready):
+        for j, (s, block, dev, payload) in enumerate(ready):
             t = block.luma.shape[0]
             if t == bt:
-                slots.append(dev if dev is not None else block.luma)
+                slots.append(dev if dev is not None else payload)
             else:
                 # Same pad convention as process_block: repeat the last
-                # real frame (pad rows then have mafd 0 and the dynamic
-                # valid_t keeps the carry on the last REAL frame).
-                padded = np.empty((bt, h, w), np.uint8)
-                padded[:t] = block.luma
-                padded[t:] = block.luma[-1]
+                # real row (for luma payloads the dynamic valid_t keeps
+                # the carry on the last REAL frame; for coefficient
+                # payloads the pad rows' hashes are simply sliced off).
+                padded = np.empty((bt,) + payload.shape[1:], payload.dtype)
+                padded[:t] = payload
+                padded[t:] = payload[-1]
                 slots.append(padded)
             valid[j] = t
             metas.append((s, block, t))
@@ -316,6 +404,9 @@ def fingerprint_streams(
     streams: Dict[int, _Stream] = {}
     active: Dict[int, _Stream] = {}
     pump = _TransferPump() if PRETRANSFER else None
+    use_async = (model.ship_coeffs if ASYNC_RESOLVE is None
+                 else ASYNC_RESOLVE)
+    resolver = _Resolver(model) if use_async else None
 
     def admit() -> None:
         while waiting and len(active) < max_active:
@@ -346,6 +437,11 @@ def fingerprint_streams(
 
     try:
         while active or pending is not None:
+            if resolver is not None:
+                # Surface resolve failures found by the resolver thread
+                # (it never touches the loop-owned active/waiting sets).
+                for s, e in resolver.pop_failures():
+                    fail_stream(s, e)
             ready = []
             for i in sorted(active):
                 s = active[i]
@@ -358,14 +454,14 @@ def fingerprint_streams(
                     del active[i]
                     admit()
                     continue
-                block, holder = item
+                block, holder, payload = item
                 if block.luma.shape[0] == 0:
                     # Zero-frame block (decoder edge case): a no-op.
                     continue
                 # holder[0] is the pump's device-resident copy when the
                 # transfer already landed; None falls back to the host
-                # buffer (the jit transfers inline).
-                ready.append((s, block, holder[0]))
+                # payload (the jit transfers inline).
+                ready.append((s, block, holder[0], payload))
             new_pending = None
             if ready:
                 t0 = time.perf_counter()
@@ -377,10 +473,15 @@ def fingerprint_streams(
                     # re-run each ready block as its own bucket-1 pass and
                     # retire only the streams whose OWN forward raises.
                     #
-                    # The PREVIOUS pass must be resolved first: the re-runs
-                    # below resolve inline, and folding a stream's block i
-                    # before its still-pending block i-1 would reorder its
-                    # fps_out/cuts (observed as a cut fork under load).
+                    # EVERY earlier pass must be resolved first: the
+                    # re-runs below resolve inline, and folding a stream's
+                    # block i before its still-pending block i-1 would
+                    # reorder its fps_out/cuts (observed as a cut fork
+                    # under load).
+                    if resolver is not None:
+                        resolver.drain()
+                        for s0, e0 in resolver.pop_failures():
+                            fail_stream(s0, e0)
                     if pending is not None:
                         try:
                             _resolve(model, pending)
@@ -388,11 +489,11 @@ def fingerprint_streams(
                             for s0, _block, _t in pending[0]:
                                 fail_stream(s0, e0)
                         pending = None
-                    for s, block, dev in ready:
+                    for s, block, dev, payload in ready:
                         if s.error is not None:
                             continue  # already retired by the resolve above
                         try:
-                            p = _dispatch(model, [(s, block, dev)])
+                            p = _dispatch(model, [(s, block, dev, payload)])
                             _resolve(model, p)
                             dispatches += 1
                         except Exception as e1:  # noqa: BLE001
@@ -400,6 +501,16 @@ def fingerprint_streams(
                 dt_ = time.perf_counter() - t0
                 device_s += dt_
                 dispatch_s += dt_
+            if new_pending is not None and resolver is not None:
+                # Hand the pass to the resolver thread; the loop only
+                # blocks here when `depth` passes are already unresolved
+                # (backpressure), which IS loop-blocked resolve time.
+                t0 = time.perf_counter()
+                resolver.submit(new_pending)
+                dt_ = time.perf_counter() - t0
+                device_s += dt_
+                resolve_s += dt_
+                new_pending = None
             if pending is not None:
                 # Resolve the PREVIOUS pass while this pass's program runs
                 # and the decoder threads refill their queues.
@@ -421,6 +532,20 @@ def fingerprint_streams(
                 t0 = time.perf_counter()
                 time.sleep(0.001)
                 starved_s += time.perf_counter() - t0
+        if resolver is not None:
+            # Decoding is finished; whatever is still unresolved is
+            # genuinely non-overlapped tail — account the drain as
+            # loop-blocked resolve time.
+            t0 = time.perf_counter()
+            resolver.drain()
+            dt_ = time.perf_counter() - t0
+            device_s += dt_
+            resolve_s += dt_
+            for s, e in resolver.pop_failures():
+                # Post-loop there is nothing left to admit: record the
+                # error and retire the stream directly.
+                s.error = s.error or f"device dispatch failed: {e}"
+                s.stop()
     finally:
         # A dispatch failure (device error mid-forward) must not leave
         # decoder threads blocked in q.put forever, holding their libav
@@ -430,6 +555,8 @@ def fingerprint_streams(
             s.stop()
         if pump is not None:
             pump.stop()
+        if resolver is not None:
+            resolver.stop()
 
     wall = time.perf_counter() - t_start
     words = model.config.hash.words
@@ -457,4 +584,5 @@ def fingerprint_streams(
         frames=total_frames, wall_s=wall, decode_starved_s=starved_s,
         device_s=device_s, streams=len(paths), dispatches=dispatches,
         dispatch_s=dispatch_s, resolve_s=resolve_s,
+        resolve_busy_s=resolver.busy_s if resolver is not None else resolve_s,
     )
