@@ -137,6 +137,10 @@ def fingerprint_block_coeffs(
     contract as the batched variant: zero scores, carry passthrough."""
     from tvidz_tpu.ops.phash import phash_from_coeffs_batched
 
+    if coeffs.ndim != 2:
+        raise ValueError(
+            f"coeff payload must be (T, hash²), got {coeffs.shape} — "
+            "was a raw luma block passed to a ship_dct_coeffs model?")
     t = coeffs.shape[0]
     fps = phash_from_coeffs_batched(coeffs, hash_size=hash_size)
     return jnp.zeros((t,), jnp.float32), fps, carry

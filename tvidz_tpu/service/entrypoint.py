@@ -114,8 +114,11 @@ def _warmup_device(config: Config) -> None:
         log("entrypoint", f"compilation cache unavailable: {e}")
 
     model = FingerprintModel(config)
-    luma, carry = model.example_inputs()
-    scores, fps, _ = model.forward(luma, carry)
+    # example_payload matches the production forward shape in BOTH modes
+    # (raw luma, or projected coefficients under ship_dct_coeffs —
+    # example_inputs here would compile a junk shape in coeff mode).
+    scores, fps, _ = model.forward(model.example_payload(),
+                                   model.init_carry())
     np.asarray(scores[:1])
     if config.pipeline.shared_dispatcher:
         # The analyzer's hot path is the shared batched dispatch
