@@ -132,9 +132,10 @@ def _warmup_device(config: Config) -> None:
         from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
 
         SharedBlockDispatcher(model).warm()
+    payload_shape = "x".join(str(d) for d in model.example_payload().shape)
     log("entrypoint",
-        f"device warm: fused op compiled for "
-        f"{model.block_frames}x{model.height}x{model.width}"
+        f"device warm: fused op compiled for {payload_shape}"
+        + (" (coeff payloads)" if model.ship_coeffs else "")
         + (" (+all batched buckets)" if config.pipeline.shared_dispatcher
            else ""))
 
