@@ -125,6 +125,8 @@ def _metric_specs():
          g("e2e_decoded_frames_per_sec_fast"), host, True),
         ("e2e 1-stream dcskim frames/s",
          g("e2e_decoded_frames_per_sec_dcskim"), host, True),
+        ("e2e 1-stream dcskim+coeff frames/s",
+         g("e2e_decoded_frames_per_sec_dcskim_coeff"), host, True),
         ("e2e h264 full frames/s", g("e2e_h264_frames_per_sec"), host, True),
         ("e2e h264 fast frames/s",
          g("e2e_h264_frames_per_sec_fast"), host, True),
@@ -148,6 +150,8 @@ def _metric_specs():
          g("e2e_streams_frames_per_sec", "4"), host, True),
         ("e2e 4-stream dcskim frames/s",
          g("e2e_streams_frames_per_sec_dcskim", "4"), host, True),
+        ("e2e 4-stream dcskim+coeff frames/s",
+         g("e2e_streams_frames_per_sec_dcskim_coeff", "4"), host, True),
         ("service_e2e videos/min", g("service_e2e_videos_per_min"),
          host, True),
         ("boot_restore_1m_s", g("boot_restore_1m_s"), 0.5, False),
@@ -270,12 +274,25 @@ def build_table() -> str:
             f"{fmt(d.get('e2e_decoded_frames_per_sec_dcskim'))} "
             "frames/s·core",
             f"20k → {vsb:.1%}" if vsb else "host-decode-bound"))
+    if d.get("e2e_decoded_frames_per_sec_dcskim_coeff") is not None:
+        vsb = d.get("vs_baseline_e2e_dcskim_coeff")
+        rows.insert(8, (
+            "E2e decode+hash DC-skim + coeff shipping (docs/kernels.md §8)",
+            f"{fmt(d.get('e2e_decoded_frames_per_sec_dcskim_coeff'))} "
+            "frames/s·core",
+            f"20k → {vsb:.1%}" if vsb else "host-decode-bound"))
     dc_curve = d.get("e2e_streams_frames_per_sec_dcskim") or {}
     if dc_curve:
         rows.insert(10, (
             "E2e aggregate 1→2→4 streams (dcskim)",
             " → ".join(fmt(dc_curve.get(k)) for k in ("1", "2", "4")),
             _curve_note(dc_curve)))
+    cf_curve = d.get("e2e_streams_frames_per_sec_dcskim_coeff") or {}
+    if cf_curve:
+        rows.insert(10 + (1 if dc_curve else 0), (
+            "E2e aggregate 1→2→4 streams (dcskim + coeff shipping)",
+            " → ".join(fmt(cf_curve.get(k)) for k in ("1", "2", "4")),
+            _curve_note(cf_curve)))
     if d.get("decode_only_frames_per_sec", {}).get("mjpeg_dcskim"):
         rows.insert(-3, (
             "Decode-only roofline MJPEG DC-skim",
