@@ -812,15 +812,27 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256):
         # Warm pass: first upload compiles the fused program + dispatcher
         # batch shapes outside the measured window.
         wait_done([run_upload(n_videos)])
-        m0 = client.get("/metrics").get_json()["block_dispatcher"]
+        met0 = client.get("/metrics").get_json()
+        m0 = met0["block_dispatcher"]
 
         t0 = time.perf_counter()
         names = [run_upload(i) for i in range(n_videos)]
         wait_done(names)
         dt = time.perf_counter() - t0
-        m1 = client.get("/metrics").get_json()["block_dispatcher"]
+        met1 = client.get("/metrics").get_json()
+        m1 = met1["block_dispatcher"]
         passes = m1["passes"] - m0["passes"]
         blocks = m1["blocks"] - m0["blocks"]
+        # Attribute the service tax: per-stage analyzer wall (summed over
+        # the N concurrent analysis threads) vs the window. "fingerprint"
+        # includes the device wait; decode wait sits in the prefetcher
+        # iterator, i.e. the remainder of each thread's wall.
+        st0 = met0.get("stage_timings", {})
+        st1 = met1.get("stage_timings", {})
+        stages = {
+            k: round(st1[k]["total_s"] - st0.get(k, {}).get("total_s", 0.0), 2)
+            for k in st1
+        }
         out = {
             "videos_per_min": round(n_videos / dt * 60.0, 2),
             "frames_per_sec": round(n_videos * num_frames / dt, 1),
@@ -832,7 +844,9 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256):
              f"batching {out['blocks_per_pass']} blocks/pass "
              f"({blocks} blocks in {passes} passes); full service stack "
              "(" + _json.dumps({"shared_dispatcher":
-                                cfg.pipeline.shared_dispatcher}) + ")")
+                                cfg.pipeline.shared_dispatcher}) + "); "
+             f"analyzer stage wall over the {dt:.1f} s window (summed "
+             f"across threads): {_json.dumps(stages)}")
         return out
     finally:
         app.stop()
