@@ -118,6 +118,22 @@ def test_phash_matches_golden(seed):
     np.testing.assert_array_equal(got, expect)
 
 
+@settings(**_SETTINGS)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_coeff_projection_matches_golden(seed):
+    """ship_dct_coeffs split pipeline (host f64 projection + device
+    median/pack — docs/kernels.md §8) == golden.phash for arbitrary
+    uint8 frames, same guarantee as the on-device path above."""
+    from tvidz_tpu.ops.phash import (phash_from_coeffs_batched,
+                                     phash_project_host)
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(3, 90, 160), dtype=np.uint8)
+    got = np.asarray(phash_from_coeffs_batched(phash_project_host(frames)))
+    expect = np.stack([golden.phash(f) for f in frames])
+    np.testing.assert_array_equal(got, expect)
+
+
 # -- SigV4 signer <-> validator -----------------------------------------------
 
 _KEY_ALPHABET = st.characters(
