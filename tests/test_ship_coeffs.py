@@ -152,6 +152,69 @@ def test_dispatcher_coeff_parity():
     np.testing.assert_array_equal(fps_a, fps_b)
 
 
+def test_resume_in_coeff_mode(tmp_path, monkeypatch):
+    """Checkpoint-resume in ship_coeffs mode: the crash-resume replay path
+    (scorer.replay keeping the host recurrence warm) must reproduce the
+    same cuts and fingerprints the uninterrupted coeff analysis finds."""
+    import os
+    import shutil
+
+    from tvidz_tpu.corpus.device_corpus import DeviceCorpus
+    from tvidz_tpu.corpus.store import Store
+    from tvidz_tpu.decode import write_synthetic_y4m
+    from tvidz_tpu.decode.y4m import Y4MDecoder
+    from tvidz_tpu.pipeline.analyzer import Analyzer
+    from tvidz_tpu.pipeline.progress import AnalysisRegistry
+
+    cfg = _cfg(ship=True)
+    cfg.pipeline.tmp_dir = str(tmp_path / "work")
+    cfg.pipeline.checkpoint_every_blocks = 2
+    cfg.pipeline.download_retries = 1
+    os.makedirs(cfg.pipeline.tmp_dir)
+    bucket = tmp_path / "bucket"
+    os.makedirs(bucket)
+
+    def fetcher(b, k, lp):
+        shutil.copy(bucket / k, lp)
+
+    store = Store("sqlite:///:memory:")
+    corpus = DeviceCorpus(ts_initial_capacity=8, fp_initial_capacity=1024,
+                          fp_block_n=256)
+    analyzer = Analyzer(store, corpus, AnalysisRegistry(), fetcher, cfg)
+
+    write_synthetic_y4m(str(bucket / "orig.y4m"), num_frames=320, height=72,
+                        width=96, cut_frames=(40, 90), seed=44)
+    r1 = analyzer.analyze("videos", "orig.y4m")
+    assert r1.status == "done" and r1.scene_cuts == [1.6, 3.6]
+
+    shutil.copy(bucket / "orig.y4m", bucket / "777-orig.y4m")
+    real_blocks = Y4MDecoder.blocks
+
+    def dying_blocks(self, path, block_frames, height, width):
+        for i, blk in enumerate(
+                real_blocks(self, path, block_frames, height, width)):
+            if i == 6:
+                raise RuntimeError("injected decode fault")
+            yield blk
+
+    # Disable dedup during the crashed run (as in test_resume_catchup):
+    # early-exit on the found duplicate would otherwise finish the
+    # analysis before the injected fault at block 6.
+    monkeypatch.setattr(Y4MDecoder, "blocks", dying_blocks)
+    analyzer.config.match.min_match = 99
+    analyzer.config.match.use_fingerprint_evidence = False
+    r2 = analyzer.analyze("videos", "777-orig.y4m")
+    assert r2.status == "error"
+
+    monkeypatch.setattr(Y4MDecoder, "blocks", real_blocks)
+    analyzer.config.match.min_match = 2
+    analyzer.config.match.use_fingerprint_evidence = True
+    r3 = analyzer.analyze("videos", "777-orig.y4m")
+    assert r3.status == "done"
+    assert r3.scene_cuts == r1.scene_cuts
+    assert "orig.y4m" in r3.duplicates
+
+
 def test_ship_coeffs_rejects_non_phash():
     cfg = _cfg(ship=True)
     cfg.hash.algorithm = "ahash"
