@@ -587,6 +587,10 @@ def bench_e2e_modes(num_frames: int = 256, reps: int = 3):
         _log("e2e: native decoder not built; skipping")
         return None
     cfg = Config()
+    # The luma legs must stay luma-mode even when TVIDZ_SHIP_DCT_COEFFS is
+    # set in the environment (Config() honors env): the base model warms
+    # and runs with raw luma blocks.
+    cfg.pipeline.ship_dct_coeffs = False
     # Production default block size (128): fewer, larger dispatches — the
     # 64-frame blocks this leg used pre-r4 paid 2x the per-pass tunnel RTT
     # (raced in pipeline/multistream: bf128 ~3-10% over bf64 at 4 streams).

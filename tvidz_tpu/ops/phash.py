@@ -126,17 +126,19 @@ def phash_batched(
 _PROJECT_CACHE: dict = {}
 
 
-def _project_operators_np(h: int, w: int, dct_size: int, hash_size: int):
-    """Folded float64 (hash_size, H) / (hash_size, W) projection operators
-    (cached per geometry — they cost a few ms to build)."""
-    key = (h, w, dct_size, hash_size)
+def _project_operators_np(h: int, w: int, dct_size: int):
+    """The golden model's own resize/DCT matrices (golden.area_resize_matrix
+    f32, golden.dct_matrix f32 cast f64 — exactly its dtypes), cached per
+    geometry: rebuilding them per call costs more than the projection."""
+    key = (h, w, dct_size)
     ops = _PROJECT_CACHE.get(key)
     if ops is None:
-        ph, pw = _resize_matrices_np(h, w, dct_size, dct_size)
-        d64 = np.asarray(_dct_matrix_np(dct_size), np.float64)
-        left = (d64 @ np.asarray(ph, np.float64))[:hash_size]
-        right = (d64 @ np.asarray(pw, np.float64))[:hash_size]
-        ops = _PROJECT_CACHE[key] = (left, right)
+        from tvidz_tpu.ops.golden import area_resize_matrix, dct_matrix
+
+        ph = area_resize_matrix(h, dct_size)            # f32
+        pw = area_resize_matrix(w, dct_size)            # f32
+        d64 = dct_matrix(dct_size).astype(np.float64)   # f32 -> f64 (golden)
+        ops = _PROJECT_CACHE[key] = (ph, pw, d64)
     return ops
 
 
@@ -144,18 +146,26 @@ def phash_project_host(
     luma: np.ndarray, dct_size: int = 32, hash_size: int = 8
 ) -> np.ndarray:
     """(T, H, W) uint8/float luma -> (T, hash_size²) float32 low-frequency
-    DCT coefficients, computed host-side in float64 (see module note).
+    DCT coefficients, computed host-side (see module note).
 
-    Cost: two BLAS dgemms, ~32 MFLOP per 128-frame 90x160 block (a few ms
-    on one core) — traded against not shipping 1.84 MB over the link."""
+    Bit-exact to the golden spec BY CONSTRUCTION: each frame runs the
+    golden model's own operation sequence with its exact dtypes and
+    association — f32 ``(ph @ x) @ pw.T`` area-resize (golden.area_resize),
+    then f64 ``(d @ small) @ d.T`` cast f32 (golden.dct2) — as per-frame
+    2-D BLAS calls, not a folded/batched reformulation (an earlier folded
+    all-f64 operator deviated from golden by up to ~2e-5, enough to flip
+    a median-adjacent bit on an unlucky frame). Cost: ~2.2 MFLOP and four
+    small gemms per frame, a few ms per 128-frame 90x160 block on one
+    core — traded against not shipping 1.84 MB over the link."""
     t, h, w = luma.shape
-    left, right = _project_operators_np(h, w, dct_size, hash_size)
-    x = np.asarray(luma, np.float64)
-    a = np.tensordot(left, x, axes=(1, 1))      # (hash, T, W)
-    c = np.tensordot(a, right, axes=(2, 1))     # (hash, T, hash)
-    return np.ascontiguousarray(
-        c.transpose(1, 0, 2)
-    ).reshape(t, hash_size * hash_size).astype(np.float32)
+    ph, pw, d64 = _project_operators_np(h, w, dct_size)
+    x32 = np.asarray(luma, np.float32)
+    out = np.empty((t, hash_size * hash_size), np.float32)
+    for i in range(t):
+        small = (ph @ x32[i]) @ pw.T                     # golden.area_resize
+        coeffs = ((d64 @ small.astype(np.float64)) @ d64.T)  # golden.dct2
+        out[i] = coeffs.astype(np.float32)[:hash_size, :hash_size].ravel()
+    return out
 
 
 def phash_from_coeffs_batched(low: jnp.ndarray, hash_size: int = 8

@@ -118,7 +118,9 @@ class NativeSceneScorer:
             if t > 1:
                 m[1:] = np.mean(np.abs(xi[1:] - xi[:-1]),
                                 axis=(1, 2), dtype=np.float64)
-            self._host_prev_luma = xi[-1]
+            # copy(): a view would pin the whole converted block (~3.7 MB
+            # at production geometry) until the next block arrives.
+            self._host_prev_luma = xi[-1].copy()
         return m
 
     def replay(self, block) -> None:
@@ -129,10 +131,19 @@ class NativeSceneScorer:
         if self.host_fallback:
             t = block.luma.shape[0]
             if t:
-                m = self._host_mafd(block, t)
                 if self._host_started or not self._usable_mafd(block):
+                    # Fallback recurrence is (or becomes) live: advance it.
+                    m = self._host_mafd(block, t)
                     self._host_started = True
                     self._host_prev_mafd = float(m[-1])
+                else:
+                    # Native recurrence replayed; keep only the tail frame
+                    # warm (same cheap tracking as scores() — computing
+                    # the whole mafd series here would put O(t·H·W) work
+                    # on every replayed block for a discarded result).
+                    tail = np.asarray(block.luma[t - 1])
+                    self._host_prev_luma = tail.astype(
+                        np.int16 if tail.dtype == np.uint8 else np.float64)
 
     @staticmethod
     def _usable_mafd(block) -> bool:

@@ -424,11 +424,15 @@ def fingerprint_streams(
     pending = None
     t_start = time.perf_counter()
 
-    def fail_stream(s: _Stream, err: Exception) -> None:
+    def fail_stream(s: _Stream, err: Exception,
+                    label: str = "device dispatch failed") -> None:
         # Isolate the failure to ITS stream (same blast-radius rule as the
         # service's shared dispatcher): record the error, retire the
         # decoder thread, drop it from the loop, admit a waiting path.
-        s.error = s.error or f"device dispatch failed: {err}"
+        # ``label`` distinguishes dispatch failures from resolve/fold
+        # failures so operators aren't pointed at the device-dispatch
+        # (tunnel-wedge) playbook for a host-side fold bug.
+        s.error = s.error or f"{label}: {err}"
         s.stop()
         for i, cand in list(active.items()):
             if cand is s:
@@ -441,7 +445,7 @@ def fingerprint_streams(
                 # Surface resolve failures found by the resolver thread
                 # (it never touches the loop-owned active/waiting sets).
                 for s, e in resolver.pop_failures():
-                    fail_stream(s, e)
+                    fail_stream(s, e, label="block resolve failed")
             ready = []
             for i in sorted(active):
                 s = active[i]
@@ -481,7 +485,8 @@ def fingerprint_streams(
                     if resolver is not None:
                         resolver.drain()
                         for s0, e0 in resolver.pop_failures():
-                            fail_stream(s0, e0)
+                            fail_stream(s0, e0,
+                                        label="block resolve failed")
                     if pending is not None:
                         try:
                             _resolve(model, pending)
@@ -544,7 +549,7 @@ def fingerprint_streams(
             for s, e in resolver.pop_failures():
                 # Post-loop there is nothing left to admit: record the
                 # error and retire the stream directly.
-                s.error = s.error or f"device dispatch failed: {e}"
+                s.error = s.error or f"block resolve failed: {e}"
                 s.stop()
     finally:
         # A dispatch failure (device error mid-forward) must not leave
