@@ -179,7 +179,8 @@ class PipelineConfig:
     # decode_lowres behavior above, so the two knobs compose).
     decode_dct_dc: bool = False
     # Ship-the-sufficient-statistic device payloads: the host applies the
-    # pHash's folded linear DCT projection (float64, golden-exact —
+    # pHash's linear resize+DCT projection with the golden model's exact
+    # op sequence (bit-exact by construction —
     # ops/phash.phash_project_host) and ships (T, 64) f32 coefficients
     # instead of (T, 90, 160) uint8 luma — 57x fewer bytes per block.
     # For bandwidth-constrained host<->device links (the axon tunnel
@@ -188,8 +189,9 @@ class PipelineConfig:
     # device do the projection on the MXU. Scene scores then always come
     # host-side (native mafd, else the scorer's downscaled-mafd fallback).
     # Median-tie hash bits can differ from the device-projection path
-    # (f64 vs f32-HIGHEST rounding): fleet-wide or not at all, like
-    # decode_lowres. phash-only (model init rejects other algorithms).
+    # (golden-f32/f64 vs the device einsum's f32-HIGHEST rounding):
+    # fleet-wide or not at all, like decode_lowres. phash-only (model
+    # init rejects other algorithms).
     ship_dct_coeffs: bool = False
     # Directory for per-video JPEG thumbnails ("" = off). The reference
     # schema has videos.thumbnail_path but nothing ever writes it; the
