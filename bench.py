@@ -741,7 +741,8 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
     return curve
 
 
-def bench_service_e2e(n_videos: int = 8, num_frames: int = 256):
+def bench_service_e2e(n_videos: int = 8, num_frames: int = 256,
+                      fast: bool = False):
     """Production SERVICE path under concurrent load (VERDICT r4 #6): the
     full notify -> thread-per-upload analyzer -> shared block dispatcher ->
     store/corpus -> status stack, in-process, with 1080p MJPEG uploads.
@@ -767,6 +768,12 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256):
         return None
     workdir = tempfile.mkdtemp(prefix="tvidz-bench-svc-")
     cfg = Config()
+    # Pin the payload/decode modes explicitly (Config() honors env):
+    # fast=False measures the spec-decode default; fast=True measures the
+    # max-ingest fleet config (DC-skim + coefficient shipping).
+    cfg.pipeline.decode_dct_dc = fast
+    cfg.pipeline.ship_dct_coeffs = fast
+    cfg.pipeline.decode_lowres = False
     cfg.pipeline.tmp_dir = os.path.join(workdir, "work")
     os.makedirs(cfg.pipeline.tmp_dir, exist_ok=True)
     sqs = FakeSQS()
@@ -834,7 +841,12 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256):
         st0 = met0.get("stage_timings", {})
         st1 = met1.get("stage_timings", {})
         stages = {
-            k: round(st1[k]["total_s"] - st0.get(k, {}).get("total_s", 0.0), 2)
+            k: {
+                "s": round(
+                    st1[k]["total_s"] - st0.get(k, {}).get("total_s", 0.0),
+                    2),
+                "n": st1[k]["count"] - st0.get(k, {}).get("count", 0),
+            }
             for k in st1
         }
         out = {
@@ -842,7 +854,8 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256):
             "frames_per_sec": round(n_videos * num_frames / dt, 1),
             "blocks_per_pass": round(blocks / passes, 2) if passes else 0.0,
         }
-        _log(f"service e2e: {n_videos} concurrent 1080p uploads in "
+        _log(f"service e2e{' [fast]' if fast else ''}: "
+             f"{n_videos} concurrent 1080p uploads in "
              f"{dt:.1f} s = {out['videos_per_min']} videos/min, "
              f"{out['frames_per_sec']:,.0f} frames/s aggregate, dispatcher "
              f"batching {out['blocks_per_pass']} blocks/pass "
@@ -954,6 +967,7 @@ def main() -> None:
     verdict16 = None
     restore_s = None
     service = None
+    service_fast = None
     if not cpu_fallback:
         try:
             bench_reference_python_scan()
@@ -974,6 +988,7 @@ def main() -> None:
                                                 ship_coeffs=True)
             restore_s = bench_boot_restore()
             service = bench_service_e2e()
+            service_fast = bench_service_e2e(fast=True)
         except Exception as e:  # noqa: BLE001 — secondary metrics must not kill the line
             _log(f"secondary benches failed: {e}")
     e2e = e2e or {}
@@ -1074,6 +1089,14 @@ def main() -> None:
         record["service_e2e_videos_per_min"] = service["videos_per_min"]
         record["service_e2e_frames_per_sec"] = service["frames_per_sec"]
         record["service_e2e_blocks_per_pass"] = service["blocks_per_pass"]
+    if service_fast:
+        # Same stack at the max-ingest fleet config (DC-skim + coefficient
+        # shipping) — what the production service sustains when the fast
+        # fleet-wide modes are on.
+        record["service_e2e_fast_videos_per_min"] = (
+            service_fast["videos_per_min"])
+        record["service_e2e_fast_frames_per_sec"] = (
+            service_fast["frames_per_sec"])
     print(json.dumps(record))
 
 

@@ -154,6 +154,8 @@ def _metric_specs():
          g("e2e_streams_frames_per_sec_dcskim_coeff", "4"), host, True),
         ("service_e2e videos/min", g("service_e2e_videos_per_min"),
          host, True),
+        ("service_e2e fast videos/min",
+         g("service_e2e_fast_videos_per_min"), host, True),
         ("boot_restore_1m_s", g("boot_restore_1m_s"), 0.5, False),
     ]
 
@@ -324,6 +326,12 @@ def build_table() -> str:
             f"{fmt(d.get('service_e2e_frames_per_sec'))} frames/s agg, "
             f"batching {fmt(d.get('service_e2e_blocks_per_pass'), 2)} "
             "blocks/pass | dispatcher-batched |")
+    if d.get("service_e2e_fast_videos_per_min") is not None:
+        lines.append(
+            "| Service e2e, max-ingest config (dcskim + coeff) | "
+            f"{fmt(d.get('service_e2e_fast_videos_per_min'))} videos/min, "
+            f"{fmt(d.get('service_e2e_fast_frames_per_sec'))} frames/s agg "
+            "| fleet fast modes |")
     if d.get("cpu_fallback") or d.get("tpu_unavailable"):
         lines.append("")
         lines.append("> **Degraded record**: this artifact was captured "
