@@ -646,6 +646,34 @@ def bench_e2e_modes(num_frames: int = 256, reps: int = 3):
     return out
 
 
+_E2E_FIXTURES: dict = {}
+
+
+def _e2e_scaling_fixtures(num_frames: int, n: int):
+    """The N identical 1080p MJPEG fixtures shared by every e2e scaling
+    leg, written ONCE per process: regenerating them per leg (24 s
+    synthetic luma + 12 s encode each) cost ~5 min of the supervised
+    child's 40-45 min budget across the 4 curve modes."""
+    import atexit
+    import os
+    import tempfile
+
+    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+    from tvidz_tpu.decode.synthetic import synthetic_video
+
+    paths = _E2E_FIXTURES.setdefault(num_frames, [])
+    if len(paths) < n:
+        luma, _ = synthetic_video(num_frames=num_frames, height=1080,
+                                  width=1920, cut_frames=(40,), seed=3)
+        for i in range(len(paths), n):
+            p = os.path.join(tempfile.gettempdir(),
+                             f"bench_1080p_f{num_frames}_s{i}.avi")
+            write_mjpeg_avi(p, luma, fps=25.0, quality=90)
+            paths.append(p)
+            atexit.register(lambda p=p: os.path.exists(p) and os.remove(p))
+    return paths[:n]
+
+
 def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
                       lowres: bool = False, dct_dc: bool = False,
                       ship_coeffs: bool = False):
@@ -659,12 +687,9 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
     understates a 2-block run by ~25% (see _e2e_once's passes
     note) — under ~15%."""
     import os
-    import tempfile
 
     from tvidz_tpu.config import Config
     from tvidz_tpu.decode import native
-    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
-    from tvidz_tpu.decode.synthetic import synthetic_video
     from tvidz_tpu.models.fingerprint import FingerprintModel
     from tvidz_tpu.pipeline.multistream import fingerprint_streams
 
@@ -678,13 +703,7 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
     cfg.pipeline.decode_dct_dc = dct_dc
     cfg.pipeline.ship_dct_coeffs = ship_coeffs
     model = FingerprintModel(cfg)
-    luma, _ = synthetic_video(num_frames=num_frames, height=1080, width=1920,
-                              cut_frames=(40,), seed=3)
-    paths = []
-    for i in range(max(stream_counts)):
-        p = os.path.join(tempfile.gettempdir(), f"bench_1080p_s{i}.avi")
-        write_mjpeg_avi(p, luma, fps=25.0, quality=90)
-        paths.append(p)
+    paths = _e2e_scaling_fixtures(num_frames, max(stream_counts))
     # Warm every batched-dispatch bucket the curve can hit (1, 2, 4, ...):
     # a cold bucket otherwise pays its compile inside a measured window
     # (the first curve point read ~3x low before this). Admission control
@@ -730,8 +749,8 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
             f"{stats.resolve_busy_s:.2f}] "
             f"in {stats.dispatches} batched dispatches; median of 3)"
         )
-    for p in paths:
-        os.remove(p)
+    # Fixtures are shared across legs (_e2e_scaling_fixtures) and removed
+    # at process exit.
     n_cores = os.cpu_count() or 1
     _log(
         f"e2e scaling: host has {n_cores} CPU core(s); decode-bound share "
@@ -914,8 +933,10 @@ def supervise() -> None:
         # Generous allowance: a fresh child recompiles every kernel shape
         # (30-80 s each across ~10 sections) before measuring; killing a
         # healthy-but-slow child mid-TPU-op would wedge the tunnel and turn
-        # a slow success into a CPU-fallback headline.
-        line = run_child(["--direct"], timeout=2400)
+        # a slow success into a CPU-fallback headline. A full healthy run
+        # measured ~38-42 min in r5 (4 e2e curve modes + 2 service legs),
+        # so 2400 s would kill a child that was about to succeed.
+        line = run_child(["--direct"], timeout=2700)
         if line:
             print(line)
             return
