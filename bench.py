@@ -512,6 +512,28 @@ def bench_decode_roofline(num_frames: int = 120):
         _log(f"decode roofline: {codec} {mode} = {med:,.0f} frames/s "
              f"per core median (best {max(rr):,.0f}), interleaved reps, "
              f"no device work{extra}")
+    # Coeff-adjusted host roofline for the max-ingest config: in
+    # ship_dct_coeffs mode the host ALSO pays the per-frame DCT projection
+    # (ops/phash.phash_project_host), so the honest ceiling for the
+    # dcskim+coeff e2e legs is 1/(1/decode + project_per_frame) — the
+    # decode-only number alone would overstate the achievable rate by the
+    # projection share (~5%).
+    if "mjpeg_dcskim" in out:
+        from tvidz_tpu.ops.phash import phash_project_host
+
+        blk = np.ascontiguousarray(luma[:64, ::12, ::12])  # (64, 90, 160)
+        phash_project_host(blk)                            # operator warm
+        reps = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            phash_project_host(blk)
+            reps.append((time.perf_counter() - t0) / blk.shape[0])
+        proj_s = sorted(reps)[len(reps) // 2]
+        adj = 1.0 / (1.0 / out["mjpeg_dcskim"] + proj_s)
+        out["mjpeg_dcskim_coeff_adjusted"] = round(adj, 1)
+        _log(f"decode roofline: mjpeg dcskim + projection = {adj:,.0f} "
+             f"frames/s per core (projection {proj_s*1e6:,.0f} us/frame "
+             "host — the ceiling the dcskim+coeff e2e legs run against)")
     for path in fixtures.values():
         os.remove(path)
     return out

@@ -300,6 +300,16 @@ def build_table() -> str:
             "Decode-only roofline MJPEG DC-skim",
             f"{fmt(d['decode_only_frames_per_sec']['mjpeg_dcskim'])} "
             "frames/s·core", "host-bound"))
+    adj = d.get("decode_only_frames_per_sec", {}).get(
+        "mjpeg_dcskim_coeff_adjusted")
+    if adj:
+        note = "ceiling for the dcskim+coeff e2e legs"
+        cf1 = (d.get("e2e_streams_frames_per_sec_dcskim_coeff") or {}).get("1")
+        if cf1:
+            note = f"e2e 1-stream hits {cf1 / adj:.0%} of it"
+        rows.insert(-3, (
+            "Decode+projection roofline (dcskim + coeff host ceiling)",
+            f"{fmt(adj)} frames/s·core", note))
     lines = [
         "# Measured performance (canonical)",
         "",
