@@ -318,6 +318,11 @@ def build_table() -> str:
         "real TPU hardware (v5e-1). Do not hand-edit; regenerate with",
         "`python scripts/bench_table.py --write`.",
         "",
+        "Each round's driver artifact is captured AFTER that round's final",
+        "commit, so a `BENCH_r*.json` newer than the one named above is",
+        "expected at end-of-round: it postdates this file by construction.",
+        "Rerun the generator against it for the refreshed table.",
+        "",
         "Session-to-session drift on the tunneled device is ~±20% for",
         "ms-scale numbers (docs/kernels.md, Measurement discipline).",
         "Best-session numbers may be",
