@@ -154,3 +154,24 @@ def test_dispatcher_stop_fails_queued_futures(model):
     disp.stop()
     with pytest.raises(RuntimeError, match="stopped"):
         fut.result(timeout=5)
+
+
+def test_dispatcher_window_parity_and_clean_stop(model):
+    """batch_window_s > 0 (measured-and-rejected on this host — config.py
+    note — but a supported knob for multi-core hosts) must be invisible
+    in results and must not stall the worker or stop()."""
+    rng = np.random.default_rng(11)
+    blocks = _mk_blocks(rng, 3, model.block_frames, model.height,
+                        model.width)
+    cuts_direct, fps_direct = _analyze(model, blocks)
+
+    model.dispatcher = SharedBlockDispatcher(
+        model, batch_window_s=0.02).start()
+    try:
+        cuts_disp, fps_disp = _analyze(model, blocks)
+    finally:
+        model.dispatcher.stop()
+        model.dispatcher = None
+
+    assert cuts_disp == cuts_direct
+    assert np.array_equal(fps_disp, fps_direct)

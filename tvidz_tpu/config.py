@@ -162,6 +162,19 @@ class PipelineConfig:
     # each (~25-30 ms RTT apiece through a tunneled device). Bit-identical
     # outputs; False restores reference-shaped per-thread dispatch.
     shared_dispatcher: bool = True
+    # Shared-dispatcher submission window: after a pass's first block
+    # arrives, wait up to this long for more blocks before dispatching
+    # (intended to amortize the per-pass tunnel RTT across more uploads).
+    # 0 = purely self-clocking (the r4 design). Raced on-chip r5 through
+    # the full service leg, interleaved 2 reps: 5 ms LOSES ~25% in the
+    # max-ingest config (110-114 vs 148-150 videos/min) and is a wash in
+    # the default config (40.5 vs 41.2) — each analysis thread blocks on
+    # its own block's future before decoding the next block, so the
+    # window adds straight latency to every upload's serial chain while
+    # staggered decodes keep the batching factor at ~1.0-1.2 anyway.
+    # Keep 0; the knob stays for multi-core hosts where submissions can
+    # genuinely coincide.
+    dispatcher_window_s: float = 0.0
     # Fast host decode: reduced-resolution DCT-domain decode (avcodec
     # lowres) on codecs that support it — ~3-10x per-core decode
     # throughput on MJPEG/mpeg1/2 1080p sources, at the cost of decoded
@@ -216,6 +229,7 @@ class PipelineConfig:
             checkpoint_every_blocks=_env("CHECKPOINT_EVERY_BLOCKS", 8, int),
             decode_prefetch_blocks=_env("DECODE_PREFETCH_BLOCKS", 2, int),
             shared_dispatcher=_env("SHARED_DISPATCHER", True, bool),
+            dispatcher_window_s=_env("DISPATCHER_WINDOW_S", 0.0, float),
             decode_lowres=_env("DECODE_LOWRES", False, bool),
             decode_dct_dc=_env("DECODE_DCT_DC", False, bool),
             ship_dct_coeffs=_env("SHIP_DCT_COEFFS", False, bool),

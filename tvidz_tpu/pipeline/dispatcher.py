@@ -70,9 +70,17 @@ class SharedBlockDispatcher:
     on-chip compile would otherwise land inside the first concurrent
     burst and stall every queued analysis behind this one worker."""
 
-    def __init__(self, model, max_bucket: int = 4):
+    def __init__(self, model, max_bucket: int = 4,
+                 batch_window_s: float = 0.0):
         self.model = model
         self.max_bucket = max(1, max_bucket)
+        # Optional submission window: after the first block of a pass
+        # arrives, wait up to this long for more before dispatching.
+        # 0 (default) = purely self-clocking (r4 design). Raced on-chip
+        # r5: see docs/kernels.md §6 — the window trades first-block
+        # latency for batching factor; keep 0 unless the measured race
+        # says otherwise for your corpus shape.
+        self.batch_window_s = max(0.0, batch_window_s)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -157,9 +165,18 @@ class SharedBlockDispatcher:
             except queue.Empty:
                 continue
             batch = [first]
+            deadline = (time.monotonic() + self.batch_window_s
+                        if self.batch_window_s else None)
             while len(batch) < self.max_bucket:
                 try:
-                    batch.append(self._q.get_nowait())
+                    if deadline is None:
+                        batch.append(self._q.get_nowait())
+                    else:
+                        left = deadline - time.monotonic()
+                        if left <= 0:
+                            batch.append(self._q.get_nowait())
+                        else:
+                            batch.append(self._q.get(timeout=left))
                 except queue.Empty:
                     break
             k = len(batch)

@@ -101,7 +101,9 @@ class InspectorApp:
             from tvidz_tpu.pipeline.dispatcher import SharedBlockDispatcher
 
             self.block_dispatcher = SharedBlockDispatcher(
-                self.analyzer._model).start()
+                self.analyzer._model,
+                batch_window_s=self.config.pipeline.dispatcher_window_s,
+            ).start()
             self.analyzer._model.dispatcher = self.block_dispatcher
         # Warm the device corpus from durable storage — unlike the reference,
         # verdict capability survives restarts (SURVEY.md §5 checkpoint gap).
