@@ -787,9 +787,12 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256,
     """Production SERVICE path under concurrent load (VERDICT r4 #6): the
     full notify -> thread-per-upload analyzer -> shared block dispatcher ->
     store/corpus -> status stack, in-process, with 1080p MJPEG uploads.
-    Reports sustained videos/min, aggregate decoded+hashed frames/s, and
-    the dispatcher's blocks-per-pass batching ratio from /metrics — the gap
-    between this and the multistream engine number IS the service tax."""
+    Reports STEADY-STATE videos/min, aggregate decoded+hashed frames/s,
+    and the dispatcher's blocks-per-pass batching ratio from /metrics —
+    the gap between this and the multistream engine number IS the service
+    tax. Two measured phases (clear-db between): phase 1 carries the
+    fresh process's lazy one-time costs and is logged; phase 2 is the
+    canonical number (a production service is long-running)."""
     import json as _json
     import os
     import shutil
@@ -837,8 +840,8 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256,
             write_mjpeg_avi(p, luma, fps=25.0, quality=90)
             paths.append(p)
 
-        def run_upload(idx):
-            name = f"svc-{idx:02d}.avi"
+        def run_upload(idx, prefix=""):
+            name = f"{prefix}svc-{idx:02d}.avi"
             s3.put_file(cfg.service.s3_bucket, name, paths[idx])
             r = client.post("/notify", json_body={
                 "Records": [{"s3": {"bucket": {"name": cfg.service.s3_bucket},
@@ -864,15 +867,34 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256,
         # Warm pass: first upload compiles the fused program + dispatcher
         # batch shapes outside the measured window.
         wait_done([run_upload(n_videos)])
-        met0 = client.get("/metrics").get_json()
-        m0 = met0["block_dispatcher"]
 
-        t0 = time.perf_counter()
-        names = [run_upload(i) for i in range(n_videos)]
-        wait_done(names)
-        dt = time.perf_counter() - t0
-        met1 = client.get("/metrics").get_json()
-        m1 = met1["block_dispatcher"]
+        # TWO measured phases, same workload (clear-db between them, fresh
+        # names): a fresh process's first concurrent burst still pays
+        # lazy one-time costs the lone warm upload cannot reach (verdict
+        # kernels first touched under concurrency, executable-cache
+        # layering) — measured 32 -> 48 -> 135 videos/min across three
+        # identical fast-mode phases in one process. Phase 1 is logged as
+        # the cold burst; phase 2 is the canonical steady-state number (a
+        # production service is long-running, not freshly exec'd per
+        # burst).
+        phases = []
+        for phase, prefix in ((1, ""), (2, "b-")):
+            if phase == 2:
+                r = client.post("/admin/clear-db")
+                assert r.status_code == 200, r.status_code
+                wait_done([run_upload(n_videos, prefix="b-")])
+            met0 = client.get("/metrics").get_json()
+            m0 = met0["block_dispatcher"]
+            t0 = time.perf_counter()
+            names = [run_upload(i, prefix=prefix) for i in range(n_videos)]
+            wait_done(names)
+            dt = time.perf_counter() - t0
+            met1 = client.get("/metrics").get_json()
+            m1 = met1["block_dispatcher"]
+            phases.append((dt, met0, met1, m0, m1))
+            _log(f"service e2e{' [fast]' if fast else ''} phase {phase}: "
+                 f"{n_videos / dt * 60.0:.1f} videos/min")
+        dt, met0, met1, m0, m1 = phases[-1]
         passes = m1["passes"] - m0["passes"]
         blocks = m1["blocks"] - m0["blocks"]
         # Attribute the service tax: per-stage analyzer wall (summed over
