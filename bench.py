@@ -782,6 +782,37 @@ def bench_e2e_scaling(stream_counts=(1, 2, 4), num_frames: int = 512,
     return curve
 
 
+_SERVICE_FIXTURES: dict = {}
+
+
+def _service_fixtures(n_videos: int, num_frames: int):
+    """The n_videos+1 service-leg uploads (disjoint per-video cut windows,
+    no accidental dedup hits), written ONCE per process and shared by the
+    default and fast legs — regenerating the 9 fixtures per call cost
+    ~2-3 min of the supervised child's budget (review r5 #1)."""
+    import atexit
+    import os
+    import tempfile
+
+    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
+    from tvidz_tpu.decode.synthetic import synthetic_video
+
+    key = (n_videos, num_frames)
+    paths = _SERVICE_FIXTURES.get(key)
+    if paths is None:
+        paths = _SERVICE_FIXTURES[key] = []
+        for i in range(n_videos + 1):
+            luma, _ = synthetic_video(
+                num_frames=num_frames, height=1080, width=1920,
+                cut_frames=(20 + 8 * i, 24 + 8 * i), seed=100 + i)
+            p = os.path.join(tempfile.gettempdir(),
+                             f"bench_svc_f{num_frames}_{i:02d}.avi")
+            write_mjpeg_avi(p, luma, fps=25.0, quality=90)
+            paths.append(p)
+            atexit.register(lambda p=p: os.path.exists(p) and os.remove(p))
+    return paths
+
+
 def bench_service_e2e(n_videos: int = 8, num_frames: int = 256,
                       fast: bool = False):
     """Production SERVICE path under concurrent load (VERDICT r4 #6): the
@@ -802,8 +833,6 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256,
     from tvidz_tpu.corpus.device_corpus import DeviceCorpus
     from tvidz_tpu.corpus.store import Store
     from tvidz_tpu.decode import native
-    from tvidz_tpu.decode.mjpeg_avi import write_mjpeg_avi
-    from tvidz_tpu.decode.synthetic import synthetic_video
     from tvidz_tpu.service.app import create_app
     from tvidz_tpu.service.fakes import FakeS3, FakeSQS
 
@@ -830,15 +859,7 @@ def bench_service_e2e(n_videos: int = 8, num_frames: int = 256,
     )
     client = app.wsgi.test_client()
     try:
-        # Disjoint per-video cut windows (no accidental dedup hits).
-        paths = []
-        for i in range(n_videos + 1):
-            luma, _ = synthetic_video(
-                num_frames=num_frames, height=1080, width=1920,
-                cut_frames=(20 + 8 * i, 24 + 8 * i), seed=100 + i)
-            p = os.path.join(workdir, f"svc-{i:02d}.avi")
-            write_mjpeg_avi(p, luma, fps=25.0, quality=90)
-            paths.append(p)
+        paths = _service_fixtures(n_videos, num_frames)
 
         def run_upload(idx, prefix=""):
             name = f"{prefix}svc-{idx:02d}.avi"

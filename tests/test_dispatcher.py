@@ -157,7 +157,7 @@ def test_dispatcher_stop_fails_queued_futures(model):
 
 
 def test_dispatcher_window_parity_and_clean_stop(model):
-    """batch_window_s > 0 (measured-and-rejected on this host — config.py
+    """dispatcher_window_s > 0 (measured-and-rejected on this host — config.py
     note — but a supported knob for multi-core hosts) must be invisible
     in results and must not stall the worker or stop()."""
     rng = np.random.default_rng(11)
@@ -166,7 +166,7 @@ def test_dispatcher_window_parity_and_clean_stop(model):
     cuts_direct, fps_direct = _analyze(model, blocks)
 
     model.dispatcher = SharedBlockDispatcher(
-        model, batch_window_s=0.02).start()
+        model, dispatcher_window_s=0.02).start()
     try:
         cuts_disp, fps_disp = _analyze(model, blocks)
     finally:

@@ -71,16 +71,20 @@ class SharedBlockDispatcher:
     burst and stall every queued analysis behind this one worker."""
 
     def __init__(self, model, max_bucket: int = 4,
-                 batch_window_s: float = 0.0):
+                 dispatcher_window_s: float = 0.0):
         self.model = model
         self.max_bucket = max(1, max_bucket)
-        # Optional submission window: after the first block of a pass
-        # arrives, wait up to this long for more before dispatching.
-        # 0 (default) = purely self-clocking (r4 design). Raced on-chip
-        # r5: see docs/kernels.md §6 — the window trades first-block
-        # latency for batching factor; keep 0 unless the measured race
-        # says otherwise for your corpus shape.
-        self.batch_window_s = max(0.0, batch_window_s)
+        # Optional submission window (one name end-to-end:
+        # PipelineConfig.dispatcher_window_s / TVIDZ_DISPATCHER_WINDOW_S):
+        # after the first block of a pass arrives, wait up to this long
+        # for more before dispatching. 0 (default) = purely self-clocking
+        # (r4 design). Raced on-chip r5: see docs/kernels.md §6 — the
+        # window trades first-block latency for batching factor and LOST
+        # on this host; keep 0 unless a multi-core measurement says
+        # otherwise. Clamped to 1 s: while waiting the worker holds the
+        # first block's future, so an unbounded window could outlive
+        # stop()'s join and strand that future past shutdown.
+        self.dispatcher_window_s = min(max(0.0, dispatcher_window_s), 1.0)
         self._q: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
@@ -165,19 +169,28 @@ class SharedBlockDispatcher:
             except queue.Empty:
                 continue
             batch = [first]
-            deadline = (time.monotonic() + self.batch_window_s
-                        if self.batch_window_s else None)
+            deadline = (time.monotonic() + self.dispatcher_window_s
+                        if self.dispatcher_window_s else None)
             while len(batch) < self.max_bucket:
                 try:
-                    if deadline is None:
+                    if deadline is None or self._stop.is_set():
+                        # On stop, dispatch what we hold immediately
+                        # (window=0 semantics) so the held futures
+                        # resolve before stop()'s join expires.
                         batch.append(self._q.get_nowait())
                     else:
                         left = deadline - time.monotonic()
                         if left <= 0:
                             batch.append(self._q.get_nowait())
                         else:
-                            batch.append(self._q.get(timeout=left))
+                            # ≤0.2 s slices so a stop() during the window
+                            # is honored promptly.
+                            batch.append(self._q.get(
+                                timeout=min(left, 0.2)))
                 except queue.Empty:
+                    if deadline is not None and not self._stop.is_set() \
+                            and time.monotonic() < deadline:
+                        continue
                     break
             k = len(batch)
             bucket = _bucket(k)

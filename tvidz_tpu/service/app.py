@@ -102,7 +102,7 @@ class InspectorApp:
 
             self.block_dispatcher = SharedBlockDispatcher(
                 self.analyzer._model,
-                batch_window_s=self.config.pipeline.dispatcher_window_s,
+                dispatcher_window_s=self.config.pipeline.dispatcher_window_s,
             ).start()
             self.analyzer._model.dispatcher = self.block_dispatcher
         # Warm the device corpus from durable storage — unlike the reference,
